@@ -1,0 +1,134 @@
+"""Analyzer chain: text column → per-document term-frequency pairs.
+
+The reference's analyzer (coordinator/coordinator/elasticsearch.yml:2-20) is
+``html_strip → standard tokenizer → lowercase → english stemmer``, applied
+identically at index and search time. We pin our own equivalent chain —
+``(html_strip) → lowercase → regex tokenize`` — and use the *same* Analyzer
+object on both the index-build and the query path (the ``default_search =
+default`` parity requirement).
+
+The default token pattern ``[a-z0-9]+`` is chosen so the DuckDB oracle can
+reproduce it exactly with ``regexp_extract_all(lower(text), '[a-z0-9]+')``.
+Stemming is intentionally off by default (documented deviation: our engine is
+its own golden reference per SURVEY.md §1.3).
+
+All kernels are Arrow-native (``pyarrow.compute``) — no Python loops over
+rows: lowercase → split on the complement pattern → list-flatten with parent
+indices → hash-aggregate (term, doc) counts in Arrow C++.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_HTML_TAG_RE = r"<[^>]*>"
+
+
+@dataclass(frozen=True)
+class Analyzer:
+    """Tokenizer configuration, shared verbatim between index and query."""
+
+    lowercase: bool = True
+    token_chars: str = "a-z0-9"  # tokens are maximal runs of these chars
+    html_strip: bool = False
+    min_token_len: int = 1
+    max_token_len: int = 0  # 0 = unlimited
+
+    @property
+    def split_pattern(self) -> str:
+        return f"[^{self.token_chars}]+"
+
+    @property
+    def token_pattern(self) -> str:
+        return f"[{self.token_chars}]+"
+
+    def sql_tokens_expr(self, col: str) -> str:
+        """DuckDB expression producing this analyzer's token list for `col`."""
+        inner = f"lower({col})" if self.lowercase else col
+        if self.html_strip:
+            inner = f"regexp_replace({inner}, '{_HTML_TAG_RE}', ' ', 'g')"
+        expr = f"regexp_extract_all({inner}, '{self.token_pattern}')"
+        if self.min_token_len > 1 or self.max_token_len:
+            hi = self.max_token_len or 100000
+            expr = (
+                f"list_filter({expr}, t -> length(t) >= {self.min_token_len}"
+                f" AND length(t) <= {hi})"
+            )
+        return expr
+
+    # ------------------------------------------------------------------
+    # Arrow kernels
+    # ------------------------------------------------------------------
+    def token_lists(self, col: pa.Array | pa.ChunkedArray) -> pa.Array:
+        """Text column → list<string> of tokens per row (nulls → empty)."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        s = pc.fill_null(col, "")
+        if self.html_strip:
+            s = pc.replace_substring_regex(s, _HTML_TAG_RE, " ")
+        if self.lowercase:
+            s = pc.utf8_lower(s)
+        toks = pc.split_pattern_regex(s, self.split_pattern)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        if self.min_token_len > 1:
+            keep = pc.and_(
+                keep,
+                pc.greater_equal(
+                    pc.utf8_length(flat), self.min_token_len
+                ),
+            )
+        if self.max_token_len:
+            keep = pc.and_(
+                keep,
+                pc.less_equal(pc.utf8_length(flat), self.max_token_len),
+            )
+        flat = pc.filter(flat, keep)
+        parents = pc.filter(parents, keep)
+        # Rebuild a clean list array from (parent, token): parents are
+        # monotonically non-decreasing, so offsets come from a bincount.
+        counts = np.bincount(
+            parents.to_numpy(zero_copy_only=False), minlength=len(col)
+        )
+        offsets = np.zeros(len(col) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        return pa.ListArray.from_arrays(pa.array(offsets), flat)
+
+    def tokenize(self, text: str) -> list[str]:
+        """Single string → token list (query path)."""
+        lst = self.token_lists(pa.array([text], type=pa.string()))
+        return lst[0].as_py()
+
+    def term_frequencies(
+        self, col: pa.Array | pa.ChunkedArray
+    ) -> tuple[pa.Table, np.ndarray]:
+        """Text column → ((row_idx, term, tf) table, doclen per input row).
+
+        ``row_idx`` is the 0-based index into the input column; callers add
+        their docID base. doclen = number of tokens (with repeats) per row.
+        """
+        lists = self.token_lists(col)
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists)
+        doclens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        doclens = doclens.astype(np.int64)
+        if len(flat) == 0:
+            empty = pa.table(
+                {
+                    "row_idx": pa.array([], type=pa.int64()),
+                    "term": pa.array([], type=pa.string()),
+                    "tf": pa.array([], type=pa.int64()),
+                }
+            )
+            return empty, doclens
+        pairs = pa.table(
+            {"row_idx": pc.cast(parents, pa.int64()), "term": flat}
+        )
+        tf = pairs.group_by(["row_idx", "term"]).aggregate([("term", "count")])
+        tf = tf.rename_columns(["row_idx", "term", "tf"])
+        return tf, doclens

@@ -1,0 +1,468 @@
+"""Segmented inverted-index build — the core Ray Data pipeline.
+
+Replaces the reference's profile→ES-index ingest path
+(profiler/profiler.py:216-303 + lib_core/datamart_core/common.py:158-236)
+with a Ray-Data-native build:
+
+    plan (driver, metadata only)
+      parquet footers → row-group read specs with deterministic docID bases
+    tokenize (actor-pool ``map_batches`` over zero-copy Arrow)
+      read spec's row groups → (term, doc_id, tf) triples; side-writes the
+      per-spec docmeta partition (doc_id, meta cols, sha256(content), doclen)
+    sort (the one all-to-all exchange per segment)
+      ``Dataset.sort(["term", "doc_id"])`` — range partitioning by sampled
+      (term, docID) boundaries means a *head term is split across partitions
+      at docID boundaries* (skew handling without explicit salting: a chunked
+      posting-list format makes partial per-partition postings first-class)
+    encode (``map_batches`` per sorted block, no further shuffle)
+      each block → posting-chunk rows (term, first/last docID, df, max_tf,
+      delta+varbyte docs, packed tfs) — the block-max metadata for WAND
+
+DocIDs are dense, deterministic, and independent of parallelism: docID =
+global row offset in (file order, row order) over the planned input list —
+the corpus generator sorts rows by (repo, path, commit) so this equals the
+canonical sort rank. Scores therefore never depend on the number of workers
+or segments (global N/avgdl/df live in manifests, summed at query time).
+
+Checkpoint/resume: one segment = one atomic unit (temp-dir build → manifest
+→ rename, see index/manifest.py). Re-running ``build_index`` skips committed
+segments — the "pending index + freshen" semantics of the reference
+(scripts/freshen_old_index.py) as pure filesystem state.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from datamart_ray.analyzer import Analyzer
+from datamart_ray.index import codec
+from datamart_ray.index.manifest import (
+    INDEX_MANIFEST_NAME,
+    atomic_write_json,
+    commit_segment_dir,
+    list_committed_segments,
+    segment_is_committed,
+)
+
+POSTINGS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("first_docid", pa.int64()),
+        ("last_docid", pa.int64()),
+        ("df", pa.int32()),
+        ("max_tf", pa.int32()),
+        ("docs", pa.binary()),
+        ("tfs", pa.binary()),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    analyzer: Analyzer = field(default_factory=Analyzer)
+    content_col: str = "content"
+    id_col: str | None = None  # None → dense file-offset docIDs
+    meta_cols: tuple = ("repo", "path", "commit", "lang")
+    chunk_docs: int = 4096  # postings per chunk (block-max granularity)
+    docs_per_spec: int = 4096  # target docs per read/tokenize task
+    segment_docs: int = 4_000_000  # docs per segment (checkpoint unit)
+
+    def to_json(self) -> dict:
+        return {
+            "analyzer": {
+                "lowercase": self.analyzer.lowercase,
+                "token_chars": self.analyzer.token_chars,
+                "html_strip": self.analyzer.html_strip,
+                "min_token_len": self.analyzer.min_token_len,
+                "max_token_len": self.analyzer.max_token_len,
+            },
+            "content_col": self.content_col,
+            "id_col": self.id_col,
+            "meta_cols": list(self.meta_cols),
+            "chunk_docs": self.chunk_docs,
+        }
+
+    @staticmethod
+    def analyzer_from_json(obj: dict) -> Analyzer:
+        return Analyzer(**obj["analyzer"])
+
+
+# ----------------------------------------------------------------------
+# Planning (driver side, parquet footers only — no data read)
+# ----------------------------------------------------------------------
+
+def _expand_paths(paths: str | list[str]) -> list[str]:
+    if isinstance(paths, str):
+        paths = [paths]
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            files.extend(
+                os.path.join(p, f)
+                for f in sorted(os.listdir(p))
+                if f.endswith(".parquet")
+            )
+        else:
+            files.append(p)
+    return files
+
+
+def plan_specs(
+    files: list[str], docs_per_spec: int
+) -> tuple[list[dict], list[dict]]:
+    """Footers → (read specs, per-file info). Deterministic docID bases."""
+    specs: list[dict] = []
+    file_infos: list[dict] = []
+    base = 0
+    spec_id = 0
+    for path in files:
+        md = pq.ParquetFile(path).metadata
+        rg_rows = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+        file_infos.append(
+            {"path": path, "base": base, "n_rows": int(md.num_rows)}
+        )
+        rg_base = base
+        i = 0
+        while i < len(rg_rows):
+            j = i
+            rows = 0
+            while j < len(rg_rows) and (rows == 0 or rows + rg_rows[j] <= docs_per_spec):
+                rows += rg_rows[j]
+                j += 1
+            specs.append(
+                {
+                    "spec_id": spec_id,
+                    "path": path,
+                    "rg_start": i,
+                    "rg_end": j - 1,
+                    "base": rg_base,
+                    "n_rows": rows,
+                }
+            )
+            spec_id += 1
+            rg_base += rows
+            i = j
+        base += int(md.num_rows)
+    return specs, file_infos
+
+
+# ----------------------------------------------------------------------
+# Tokenize stage (actor pool; compiled analyzer state lives per actor)
+# ----------------------------------------------------------------------
+
+class _TokenizeSpec:
+    """Reads one spec's row groups, emits (term, doc_id, tf) triples and
+    side-writes the spec's docmeta partition (atomic, idempotent on retry)."""
+
+    def __init__(self, config_json: dict, docmeta_dir: str):
+        self.analyzer = IndexConfig.analyzer_from_json(config_json)
+        self.content_col = config_json["content_col"]
+        self.id_col = config_json["id_col"]
+        self.meta_cols = config_json["meta_cols"]
+        self.docmeta_dir = docmeta_dir
+
+    def __call__(self, batch: pa.Table):
+        for spec in batch.to_pylist():
+            pf = pq.ParquetFile(spec["path"])
+            want = [self.content_col]
+            present = set(pf.schema_arrow.names)
+            meta_cols = [c for c in self.meta_cols if c in present]
+            want += meta_cols
+            if self.id_col:
+                want.append(self.id_col)
+            meta_batches = []
+            rg_base = spec["base"]
+            for rg in range(spec["rg_start"], spec["rg_end"] + 1):
+                t = pf.read_row_group(rg, columns=want)
+                content = t[self.content_col]
+                tf_table, doclens = self.analyzer.term_frequencies(content)
+                if self.id_col:
+                    ids = pc.cast(t[self.id_col], pa.int64()).combine_chunks()
+                    ids_np = ids.to_numpy(zero_copy_only=False)
+                else:
+                    ids_np = rg_base + np.arange(t.num_rows, dtype=np.int64)
+                    ids = pa.array(ids_np, type=pa.int64())
+                row_idx = tf_table["row_idx"].to_numpy(zero_copy_only=False)
+                triples = pa.table(
+                    {
+                        "term": tf_table["term"],
+                        "doc_id": pa.array(
+                            ids_np[row_idx], type=pa.int64()
+                        ),
+                        "tf": pc.cast(tf_table["tf"], pa.int32()),
+                    }
+                )
+                # docmeta partition rows
+                shas = [
+                    hashlib.sha256(
+                        s.encode("utf-8") if s is not None else b""
+                    ).hexdigest()
+                    for s in content.to_pylist()
+                ]
+                meta = {
+                    "doc_id": ids,
+                    "doclen": pa.array(doclens, type=pa.int64()),
+                    "sha256": pa.array(shas, type=pa.string()),
+                }
+                for c in meta_cols:
+                    meta[c] = t[c]
+                meta_batches.append(pa.table(meta))
+                rg_base += t.num_rows
+                if triples.num_rows:
+                    yield triples
+            meta_table = pa.concat_tables(meta_batches)
+            dest = os.path.join(
+                self.docmeta_dir, f"docmeta-{spec['spec_id']:06d}.parquet"
+            )
+            tmp = dest + f".tmp.{os.getpid()}"
+            pq.write_table(meta_table, tmp)
+            os.rename(tmp, dest)
+
+
+# ----------------------------------------------------------------------
+# Posting-chunk encoder (runs per sorted block — no shuffle)
+# ----------------------------------------------------------------------
+
+class _BuildChunks:
+    def __init__(self, chunk_docs: int):
+        self.chunk_docs = chunk_docs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return POSTINGS_SCHEMA.empty_table()
+        terms = batch["term"].combine_chunks()
+        doc = batch["doc_id"].to_numpy()
+        tf = batch["tf"].to_numpy()
+        if n > 1:
+            neq = pc.not_equal(terms.slice(1), terms.slice(0, n - 1))
+            bounds = np.flatnonzero(
+                neq.to_numpy(zero_copy_only=False)
+            ) + 1
+        else:
+            bounds = np.empty(0, dtype=np.int64)
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [n]))
+        out_term, out_first, out_last = [], [], []
+        out_df, out_maxtf, out_docs, out_tfs = [], [], [], []
+        C = self.chunk_docs
+        for s, e in zip(starts, ends):
+            t_val = terms[int(s)].as_py()
+            for off in range(int(s), int(e), C):
+                hi = min(off + C, int(e))
+                d = doc[off:hi]
+                f = tf[off:hi]
+                out_term.append(t_val)
+                out_first.append(int(d[0]))
+                out_last.append(int(d[-1]))
+                out_df.append(hi - off)
+                out_maxtf.append(int(f.max()))
+                out_docs.append(codec.encode_docids(d))
+                out_tfs.append(codec.pack_ints(f))
+        return pa.table(
+            {
+                "term": pa.array(out_term, type=pa.string()),
+                "first_docid": pa.array(out_first, type=pa.int64()),
+                "last_docid": pa.array(out_last, type=pa.int64()),
+                "df": pa.array(out_df, type=pa.int32()),
+                "max_tf": pa.array(out_maxtf, type=pa.int32()),
+                "docs": pa.array(out_docs, type=pa.binary()),
+                "tfs": pa.array(out_tfs, type=pa.binary()),
+            }
+        )
+
+
+# ----------------------------------------------------------------------
+# Segment + index build
+# ----------------------------------------------------------------------
+
+def _cpus() -> int:
+    try:
+        return max(1, int(ray.cluster_resources().get("CPU", 4)))
+    except Exception:
+        return 4
+
+
+def build_segment(
+    specs: list[dict],
+    file_infos: list[dict],
+    seg_name: str,
+    index_dir: str,
+    config: IndexConfig,
+) -> dict:
+    """Build one segment into segments/<seg_name>/ atomically."""
+    t0 = time.time()
+    seg_root = os.path.join(index_dir, "segments")
+    os.makedirs(seg_root, exist_ok=True)
+    final_dir = os.path.join(seg_root, seg_name)
+    tmp_dir = os.path.join(seg_root, f".tmp-{seg_name}")
+    if os.path.exists(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    docmeta_dir = os.path.join(tmp_dir, "docmeta")
+    postings_dir = os.path.join(tmp_dir, "postings")
+    os.makedirs(docmeta_dir)
+
+    cfg_json = config.to_json()
+    n_specs = len(specs)
+    pool = min(_cpus(), max(1, n_specs))
+    triples = (
+        rd.from_items(specs)
+        .map_batches(
+            _TokenizeSpec,
+            fn_constructor_args=(cfg_json, docmeta_dir),
+            batch_size=1,
+            batch_format="pyarrow",
+            concurrency=(1, pool),
+            num_cpus=1,
+        )
+    )
+    t_tok = time.time()
+    sorted_triples = triples.sort(["term", "doc_id"])
+    chunks = sorted_triples.map_batches(
+        _BuildChunks,
+        fn_constructor_args=(config.chunk_docs,),
+        batch_size=None,
+        batch_format="pyarrow",
+        concurrency=(1, pool),
+        num_cpus=1,
+    )
+    chunks.write_parquet(postings_dir)
+    t_post = time.time()
+
+    # Per-segment term dictionary: df summed over chunks of the same term.
+    terms_path = os.path.join(tmp_dir, "terms.parquet")
+    terms_ds = rd.read_parquet(postings_dir, columns=["term", "df"])
+    terms_agg = terms_ds.groupby("term").aggregate(Sum("df", alias_name="df"))
+    terms_table = pa.Table.from_pandas(
+        terms_agg.to_pandas(), preserve_index=False
+    )
+    if terms_table.num_rows:
+        terms_table = terms_table.sort_by("term")
+        terms_table = pa.table(
+            {
+                "term": pc.cast(terms_table["term"], pa.string()),
+                "df": pc.cast(terms_table["df"], pa.int64()),
+            }
+        )
+    else:
+        terms_table = pa.table(
+            {
+                "term": pa.array([], type=pa.string()),
+                "df": pa.array([], type=pa.int64()),
+            }
+        )
+    pq.write_table(terms_table, terms_path)
+
+    # Segment stats + sha256 lineage rollup from the docmeta partitions
+    # (spec order = sorted file names → deterministic rollup).
+    n_docs = 0
+    total_dl = 0
+    rollup = hashlib.sha256()
+    for name in sorted(os.listdir(docmeta_dir)):
+        t = pq.read_table(
+            os.path.join(docmeta_dir, name), columns=["doclen", "sha256"]
+        )
+        n_docs += t.num_rows
+        total_dl += pc.sum(t["doclen"]).as_py() or 0
+        for s in t["sha256"].to_pylist():
+            rollup.update(bytes.fromhex(s))
+    t1 = time.time()
+
+    manifest = {
+        "segment": seg_name,
+        "n_docs": n_docs,
+        "total_doclen": int(total_dl),
+        "n_terms": terms_table.num_rows,
+        "n_postings": int(pc.sum(terms_table["df"]).as_py() or 0),
+        "files": file_infos,
+        "n_specs": n_specs,
+        "sha256_rollup": rollup.hexdigest(),
+        "config": cfg_json,
+        "timings": {
+            "total_sec": round(t1 - t0, 3),
+            "postings_sec": round(t_post - t_tok, 3),
+        },
+        "built_unix": int(t1),
+    }
+    atomic_write_json(os.path.join(tmp_dir, "MANIFEST.json"), manifest)
+    commit_segment_dir(tmp_dir, final_dir)
+    return manifest
+
+
+def build_index(
+    paths: str | list[str],
+    index_dir: str,
+    config: IndexConfig | None = None,
+) -> dict:
+    """Build (or resume) the full index; returns the global manifest."""
+    config = config or IndexConfig()
+    files = _expand_paths(paths)
+    if not files:
+        raise ValueError(f"no parquet files under {paths!r}")
+    specs, file_infos = plan_specs(files, config.docs_per_spec)
+
+    # Assign files to segments by cumulative doc count (file granularity).
+    segments: list[tuple[str, list[dict], list[dict]]] = []
+    cur_files: list[dict] = []
+    cur_docs = 0
+    seg_idx = 0
+    by_path = {fi["path"]: fi for fi in file_infos}
+    for fi in file_infos:
+        if cur_docs and cur_docs + fi["n_rows"] > config.segment_docs:
+            seg_paths = {f["path"] for f in cur_files}
+            segments.append(
+                (
+                    f"seg-{seg_idx:05d}",
+                    [s for s in specs if s["path"] in seg_paths],
+                    cur_files,
+                )
+            )
+            seg_idx += 1
+            cur_files, cur_docs = [], 0
+        cur_files.append(fi)
+        cur_docs += fi["n_rows"]
+    if cur_files:
+        seg_paths = {f["path"] for f in cur_files}
+        segments.append(
+            (
+                f"seg-{seg_idx:05d}",
+                [s for s in specs if s["path"] in seg_paths],
+                cur_files,
+            )
+        )
+
+    os.makedirs(index_dir, exist_ok=True)
+    built, skipped = [], []
+    for seg_name, seg_specs, seg_files in segments:
+        seg_dir = os.path.join(index_dir, "segments", seg_name)
+        if segment_is_committed(seg_dir):
+            skipped.append(seg_name)
+            continue
+        build_segment(seg_specs, seg_files, seg_name, index_dir, config)
+        built.append(seg_name)
+
+    global_manifest = {
+        "segments": [s[0] for s in segments],
+        "config": config.to_json(),
+        "built": built,
+        "resumed_skipped": skipped,
+        "n_files": len(files),
+    }
+    atomic_write_json(
+        os.path.join(index_dir, INDEX_MANIFEST_NAME), global_manifest
+    )
+    return global_manifest

@@ -1,0 +1,108 @@
+"""Posting-list compression codecs (vectorized numpy, no Python per-value loops).
+
+Two codecs:
+
+- **varbyte**: classic 7-bit variable-byte encoding (continuation bit set on
+  all but the last byte of each value). Used for delta-encoded docID gaps.
+  Encode and decode are fully vectorized: the only Python-level loops run
+  once per *byte position* (≤10 iterations), never per value. This is the
+  byte-aligned member of the SIMD-BP128 family called for by the north star.
+- **packed**: fixed-width bit packing per block — the whole array is stored
+  at the smallest uint width that fits its max value (1 tag byte + raw
+  little-endian data). Used for term frequencies (almost always uint8).
+
+Chunk layout (one parquet row per posting chunk, see index/build.py):
+``docs`` = varbyte([docids[0], diff(docids)...]), ``tfs`` = packed(tfs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_VB_THRESHOLDS = [np.uint64(1) << np.uint64(7 * k) for k in range(1, 10)]
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a 1-D array of non-negative ints to variable-byte bytes."""
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return b""
+    nbytes = np.ones(a.size, dtype=np.int64)
+    for t in _VB_THRESHOLDS:
+        nbytes += a >= t
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for j in range(int(nbytes.max())):
+        mask = nbytes > j
+        chunk = (a[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        more = (nbytes[mask] - 1) > j
+        out[starts[mask] + j] = chunk.astype(np.uint8) | (
+            more.astype(np.uint8) << 7
+        )
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes) -> np.ndarray:
+    """Decode variable-byte bytes back to a uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = np.flatnonzero((b & 0x80) == 0)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    out = np.zeros(ends.size, dtype=np.uint64)
+    for j in range(int(lengths.max())):
+        mask = lengths > j
+        out[mask] |= (b[starts[mask] + j] & np.uint8(0x7F)).astype(
+            np.uint64
+        ) << np.uint64(7 * j)
+    return out
+
+
+_PACK_DTYPES = {0: np.uint8, 1: np.uint16, 2: np.uint32, 3: np.uint64}
+
+
+def pack_ints(values: np.ndarray) -> bytes:
+    """Fixed-width pack: 1 tag byte (dtype code) + little-endian raw data."""
+    a = np.asarray(values)
+    m = int(a.max(initial=0))
+    if m < (1 << 8):
+        code = 0
+    elif m < (1 << 16):
+        code = 1
+    elif m < (1 << 32):
+        code = 2
+    else:
+        code = 3
+    data = np.ascontiguousarray(a.astype(_PACK_DTYPES[code]))
+    return bytes([code]) + data.tobytes()
+
+
+def unpack_ints(buf: bytes) -> np.ndarray:
+    if not buf:
+        return np.empty(0, dtype=np.uint64)
+    code = buf[0]
+    return np.frombuffer(buf, dtype=_PACK_DTYPES[code], offset=1)
+
+
+def encode_docids(docids: np.ndarray) -> bytes:
+    """Delta + varbyte encode a sorted array of docIDs."""
+    a = np.ascontiguousarray(docids, dtype=np.int64)
+    if a.size == 0:
+        return b""
+    deltas = np.empty(a.size, dtype=np.uint64)
+    deltas[0] = np.uint64(a[0])
+    if a.size > 1:
+        deltas[1:] = np.diff(a).astype(np.uint64)
+    return varbyte_encode(deltas)
+
+
+def decode_docids(buf: bytes) -> np.ndarray:
+    """Inverse of :func:`encode_docids`; returns int64 docIDs."""
+    deltas = varbyte_decode(buf)
+    if deltas.size == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.cumsum(deltas.astype(np.int64))

@@ -1,0 +1,63 @@
+"""Atomic commit + lineage helpers for checkpoint-resumable index builds.
+
+Pattern mirrored from the reference's cache-commit discipline
+(lib_core/datamart_core/fscache.py:266-277): write to a temp name in the
+same filesystem, then ``os.rename`` (atomic on POSIX). A segment directory
+is only visible under its final name once its MANIFEST.json exists, so
+resume = "skip any segment whose manifest is committed".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+MANIFEST_NAME = "MANIFEST.json"
+INDEX_MANIFEST_NAME = "index.json"
+
+
+def atomic_write_json(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+def atomic_write_bytes(path: str, data: bytes) -> None:
+    tmp = path + ".tmp." + str(os.getpid())
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+def commit_segment_dir(tmp_dir: str, final_dir: str) -> None:
+    """Atomically promote a fully-built temp segment dir to its final name."""
+    if os.path.exists(final_dir):
+        shutil.rmtree(final_dir)
+    os.rename(tmp_dir, final_dir)
+
+
+def segment_is_committed(seg_dir: str) -> bool:
+    return os.path.isfile(os.path.join(seg_dir, MANIFEST_NAME))
+
+
+def read_manifest(seg_dir: str) -> dict:
+    with open(os.path.join(seg_dir, MANIFEST_NAME)) as f:
+        return json.load(f)
+
+
+def list_committed_segments(index_dir: str) -> list[str]:
+    seg_root = os.path.join(index_dir, "segments")
+    if not os.path.isdir(seg_root):
+        return []
+    out = []
+    for name in sorted(os.listdir(seg_root)):
+        seg = os.path.join(seg_root, name)
+        if name.startswith("seg-") and segment_is_committed(seg):
+            out.append(seg)
+    return out

@@ -1,0 +1,343 @@
+"""BM25 top-k query engine over the segmented posting-chunk index.
+
+The native replacement for the reference's ES query execution
+(apiserver/apiserver/search/__init__.py:553-563 — ``es.search(size=50)``
+with AND-semantics multi_match; keyword filters per
+search/__init__.py:79-105). Semantics:
+
+- the *same* Analyzer as the index build (``default_search = default``
+  parity, coordinator/elasticsearch.yml:15-16);
+- BM25 with global corpus stats (N, avgdl, df summed over segments) so
+  scores are independent of segmentation/parallelism;
+- ``mode="and"`` (default, like the reference's ``operator: 'and'``) via
+  rarest-first sorted-array intersection with chunk skipping, or
+  ``mode="or"`` via score union;
+- keyword equality filters on docmeta columns (lang/repo — the analog of
+  the reference's source/type terms filters);
+- pinned top-k tie-break (score desc, docID asc), k=50 default.
+
+Two serving shapes:
+- :class:`SearchEngine` — in-process, one reader per segment (query p50 path);
+- :class:`DistributedSearchEngine` — one Ray actor per segment holding its
+  postings/doclens (the scorer-actor-pool design, SURVEY.md §2.3 ST8);
+  per-segment local top-k, driver merges heaps. df/N are exchanged first so
+  scoring still uses global stats.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+import ray
+
+from datamart_ray.analyzer import Analyzer
+from datamart_ray.index.build import IndexConfig
+from datamart_ray.index import codec
+from datamart_ray.index.manifest import (
+    INDEX_MANIFEST_NAME,
+    list_committed_segments,
+    read_manifest,
+)
+from datamart_ray.search.bm25 import BM25Params, bm25_idf, bm25_tf_norm, topk_select
+
+TOP_K_SIZE = 50  # reference: apiserver/apiserver/search/base.py:1
+
+
+class SegmentReader:
+    """Reads one committed segment: term dict, postings, docmeta arrays."""
+
+    def __init__(self, seg_dir: str, filter_cols: tuple = ("lang", "repo")):
+        self.seg_dir = seg_dir
+        self.manifest = read_manifest(seg_dir)
+        self.n_docs = self.manifest["n_docs"]
+        self.total_doclen = self.manifest["total_doclen"]
+        t = pq.read_table(os.path.join(seg_dir, "terms.parquet"))
+        self._df = dict(
+            zip(t["term"].to_pylist(), t["df"].to_pylist())
+        )
+        self._postings = pads.dataset(
+            os.path.join(seg_dir, "postings"), format="parquet"
+        )
+        meta_dir = os.path.join(seg_dir, "docmeta")
+        avail = set(
+            pq.ParquetFile(
+                os.path.join(meta_dir, sorted(os.listdir(meta_dir))[0])
+            ).schema_arrow.names
+        )
+        cols = ["doc_id", "doclen"] + [c for c in filter_cols if c in avail]
+        meta = pq.read_table(meta_dir, columns=cols)
+        order = pc.sort_indices(meta["doc_id"])
+        meta = meta.take(order)
+        self._doc_ids = meta["doc_id"].to_numpy()
+        self._doclens = meta["doclen"].to_numpy()
+        self._meta = meta
+
+    def df(self, term: str) -> int:
+        return self._df.get(term, 0)
+
+    def postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """All chunks of `term` merged → (sorted docIDs, aligned tfs)."""
+        t = self._postings.to_table(
+            filter=pc.field("term") == term,
+            columns=["first_docid", "docs", "tfs"],
+        )
+        if t.num_rows == 0:
+            e = np.empty(0, dtype=np.int64)
+            return e, e
+        order = np.argsort(t["first_docid"].to_numpy(), kind="stable")
+        docs_col = t["docs"].to_pylist()
+        tfs_col = t["tfs"].to_pylist()
+        d = [codec.decode_docids(docs_col[i]) for i in order]
+        f = [codec.unpack_ints(tfs_col[i]).astype(np.int64) for i in order]
+        return np.concatenate(d), np.concatenate(f)
+
+    def doclen_of(self, docids: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(self._doc_ids, docids)
+        return self._doclens[pos]
+
+    def filter_positions(self, filters: dict[str, str]) -> np.ndarray | None:
+        """Sorted docID array passing all equality filters (None = no filter)."""
+        if not filters:
+            return None
+        mask = np.ones(self._doc_ids.size, dtype=bool)
+        for col, val in filters.items():
+            if col not in self._meta.column_names:
+                raise KeyError(f"no filter column {col!r} in docmeta")
+            arr = pc.equal(self._meta[col], val)
+            mask &= arr.to_numpy(zero_copy_only=False)
+        return self._doc_ids[mask]
+
+
+def _isin_sorted(sorted_ref: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Boolean mask: which `values` are present in `sorted_ref` (both sorted)."""
+    if sorted_ref.size == 0 or values.size == 0:
+        return np.zeros(values.size, dtype=bool)
+    pos = np.searchsorted(sorted_ref, values)
+    in_range = pos < sorted_ref.size
+    out = np.zeros(values.size, dtype=bool)
+    out[in_range] = sorted_ref[pos[in_range]] == values[in_range]
+    return out
+
+
+def _score_segment(
+    reader: SegmentReader,
+    terms: list[str],
+    idfs: dict[str, float],
+    avgdl: float,
+    mode: str,
+    filters: dict[str, str] | None,
+    params: BM25Params,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(docids, scores) of every matching doc in one segment (unsorted)."""
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    present = [t for t in terms if reader.df(t) > 0]
+    if mode == "and" and len(present) != len(terms):
+        return empty
+    if not present:
+        return empty
+
+    post = {t: reader.postings(t) for t in present}
+    allowed = reader.filter_positions(filters or {})
+
+    if mode == "and":
+        # rarest-first intersection; keeps per-term tf arrays aligned
+        order = sorted(present, key=lambda t: post[t][0].size)
+        docids = post[order[0]][0]
+        if allowed is not None:
+            docids = docids[_isin_sorted(allowed, docids)]
+        for t in order[1:]:
+            docids = docids[_isin_sorted(post[t][0], docids)]
+            if docids.size == 0:
+                return empty
+        if docids.size == 0:
+            return empty
+        dl = reader.doclen_of(docids)
+        scores = np.zeros(docids.size, dtype=np.float64)
+        for t in terms:  # pinned accumulation order = query order
+            p_doc, p_tf = post[t]
+            pos = np.searchsorted(p_doc, docids)
+            scores += idfs[t] * bm25_tf_norm(p_tf[pos], dl, avgdl, params)
+        return docids, scores
+
+    # mode == "or": score union
+    all_docs = np.unique(np.concatenate([post[t][0] for t in present]))
+    if allowed is not None:
+        all_docs = all_docs[_isin_sorted(allowed, all_docs)]
+    if all_docs.size == 0:
+        return empty
+    dl_all = reader.doclen_of(all_docs)
+    scores = np.zeros(all_docs.size, dtype=np.float64)
+    for t in terms:  # pinned order
+        if t not in post:
+            continue
+        p_doc, p_tf = post[t]
+        keep = _isin_sorted(all_docs, p_doc)
+        pos_k = np.searchsorted(all_docs, p_doc[keep])
+        scores[pos_k] += idfs[t] * bm25_tf_norm(
+            p_tf[keep], dl_all[pos_k], avgdl, params
+        )
+    hit = scores > 0.0
+    return all_docs[hit], scores[hit]
+
+
+class SearchEngine:
+    """In-process engine over all committed segments of an index dir."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        params: BM25Params = BM25Params(),
+        filter_cols: tuple = ("lang", "repo"),
+    ):
+        with open(os.path.join(index_dir, INDEX_MANIFEST_NAME)) as f:
+            self.manifest = json.load(f)
+        self.analyzer = IndexConfig.analyzer_from_json(self.manifest["config"])
+        self.params = params
+        seg_dirs = list_committed_segments(index_dir)
+        if not seg_dirs:
+            raise ValueError(f"no committed segments under {index_dir}")
+        self.readers = [SegmentReader(d, filter_cols) for d in seg_dirs]
+        self.n_docs = sum(r.n_docs for r in self.readers)
+        total_dl = sum(r.total_doclen for r in self.readers)
+        self.avgdl = total_dl / self.n_docs if self.n_docs else 0.0
+
+    def df(self, term: str) -> int:
+        return sum(r.df(term) for r in self.readers)
+
+    def search(
+        self,
+        query: str,
+        k: int = TOP_K_SIZE,
+        mode: str = "and",
+        filters: dict[str, str] | None = None,
+    ) -> pa.Table:
+        terms = list(dict.fromkeys(self.analyzer.tokenize(query)))
+        out_ids = np.empty(0, dtype=np.int64)
+        out_scores = np.empty(0, dtype=np.float64)
+        if terms:
+            idfs = {
+                t: bm25_idf(self.df(t), self.n_docs, self.params)
+                for t in terms
+            }
+            parts_d, parts_s = [], []
+            for r in self.readers:
+                d, s = _score_segment(
+                    r, terms, idfs, self.avgdl, mode, filters, self.params
+                )
+                if d.size:
+                    dk, sk = topk_select(d, s, k)
+                    parts_d.append(dk)
+                    parts_s.append(sk)
+            if parts_d:
+                out_ids, out_scores = topk_select(
+                    np.concatenate(parts_d), np.concatenate(parts_s), k
+                )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "score": pa.array(out_scores, type=pa.float64()),
+            }
+        )
+
+
+@ray.remote
+class SegmentScorer:
+    """One long-lived scorer actor per segment (SURVEY.md §2.3 ST8)."""
+
+    def __init__(self, seg_dir: str, filter_cols: tuple = ("lang", "repo")):
+        self.reader = SegmentReader(seg_dir, filter_cols)
+
+    def stats(self) -> tuple[int, int]:
+        return self.reader.n_docs, self.reader.total_doclen
+
+    def dfs(self, terms: list[str]) -> dict[str, int]:
+        return {t: self.reader.df(t) for t in terms}
+
+    def top_k(
+        self,
+        terms: list[str],
+        idfs: dict[str, float],
+        avgdl: float,
+        k: int,
+        mode: str,
+        filters: dict[str, str] | None,
+        params: BM25Params,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        d, s = _score_segment(
+            self.reader, terms, idfs, avgdl, mode, filters, params
+        )
+        return topk_select(d, s, k)
+
+
+class DistributedSearchEngine:
+    """Scorer-actor-pool engine: per-segment local top-k, driver heap merge.
+
+    Global stats protocol (rank-identity across cluster sizes): round 1
+    collects per-segment (N, Σdl) and per-term dfs; idfs are computed on the
+    driver from the *global* sums; round 2 fans out scoring.
+    """
+
+    def __init__(self, index_dir: str, params: BM25Params = BM25Params()):
+        with open(os.path.join(index_dir, INDEX_MANIFEST_NAME)) as f:
+            self.manifest = json.load(f)
+        self.analyzer = IndexConfig.analyzer_from_json(self.manifest["config"])
+        self.params = params
+        seg_dirs = list_committed_segments(index_dir)
+        if not seg_dirs:
+            raise ValueError(f"no committed segments under {index_dir}")
+        self.actors = [SegmentScorer.remote(d) for d in seg_dirs]
+        stats = ray.get([a.stats.remote() for a in self.actors])
+        self.n_docs = sum(n for n, _ in stats)
+        total_dl = sum(dl for _, dl in stats)
+        self.avgdl = total_dl / self.n_docs if self.n_docs else 0.0
+
+    def search(
+        self,
+        query: str,
+        k: int = TOP_K_SIZE,
+        mode: str = "and",
+        filters: dict[str, str] | None = None,
+    ) -> pa.Table:
+        terms = list(dict.fromkeys(self.analyzer.tokenize(query)))
+        out_ids = np.empty(0, dtype=np.int64)
+        out_scores = np.empty(0, dtype=np.float64)
+        if terms:
+            df_maps = ray.get([a.dfs.remote(terms) for a in self.actors])
+            idfs = {
+                t: bm25_idf(
+                    sum(m[t] for m in df_maps), self.n_docs, self.params
+                )
+                for t in terms
+            }
+            results = ray.get(
+                [
+                    a.top_k.remote(
+                        terms, idfs, self.avgdl, k, mode, filters, self.params
+                    )
+                    for a in self.actors
+                ]
+            )
+            parts_d = [d for d, _ in results if d.size]
+            parts_s = [s for _, s in results if s.size]
+            if parts_d:
+                out_ids, out_scores = topk_select(
+                    np.concatenate(parts_d), np.concatenate(parts_s), k
+                )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "score": pa.array(out_scores, type=pa.float64()),
+            }
+        )
+
+    def shutdown(self):
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

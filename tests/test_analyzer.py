@@ -1,0 +1,65 @@
+import numpy as np
+import pyarrow as pa
+
+from datamart_ray.analyzer import Analyzer
+
+
+def test_tokenize_basic():
+    a = Analyzer()
+    assert a.tokenize("Hello, World! x2") == ["hello", "world", "x2"]
+
+
+def test_tokenize_code():
+    a = Analyzer()
+    assert a.tokenize("def get_foo(bar):\n  return bar+1") == [
+        "def", "get", "foo", "bar", "return", "bar", "1",
+    ]
+
+
+def test_html_strip():
+    a = Analyzer(html_strip=True)
+    assert a.tokenize('x = "<div class="h">Tit</div>" y') == ["x", "tit", "y"]
+    plain = Analyzer()
+    assert "div" in plain.tokenize("<div>x</div>")
+
+
+def test_token_lists_nulls_and_empties():
+    a = Analyzer()
+    col = pa.array(["one two", None, "", "  ", "three"], type=pa.string())
+    lists = a.token_lists(col)
+    assert lists.to_pylist() == [["one", "two"], [], [], [], ["three"]]
+
+
+def test_term_frequencies():
+    a = Analyzer()
+    col = pa.array(["b a b a b", "a c"], type=pa.string())
+    tf, doclens = a.term_frequencies(col)
+    assert np.array_equal(doclens, [5, 2])
+    got = {
+        (r["row_idx"], r["term"]): r["tf"] for r in tf.to_pylist()
+    }
+    assert got == {(0, "a"): 2, (0, "b"): 3, (1, "a"): 1, (1, "c"): 1}
+
+
+def test_min_max_token_len():
+    a = Analyzer(min_token_len=2, max_token_len=4)
+    assert a.tokenize("a bb ccc dddd eeeee") == ["bb", "ccc", "dddd"]
+
+
+def test_sql_expr_matches_python(tmp_path):
+    import duckdb
+
+    a = Analyzer()
+    texts = [
+        "Hello, World! x2",
+        "def get_foo(bar):\n  return bar+1",
+        "",
+        "CamelCase and_snake 42x",
+    ]
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {a.sql_tokens_expr('t')} FROM (SELECT unnest(?) AS t)",
+        [texts],
+    ).fetchall()
+    for (sql_tokens,), text in zip(got, texts):
+        assert sql_tokens == a.tokenize(text)

@@ -1,0 +1,177 @@
+"""End-to-end: corpus → segmented index build → BM25 engine vs exhaustive
+pure-Python oracle — the rank-identity gate (SURVEY.md §5.2)."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from datamart_ray.corpus import generate_corpus, reference_queries
+from datamart_ray.index.build import IndexConfig, build_index
+from datamart_ray.index.manifest import read_manifest
+from datamart_ray.oracle import PyBM25Oracle
+
+
+@pytest.fixture(scope="module")
+def built_index(ray_session, corpus_dir, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("index"))
+    manifest = build_index(
+        corpus_dir,
+        index_dir,
+        IndexConfig(chunk_docs=64, docs_per_spec=50),
+    )
+    return index_dir, manifest
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_dir):
+    t = pq.read_table(corpus_dir)
+    docs = [(i, s) for i, s in enumerate(t["content"].to_pylist())]
+    attrs = {
+        i: {"lang": lang} for i, lang in enumerate(t["lang"].to_pylist())
+    }
+    return PyBM25Oracle(docs, doc_attrs=attrs)
+
+
+def test_manifest_stats(built_index, oracle, corpus_dir):
+    index_dir, manifest = built_index
+    segs = manifest["segments"]
+    assert len(segs) >= 1
+    total_docs = 0
+    total_dl = 0
+    for seg in segs:
+        m = read_manifest(os.path.join(index_dir, "segments", seg))
+        total_docs += m["n_docs"]
+        total_dl += m["total_doclen"]
+        assert m["n_terms"] > 0
+        assert len(m["sha256_rollup"]) == 64
+    assert total_docs == oracle.n_docs
+    assert total_dl == sum(oracle.dl.values())
+
+
+def test_sha256_invariant(built_index, corpus_dir):
+    """Per-row invariant: docmeta sha256 == sha256 of source content."""
+    import hashlib
+
+    index_dir, manifest = built_index
+    src = pq.read_table(corpus_dir)
+    expected = {
+        i: hashlib.sha256(s.encode()).hexdigest()
+        for i, s in enumerate(src["content"].to_pylist())
+    }
+    seen = {}
+    for seg in manifest["segments"]:
+        meta = pq.read_table(
+            os.path.join(index_dir, "segments", seg, "docmeta"),
+            columns=["doc_id", "sha256"],
+        )
+        for d, s in zip(meta["doc_id"].to_pylist(), meta["sha256"].to_pylist()):
+            seen[d] = s
+    assert seen == expected
+
+
+@pytest.mark.parametrize("q", reference_queries(), ids=lambda q: q["name"])
+def test_rank_identity_inprocess(built_index, oracle, q):
+    from datamart_ray.search.engine import SearchEngine
+
+    index_dir, _ = built_index
+    eng = SearchEngine(index_dir)
+    filters = {"lang": q["lang"]} if "lang" in q else None
+    got = eng.search(q["query"], k=50, mode=q["mode"], filters=filters)
+    want = oracle.search(q["query"], k=50, mode=q["mode"], filters=filters)
+    got_ids = got["doc_id"].to_pylist()
+    got_scores = got["score"].to_pylist()
+    assert got_ids == [d for d, _ in want], q["name"]
+    assert np.allclose(
+        got_scores, [s for _, s in want], rtol=0, atol=1e-9
+    ), q["name"]
+
+
+def test_rank_identity_distributed(built_index, oracle):
+    from datamart_ray.search.engine import DistributedSearchEngine
+
+    index_dir, _ = built_index
+    eng = DistributedSearchEngine(index_dir)
+    try:
+        for q in reference_queries():
+            filters = {"lang": q["lang"]} if "lang" in q else None
+            got = eng.search(q["query"], k=50, mode=q["mode"], filters=filters)
+            want = oracle.search(q["query"], k=50, mode=q["mode"], filters=filters)
+            assert got["doc_id"].to_pylist() == [d for d, _ in want], q["name"]
+            assert np.allclose(
+                got["score"].to_pylist(),
+                [s for _, s in want],
+                atol=1e-9,
+            ), q["name"]
+    finally:
+        eng.shutdown()
+
+
+def test_tie_break_is_docid_asc(built_index, oracle):
+    """Docs 20/21 have identical content → identical scores → docID order."""
+    from datamart_ray.search.engine import SearchEngine
+
+    index_dir, _ = built_index
+    eng = SearchEngine(index_dir)
+    got = eng.search("qztieneedle", k=50)
+    ids = got["doc_id"].to_pylist()
+    scores = got["score"].to_pylist()
+    assert len(ids) == 2
+    assert ids[0] < ids[1]
+    assert scores[0] == scores[1]
+
+
+def test_multi_segment_scores_match_single_segment(
+    ray_session, corpus_dir, tmp_path_factory, oracle
+):
+    """Scores must not depend on segmentation (global df/N/avgdl)."""
+    from datamart_ray.search.engine import SearchEngine
+
+    index_dir = str(tmp_path_factory.mktemp("index_multiseg"))
+    manifest = build_index(
+        corpus_dir,
+        index_dir,
+        IndexConfig(chunk_docs=32, docs_per_spec=40, segment_docs=90),
+    )
+    assert len(manifest["segments"]) >= 2
+    eng = SearchEngine(index_dir)
+    for q in reference_queries():
+        filters = {"lang": q["lang"]} if "lang" in q else None
+        got = eng.search(q["query"], k=50, mode=q["mode"], filters=filters)
+        want = oracle.search(q["query"], k=50, mode=q["mode"], filters=filters)
+        assert got["doc_id"].to_pylist() == [d for d, _ in want], q["name"]
+        assert np.allclose(
+            got["score"].to_pylist(), [s for _, s in want], atol=1e-9
+        ), q["name"]
+
+
+def test_resume_skips_committed_segments(
+    ray_session, corpus_dir, tmp_path_factory
+):
+    """Kill-and-resume: a second build run skips every committed segment and
+    produces an identical index (manifest-level equality)."""
+    import json
+
+    cfg = IndexConfig(chunk_docs=32, docs_per_spec=40, segment_docs=90)
+    d1 = str(tmp_path_factory.mktemp("index_full"))
+    m1 = build_index(corpus_dir, d1, cfg)
+    assert m1["built"] and not m1["resumed_skipped"]
+
+    # simulate a partial build: drop the last segment, then resume
+    import shutil
+
+    last = m1["segments"][-1]
+    shutil.rmtree(os.path.join(d1, "segments", last))
+    m2 = build_index(corpus_dir, d1, cfg)
+    assert m2["built"] == [last]
+    assert set(m2["resumed_skipped"]) == set(m1["segments"]) - {last}
+
+    # resumed index must equal a from-scratch build, segment by segment
+    d2 = str(tmp_path_factory.mktemp("index_fresh"))
+    build_index(corpus_dir, d2, cfg)
+    for seg in m1["segments"]:
+        a = read_manifest(os.path.join(d1, "segments", seg))
+        b = read_manifest(os.path.join(d2, "segments", seg))
+        for key in ("n_docs", "total_doclen", "n_terms", "n_postings", "sha256_rollup"):
+            assert a[key] == b[key], (seg, key)
