@@ -4,13 +4,26 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in datamart_ray) calls ``ray.init()`` / ``ray.shutdown()``.
+
+Operator coverage map (SURVEY.md §2 → entry):
+  S1/S16   read_parquet + index write  → ft_bm25_* (engine build path)
+  M1       analyzer chain              → ft_token_counts / ft_df_top_terms
+  J1       equi hash join              → q02_revenue_by_nation
+  SEMI/ANTI broadcast anti join        → q08_customers_without_orders
+  A1/A2    grouped aggregates          → q01_pricing_summary / q04
+  A3       exact distinct count        → q05_distinct_users
+  A6/M13   temporal binning rollup     → q06_daily_event_rollup
+  A10      BM25 corpus stats (df)      → ft_df_top_terms
+  K1       top-k (pinned tie-break)    → q03_topk_orders / ft_bm25_topk
+  U1       union + aggregate           → q04_union_accounts
+  U2       exact dedup                 → ft_exact_dedup
+  filters  keyword terms filter        → ft_bm25_lang_filter
+  ANN      brute cosine top-k          → sim_knn_cosine
+  quality  text quality scoring        → ft_quality_scores
 """
 
 from __future__ import annotations
@@ -20,25 +33,43 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: build the inverted
+    index over `documents` and serve a BM25 top-k query."""
+    from datamart_ray.pipelines.fulltext import get_engine
+
+    eng = get_engine("/root/testdata/sf0.001")
+    return eng.search("key order scan", k=20, mode="or")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from datamart_ray.pipelines import fulltext, relational
+    from datamart_ray.stages.dedup import minhash_near_dups, simhash_dup_pairs
+    from datamart_ray.stages.similarity import knn_cosine
+    from datamart_ray.stages.textstats import (
+        document_fingerprints,
+        langid_breakdown,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    out.update(relational.QUERIES)
+    out.update(fulltext.QUERIES)
+    out["sim_knn_cosine"] = knn_cosine
+    out["ts_langid_breakdown"] = langid_breakdown
+    # rows-only entries (not SQL-expressible: engine-defined hash chains)
+    out["dd_minhash_near_dups"] = minhash_near_dups
+    out["dd_simhash_pairs"] = simhash_dup_pairs
+    out["ts_fingerprints"] = document_fingerprints
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from datamart_ray.pipelines import fulltext, relational
+    from datamart_ray.stages.similarity import knn_cosine_sql
+    from datamart_ray.stages.textstats import langid_breakdown_sql
+
+    out: dict[str, str] = {}
+    out.update(relational.SQL)
+    out.update(fulltext.SQL)
+    out["sim_knn_cosine"] = knn_cosine_sql()
+    out["ts_langid_breakdown"] = langid_breakdown_sql()
+    return out

@@ -1,0 +1,174 @@
+"""Benchmark harness — prints ONE JSON line with headline timings.
+
+Headline metric: inverted-index build throughput (docs/sec) on the
+synthetic source-code corpus (BASELINE.json metric) + BM25 query p50 +
+representative relational/vector pipelines over $GRAFT_SF_DIR.
+
+Modes:
+  python bench.py            one run at RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling  two fresh-process runs (8 vs 32 CPUs) on the
+                             same input → throughput at both + scaling
+                             efficiency = (T8/T32)/4 (sandbox evidence for
+                             the N→4N cluster criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CORPUS_DIR = os.environ.get("GRAFT_CORPUS_DIR", "/tmp/graft_corpus_bench")
+CORPUS_FILES = 24000
+CORPUS_TOKENS = 180
+
+
+def ensure_corpus() -> str:
+    """Deterministic code corpus, cached across runs (seed 42)."""
+    marker = os.path.join(CORPUS_DIR, ".complete")
+    if not os.path.exists(marker):
+        from datamart_ray.corpus import generate_corpus
+
+        shutil.rmtree(CORPUS_DIR, ignore_errors=True)
+        generate_corpus(
+            CORPUS_DIR,
+            n_files=CORPUS_FILES,
+            vocab_size=30000,
+            n_repos=200,
+            avg_tokens=CORPUS_TOKENS,
+            n_output_files=16,
+            seed=42,
+            big_outliers=8,
+        )
+        open(marker, "w").write("ok")
+    return CORPUS_DIR
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from datamart_ray.corpus import reference_queries
+    from datamart_ray.index.build import IndexConfig, build_index
+    from datamart_ray.search.engine import SearchEngine
+
+    timings: dict[str, float] = {}
+    extra: dict = {}
+
+    corpus = ensure_corpus()
+    # warm OS page cache so we measure compute+shuffle, not first disk read
+    for f in sorted(os.listdir(corpus)):
+        if f.endswith(".parquet"):
+            with open(os.path.join(corpus, f), "rb") as fh:
+                fh.read()
+
+    index_dir = f"/tmp/graft_bench_index_{NUM_CPUS}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    t0 = time.time()
+    build_index(corpus, index_dir, IndexConfig())
+    timings["code_index_build"] = round(time.time() - t0, 3)
+    extra["index_docs"] = CORPUS_FILES
+    extra["docs_per_sec"] = round(CORPUS_FILES / timings["code_index_build"], 1)
+
+    eng = SearchEngine(index_dir)
+    lat = []
+    qset = reference_queries()
+    for _ in range(3):
+        for q in qset:
+            t0 = time.time()
+            eng.search(
+                q["query"],
+                k=50,
+                mode=q["mode"],
+                filters={"lang": q["lang"]} if "lang" in q else None,
+            )
+            lat.append(time.time() - t0)
+    timings["bm25_p50"] = round(statistics.median(lat), 4)
+    extra["bm25_p95"] = round(sorted(lat)[int(len(lat) * 0.95)], 4)
+
+    from datamart_ray.pipelines.relational import (
+        q01_pricing_summary,
+        q02_revenue_by_nation,
+    )
+    from datamart_ray.pipelines.fulltext import ft_df_top_terms
+    from datamart_ray.stages.similarity import knn_cosine
+
+    for name, fn in [
+        ("q01_pricing_summary", q01_pricing_summary),
+        ("q02_revenue_by_nation", q02_revenue_by_nation),
+        ("ft_df_top_terms", ft_df_top_terms),
+        ("sim_knn_cosine", knn_cosine),
+    ]:
+        t0 = time.time()
+        fn(SF_DIR)
+        timings[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    value = round(sum(timings.values()), 3)
+    return {
+        "metric": "headline pipeline seconds (index build + BM25 p50 + relational/vector queries)",
+        "value": value,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        **extra,
+    }
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    t_lo = r_lo["queries"]["code_index_build"]
+    t_hi = r_hi["queries"]["code_index_build"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "index-build scaling efficiency (8 vs 32 CPUs, same input)",
+        "cpus_low": lo,
+        "cpus_high": hi,
+        "sec_low": t_lo,
+        "sec_high": t_hi,
+        "docs_per_sec_low": round(CORPUS_FILES / t_lo, 1),
+        "docs_per_sec_high": round(CORPUS_FILES / t_hi, 1),
+        "scaling_efficiency": round(eff, 3),
+        "full_low": r_lo,
+        "full_high": r_hi,
+    }
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,308 @@
+"""Full-text pipelines over the ``documents`` table — the engine's public
+face for the driver's correctness gate.
+
+Every entry has a DuckDB SQL twin built from the *same* Analyzer via
+``Analyzer.sql_tokens_expr`` so tokenization is definitionally identical.
+The BM25 entries run the real engine (index build → SearchEngine) against a
+pure-SQL BM25 computed with the same formula, same global stats, same
+ordered accumulation, same (score desc, doc_id asc) tie-break. Scores are
+ROUND(x, 4) on both sides (float-sum association differs between systems).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from datamart_ray.util import round_away
+from ray.data.aggregate import Count, Min, Sum
+
+from datamart_ray.analyzer import Analyzer
+from datamart_ray.index.build import IndexConfig, build_index
+from datamart_ray.search.engine import SearchEngine
+
+ANALYZER = Analyzer()  # lowercase + [a-z0-9]+ — SQL-reproducible
+BM25_QUERY = "window hash join"
+BM25_FILTER_QUERY = "batch stream"
+BM25_K = 10
+
+_ENGINES: dict[str, SearchEngine] = {}
+
+
+def _docs_path(sf_dir: str) -> str:
+    return f"{sf_dir}/documents.parquet"
+
+
+def get_engine(sf_dir: str) -> SearchEngine:
+    """Build (resume) the documents index for `sf_dir` and cache the engine.
+
+    The on-disk index doubles as a cross-process cache: ``build_index``
+    skips committed segments, so repeat calls only pay footer reads."""
+    sf_dir = os.path.abspath(sf_dir)
+    if sf_dir in _ENGINES:
+        return _ENGINES[sf_dir]
+    src = _docs_path(sf_dir)
+    key = hashlib.sha1(
+        f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}".encode()
+    ).hexdigest()[:12]
+    index_dir = f"/tmp/datamart_ray_idx/{key}"
+    cfg = IndexConfig(
+        analyzer=ANALYZER,
+        content_col="text",
+        id_col="doc_id",
+        meta_cols=("lang", "source"),
+    )
+    build_index(src, index_dir, cfg)
+    eng = SearchEngine(index_dir)
+    _ENGINES[sf_dir] = eng
+    return eng
+
+
+# ----------------------------------------------------------------------
+# Ray pipelines
+# ----------------------------------------------------------------------
+
+def ft_token_counts(sf_dir: str) -> pd.DataFrame:
+    """Per-document token count (text-analysis op; analog of the doclen
+    stat every BM25 build needs — A10)."""
+    ds = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        lists = ANALYZER.token_lists(t["text"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pc.cast(
+                    pc.list_value_length(lists), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(count_tokens, batch_format="pyarrow").to_pandas()
+
+
+def ft_df_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Top-20 terms by document frequency (A10 df stat + K7 most_common).
+    Distinct (term, doc) inside each batch (vectorized), then a partial
+    count per batch, then the small groupby — the partial+final pattern."""
+    ds = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+    def partial_df(t: pa.Table) -> pa.Table:
+        tf, _ = ANALYZER.term_frequencies(t["text"])
+        # one row per (doc, term) already → partial df = count per term
+        part = tf.group_by("term").aggregate([("row_idx", "count")])
+        return part.rename_columns(["term", "pdf"])
+
+    out = (
+        ds.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("pdf", alias_name="df"))
+        .sort(["df", "term"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    out["df"] = out["df"].astype("int64")
+    return out
+
+
+def ft_bm25_topk(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-k through the real engine (index build + query)."""
+    eng = get_engine(sf_dir)
+    t = eng.search(BM25_QUERY, k=BM25_K, mode="and")
+    out = t.to_pandas()
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
+def ft_bm25_lang_filter(sf_dir: str) -> pd.DataFrame:
+    """BM25 + keyword filter (reference: source/type terms filters,
+    apiserver/apiserver/search/__init__.py:79-105). Stats stay global —
+    filters restrict candidates, not df/N (ES filter-context semantics)."""
+    eng = get_engine(sf_dir)
+    t = eng.search(BM25_FILTER_QUERY, k=BM25_K, mode="and", filters={"lang": "en"})
+    out = t.to_pandas()
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
+def ft_exact_dedup(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup groups (U2: hash-partition + per-group first). The
+    shuffle key is sha256(text) so long texts never ride the exchange."""
+    ds = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+    def hash_text(t: pa.Table) -> pa.Table:
+        shas = [
+            hashlib.sha256((s or "").encode()).hexdigest()
+            for s in t["text"].to_pylist()
+        ]
+        return pa.table({"doc_id": t["doc_id"], "h": pa.array(shas)})
+
+    grouped = (
+        ds.map_batches(hash_text, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(
+            Min("doc_id", alias_name="keep_id"),
+            Count(alias_name="n"),
+        )
+    )
+    out = grouped.to_pandas()
+    out = out[out["n"] > 1][["keep_id", "n"]].reset_index(drop=True)
+    out["keep_id"] = out["keep_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+_STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "for", "on", "with")
+
+
+def ft_quality_scores(sf_dir: str) -> pd.DataFrame:
+    """Per-document quality stats (text-analysis op: length, distinct
+    ratio, stopword ratio — the profiling-stats analog, A2/A11)."""
+    ds = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    stop = set(_STOPWORDS)
+
+    def quality(t: pa.Table) -> pa.Table:
+        lists = ANALYZER.token_lists(t["text"])
+        n_tok = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        is_stop = pc.is_in(
+            flat, value_set=pa.array(sorted(stop))
+        ).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(
+            parents, weights=is_stop.astype(np.float64), minlength=t.num_rows
+        )
+        # distinct tokens per doc
+        pairs = pa.table({"p": pa.array(parents), "t": flat})
+        uq = pairs.group_by(["p", "t"]).aggregate([])
+        n_uniq = np.bincount(
+            uq["p"].to_numpy(zero_copy_only=False), minlength=t.num_rows
+        )
+        n_tok_f = n_tok.astype(np.float64)
+        safe = np.maximum(n_tok_f, 1.0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tok.astype(np.int64)),
+                "n_uniq": pa.array(n_uniq.astype(np.int64)),
+                "stop_ratio": pa.array(round_away(n_stop / safe, 4)),
+                "uniq_ratio": pa.array(round_away(n_uniq / safe, 4)),
+            }
+        )
+
+    return ds.map_batches(quality, batch_format="pyarrow").to_pandas()
+
+
+# ----------------------------------------------------------------------
+# DuckDB SQL twins
+# ----------------------------------------------------------------------
+
+def _tok_cte() -> str:
+    return f"""
+        tok AS (
+            SELECT doc_id, unnest({ANALYZER.sql_tokens_expr('text')}) AS term
+            FROM documents
+        )
+    """
+
+
+def _bm25_sql(query: str, k: int, lang: str | None = None) -> str:
+    terms = list(dict.fromkeys(ANALYZER.tokenize(query)))
+    qvals = ", ".join(f"('{t}', {i})" for i, t in enumerate(terms))
+    lang_join = (
+        f"JOIN documents d ON tf.doc_id = d.doc_id AND d.lang = '{lang}'"
+        if lang
+        else ""
+    )
+    return f"""
+        WITH {_tok_cte()},
+        tf AS (
+            SELECT doc_id, term, count(*)::DOUBLE AS tf
+            FROM tok GROUP BY doc_id, term
+        ),
+        dl AS (
+            SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id
+        ),
+        stats AS (
+            SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                   (SELECT sum(dl) FROM dl)
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        qterms(term, qord) AS (VALUES {qvals}),
+        contrib AS (
+            SELECT tf.doc_id, q.qord,
+                   ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+            FROM tf
+            JOIN qterms q USING (term)
+            JOIN df USING (term)
+            JOIN dl USING (doc_id)
+            CROSS JOIN stats s
+            {lang_join}
+        ),
+        scored AS (
+            SELECT doc_id, sum(c ORDER BY qord) AS score, count(*) AS nt
+            FROM contrib GROUP BY doc_id
+        )
+        SELECT doc_id, ROUND(score, 4) AS score
+        FROM scored WHERE nt = {len(terms)}
+        ORDER BY score DESC, doc_id
+        LIMIT {k}
+    """
+
+
+def build_sql() -> dict[str, str]:
+    return {
+        "ft_token_counts": f"""
+            SELECT doc_id,
+                   len({ANALYZER.sql_tokens_expr('text')})::BIGINT AS n_tokens
+            FROM documents
+        """,
+        "ft_df_top_terms": f"""
+            WITH {_tok_cte()}
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+            FROM tok GROUP BY term
+            ORDER BY df DESC, term LIMIT 20
+        """,
+        "ft_bm25_topk": _bm25_sql(BM25_QUERY, BM25_K),
+        "ft_bm25_lang_filter": _bm25_sql(BM25_FILTER_QUERY, BM25_K, lang="en"),
+        "ft_exact_dedup": """
+            SELECT min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n
+            FROM documents GROUP BY text HAVING count(*) > 1
+        """,
+        "ft_quality_scores": f"""
+            WITH toks AS (
+                SELECT doc_id, {ANALYZER.sql_tokens_expr('text')} AS ts
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(ts)::BIGINT AS n_tokens,
+                   len(list_distinct(ts))::BIGINT AS n_uniq,
+                   ROUND(len(list_filter(ts, t -> t IN {_STOPWORDS}))
+                         / greatest(len(ts), 1)::DOUBLE, 4) AS stop_ratio,
+                   ROUND(len(list_distinct(ts))
+                         / greatest(len(ts), 1)::DOUBLE, 4) AS uniq_ratio
+            FROM toks
+        """,
+    }
+
+
+QUERIES = {
+    "ft_token_counts": ft_token_counts,
+    "ft_df_top_terms": ft_df_top_terms,
+    "ft_bm25_topk": ft_bm25_topk,
+    "ft_bm25_lang_filter": ft_bm25_lang_filter,
+    "ft_exact_dedup": ft_exact_dedup,
+    "ft_quality_scores": ft_quality_scores,
+}
+
+SQL = build_sql()

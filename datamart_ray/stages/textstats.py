@@ -1,0 +1,172 @@
+"""Text-analysis operators: language-ID, fingerprinting.
+
+(Quality scoring and token counting live in pipelines.fulltext as
+SQL-gated queries; this module adds the heuristic/stateful text ops.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from datamart_ray.analyzer import Analyzer
+
+# n-gram-free stopword heuristic: langs scored by stopword hits, argmax
+# with a pinned priority order (ties → earlier language wins, then 'und'
+# when zero hits). Deterministic and SQL-expressible.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "it"),
+    "fr": ("le", "la", "les", "de", "des", "et", "est", "une", "que", "dans"),
+    "es": ("el", "los", "las", "de", "y", "es", "una", "que", "en", "por"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"),
+    "zh": ("de", "shi", "le", "wo", "ni", "ta", "men", "zai", "you", "he"),
+}
+LANG_ORDER = ("en", "fr", "es", "de", "zh")
+
+_ANALYZER = Analyzer()
+
+
+def _lang_hit_counts(t: pa.Table, text_col: str) -> dict[str, np.ndarray]:
+    lists = _ANALYZER.token_lists(t[text_col])
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    out = {}
+    for lang in LANG_ORDER:
+        hit = pc.is_in(
+            flat, value_set=pa.array(sorted(set(LANG_STOPWORDS[lang])))
+        ).to_numpy(zero_copy_only=False)
+        out[lang] = np.bincount(
+            parents, weights=hit.astype(np.float64), minlength=t.num_rows
+        ).astype(np.int64)
+    return out
+
+
+def lang_id_batch(t: pa.Table, text_col: str = "text") -> np.ndarray:
+    """Predicted language per row ('und' when no stopword hits)."""
+    counts = _lang_hit_counts(t, text_col)
+    stacked = np.stack([counts[lang] for lang in LANG_ORDER])  # (L, n)
+    best = np.argmax(stacked, axis=0)  # first max wins = LANG_ORDER priority
+    maxv = stacked[best, np.arange(stacked.shape[1])]
+    langs = np.array(LANG_ORDER, dtype=object)
+    pred = langs[best]
+    pred[maxv == 0] = "und"
+    return pred
+
+
+def langid_breakdown(sf_dir: str) -> pd.DataFrame:
+    """Counts per (actual lang, predicted lang) over `documents`."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def pred(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "predicted": pa.array(
+                    lang_id_batch(t), type=pa.string()
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    out = (
+        ds.map_batches(pred, batch_format="pyarrow")
+        .groupby(["lang", "predicted"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def langid_breakdown_sql() -> str:
+    """DuckDB twin of langid_breakdown (same counts, same tie priority)."""
+    counts = []
+    for lang in LANG_ORDER:
+        words = ", ".join(f"'{w}'" for w in sorted(set(LANG_STOPWORDS[lang])))
+        counts.append(
+            f"len(list_filter(ts, t -> t IN ({words}))) AS c_{lang}"
+        )
+    # first-max-wins priority chain, matching np.argmax over LANG_ORDER
+    cases = []
+    for i, lang in enumerate(LANG_ORDER):
+        geq = " AND ".join(
+            f"c_{lang} >= c_{other}"
+            for other in LANG_ORDER[i + 1 :]
+        )
+        gt_prior = " AND ".join(
+            f"c_{lang} > c_{other}" for other in LANG_ORDER[:i]
+        )
+        cond = " AND ".join(x for x in [geq, gt_prior] if x)
+        cases.append(f"WHEN {cond or 'TRUE'} THEN '{lang}'")
+    case_expr = "CASE WHEN greatest(" + ", ".join(
+        f"c_{lang}" for lang in LANG_ORDER
+    ) + ") = 0 THEN 'und' " + " ".join(cases) + " ELSE 'und' END"
+    return f"""
+        WITH toks AS (
+            SELECT lang, {_ANALYZER.sql_tokens_expr('text')} AS ts
+            FROM documents
+        ),
+        scored AS (
+            SELECT lang, {', '.join(counts)} FROM toks
+        )
+        SELECT lang, {case_expr} AS predicted, count(*) AS n
+        FROM scored GROUP BY 1, 2
+    """
+
+
+class _FingerprintStage:
+    """Rolling polynomial hash of the token sequence → int64 fingerprint
+    (stateful actor stage: analyzer compiled once per actor)."""
+
+    def __init__(self, id_col: str, text_col: str):
+        self.analyzer = Analyzer()
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from datamart_ray.stages.dedup import _hash_tokens
+
+        lists = self.analyzer.token_lists(t[self.text_col])
+        fps = np.empty(t.num_rows, dtype=np.uint64)
+        for i in range(t.num_rows):
+            th = _hash_tokens(lists[i].as_py())
+            acc = np.uint64(1469598103934665603)
+            for h in th:
+                acc = np.uint64(
+                    (int(acc) * 1099511628211 ^ int(h)) & 0xFFFFFFFFFFFFFFFF
+                )
+            fps[i] = acc
+        return pa.table(
+            {
+                "doc_id": t[self.id_col],
+                "fingerprint": pa.array(fps.view(np.int64)),
+            }
+        )
+
+
+def document_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Order-sensitive doc fingerprints (rows-only check: not expressible
+    in DuckDB because the hash chain is engine-defined)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = (
+        ds.map_batches(
+            _FingerprintStage,
+            fn_constructor_args=("doc_id", "text"),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+            num_cpus=1,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out

@@ -1,0 +1,40 @@
+"""Small shared utilities."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def round_away(values, ndigits: int):
+    """Round half away from zero — DuckDB/C++ ``std::round`` semantics.
+
+    numpy/pandas ``round`` is half-to-even (banker's rounding), which
+    disagrees with the SQL oracle on exact .5 boundary values (e.g.
+    0.03125 at 4 digits). Every float column compared against a DuckDB
+    ``ROUND(x, n)`` must go through this helper instead.
+    """
+    f = 10.0 ** ndigits
+    arr = np.asarray(values, dtype=np.float64)
+    out = np.sign(arr) * np.floor(np.abs(arr) * f + 0.5) / f
+    if isinstance(values, pd.Series):
+        return pd.Series(out, index=values.index, name=values.name)
+    return out
+
+
+def to_units(values, scale: float) -> np.ndarray:
+    """Scale floats to int64 fixed-point units: floor(x*scale + 0.5).
+
+    Parallel float summation is not associative, so a Ray tree-sum and a
+    DuckDB sequential sum can disagree by ~1ulp — fatal when the true value
+    sits on a ROUND boundary. Summing exact int64 units instead makes the
+    aggregate associative and bit-identical on both sides. The SQL twin is
+    ``CAST(floor(x * scale + 0.5) AS BIGINT)``.
+    """
+    arr = np.asarray(values, dtype=np.float64)
+    return np.floor(arr * scale + 0.5).astype(np.int64)
+
+
+def units_sql(expr: str, scale: int) -> str:
+    """DuckDB expression matching :func:`to_units`."""
+    return f"CAST(floor(({expr}) * {scale} + 0.5) AS BIGINT)"
