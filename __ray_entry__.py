@@ -50,11 +50,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         langid_breakdown,
     )
 
+    from datamart_ray.pipelines.profiler import profile_lineitem
+    from datamart_ray.pipelines.temporal import (
+        asof_join_events,
+        rollup_join_events,
+    )
+
     out: dict[str, Callable[[str], Any]] = {}
     out.update(relational.QUERIES)
     out.update(fulltext.QUERIES)
     out["sim_knn_cosine"] = knn_cosine
     out["ts_langid_breakdown"] = langid_breakdown
+    out["prof_lineitem"] = profile_lineitem
+    out["tj_asof_purchase_click"] = asof_join_events
+    out["tj_hourly_rollup_join"] = rollup_join_events
     # rows-only entries (not SQL-expressible: engine-defined hash chains)
     out["dd_minhash_near_dups"] = minhash_near_dups
     out["dd_simhash_pairs"] = simhash_dup_pairs
@@ -67,9 +76,15 @@ def oracle_sql() -> dict[str, str]:
     from datamart_ray.stages.similarity import knn_cosine_sql
     from datamart_ray.stages.textstats import langid_breakdown_sql
 
+    from datamart_ray.pipelines.profiler import profile_sql
+    from datamart_ray.pipelines.temporal import ASOF_SQL, ROLLUP_SQL
+
     out: dict[str, str] = {}
     out.update(relational.SQL)
     out.update(fulltext.SQL)
     out["sim_knn_cosine"] = knn_cosine_sql()
     out["ts_langid_breakdown"] = langid_breakdown_sql()
+    out["prof_lineitem"] = profile_sql("lineitem")
+    out["tj_asof_purchase_click"] = ASOF_SQL
+    out["tj_hourly_rollup_join"] = ROLLUP_SQL
     return out

@@ -28,7 +28,7 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 from datamart_ray.pipelines.joins import (
     anti_semi_filter,
     broadcast_join,
-    join_partitions,
+    hash_join,
     read_small,
 )
 from datamart_ray.util import round_away, to_units, units_sql
@@ -113,9 +113,13 @@ def q01_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
 
 def q02_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
-    """Multi-way equi join (J1, reference augmentation.py:376-623): two
-    big-big hash-shuffle joins (native Dataset.join) + one broadcast join
-    for the genuinely tiny nation dimension (ST5-style broadcast)."""
+    """Multi-way equi join (J1, reference augmentation.py:376-623).
+
+    Scale shape: (1) pre-aggregate revenue per orderkey *before* any join
+    (the combiner pattern — shrinks the fact side to one row per key);
+    (2) one explicit partitioned hash join against orders (big-big);
+    (3) customer and nation ride as broadcast lookups (dimension-sized).
+    """
     lineitem = rd.read_parquet(
         _p(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
@@ -125,31 +129,30 @@ def q02_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
         ),
         batch_format="pyarrow",
     )
+    customer = read_small(_p(sf_dir, "customer"), ["c_custkey", "c_nationkey"])
+    nation = read_small(_p(sf_dir, "nation"), ["n_nationkey", "n_name"])
+    dim = customer.merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )[["c_custkey", "n_name"]]
     orders = rd.read_parquet(
         _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
     )
-    customer = rd.read_parquet(
-        _p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    # dims ride onto orders with zero shuffle (broadcast lookup)
+    orders_nation = broadcast_join(
+        orders, dim, on="o_custkey", right_on="c_custkey"
+    ).select_columns(["o_orderkey", "n_name"])
+    # the one all-to-all: fact ⋈ orders on the shared key
+    j = hash_join(
+        lineitem, orders_nation, left_on="l_orderkey", right_on="o_orderkey"
     )
-    np_ = join_partitions(n_joins=2)
-    j1 = lineitem.join(
-        orders,
-        "inner",
-        num_partitions=np_,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
+    # map-side combine before the final (tiny) groupby
+    partial = j.map_batches(
+        lambda t: t.group_by("n_name").aggregate([("rev_u", "sum")])
+        .rename_columns(["n_name", "rev_u"]),
+        batch_format="pyarrow",
     )
-    j2 = j1.join(
-        customer,
-        "inner",
-        num_partitions=np_,
-        on=("o_custkey",),
-        right_on=("c_custkey",),
-    )
-    nation = read_small(_p(sf_dir, "nation"), ["n_nationkey", "n_name"])
-    j3 = broadcast_join(j2, nation, on="c_nationkey", right_on="n_nationkey")
     g = (
-        j3.groupby("n_name")
+        partial.groupby("n_name")
         .aggregate(Sum("rev_u", alias_name="rev_u"))
         .to_pandas()
     )
