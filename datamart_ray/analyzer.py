@@ -37,6 +37,11 @@ class Analyzer:
     html_strip: bool = False
     min_token_len: int = 1
     max_token_len: int = 0  # 0 = unlimited
+    stem: str | None = None  # "porter" → Porter-stem tokens (no SQL twin)
+
+    def __post_init__(self):
+        # per-instance stem memo (frozen dataclass → set via object)
+        object.__setattr__(self, "_stem_cache", {})
 
     @property
     def split_pattern(self) -> str:
@@ -48,6 +53,10 @@ class Analyzer:
 
     def sql_tokens_expr(self, col: str) -> str:
         """DuckDB expression producing this analyzer's token list for `col`."""
+        if self.stem:
+            raise ValueError(
+                "stemming has no SQL twin — use the Python oracle instead"
+            )
         inner = f"lower({col})" if self.lowercase else col
         if self.html_strip:
             inner = f"regexp_replace({inner}, '{_HTML_TAG_RE}', ' ', 'g')"
@@ -90,6 +99,8 @@ class Analyzer:
             )
         flat = pc.filter(flat, keep)
         parents = pc.filter(parents, keep)
+        if self.stem == "porter":
+            flat = self._stem_array(flat)
         # Rebuild a clean list array from (parent, token): parents are
         # monotonically non-decreasing, so offsets come from a bincount.
         counts = np.bincount(
@@ -98,6 +109,23 @@ class Analyzer:
         offsets = np.zeros(len(col) + 1, dtype=np.int64)
         np.cumsum(counts, out=offsets[1:])
         return pa.ListArray.from_arrays(pa.array(offsets), flat)
+
+    def _stem_array(self, flat: pa.Array) -> pa.Array:
+        """Stem a flat token array: stem only unique tokens (memoized),
+        then scatter back through the inverse index."""
+        from datamart_ray.stemmer import porter_stem
+
+        arr = flat.to_numpy(zero_copy_only=False)
+        uniq, inverse = np.unique(arr, return_inverse=True)
+        cache = self._stem_cache
+        stems = np.array(
+            [
+                cache.get(u) or cache.setdefault(u, porter_stem(u))
+                for u in uniq
+            ],
+            dtype=object,
+        )
+        return pa.array(stems[inverse], type=pa.string())
 
     def tokenize(self, text: str) -> list[str]:
         """Single string → token list (query path)."""

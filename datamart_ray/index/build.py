@@ -6,7 +6,7 @@ with a Ray-Data-native build:
 
     plan (driver, metadata only)
       parquet footers → row-group read specs with deterministic docID bases
-    tokenize (actor-pool ``map_batches`` over zero-copy Arrow)
+    tokenize (stateless-task ``map_batches`` over zero-copy Arrow)
       read spec's row groups → (term, doc_id, tf) triples; side-writes the
       per-spec docmeta partition (doc_id, meta cols, sha256(content), doclen)
     sort (the one all-to-all exchange per segment)
@@ -46,7 +46,6 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 from datamart_ray.analyzer import Analyzer
 from datamart_ray.index import codec
@@ -78,8 +77,18 @@ class IndexConfig:
     id_col: str | None = None  # None → dense file-offset docIDs
     meta_cols: tuple = ("repo", "path", "commit", "lang")
     chunk_docs: int = 4096  # postings per chunk (block-max granularity)
-    docs_per_spec: int = 4096  # target docs per read/tokenize task
+    docs_per_spec: int = 1024  # target docs per read/tokenize task
     segment_docs: int = 4_000_000  # docs per segment (checkpoint unit)
+    # posting-partitioning strategy for the wide step:
+    #   "bucket": hash(term) % B groupby + local Arrow sort per bucket —
+    #             ~2x faster than the global sort on this Ray version; a
+    #             head term lands in one bucket, which is fine while a
+    #             bucket (≈ segment_triples/B + head df) fits one task —
+    #             at larger segments switch to "sort", whose range
+    #             partitioning splits head terms across partitions.
+    #   "sort":   global Dataset.sort(["term","doc_id"]) (skew-proof).
+    shuffle: str = "bucket"
+    num_buckets: int | None = None  # default 4x cluster CPUs
 
     def to_json(self) -> dict:
         return {
@@ -89,6 +98,7 @@ class IndexConfig:
                 "html_strip": self.analyzer.html_strip,
                 "min_token_len": self.analyzer.min_token_len,
                 "max_token_len": self.analyzer.max_token_len,
+                "stem": self.analyzer.stem,
             },
             "content_col": self.content_col,
             "id_col": self.id_col,
@@ -161,12 +171,18 @@ def plan_specs(
 
 
 # ----------------------------------------------------------------------
-# Tokenize stage (actor pool; compiled analyzer state lives per actor)
+# Tokenize stage (stateless tasks; analyzer state is cheap to rebuild)
 # ----------------------------------------------------------------------
 
 class _TokenizeSpec:
     """Reads one spec's row groups, emits (term, doc_id, tf) triples and
-    side-writes the spec's docmeta partition (atomic, idempotent on retry)."""
+    side-writes the spec's docmeta partition (atomic, idempotent on retry).
+
+    Used as a stateless task function (instantiated per task): the analyzer
+    is a compiled-regex object that costs microseconds to build, so a
+    long-lived actor pool would only add startup latency. A stage with
+    genuinely heavy state (a model, a big dictionary) should be an actor
+    pool instead (``map_batches(Cls, concurrency=...)``)."""
 
     def __init__(self, config_json: dict, docmeta_dir: str):
         self.analyzer = IndexConfig.analyzer_from_json(config_json)
@@ -305,6 +321,9 @@ def build_segment(
     config: IndexConfig,
 ) -> dict:
     """Build one segment into segments/<seg_name>/ atomically."""
+    from datamart_ray.util import ensure_fast_shuffle
+
+    ensure_fast_shuffle()
     t0 = time.time()
     seg_root = os.path.join(index_dir, "segments")
     os.makedirs(seg_root, exist_ok=True)
@@ -318,40 +337,66 @@ def build_segment(
 
     cfg_json = config.to_json()
     n_specs = len(specs)
-    pool = min(_cpus(), max(1, n_specs))
-    triples = (
-        rd.from_items(specs)
-        .map_batches(
-            _TokenizeSpec,
-            fn_constructor_args=(cfg_json, docmeta_dir),
-            batch_size=1,
-            batch_format="pyarrow",
-            concurrency=(1, pool),
-            num_cpus=1,
-        )
-    )
-    t_tok = time.time()
-    sorted_triples = triples.sort(["term", "doc_id"])
-    chunks = sorted_triples.map_batches(
-        _BuildChunks,
-        fn_constructor_args=(config.chunk_docs,),
-        batch_size=None,
+
+    def tokenize_spec(batch: pa.Table):
+        yield from _TokenizeSpec(cfg_json, docmeta_dir)(batch)
+
+    triples = rd.from_items(specs).map_batches(
+        tokenize_spec,
+        batch_size=1,
         batch_format="pyarrow",
-        concurrency=(1, pool),
         num_cpus=1,
     )
+    t_tok = time.time()
+    if config.shuffle == "sort":
+        sorted_triples = triples.sort(["term", "doc_id"])
+        chunks = sorted_triples.map_batches(
+            _BuildChunks(config.chunk_docs),
+            batch_size=None,
+            batch_format="pyarrow",
+            num_cpus=1,
+        )
+    else:
+        B = config.num_buckets or max(32, 4 * _cpus())
+        chunker = _BuildChunks(config.chunk_docs)
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            h = pd.util.hash_array(
+                t["term"].combine_chunks().to_numpy(zero_copy_only=False)
+            )
+            return t.append_column(
+                "bucket", pa.array((h % B).astype(np.int64))
+            )
+
+        def build_bucket(t: pa.Table) -> pa.Table:
+            t = t.sort_by(
+                [("term", "ascending"), ("doc_id", "ascending")]
+            )
+            return chunker(t.drop_columns(["bucket"]))
+
+        chunks = (
+            triples.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(build_bucket, batch_format="pyarrow")
+        )
     chunks.write_parquet(postings_dir)
     t_post = time.time()
 
     # Per-segment term dictionary: df summed over chunks of the same term.
+    # Driver-side Arrow group_by: the chunk table is metadata-sized (one
+    # row per term-chunk), so a Ray round-trip would be pure overhead; at
+    # very large term counts this becomes a per-partition side output.
     terms_path = os.path.join(tmp_dir, "terms.parquet")
-    terms_ds = rd.read_parquet(postings_dir, columns=["term", "df"])
-    terms_agg = terms_ds.groupby("term").aggregate(Sum("df", alias_name="df"))
-    terms_table = pa.Table.from_pandas(
-        terms_agg.to_pandas(), preserve_index=False
-    )
-    if terms_table.num_rows:
-        terms_table = terms_table.sort_by("term")
+    chunk_meta = pq.read_table(postings_dir, columns=["term", "df"])
+    if chunk_meta.num_rows:
+        terms_table = (
+            chunk_meta.group_by("term")
+            .aggregate([("df", "sum")])
+            .rename_columns(["term", "df"])
+            .sort_by("term")
+        )
         terms_table = pa.table(
             {
                 "term": pc.cast(terms_table["term"], pa.string()),
@@ -378,8 +423,7 @@ def build_segment(
         )
         n_docs += t.num_rows
         total_dl += pc.sum(t["doclen"]).as_py() or 0
-        for s in t["sha256"].to_pylist():
-            rollup.update(bytes.fromhex(s))
+        rollup.update(bytes.fromhex("".join(t["sha256"].to_pylist())))
     t1 = time.time()
 
     manifest = {
@@ -450,8 +494,19 @@ def build_index(
     for seg_name, seg_specs, seg_files in segments:
         seg_dir = os.path.join(index_dir, "segments", seg_name)
         if segment_is_committed(seg_dir):
-            skipped.append(seg_name)
-            continue
+            # resume safety: only skip if the committed segment was built
+            # from exactly this file list (a grown input repacks segments)
+            from datamart_ray.index.manifest import read_manifest
+
+            prior = read_manifest(seg_dir)["files"]
+            want = [
+                {"path": f["path"], "base": f["base"], "n_rows": f["n_rows"]}
+                for f in seg_files
+            ]
+            if prior == want:
+                skipped.append(seg_name)
+                continue
+            shutil.rmtree(seg_dir)
         build_segment(seg_specs, seg_files, seg_name, index_dir, config)
         built.append(seg_name)
 

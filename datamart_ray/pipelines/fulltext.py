@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from datamart_ray.util import round_away
+from datamart_ray.util import ensure_fast_shuffle, round_away
 from ray.data.aggregate import Count, Min, Sum
 
 from datamart_ray.analyzer import Analyzer
@@ -92,6 +92,7 @@ def ft_df_top_terms(sf_dir: str) -> pd.DataFrame:
     """Top-20 terms by document frequency (A10 df stat + K7 most_common).
     Distinct (term, doc) inside each batch (vectorized), then a partial
     count per batch, then the small groupby — the partial+final pattern."""
+    ensure_fast_shuffle()
     ds = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
 
     def partial_df(t: pa.Table) -> pa.Table:
@@ -135,6 +136,7 @@ def ft_bm25_lang_filter(sf_dir: str) -> pd.DataFrame:
 def ft_exact_dedup(sf_dir: str) -> pd.DataFrame:
     """Exact dedup groups (U2: hash-partition + per-group first). The
     shuffle key is sha256(text) so long texts never ride the exchange."""
+    ensure_fast_shuffle()
     ds = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
 
     def hash_text(t: pa.Table) -> pa.Table:

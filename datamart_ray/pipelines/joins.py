@@ -98,6 +98,9 @@ def hash_join(
     operator's aggregator actors. Buckets default to 4x cluster CPUs; salt
     hot keys into sub-buckets before calling if one key dominates.
     """
+    from datamart_ray.util import ensure_fast_shuffle
+
+    ensure_fast_shuffle()
     left_on = [left_on] if isinstance(left_on, str) else list(left_on)
     right_on = (
         left_on

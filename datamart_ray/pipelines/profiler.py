@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count
 
-from datamart_ray.util import round_away, to_units, units_sql
+from datamart_ray.util import ensure_fast_shuffle, round_away, to_units, units_sql
 
 ENUM_THRESHOLD = 0.1  # reference: profile_types.py:62
 
@@ -99,6 +99,7 @@ def _distinct_hashes(cols: list[tuple[str, int | None]]):
 def profile_table(sf_dir: str, table: str = "lineitem") -> pd.DataFrame:
     """Per-column profile: (column, n_rows, n_nulls, n_distinct, mean,
     min_num, max_num, semantic_type)."""
+    ensure_fast_shuffle()
     cols = PROFILE_COLUMNS[table]
     names = [c for c, _ in cols]
     ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=names)

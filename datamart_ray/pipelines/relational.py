@@ -31,7 +31,7 @@ from datamart_ray.pipelines.joins import (
     hash_join,
     read_small,
 )
-from datamart_ray.util import round_away, to_units, units_sql
+from datamart_ray.util import ensure_fast_shuffle, round_away, to_units, units_sql
 
 
 def _p(sf_dir: str, table: str) -> str:
@@ -53,6 +53,7 @@ def q01_pricing_summary(sf_dir: str) -> pd.DataFrame:
     reference lib_augmentation/.../augmentation.py:250-336; mean_stddev,
     lib_profiler/.../numerical.py:17-33). The vectorized map_batches emits
     fixed-point partials; the groupby is the only shuffle."""
+    ensure_fast_shuffle()
     ds = rd.read_parquet(
         _p(sf_dir, "lineitem"),
         columns=[
@@ -165,6 +166,7 @@ def q03_topk_orders(sf_dir: str) -> pd.DataFrame:
     """Top-k by aggregate (K1, reference TOP_K_SIZE=50 search/base.py:1):
     groupby-sum then global sort + limit; ordering on the exact integer
     sum with (value desc, key asc) tie-break is fully deterministic."""
+    ensure_fast_shuffle()
     ds = rd.read_parquet(
         _p(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
@@ -188,6 +190,7 @@ def q03_topk_orders(sf_dir: str) -> pd.DataFrame:
 def q04_union_accounts(sf_dir: str) -> pd.DataFrame:
     """Union/append of two tables with schema alignment (U1, reference
     union(), augmentation.py:626-761), then an aggregate over the union."""
+    ensure_fast_shuffle()
 
     def project(side: str, col: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -233,6 +236,7 @@ def q04_union_accounts(sf_dir: str) -> pd.DataFrame:
 def q05_distinct_users(sf_dir: str) -> pd.DataFrame:
     """Exact distinct count (A3, reference profile_types.py:180-182):
     dedup shuffle on (event_type, user_id) then count per group."""
+    ensure_fast_shuffle()
     ds = rd.read_parquet(
         _p(sf_dir, "events"), columns=["event_type", "user_id"]
     )
@@ -252,6 +256,7 @@ def q06_daily_event_rollup(sf_dir: str) -> pd.DataFrame:
     """Temporal binning + rollup (M13/A6, reference temporal alignment
     augmentation.py:134-231 and get_temporal_resolution temporal.py:36-57):
     vectorized day-truncation inside map_batches, then the groupby."""
+    ensure_fast_shuffle()
     ds = rd.read_parquet(
         _p(sf_dir, "events"), columns=["ts", "event_type", "value"]
     )

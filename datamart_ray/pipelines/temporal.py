@@ -20,7 +20,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count
 
-from datamart_ray.util import round_away, to_units, units_sql
+from datamart_ray.util import ensure_fast_shuffle, round_away, to_units, units_sql
 
 
 def asof_join_events(sf_dir: str) -> pd.DataFrame:
@@ -29,6 +29,7 @@ def asof_join_events(sf_dir: str) -> pd.DataFrame:
     Partitioning assumption (documented per SURVEY.md custom-operator
     rule): each user's events fit one group — true by construction for
     user-keyed streams; salt by time-range for pathological hot keys."""
+    ensure_fast_shuffle()
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type"],

@@ -62,9 +62,9 @@ class SegmentReader:
         self._df = dict(
             zip(t["term"].to_pylist(), t["df"].to_pylist())
         )
-        self._postings = pads.dataset(
-            os.path.join(seg_dir, "postings"), format="parquet"
-        )
+        self._postings_dir = os.path.join(seg_dir, "postings")
+        self._post_table: pa.Table | None = None
+        self._term_rows: dict[str, np.ndarray] | None = None
         meta_dir = os.path.join(seg_dir, "docmeta")
         avail = set(
             pq.ParquetFile(
@@ -78,16 +78,43 @@ class SegmentReader:
         self._doc_ids = meta["doc_id"].to_numpy()
         self._doclens = meta["doclen"].to_numpy()
         self._meta = meta
+        from datamart_ray.index.maintain import read_tombstones
+
+        self._tombstones = np.sort(read_tombstones(seg_dir))
 
     def df(self, term: str) -> int:
         return self._df.get(term, 0)
 
+    def _ensure_postings(self) -> None:
+        """Load the segment's posting-chunk table once and index rows by
+        term. A segment's postings are sized to fit its scorer (one
+        SegmentScorer actor per segment at scale); a lazily-mmapped
+        variant would replace this for truly giant segments."""
+        if self._term_rows is not None:
+            return
+        t = pq.read_table(self._postings_dir)
+        self._post_table = t
+        terms = t["term"].to_numpy(zero_copy_only=False)
+        order = np.argsort(terms, kind="stable")
+        sorted_terms = terms[order]
+        bounds = np.flatnonzero(sorted_terms[1:] != sorted_terms[:-1]) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [terms.size]))
+        self._term_rows = {
+            sorted_terms[s]: order[s:e] for s, e in zip(starts, ends)
+        }
+
+    def postings_chunks(self, term: str) -> pa.Table:
+        """Raw posting-chunk rows of `term` (undecoded — block-max path)."""
+        self._ensure_postings()
+        rows = self._term_rows.get(term)
+        if rows is None:
+            return self._post_table.schema.empty_table()
+        return self._post_table.take(pa.array(rows))
+
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
         """All chunks of `term` merged → (sorted docIDs, aligned tfs)."""
-        t = self._postings.to_table(
-            filter=pc.field("term") == term,
-            columns=["first_docid", "docs", "tfs"],
-        )
+        t = self.postings_chunks(term)
         if t.num_rows == 0:
             e = np.empty(0, dtype=np.int64)
             return e, e
@@ -96,22 +123,32 @@ class SegmentReader:
         tfs_col = t["tfs"].to_pylist()
         d = [codec.decode_docids(docs_col[i]) for i in order]
         f = [codec.unpack_ints(tfs_col[i]).astype(np.int64) for i in order]
-        return np.concatenate(d), np.concatenate(f)
+        docs = np.concatenate(d)
+        tfs = np.concatenate(f)
+        if docs.size > 1 and not np.all(docs[1:] > docs[:-1]):
+            # chunks may interleave in id_col mode (user-assigned docIDs
+            # across partitions) — restore global docID order
+            o = np.argsort(docs, kind="stable")
+            docs, tfs = docs[o], tfs[o]
+        return docs, tfs
 
     def doclen_of(self, docids: np.ndarray) -> np.ndarray:
         pos = np.searchsorted(self._doc_ids, docids)
         return self._doclens[pos]
 
     def filter_positions(self, filters: dict[str, str]) -> np.ndarray | None:
-        """Sorted docID array passing all equality filters (None = no filter)."""
-        if not filters:
+        """Sorted docID array passing all equality filters and tombstones
+        (None = everything allowed)."""
+        if not filters and self._tombstones.size == 0:
             return None
         mask = np.ones(self._doc_ids.size, dtype=bool)
-        for col, val in filters.items():
+        for col, val in (filters or {}).items():
             if col not in self._meta.column_names:
                 raise KeyError(f"no filter column {col!r} in docmeta")
             arr = pc.equal(self._meta[col], val)
             mask &= arr.to_numpy(zero_copy_only=False)
+        if self._tombstones.size:
+            mask &= ~_isin_sorted(self._tombstones, self._doc_ids)
         return self._doc_ids[mask]
 
 
@@ -134,6 +171,7 @@ def _score_segment(
     mode: str,
     filters: dict[str, str] | None,
     params: BM25Params,
+    k: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(docids, scores) of every matching doc in one segment (unsorted)."""
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
@@ -142,6 +180,24 @@ def _score_segment(
         return empty
     if not present:
         return empty
+
+    if mode == "or" and k is not None:
+        # block-max pruned scoring (rank-identical to exhaustive; wand.py)
+        from datamart_ray.search.wand import TermChunks, pruned_or_scores
+
+        term_chunks = {
+            t: TermChunks(reader.postings_chunks(t)) for t in present
+        }
+        return pruned_or_scores(
+            term_chunks,
+            terms,
+            idfs,
+            avgdl,
+            k,
+            params,
+            reader.doclen_of,
+            reader.filter_positions(filters or {}),
+        )
 
     post = {t: reader.postings(t) for t in present}
     allowed = reader.filter_positions(filters or {})
@@ -229,7 +285,8 @@ class SearchEngine:
             parts_d, parts_s = [], []
             for r in self.readers:
                 d, s = _score_segment(
-                    r, terms, idfs, self.avgdl, mode, filters, self.params
+                    r, terms, idfs, self.avgdl, mode, filters, self.params,
+                    k=k,
                 )
                 if d.size:
                     dk, sk = topk_select(d, s, k)
@@ -271,7 +328,7 @@ class SegmentScorer:
         params: BM25Params,
     ) -> tuple[np.ndarray, np.ndarray]:
         d, s = _score_segment(
-            self.reader, terms, idfs, avgdl, mode, filters, params
+            self.reader, terms, idfs, avgdl, mode, filters, params, k=k
         )
         return topk_select(d, s, k)
 

@@ -27,7 +27,7 @@ import ray
 import ray.data as rd
 
 from datamart_ray.analyzer import Analyzer
-from datamart_ray.util import round_away
+from datamart_ray.util import ensure_fast_shuffle, round_away
 
 def _perm_seeds(n_perm: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
@@ -139,6 +139,7 @@ def minhash_candidate_pairs(
     """LSH candidate pairs: docs sharing any (band, bucket). Returns the
     deduplicated (doc_a < doc_b) pair list (driver-side; candidate sets are
     tiny relative to the corpus by construction)."""
+    ensure_fast_shuffle()
     kw = (analyzer or Analyzer()).__dict__ if analyzer else {}
     sig = ds.map_batches(
         _MinHashStage,
@@ -273,6 +274,7 @@ def simhash_dup_pairs(
     """Near-dup pairs by SimHash Hamming distance ≤ k via the pigeonhole
     banding trick: split 64 bits into (k+1) bands; any pair within distance
     k shares at least one exact band → band-bucket groupby → verify."""
+    ensure_fast_shuffle()
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )

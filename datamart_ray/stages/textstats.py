@@ -14,6 +14,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from datamart_ray.analyzer import Analyzer
+from datamart_ray.util import ensure_fast_shuffle
 
 # n-gram-free stopword heuristic: langs scored by stopword hits, argmax
 # with a pinned priority order (ties → earlier language wins, then 'und'
@@ -59,6 +60,7 @@ def lang_id_batch(t: pa.Table, text_col: str = "text") -> np.ndarray:
 
 def langid_breakdown(sf_dir: str) -> pd.DataFrame:
     """Counts per (actual lang, predicted lang) over `documents`."""
+    ensure_fast_shuffle()
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )

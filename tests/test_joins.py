@@ -1,0 +1,86 @@
+"""Unit tests for join primitives (broadcast, anti/semi, bucketed hash)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from datamart_ray.pipelines.joins import (
+    anti_semi_filter,
+    broadcast_join,
+    hash_join,
+)
+
+
+@pytest.fixture()
+def left_right(ray_session):
+    left = rd.from_items(
+        [{"k": i % 7, "lval": i} for i in range(100)]
+    )
+    right = rd.from_items(
+        [{"rk": k, "rval": k * 10} for k in range(5)]  # keys 5,6 unmatched
+    )
+    return left, right
+
+
+def _expected(how):
+    l = pd.DataFrame({"k": [i % 7 for i in range(100)], "lval": range(100)})
+    r = pd.DataFrame({"rk": range(5), "rval": [k * 10 for k in range(5)]})
+    return l.merge(r, how=how, left_on="k", right_on="rk")
+
+
+def _norm(df):
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_hash_join_matches_pandas(left_right, how):
+    left, right = left_right
+    got = hash_join(
+        left, right, left_on="k", right_on="rk", how=how, num_buckets=4
+    ).to_pandas()
+    want = _expected(how)
+    pd.testing.assert_frame_equal(
+        _norm(got), _norm(want), check_dtype=False
+    )
+
+
+def test_hash_join_multi_key(ray_session):
+    left = rd.from_items(
+        [{"a": i % 3, "b": i % 2, "x": i} for i in range(30)]
+    )
+    right = rd.from_items(
+        [{"a": a, "b": b, "y": a * 10 + b} for a in range(3) for b in range(2)]
+    )
+    got = hash_join(left, right, left_on=["a", "b"], num_buckets=4).to_pandas()
+    assert len(got) == 30
+    assert (got["y"] == got["a"] * 10 + got["b"]).all()
+
+
+def test_hash_join_rejects_column_overlap(ray_session):
+    a = rd.from_items([{"k": 1, "v": 1}])
+    b = rd.from_items([{"k": 1, "v": 2}])
+    with pytest.raises(ValueError, match="overlapping"):
+        hash_join(a, b, left_on="k")
+
+
+def test_broadcast_join_and_anti(ray_session):
+    big = rd.from_items([{"k": i % 4, "v": i} for i in range(20)])
+    small = pd.DataFrame({"k": [0, 1], "name": ["zero", "one"]})
+    j = broadcast_join(big, small, on="k").to_pandas()
+    assert len(j) == 10
+    assert set(j["name"]) == {"zero", "one"}
+
+    kept = anti_semi_filter(big, {0, 1}, on="k").to_pandas()
+    assert len(kept) == 10 and set(kept["k"]) == {0, 1}
+    dropped = anti_semi_filter(big, {0, 1}, on="k", anti=True).to_pandas()
+    assert len(dropped) == 10 and set(dropped["k"]) == {2, 3}
+
+
+def test_hash_join_int_dtypes_survive(left_right):
+    left, right = left_right
+    got = hash_join(left, right, left_on="k", right_on="rk").to_pandas()
+    assert got["k"].dtype == np.int64
+    assert got["rval"].dtype == np.int64

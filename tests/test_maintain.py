@@ -1,0 +1,95 @@
+"""Tombstone deletes + incremental delta ingest."""
+
+import os
+
+import numpy as np
+import pytest
+
+from datamart_ray.corpus import generate_corpus
+from datamart_ray.index.build import IndexConfig, build_index
+from datamart_ray.index.maintain import delete_docs, delete_where, ingest_delta
+from datamart_ray.search.engine import SearchEngine
+
+
+@pytest.fixture()
+def small_index(ray_session, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, n_files=120, vocab_size=800, n_output_files=3)
+    idx = str(tmp_path / "idx")
+    build_index(corpus, idx, IndexConfig(docs_per_spec=50))
+    return corpus, idx
+
+
+def test_delete_docs_removes_from_results(small_index):
+    _, idx = small_index
+    eng = SearchEngine(idx)
+    before = eng.search("qzcommonneedle", k=50)["doc_id"].to_pylist()
+    assert len(before) > 2
+    victims = before[:2]
+    n = delete_docs(idx, victims)
+    assert n == 2
+    eng2 = SearchEngine(idx)
+    after = eng2.search("qzcommonneedle", k=50)["doc_id"].to_pylist()
+    assert set(after) == set(before) - set(victims)
+    # surviving docs keep identical scores (stats not rewritten)
+    s_before = dict(
+        zip(before, eng.search("qzcommonneedle", k=50)["score"].to_pylist())
+    )
+    s_after = dict(
+        zip(after, eng2.search("qzcommonneedle", k=50)["score"].to_pylist())
+    )
+    for d in after:
+        assert abs(s_before[d] - s_after[d]) < 1e-12
+    # idempotent
+    assert delete_docs(idx, victims) == 0
+
+
+def test_delete_where_and_or_mode(small_index):
+    _, idx = small_index
+    n = delete_where(idx, "lang", "python")
+    assert n > 0
+    eng = SearchEngine(idx)
+    hits = eng.search("qzstopneedle qzcommonneedle", k=200, mode="or")
+    assert len(hits) > 0
+    got = eng.search("qzstopneedle", k=500, mode="or").num_rows
+    # docs 20/21 carry TIE_CONTENT without the marker → up to 2 fewer hits
+    assert eng.n_docs - n - 2 <= got <= eng.n_docs - n
+
+
+def test_ingest_delta_appends_segment(ray_session, tmp_path):
+    corpus_a = str(tmp_path / "a")
+    corpus_b = str(tmp_path / "b")
+    generate_corpus(corpus_a, n_files=80, vocab_size=500, n_output_files=2)
+    generate_corpus(corpus_b, n_files=40, vocab_size=500, n_output_files=1, seed=43)
+    idx = str(tmp_path / "idx")
+    build_index(corpus_a, idx, IndexConfig(docs_per_spec=50))
+    n_before = SearchEngine(idx).n_docs
+    res = ingest_delta(idx, corpus_b, IndexConfig(docs_per_spec=50))
+    assert res["added"] == ["seg-00001"]
+    eng = SearchEngine(idx)
+    assert eng.n_docs == n_before + 40
+    # dense docIDs don't collide across segments
+    all_ids = np.concatenate([r._doc_ids for r in eng.readers])
+    assert np.unique(all_ids).size == all_ids.size
+    # re-ingesting the same files is a no-op
+    res2 = ingest_delta(idx, corpus_b, IndexConfig(docs_per_spec=50))
+    assert res2["added"] == []
+
+
+def test_resume_rebuilds_on_input_change(ray_session, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, n_files=60, vocab_size=400, n_output_files=2)
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(docs_per_spec=50)
+    build_index(corpus, idx, cfg)
+    # grow the input: same dir, extra file → seg-00000's file list changes
+    generate_corpus(
+        str(tmp_path / "extra"), n_files=30, vocab_size=400, n_output_files=1, seed=9
+    )
+    os.rename(
+        str(tmp_path / "extra" / "corpus-00000.parquet"),
+        os.path.join(corpus, "corpus-99999.parquet"),
+    )
+    m = build_index(corpus, idx, cfg)
+    assert m["built"]  # stale segment rebuilt, not wrongly skipped
+    assert SearchEngine(idx).n_docs == 90
