@@ -61,9 +61,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(fulltext.QUERIES)
     out["sim_knn_cosine"] = knn_cosine
     out["ts_langid_breakdown"] = langid_breakdown
+    from datamart_ray.pipelines.matching import (
+        nearest_point_join,
+        union_column_matches,
+    )
+    from datamart_ray.pipelines.transforms import (
+        expand_customer_names,
+        histogram_extendedprice,
+        melt_lineitem,
+        top5_brands,
+    )
+
     out["prof_lineitem"] = profile_lineitem
     out["tj_asof_purchase_click"] = asof_join_events
     out["tj_hourly_rollup_join"] = rollup_join_events
+    out["tr_melt_lineitem"] = melt_lineitem
+    out["tr_histogram_price"] = histogram_extendedprice
+    out["tr_top5_brands"] = top5_brands
+    out["tr_expand_names"] = expand_customer_names
+    out["sm_union_matches"] = union_column_matches
+    out["sj_nearest_point"] = nearest_point_join
     # rows-only entries (not SQL-expressible: engine-defined hash chains)
     out["dd_minhash_near_dups"] = minhash_near_dups
     out["dd_simhash_pairs"] = simhash_dup_pairs
@@ -84,7 +101,16 @@ def oracle_sql() -> dict[str, str]:
     out.update(fulltext.SQL)
     out["sim_knn_cosine"] = knn_cosine_sql()
     out["ts_langid_breakdown"] = langid_breakdown_sql()
+    from datamart_ray.pipelines.matching import nearest_sql, union_matches_sql
+    from datamart_ray.pipelines import transforms
+
     out["prof_lineitem"] = profile_sql("lineitem")
     out["tj_asof_purchase_click"] = ASOF_SQL
     out["tj_hourly_rollup_join"] = ROLLUP_SQL
+    out["tr_melt_lineitem"] = transforms.MELT_SQL
+    out["tr_histogram_price"] = transforms.HIST_SQL
+    out["tr_top5_brands"] = transforms.TOP5_SQL
+    out["tr_expand_names"] = transforms.expand_sql()
+    out["sm_union_matches"] = union_matches_sql("/root/testdata/sf0.001")
+    out["sj_nearest_point"] = nearest_sql()
     return out

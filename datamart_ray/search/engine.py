@@ -199,19 +199,32 @@ def _score_segment(
             reader.filter_positions(filters or {}),
         )
 
-    post = {t: reader.postings(t) for t in present}
     allowed = reader.filter_positions(filters or {})
 
     if mode == "and":
-        # rarest-first intersection; keeps per-term tf arrays aligned
-        order = sorted(present, key=lambda t: post[t][0].size)
-        docids = post[order[0]][0]
+        # rarest-first intersection with chunk skipping: only chunks whose
+        # docID range contains a surviving candidate are ever decoded —
+        # the frequent terms of a selective conjunction stay compressed.
+        from datamart_ray.search.wand import TermChunks
+
+        tcs = {t: TermChunks(reader.postings_chunks(t)) for t in present}
+        order = sorted(present, key=lambda t: reader.df(t))
+        post: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        docids, tf0 = tcs[order[0]].decode_all()
+        post[order[0]] = (docids, tf0)
         if allowed is not None:
             docids = docids[_isin_sorted(allowed, docids)]
         for t in order[1:]:
-            docids = docids[_isin_sorted(post[t][0], docids)]
             if docids.size == 0:
                 return empty
+            tc = tcs[t]
+            lo = np.searchsorted(docids, tc.first)
+            keep = (lo < docids.size) & (
+                docids[np.minimum(lo, docids.size - 1)] <= tc.last
+            )
+            p_doc, p_tf = tc.decode(keep)
+            post[t] = (p_doc, p_tf)
+            docids = docids[_isin_sorted(p_doc, docids)]
         if docids.size == 0:
             return empty
         dl = reader.doclen_of(docids)
@@ -222,7 +235,8 @@ def _score_segment(
             scores += idfs[t] * bm25_tf_norm(p_tf[pos], dl, avgdl, params)
         return docids, scores
 
-    # mode == "or": score union
+    # mode == "or" (exhaustive fallback; k=None — equivalence tests)
+    post = {t: reader.postings(t) for t in present}
     all_docs = np.unique(np.concatenate([post[t][0] for t in present]))
     if allowed is not None:
         all_docs = all_docs[_isin_sorted(allowed, all_docs)]

@@ -78,3 +78,56 @@ def test_pruning_actually_skips_chunks(wand_index):
     assert decoded["n"] < total + tcs[
         max(tcs, key=lambda t: tcs[t].n)
     ].n, f"no pruning happened: {decoded['n']} vs {total}"
+
+
+def test_parse_query_and_execute(wand_index):
+    from datamart_ray.search.query import QueryError, execute, parse_query
+
+    plan = parse_query(
+        {"keywords": ["qzcommonneedle"], "operator": "or", "size": 5}
+    )
+    assert plan.keywords == "qzcommonneedle" and plan.size == 5
+    t = execute(wand_index, {"keywords": "qzcommonneedle", "size": 5})
+    assert t.num_rows == 5
+
+    import pytest as _pytest
+
+    for bad in [
+        "not a dict",
+        {"keywords": ""},
+        {"keywords": "x", "operator": "xor"},
+        {"keywords": "x", "bogus": 1},
+        {"keywords": "x", "size": -1},
+        {"keywords": "x", "filters": {"lang": 3}},
+    ]:
+        with _pytest.raises(QueryError):
+            parse_query(bad)
+
+
+def test_and_mode_skips_chunks(wand_index):
+    """Conjunction of rare+frequent must not decode all frequent chunks."""
+    import numpy as np
+
+    from datamart_ray.search import wand as wand_mod
+
+    eng = wand_index
+    decoded = {"n": 0}
+    orig = wand_mod.TermChunks.decode
+
+    def counting(self, keep):
+        decoded["n"] += int(np.sum(keep))
+        return orig(self, keep)
+
+    wand_mod.TermChunks.decode = counting
+    try:
+        t = eng.search("qzuniqueneedle qzstopneedle", k=10, mode="and")
+    finally:
+        wand_mod.TermChunks.decode = orig
+    assert t.num_rows == 1
+    r = eng.readers[0]
+    total_stop_chunks = wand_mod.TermChunks(
+        r.postings_chunks("qzstopneedle")
+    ).n
+    # rare term decodes fully (1 chunk); stop term must decode ≤ 2 chunks
+    assert decoded["n"] <= 3, (decoded["n"], total_stop_chunks)
+    assert total_stop_chunks > 5
