@@ -81,9 +81,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["tr_expand_names"] = expand_customer_names
     out["sm_union_matches"] = union_column_matches
     out["sj_nearest_point"] = nearest_point_join
-    # rows-only entries (not SQL-expressible: engine-defined hash chains)
+    from datamart_ray.stages.similarity import embedding_near_dups, knn_lsh
+
+    # rows-only entries (not SQL-expressible: engine-defined hash chains /
+    # probabilistic LSH candidate generation)
     out["dd_minhash_near_dups"] = minhash_near_dups
     out["dd_simhash_pairs"] = simhash_dup_pairs
+    out["dd_embedding_near_dups"] = embedding_near_dups
+    out["sim_knn_lsh"] = knn_lsh
     out["ts_fingerprints"] = document_fingerprints
     return out
 

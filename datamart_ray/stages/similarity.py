@@ -20,7 +20,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from datamart_ray.util import round_away
+from datamart_ray.util import ensure_fast_shuffle, round_away
 
 
 def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -100,6 +100,181 @@ def knn_cosine(
     out["sim"] = round_away(out["sim"], 4)
     out = out.reset_index(drop=True)
     return out
+
+
+def knn_lsh(
+    sf_dir: str,
+    query_ids: tuple[int, ...] = (0, 1, 2),
+    k: int = 5,
+    n_bands: int = 16,
+    band_bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """LSH-bucketed approximate nearest neighbors — the scale path.
+
+    Random-hyperplane signatures per band; a vector is a candidate for a
+    query iff they share any band bucket. Candidates are then scored with
+    the exact cosine kernel. Probabilistic recall (banded OR construction),
+    exact precision. Shape: signatures via one matmul per batch; the only
+    data reduced to the driver is the candidate id set.
+    """
+    ensure_fast_shuffle()
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/embeddings.parquet"
+    qt = pq.read_table(path, columns=[id_col, vec_col]).filter(
+        pc.is_in(pc.field(id_col), value_set=pa.array(list(query_ids)))
+    )
+    q_ids = qt[id_col].to_numpy(zero_copy_only=False)
+    Q = _to_matrix(qt[vec_col])
+    dim = Q.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bands * band_bits, dim))
+    pow2 = 1 << np.arange(band_bits, dtype=np.int64)
+
+    def band_buckets(X: np.ndarray) -> np.ndarray:
+        bits = (X @ planes.T) > 0
+        bands = bits.reshape(X.shape[0], n_bands, band_bits)
+        return (bands * pow2[None, None, :]).sum(axis=2)  # (n, n_bands)
+
+    q_buckets = band_buckets(Q)  # (nq, n_bands)
+    ref = ray.put((q_ids, q_buckets))
+
+    def find_candidates(t: pa.Table) -> pa.Table:
+        qids, qb = ray.get(ref)
+        X = _to_matrix(t[vec_col])
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        xb = band_buckets(X)  # (n, n_bands)
+        out_q, out_c = [], []
+        for j, qid in enumerate(qids):
+            hit = (xb == qb[j][None, :]).any(axis=1) & (ids != qid)
+            out_q.append(np.full(int(hit.sum()), qid, dtype=np.int64))
+            out_c.append(ids[hit].astype(np.int64))
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "cand_id": pa.array(np.concatenate(out_c)),
+            }
+        )
+
+    ds = rd.read_parquet(path, columns=[id_col, vec_col])
+    cand = ds.map_batches(find_candidates, batch_format="pyarrow").to_pandas()
+    if cand.empty:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "sim": pd.Series([], dtype="float64"),
+            }
+        )
+    # exact rescoring of the (small) candidate set
+    need = np.unique(cand["cand_id"])
+    ct = pq.read_table(path, columns=[id_col, vec_col]).filter(
+        pc.is_in(pc.field(id_col), value_set=pa.array(need))
+    )
+    c_ids = ct[id_col].to_numpy(zero_copy_only=False)
+    C = _to_matrix(ct[vec_col])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    pos = {int(c): i for i, c in enumerate(c_ids)}
+    rows = []
+    for j, qid in enumerate(q_ids):
+        mine = cand[cand["query_id"] == qid]["cand_id"].to_numpy()
+        if mine.size == 0:
+            continue
+        idx = np.array([pos[int(c)] for c in mine])
+        sims = Cn[idx] @ Qn[j]
+        order = np.lexsort((mine, -sims))[:k]
+        for o in order:
+            rows.append((int(qid), int(mine[o]), float(sims[o])))
+    out = pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim"])
+    out["sim"] = round_away(out["sim"], 4)
+    return out
+
+
+def embedding_near_dups(
+    sf_dir: str,
+    threshold: float = 0.95,
+    n_bands: int = 24,
+    band_bits: int = 10,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs (training-data dedup op):
+    hyperplane-LSH band buckets → candidate pairs via (band, bucket)
+    groupby → exact cosine verification ≥ threshold."""
+    ensure_fast_shuffle()
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/embeddings.parquet"
+    dim = len(
+        pq.read_table(path, columns=["embedding"]).slice(0, 1)["embedding"][0]
+    )
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bands * band_bits, dim))
+    pow2 = 1 << np.arange(band_bits, dtype=np.int64)
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        X = _to_matrix(t["embedding"])
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        bits = (X @ planes.T) > 0
+        bands = bits.reshape(X.shape[0], n_bands, band_bits)
+        buckets = (bands * pow2[None, None, :]).sum(axis=2)
+        n = ids.size
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, n_bands).astype(np.int64)),
+                "band": pa.array(
+                    np.tile(np.arange(n_bands, dtype=np.int32), n)
+                ),
+                "bucket": pa.array(buckets.reshape(-1).astype(np.int64)),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": []})
+        ids = np.sort(g["vec_id"].to_numpy())
+        ia, ib = np.triu_indices(ids.size, k=1)
+        return pd.DataFrame({"vec_a": ids[ia], "vec_b": ids[ib]})
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    cand = (
+        ds.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band", "bucket"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "vec_a": pd.Series([], dtype="int64"),
+            "vec_b": pd.Series([], dtype="int64"),
+            "cosine": pd.Series([], dtype="float64"),
+        }
+    )
+    if cand.empty:
+        return empty
+    cand = cand.drop_duplicates().astype("int64")
+    need = np.unique(np.concatenate([cand["vec_a"], cand["vec_b"]]))
+    t = pq.read_table(path, columns=["vec_id", "embedding"]).filter(
+        pc.is_in(pc.field("vec_id"), value_set=pa.array(need))
+    )
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    X = _to_matrix(t["embedding"])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    a = np.array([pos[int(v)] for v in cand["vec_a"]])
+    b = np.array([pos[int(v)] for v in cand["vec_b"]])
+    sims = np.einsum("ij,ij->i", Xn[a], Xn[b])
+    keep = sims >= threshold
+    if not keep.any():
+        return empty
+    out = cand[keep].reset_index(drop=True)
+    out["cosine"] = round_away(sims[keep], 4)
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
 def knn_cosine_sql(

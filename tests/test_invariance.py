@@ -1,0 +1,69 @@
+"""E2E determinism: the index and all query results must be identical
+regardless of build parallelism knobs — task granularity (docs_per_spec),
+shuffle partition count (num_buckets), and shuffle strategy (bucket vs
+global sort). This is the sandbox evidence for 'scores do not depend on
+the cluster size' (SURVEY.md §5.2 E2E layer)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from datamart_ray.corpus import generate_corpus, reference_queries
+from datamart_ray.index.build import IndexConfig, build_index
+from datamart_ray.index.manifest import read_manifest
+from datamart_ray.search.engine import SearchEngine
+
+VARIANTS = [
+    IndexConfig(docs_per_spec=37, num_buckets=7, chunk_docs=64),
+    IndexConfig(docs_per_spec=200, num_buckets=64, chunk_docs=64),
+    IndexConfig(docs_per_spec=64, chunk_docs=64, shuffle="sort"),
+]
+
+
+@pytest.fixture(scope="module")
+def variant_indexes(ray_session, tmp_path_factory):
+    corpus = str(tmp_path_factory.mktemp("inv_corpus"))
+    generate_corpus(corpus, n_files=180, vocab_size=900, n_output_files=4)
+    dirs = []
+    for i, cfg in enumerate(VARIANTS):
+        d = str(tmp_path_factory.mktemp(f"inv_idx_{i}"))
+        build_index(corpus, d, cfg)
+        dirs.append(d)
+    return dirs
+
+
+def test_stats_and_lineage_identical(variant_indexes):
+    manifests = [
+        read_manifest(os.path.join(d, "segments", "seg-00000"))
+        for d in variant_indexes
+    ]
+    base = manifests[0]
+    for m in manifests[1:]:
+        for key in (
+            "n_docs",
+            "total_doclen",
+            "n_terms",
+            "n_postings",
+            "sha256_rollup",
+        ):
+            assert m[key] == base[key], key
+
+
+def test_all_query_results_identical(variant_indexes):
+    engines = [SearchEngine(d) for d in variant_indexes]
+    for q in reference_queries():
+        filters = {"lang": q["lang"]} if "lang" in q else None
+        results = [
+            e.search(q["query"], k=50, mode=q["mode"], filters=filters)
+            for e in engines
+        ]
+        base = results[0]
+        for r in results[1:]:
+            assert (
+                r["doc_id"].to_pylist() == base["doc_id"].to_pylist()
+            ), q["name"]
+            np.testing.assert_array_equal(
+                np.asarray(r["score"]), np.asarray(base["score"]),
+                err_msg=q["name"],
+            )

@@ -110,3 +110,75 @@ def test_multimodal_stub_pipeline(ray_session):
     v = np.array(feats["feature"].iloc[0])
     assert v.shape == (8,)
     assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+
+
+def test_knn_lsh_recall_vs_exact(ray_session):
+    """LSH ANN must recover most of the exact top-k (banded OR recall)."""
+    from datamart_ray.stages.similarity import knn_cosine, knn_lsh
+
+    sf = "/root/testdata/sf0.001"
+    exact = knn_cosine(sf, query_ids=(0, 1), k=5)
+    approx = knn_lsh(sf, query_ids=(0, 1), k=5, n_bands=32, band_bits=6)
+    got = set(zip(approx["query_id"], approx["neighbor_id"]))
+    want = set(zip(exact["query_id"], exact["neighbor_id"]))
+    recall = len(got & want) / len(want)
+    assert recall >= 0.5, f"recall {recall}: {got} vs {want}"
+
+
+def test_embedding_near_dups_runs(ray_session):
+    from datamart_ray.stages.similarity import embedding_near_dups
+
+    out = embedding_near_dups("/root/testdata/sf0.001", threshold=0.9)
+    assert list(out.columns) == ["vec_a", "vec_b", "cosine"]
+    if len(out):
+        assert (out["cosine"] >= 0.9).all()
+        assert (out["vec_a"] < out["vec_b"]).all()
+
+
+def test_sources_convert_and_sidecar(ray_session, tmp_path):
+    import json
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from datamart_ray.sources import (
+        convert_csv_to_parquet,
+        detect_and_convert,
+        write_with_metadata,
+    )
+
+    csv = tmp_path / "in.csv"
+    csv.write_text("a,b\n1,x\n2,y\n")
+    out = convert_csv_to_parquet(str(csv), str(tmp_path / "pq"))
+    t = pq.read_table(out)
+    assert t.num_rows == 2 and t.column_names == ["a", "b"]
+
+    tsv = tmp_path / "in.tsv"
+    tsv.write_text("a\tb\n3\tz\n")
+    out2 = detect_and_convert(str(tsv), str(tmp_path / "pq2"))
+    assert pq.read_table(out2).num_rows == 1
+
+    ds = rd.from_items([{"x": 1}, {"x": 2}])
+    d3 = write_with_metadata(ds, str(tmp_path / "meta_out"), "demo")
+    doc = json.load(open(f"{d3}/datasetDoc.json"))
+    assert doc["about"]["datasetName"] == "demo"
+    assert doc["nb_rows"] == 2
+    assert doc["columns"][0]["name"] == "x"
+
+
+def test_registry():
+    from datamart_ray import registry
+
+    assert "q01_pricing_summary" in registry.list_stages()
+    fn = registry.get_stage("knn_cosine")
+    assert callable(fn)
+
+    @registry.register_stage("my_custom_stage")
+    def my_stage(sf_dir):
+        return sf_dir
+
+    assert registry.get_stage("my_custom_stage")("x") == "x"
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        registry.get_stage("nope_missing")
