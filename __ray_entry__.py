@@ -22,8 +22,16 @@ Operator coverage map (SURVEY.md §2 → entry):
   U1       union + aggregate           → q04_union_accounts
   U2       exact dedup                 → ft_exact_dedup
   filters  keyword terms filter        → ft_bm25_lang_filter
-  ANN      brute cosine top-k          → sim_knn_cosine
+  ANN      brute cosine top-k / LSH    → sim_knn_cosine / sim_knn_lsh
   quality  text quality scoring        → ft_quality_scores
+  A2/A3/A11 profiling moments/distinct → prof_lineitem / prof_customer
+  A4/J4    coverage ranges + overlap   → rg_coverage_ranges / rg_overlap_scores
+  J2/J3    as-of + nearest joins       → tj_* / sj_nearest_point
+  J6       value-set containment       → tx_containment
+  J7/U4    union-candidate matching    → sm_union_matches
+  S13/A7/K7/M2 melt/histogram/top5/expand → tr_*
+  dedup    minhash/simhash/embedding   → dd_* (rows-only)
+See COVERAGE.md for the full SURVEY.md §2 map.
 """
 
 from __future__ import annotations
@@ -72,9 +80,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         top5_brands,
     )
 
+    from datamart_ray.pipelines.profiler import profile_table
+    from datamart_ray.pipelines.textjoin import column_containment_scores
+
     out["prof_lineitem"] = profile_lineitem
+    out["prof_customer"] = lambda sf: profile_table(sf, "customer")
+    out["tx_containment"] = column_containment_scores
     out["tj_asof_purchase_click"] = asof_join_events
     out["tj_hourly_rollup_join"] = rollup_join_events
+    from datamart_ray.pipelines.ranges import (
+        coverage_ranges,
+        range_overlap_scores,
+    )
+
+    out["rg_coverage_ranges"] = coverage_ranges
+    out["rg_overlap_scores"] = range_overlap_scores
     out["tr_melt_lineitem"] = melt_lineitem
     out["tr_histogram_price"] = histogram_extendedprice
     out["tr_top5_brands"] = top5_brands
@@ -109,9 +129,20 @@ def oracle_sql() -> dict[str, str]:
     from datamart_ray.pipelines.matching import nearest_sql, union_matches_sql
     from datamart_ray.pipelines import transforms
 
+    from datamart_ray.pipelines.textjoin import containment_sql
+
     out["prof_lineitem"] = profile_sql("lineitem")
+    out["prof_customer"] = profile_sql("customer")
+    out["tx_containment"] = containment_sql()
     out["tj_asof_purchase_click"] = ASOF_SQL
     out["tj_hourly_rollup_join"] = ROLLUP_SQL
+    from datamart_ray.pipelines.ranges import (
+        coverage_ranges_sql,
+        range_overlap_sql,
+    )
+
+    out["rg_coverage_ranges"] = coverage_ranges_sql()
+    out["rg_overlap_scores"] = range_overlap_sql()
     out["tr_melt_lineitem"] = transforms.MELT_SQL
     out["tr_histogram_price"] = transforms.HIST_SQL
     out["tr_top5_brands"] = transforms.TOP5_SQL
