@@ -111,6 +111,24 @@ def run_bench() -> dict:
     timings["bm25_p50"] = round(statistics.median(lat), 4)
     extra["bm25_p95"] = round(sorted(lat)[int(len(lat) * 0.95)], 4)
 
+    # distributed serving path (per-segment scorer actors, driver merge)
+    from datamart_ray.search.engine import DistributedSearchEngine
+
+    deng = DistributedSearchEngine(index_dir)
+    dlat = []
+    for _ in range(2):
+        for q in qset:
+            t0 = time.time()
+            deng.search(
+                q["query"],
+                k=50,
+                mode=q["mode"],
+                filters={"lang": q["lang"]} if "lang" in q else None,
+            )
+            dlat.append(time.time() - t0)
+    extra["bm25_dist_p50"] = round(statistics.median(dlat), 4)
+    deng.shutdown()
+
     from datamart_ray.pipelines.relational import (
         q01_pricing_summary,
         q02_revenue_by_nation,

@@ -90,6 +90,208 @@ def delete_where(index_dir: str, column: str, value) -> int:
     return delete_docs(index_dir, targets) if targets else 0
 
 
+def compact_segments(
+    index_dir: str, config: IndexConfig | None = None
+) -> dict:
+    """Merge every committed segment into one, making tombstoned deletes
+    permanent (the Lucene merge analog; completes U5's delete semantics).
+
+    Pipeline: read all segments' posting chunks → filter tombstoned docs
+    out of each chunk (vectorized decode/re-encode only where a chunk
+    intersects the tombstone set) → groupby(term) merge → fresh chunk
+    rows; docmeta concatenated minus tombstones; N/avgdl/df recomputed, so
+    post-compaction scores reflect the smaller corpus (document: deletes
+    become *visible in stats* only at compaction, exactly like Lucene).
+    """
+    import time
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from datamart_ray.index import codec
+    from datamart_ray.index.build import POSTINGS_SCHEMA, _BuildChunks
+    from datamart_ray.index.manifest import commit_segment_dir
+    from datamart_ray.util import ensure_fast_shuffle
+
+    ensure_fast_shuffle()
+    t0 = time.time()
+    seg_dirs = list_committed_segments(index_dir)
+    if not seg_dirs:
+        raise ValueError(f"no committed segments under {index_dir}")
+    manifests = [read_manifest(d) for d in seg_dirs]
+    config = config or IndexConfig()
+    tombs = np.sort(
+        np.concatenate([read_tombstones(d) for d in seg_dirs])
+    )
+    tombs_list = tombs.tolist()
+
+    seg_root = os.path.join(index_dir, "segments")
+    tmp_dir = os.path.join(seg_root, ".tmp-compact")
+    import shutil
+
+    if os.path.exists(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    os.makedirs(os.path.join(tmp_dir, "docmeta"))
+
+    # --- postings: strip tombstones per chunk, then re-chunk per term ----
+    chunker = _BuildChunks(config.chunk_docs)
+
+    def strip_and_explode(t: pa.Table) -> pa.Table:
+        """Decode chunks (skipping the strip when no tombstone overlaps),
+        drop deleted docs, re-emit as (term, doc_id, tf) triples for the
+        term groupby that rebuilds clean chunks."""
+        tl = np.asarray(tombs_list, dtype=np.int64)
+        terms_out, docs_out, tfs_out = [], [], []
+        for row in t.to_pylist():
+            docs = codec.decode_docids(row["docs"])
+            tfs = codec.unpack_ints(row["tfs"]).astype(np.int64)
+            if tl.size:
+                pos = np.searchsorted(tl, docs)
+                ok = np.ones(docs.size, dtype=bool)
+                inr = pos < tl.size
+                ok[inr] = tl[pos[inr]] != docs[inr]
+                docs, tfs = docs[ok], tfs[ok]
+            if docs.size == 0:
+                continue
+            terms_out.append(
+                np.full(docs.size, row["term"], dtype=object)
+            )
+            docs_out.append(docs)
+            tfs_out.append(tfs)
+        if not terms_out:
+            return pa.table(
+                {
+                    "term": pa.array([], type=pa.string()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "tf": pa.array([], type=pa.int32()),
+                }
+            )
+        return pa.table(
+            {
+                "term": pa.array(
+                    np.concatenate(terms_out), type=pa.string()
+                ),
+                "doc_id": pa.array(np.concatenate(docs_out)),
+                "tf": pa.array(
+                    np.concatenate(tfs_out).astype(np.int32)
+                ),
+            }
+        )
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+        return chunker(t)
+
+    posting_paths = [
+        os.path.join(d, "postings", f)
+        for d in seg_dirs
+        for f in sorted(os.listdir(os.path.join(d, "postings")))
+        if f.endswith(".parquet")
+    ]
+    triples = rd.read_parquet(posting_paths).map_batches(
+        strip_and_explode, batch_format="pyarrow"
+    )
+    chunks = triples.groupby("term").map_groups(
+        rebuild, batch_format="pyarrow"
+    )
+    chunks.write_parquet(os.path.join(tmp_dir, "postings"))
+
+    # --- docmeta minus tombstones ---------------------------------------
+    n_docs = 0
+    total_dl = 0
+    import hashlib
+
+    rollup = hashlib.sha256()
+    part = 0
+    for d in seg_dirs:
+        meta_dir = os.path.join(d, "docmeta")
+        for name in sorted(os.listdir(meta_dir)):
+            t = pq.read_table(os.path.join(meta_dir, name))
+            if tombs.size:
+                keep = pc.invert(
+                    pc.is_in(t["doc_id"], value_set=pa.array(tombs))
+                )
+                t = t.filter(keep)
+            if t.num_rows == 0:
+                continue
+            pq.write_table(
+                t,
+                os.path.join(
+                    tmp_dir, "docmeta", f"docmeta-{part:06d}.parquet"
+                ),
+            )
+            part += 1
+            n_docs += t.num_rows
+            total_dl += pc.sum(t["doclen"]).as_py() or 0
+            rollup.update(
+                bytes.fromhex("".join(t["sha256"].to_pylist()))
+            )
+
+    # --- terms + manifest -----------------------------------------------
+    chunk_meta = pq.read_table(
+        os.path.join(tmp_dir, "postings"), columns=["term", "df"]
+    )
+    if chunk_meta.num_rows:
+        terms_table = (
+            chunk_meta.group_by("term")
+            .aggregate([("df", "sum")])
+            .rename_columns(["term", "df"])
+            .sort_by("term")
+        )
+        terms_table = pa.table(
+            {
+                "term": pc.cast(terms_table["term"], pa.string()),
+                "df": pc.cast(terms_table["df"], pa.int64()),
+            }
+        )
+    else:
+        terms_table = pa.table(
+            {
+                "term": pa.array([], type=pa.string()),
+                "df": pa.array([], type=pa.int64()),
+            }
+        )
+    pq.write_table(terms_table, os.path.join(tmp_dir, "terms.parquet"))
+
+    all_files = [f for m in manifests for f in m["files"]]
+    manifest = {
+        "segment": "seg-00000",
+        "n_docs": n_docs,
+        "total_doclen": int(total_dl),
+        "n_terms": terms_table.num_rows,
+        "n_postings": int(
+            pa.compute.sum(terms_table["df"]).as_py() or 0
+        ),
+        "files": all_files,
+        "n_specs": part,
+        "sha256_rollup": rollup.hexdigest(),
+        "config": config.to_json(),
+        "compacted_from": [m["segment"] for m in manifests],
+        "n_deleted": int(tombs.size),
+        "timings": {"total_sec": round(time.time() - t0, 3)},
+        "built_unix": int(time.time()),
+    }
+    atomic_write_json(os.path.join(tmp_dir, "MANIFEST.json"), manifest)
+
+    # swap: remove old segments, promote the compacted one
+    for d in seg_dirs:
+        shutil.rmtree(d)
+    commit_segment_dir(tmp_dir, os.path.join(seg_root, "seg-00000"))
+    atomic_write_json(
+        os.path.join(index_dir, INDEX_MANIFEST_NAME),
+        {
+            "segments": ["seg-00000"],
+            "config": config.to_json(),
+            "built": ["seg-00000"],
+            "resumed_skipped": [],
+            "n_files": len(all_files),
+        },
+    )
+    return manifest
+
+
 def ingest_delta(
     index_dir: str,
     new_paths: str | list[str],

@@ -121,15 +121,23 @@ def q02_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     (2) one explicit partitioned hash join against orders (big-big);
     (3) customer and nation ride as broadcast lookups (dimension-sized).
     """
+    def prep_combine(t: pa.Table) -> pa.Table:
+        # map-side combine: partial revenue per orderkey within the batch
+        # (~4 lineitems/order → the join's left side shrinks before the
+        # shuffle; exact because units are integers)
+        part = pa.table(
+            {"l_orderkey": t["l_orderkey"], "rev_u": _revenue_units(t)}
+        )
+        return (
+            part.group_by("l_orderkey")
+            .aggregate([("rev_u", "sum")])
+            .rename_columns(["l_orderkey", "rev_u"])
+        )
+
     lineitem = rd.read_parquet(
         _p(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
-    ).map_batches(
-        lambda t: pa.table(
-            {"l_orderkey": t["l_orderkey"], "rev_u": _revenue_units(t)}
-        ),
-        batch_format="pyarrow",
-    )
+    ).map_batches(prep_combine, batch_format="pyarrow")
     customer = read_small(_p(sf_dir, "customer"), ["c_custkey", "c_nationkey"])
     nation = read_small(_p(sf_dir, "nation"), ["n_nationkey", "n_name"])
     dim = customer.merge(

@@ -93,3 +93,46 @@ def test_resume_rebuilds_on_input_change(ray_session, tmp_path):
     m = build_index(corpus, idx, cfg)
     assert m["built"]  # stale segment rebuilt, not wrongly skipped
     assert SearchEngine(idx).n_docs == 90
+
+
+def test_compaction_makes_deletes_permanent(ray_session, tmp_path):
+    """delete → compact → single segment, stats shrink, scores reflect
+    the smaller corpus, results still match a fresh oracle of survivors."""
+    import pyarrow.parquet as pq
+
+    from datamart_ray.index.maintain import compact_segments
+    from datamart_ray.oracle import PyBM25Oracle
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, n_files=100, vocab_size=600, n_output_files=2)
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(docs_per_spec=40, segment_docs=60)  # → 2 segments
+    build_index(corpus, idx, cfg)
+    eng0 = SearchEngine(idx)
+    assert len(eng0.readers) == 2
+
+    victims = eng0.search("qzcommonneedle", k=5)["doc_id"].to_pylist()[:3]
+    delete_docs(idx, victims)
+    m = compact_segments(idx, cfg)
+    assert m["n_deleted"] == 3
+    assert m["compacted_from"] == ["seg-00000", "seg-00001"]
+
+    eng = SearchEngine(idx)
+    assert len(eng.readers) == 1
+    assert eng.n_docs == 100 - 3
+
+    # oracle over the surviving docs only — scores must match exactly
+    src = pq.read_table(corpus)
+    survivors = [
+        (i, s)
+        for i, s in enumerate(src["content"].to_pylist())
+        if i not in set(victims)
+    ]
+    oracle = PyBM25Oracle(survivors)
+    for q, mode in [("qzcommonneedle", "and"), ("qzstopneedle qzpairneedlea", "or")]:
+        got = eng.search(q, k=50, mode=mode)
+        want = oracle.search(q, k=50, mode=mode)
+        assert got["doc_id"].to_pylist() == [d for d, _ in want], q
+        assert np.allclose(
+            got["score"].to_pylist(), [s for _, s in want], atol=1e-9
+        ), q
