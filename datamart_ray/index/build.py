@@ -141,6 +141,8 @@ def plan_specs(
     spec_id = 0
     for path in files:
         md = pq.ParquetFile(path).metadata
+        if md.num_rows == 0:
+            continue  # empty files contribute nothing (and no docIDs)
         rg_rows = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
         file_infos.append(
             {"path": path, "base": base, "n_rows": int(md.num_rows)}
@@ -337,6 +339,11 @@ def build_segment(
 
     cfg_json = config.to_json()
     n_specs = len(specs)
+    if n_specs == 0:
+        raise ValueError(
+            f"segment {seg_name}: no rows in input files "
+            f"{[f['path'] for f in file_infos]}"
+        )
 
     def tokenize_spec(batch: pa.Table):
         yield from _TokenizeSpec(cfg_json, docmeta_dir)(batch)
@@ -383,6 +390,10 @@ def build_segment(
         )
     chunks.write_parquet(postings_dir)
     t_post = time.time()
+    try:  # per-stage execution metrics → lineage record in the manifest
+        ray_stats_tail = chunks.stats().splitlines()[-18:]
+    except Exception:
+        ray_stats_tail = []
 
     # Per-segment term dictionary: df summed over chunks of the same term.
     # Driver-side Arrow group_by: the chunk table is metadata-sized (one
@@ -439,7 +450,9 @@ def build_segment(
         "timings": {
             "total_sec": round(t1 - t0, 3),
             "postings_sec": round(t_post - t_tok, 3),
+            "docs_per_sec": round(n_docs / max(t1 - t0, 1e-9), 1),
         },
+        "ray_stats_tail": ray_stats_tail,
         "built_unix": int(t1),
     }
     atomic_write_json(os.path.join(tmp_dir, "MANIFEST.json"), manifest)
