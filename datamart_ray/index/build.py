@@ -9,13 +9,16 @@ with a Ray-Data-native build:
     tokenize (stateless-task ``map_batches`` over zero-copy Arrow)
       read spec's row groups → (term, doc_id, tf) triples; side-writes the
       per-spec docmeta partition (doc_id, meta cols, sha256(content), doclen)
-    sort (the one all-to-all exchange per segment)
-      ``Dataset.sort(["term", "doc_id"])`` — range partitioning by sampled
-      (term, docID) boundaries means a *head term is split across partitions
-      at docID boundaries* (skew handling without explicit salting: a chunked
-      posting-list format makes partial per-partition postings first-class)
-    encode (``map_batches`` per sorted block, no further shuffle)
-      each block → posting-chunk rows (term, first/last docID, df, max_tf,
+    shuffle (the one all-to-all exchange per segment; push-based sort
+    shuffle, see util.ensure_fast_shuffle)
+      default "bucket": groupby on hash(term) % B (optionally salted with
+      doc_id windows — IndexConfig.salt_window — so head terms spread over
+      many buckets), then a local Arrow sort per bucket; the chunked
+      posting format makes per-bucket partial postings first-class.
+      "sort": global Dataset.sort(["term","doc_id"]) — range partitioning
+      by sampled boundaries splits head terms across partitions natively.
+    encode (vectorized per bucket/block, no further shuffle)
+      posting-chunk rows (term, first/last docID, df, max_tf,
       delta+varbyte docs, packed tfs) — the block-max metadata for WAND
 
 DocIDs are dense, deterministic, and independent of parallelism: docID =
@@ -89,6 +92,14 @@ class IndexConfig:
     #   "sort":   global Dataset.sort(["term","doc_id"]) (skew-proof).
     shuffle: str = "bucket"
     num_buckets: int | None = None  # default 4x cluster CPUs
+    # Explicit head-term salting for the bucket strategy: when > 0, the
+    # shuffle key becomes hash(term, doc_id // salt_window) % B, so a
+    # head term's postings spread across ceil(segment_docs/salt_window)
+    # buckets instead of landing in one. Chunks from different windows
+    # cover disjoint, ordered docID ranges, so per-term chunk merge at
+    # query time stays a concat (readers also re-sort defensively).
+    # 0 disables salting (a term maps to exactly one bucket).
+    salt_window: int = 0
 
     def to_json(self) -> dict:
         return {
@@ -366,6 +377,7 @@ def build_segment(
     else:
         B = config.num_buckets or max(32, 4 * _cpus())
         chunker = _BuildChunks(config.chunk_docs)
+        salt_w = config.salt_window
 
         def add_bucket(t: pa.Table) -> pa.Table:
             import pandas as pd
@@ -373,6 +385,11 @@ def build_segment(
             h = pd.util.hash_array(
                 t["term"].combine_chunks().to_numpy(zero_copy_only=False)
             )
+            if salt_w > 0:
+                win = (
+                    t["doc_id"].to_numpy(zero_copy_only=False) // salt_w
+                ).astype(np.uint64)
+                h = h ^ (win * np.uint64(0x9E3779B97F4A7C15))
             return t.append_column(
                 "bucket", pa.array((h % B).astype(np.int64))
             )

@@ -70,7 +70,7 @@ def q01_pricing_summary(sf_dir: str) -> pd.DataFrame:
         t = t.filter(
             pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02")))
         )
-        return pa.table(
+        part = pa.table(
             {
                 "l_returnflag": t["l_returnflag"],
                 "l_linestatus": t["l_linestatus"],
@@ -85,6 +85,18 @@ def q01_pricing_summary(sf_dir: str) -> pd.DataFrame:
                 "disc_u": _revenue_units(t),
             }
         )
+        # map-side combine: one partial row per (flag, status) per batch
+        return (
+            part.group_by(["l_returnflag", "l_linestatus"])
+            .aggregate(
+                [("qty_u", "sum"), ("price_u", "sum"), ("disc_u", "sum"),
+                 ("qty_u", "count")]
+            )
+            .rename_columns(
+                ["l_returnflag", "l_linestatus", "qty_u", "price_u",
+                 "disc_u", "count_order"]
+            )
+        )
 
     g = (
         ds.map_batches(prep, batch_format="pyarrow")
@@ -93,7 +105,7 @@ def q01_pricing_summary(sf_dir: str) -> pd.DataFrame:
             Sum("qty_u", alias_name="qty_u"),
             Sum("price_u", alias_name="price_u"),
             Sum("disc_u", alias_name="disc_u"),
-            Count(alias_name="count_order"),
+            Sum("count_order", alias_name="count_order"),
         )
         .to_pandas()
     )

@@ -51,40 +51,35 @@ def knn_cosine(
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     ref = ray.put((q_ids, Qn))
 
-    class _Score:
-        def __init__(self):
-            self.q_ids, self.Qn = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            X = _to_matrix(t[vec_col])
-            # dot / (|x| * |q|) — mirrors DuckDB list_cosine_similarity's
-            # formula shape (computed on DOUBLE[] in the oracle)
-            sims = (X @ self.Qn.T) / np.linalg.norm(X, axis=1, keepdims=True)
-            ids = t[id_col].to_numpy(zero_copy_only=False)
-            out_q, out_n, out_s = [], [], []
-            for j, qid in enumerate(self.q_ids):
-                s = sims[:, j]
-                mask = ids != qid
-                cand_ids, cand_s = ids[mask], s[mask]
-                if cand_ids.size > k:
-                    kth = np.partition(-cand_s, k - 1)[k - 1]
-                    top = np.flatnonzero(-cand_s <= kth)
-                    cand_ids, cand_s = cand_ids[top], cand_s[top]
-                out_q.append(np.full(cand_ids.size, qid, dtype=np.int64))
-                out_n.append(cand_ids.astype(np.int64))
-                out_s.append(cand_s)
-            return pa.table(
-                {
-                    "query_id": pa.array(np.concatenate(out_q)),
-                    "neighbor_id": pa.array(np.concatenate(out_n)),
-                    "sim": pa.array(np.concatenate(out_s)),
-                }
-            )
+    def _score(t: pa.Table) -> pa.Table:
+        q_ids_l, Qn = ray.get(ref)
+        X = _to_matrix(t[vec_col])
+        # dot / (|x| * |q|) — mirrors DuckDB list_cosine_similarity's
+        # formula shape (computed on DOUBLE[] in the oracle)
+        sims = (X @ Qn.T) / np.linalg.norm(X, axis=1, keepdims=True)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        out_q, out_n, out_s = [], [], []
+        for j, qid in enumerate(q_ids_l):
+            s = sims[:, j]
+            mask = ids != qid
+            cand_ids, cand_s = ids[mask], s[mask]
+            if cand_ids.size > k:
+                kth = np.partition(-cand_s, k - 1)[k - 1]
+                top = np.flatnonzero(-cand_s <= kth)
+                cand_ids, cand_s = cand_ids[top], cand_s[top]
+            out_q.append(np.full(cand_ids.size, qid, dtype=np.int64))
+            out_n.append(cand_ids.astype(np.int64))
+            out_s.append(cand_s)
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
 
     ds = rd.read_parquet(path, columns=[id_col, vec_col])
-    partial = ds.map_batches(
-        _Score, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1
-    )
+    partial = ds.map_batches(_score, batch_format="pyarrow")
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(

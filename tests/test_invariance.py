@@ -18,6 +18,8 @@ VARIANTS = [
     IndexConfig(docs_per_spec=37, num_buckets=7, chunk_docs=64),
     IndexConfig(docs_per_spec=200, num_buckets=64, chunk_docs=64),
     IndexConfig(docs_per_spec=64, chunk_docs=64, shuffle="sort"),
+    # head-term salting: every term spread over ~n_docs/40 buckets
+    IndexConfig(docs_per_spec=64, num_buckets=16, chunk_docs=64, salt_window=40),
 ]
 
 
