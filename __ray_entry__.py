@@ -93,6 +93,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         range_overlap_scores,
     )
 
+    from datamart_ray.pipelines.scalars import (
+        json_extract_rollup,
+        temporal_resolution,
+    )
+
+    out["sc_json_extract"] = json_extract_rollup
+    out["sc_temporal_resolution"] = temporal_resolution
     out["rg_coverage_ranges"] = coverage_ranges
     out["rg_overlap_scores"] = range_overlap_scores
     out["tr_melt_lineitem"] = melt_lineitem
@@ -141,6 +148,10 @@ def oracle_sql() -> dict[str, str]:
         range_overlap_sql,
     )
 
+    from datamart_ray.pipelines.scalars import JSON_SQL, temporal_resolution_sql
+
+    out["sc_json_extract"] = JSON_SQL
+    out["sc_temporal_resolution"] = temporal_resolution_sql()
     out["rg_coverage_ranges"] = coverage_ranges_sql()
     out["rg_overlap_scores"] = range_overlap_sql()
     out["tr_melt_lineitem"] = transforms.MELT_SQL

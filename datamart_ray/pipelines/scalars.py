@@ -1,0 +1,145 @@
+"""Scalar-function operators (SURVEY.md §2.8) + temporal-resolution
+detection (A6).
+
+- :func:`json_extract_rollup` — JSON (de)serialization scalar coverage
+  (reference common.py:132-144): extract ``$.k`` from the events ``props``
+  JSON column per batch, bucket it, aggregate. DuckDB twin uses
+  ``json_extract``.
+- :func:`temporal_resolution` — the reference's resolution detector
+  (get_temporal_resolution, lib_profiler/datamart_profiler/temporal.py:
+  36-57): the coarsest granularity whose average values-per-bin stays
+  below the 1.05 threshold; per-granularity bin counts are distinct-count
+  aggregates (one pass per granularity over the pruned ts column).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count
+
+from datamart_ray.util import ensure_fast_shuffle, round_away
+
+RESOLUTION_THRESHOLD = 1.05  # reference temporal.py:36-57
+GRANULARITIES = ("year", "month", "day", "hour", "minute", "second")
+
+
+def json_extract_rollup(sf_dir: str) -> pd.DataFrame:
+    """Decade buckets of props.k: (k_bucket, n, sum_k)."""
+    ensure_fast_shuffle()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        ks = np.array(
+            [json.loads(s)["k"] if s else -1 for s in t["props"].to_pylist()],
+            dtype=np.int64,
+        )
+        part = pa.table(
+            {"k_bucket": pa.array(ks // 10), "k": pa.array(ks)}
+        )
+        return (
+            part.group_by("k_bucket")
+            .aggregate([("k", "count"), ("k", "sum")])
+            .rename_columns(["k_bucket", "n", "sum_k"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("k_bucket")
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_k", alias_name="sum_k"))
+        .to_pandas()
+    )
+    for c in ("k_bucket", "n", "sum_k"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("k_bucket").reset_index(drop=True)
+
+
+JSON_SQL = """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+           count(*) AS n,
+           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events
+    GROUP BY 1
+    ORDER BY k_bucket
+"""
+
+
+def temporal_resolution(sf_dir: str) -> pd.DataFrame:
+    """Per-granularity bin statistics over events.ts + the detected
+    resolution (coarsest granularity with avg ≤ threshold, else the
+    finest). Output: (granularity, n_bins, avg_per_bin, is_detected)."""
+    ensure_fast_shuffle()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    n_rows = ds.count()
+    rows = []
+    for g in GRANULARITIES:
+        binned = ds.map_batches(
+            lambda t, g=g: pa.table(
+                {"b": pc.floor_temporal(t["ts"], unit=g)}
+            ),
+            batch_format="pyarrow",
+        )
+        n_bins = (
+            binned.groupby("b")
+            .aggregate(Count(alias_name="_n"))
+            .count()
+        )
+        rows.append(
+            {
+                "granularity": g,
+                "n_bins": int(n_bins),
+                "avg_per_bin": float(n_rows) / n_bins,
+            }
+        )
+    detected = None
+    for r in rows:  # coarsest-first order
+        if r["avg_per_bin"] <= RESOLUTION_THRESHOLD:
+            detected = r["granularity"]
+            break
+    if detected is None:
+        detected = GRANULARITIES[-1]
+    out = pd.DataFrame(rows)
+    out["avg_per_bin"] = round_away(out["avg_per_bin"], 4)
+    out["is_detected"] = (out["granularity"] == detected)
+    out["n_bins"] = out["n_bins"].astype("int64")
+    return out
+
+
+def temporal_resolution_sql() -> str:
+    parts = []
+    for g in GRANULARITIES:
+        parts.append(
+            f"""SELECT '{g}' AS granularity,
+                count(DISTINCT date_trunc('{g}', ts)) AS n_bins,
+                count(*)::DOUBLE / count(DISTINCT date_trunc('{g}', ts))
+                    AS raw_avg
+                FROM events"""
+        )
+    stats = " UNION ALL ".join(parts)
+    order = ", ".join(f"('{g}', {i})" for i, g in enumerate(GRANULARITIES))
+    return f"""
+        WITH stats AS ({stats}),
+        ord(granularity, pos) AS (VALUES {order}),
+        s AS (
+            SELECT stats.*, ord.pos FROM stats JOIN ord USING (granularity)
+        ),
+        det AS (
+            SELECT coalesce(
+                (SELECT granularity FROM s
+                 WHERE raw_avg <= {RESOLUTION_THRESHOLD}
+                 ORDER BY pos LIMIT 1),
+                '{GRANULARITIES[-1]}') AS g
+        )
+        SELECT granularity, n_bins, ROUND(raw_avg, 4) AS avg_per_bin,
+               granularity = det.g AS is_detected
+        FROM s, det
+        ORDER BY pos
+    """
