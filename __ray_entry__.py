@@ -98,6 +98,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         temporal_resolution,
     )
 
+    from datamart_ray.pipelines.spatial import (
+        spatial_coverage,
+        spatial_overlap_scores,
+        wkt_roundtrip,
+    )
+
+    out["sp_wkt_roundtrip"] = wkt_roundtrip
+    out["sp_coverage_boxes"] = spatial_coverage
+    out["sp_overlap_scores"] = spatial_overlap_scores
     out["sc_json_extract"] = json_extract_rollup
     out["sc_temporal_resolution"] = temporal_resolution
     out["rg_coverage_ranges"] = coverage_ranges
@@ -150,6 +159,15 @@ def oracle_sql() -> dict[str, str]:
 
     from datamart_ray.pipelines.scalars import JSON_SQL, temporal_resolution_sql
 
+    from datamart_ray.pipelines.spatial import (
+        WKT_SQL,
+        spatial_coverage_sql,
+        spatial_overlap_sql,
+    )
+
+    out["sp_wkt_roundtrip"] = WKT_SQL
+    out["sp_coverage_boxes"] = spatial_coverage_sql()
+    out["sp_overlap_scores"] = spatial_overlap_sql()
     out["sc_json_extract"] = JSON_SQL
     out["sc_temporal_resolution"] = temporal_resolution_sql()
     out["rg_coverage_ranges"] = coverage_ranges_sql()

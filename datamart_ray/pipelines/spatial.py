@@ -1,0 +1,351 @@
+"""Spatial coverage + WKT parsing (SURVEY.md §2: A5, J5, M7/M9).
+
+- :func:`spatial_coverage` — the spatial range clustering analog
+  (get_spatial_ranges, lib_profiler/datamart_profiler/spatial.py:45-102):
+  ≤3 bounding boxes per point set. Documented deviation from KMeans:
+  x-terciles (rank-position bucketing, deterministic under ties) with per
+  -band y extents — same purpose (compact geo envelopes), exact SQL twin.
+- :func:`spatial_overlap_scores` — the spatial join-candidate search
+  (J5, apiserver/apiserver/search/join.py:229-331): area-overlap fraction
+  between query and candidate envelope sets.
+- :func:`parse_wkt_batch` — WKT "POINT (x y)" parser (M7,
+  spatial.py:157-186) as a vectorized Arrow regex kernel; the oracle-gated
+  entry round-trips WKT built from supplier coordinates.
+
+Point sets derive deterministically from existing tables (no geo columns
+in the testdata): x = key % 100, y = balance / 100.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from datamart_ray.util import ensure_fast_shuffle, round_away
+
+# (label, table, key column, value column)
+POINT_SOURCES: list[tuple[str, str, str, str]] = [
+    ("supplier", "supplier", "s_suppkey", "s_acctbal"),
+    ("customer", "customer", "c_custkey", "c_acctbal"),
+]
+
+_WKT_POINT_RE = (
+    r"^POINT \((?P<x>-?\d+(?:\.\d+)?) (?P<y>-?\d+(?:\.\d+)?)\)$"
+)
+
+
+def parse_wkt_batch(col: pa.Array | pa.ChunkedArray) -> pa.Table:
+    """Vectorized WKT point parse → (x, y) doubles (null on mismatch).
+    Arrow's extract_regex requires named groups."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    ex = pc.extract_regex(col, _WKT_POINT_RE)
+    x = pc.cast(pc.struct_field(ex, "x"), pa.float64())
+    y = pc.cast(pc.struct_field(ex, "y"), pa.float64())
+    return pa.table({"x": x, "y": y})
+
+
+def wkt_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """M7 entry: build WKT strings from supplier coords, parse them back
+    with the regex kernel, aggregate per x-band (proves parse exactness)."""
+    ensure_fast_shuffle()
+    ds = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    )
+
+    def make_and_parse(t: pa.Table) -> pa.Table:
+        x = (t["s_suppkey"].to_numpy(zero_copy_only=False) % 100).astype(
+            np.float64
+        )
+        y = t["s_acctbal"].to_numpy(zero_copy_only=False) / 100.0
+        wkt = pa.array([f"POINT ({a!r} {b!r})" for a, b in zip(x, y)])
+        parsed = parse_wkt_batch(wkt)
+        part = pa.table(
+            {
+                "x_band": pa.array(
+                    (parsed["x"].to_numpy(zero_copy_only=False) // 10).astype(
+                        np.int64
+                    )
+                ),
+                "y": parsed["y"],
+            }
+        )
+        return (
+            part.group_by("x_band")
+            .aggregate([("y", "count"), ("y", "min"), ("y", "max")])
+            .rename_columns(["x_band", "n", "y_min", "y_max"])
+        )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    g = (
+        ds.map_batches(make_and_parse, batch_format="pyarrow")
+        .groupby("x_band")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("y_min", alias_name="y_min"),
+            Max("y_max", alias_name="y_max"),
+        )
+        .to_pandas()
+    )
+    g["x_band"] = g["x_band"].astype("int64")
+    g["n"] = g["n"].astype("int64")
+    g["y_min"] = round_away(g["y_min"], 4)
+    g["y_max"] = round_away(g["y_max"], 4)
+    return g.sort_values("x_band").reset_index(drop=True)
+
+
+WKT_SQL = """
+    SELECT CAST(floor((s_suppkey % 100)::DOUBLE / 10) AS BIGINT) AS x_band,
+           count(*) AS n,
+           ROUND(min(s_acctbal / 100.0), 4) AS y_min,
+           ROUND(max(s_acctbal / 100.0), 4) AS y_max
+    FROM supplier
+    GROUP BY 1
+    ORDER BY x_band
+"""
+
+
+def _boxes(sf_dir: str, table: str, key: str, bal: str) -> list[dict]:
+    """≤3 bounding boxes: x-tercile bands (by rank position) with y
+    extents. Distributed value-count on the derived x, then per-band
+    y min/max via a second pruned pass bucketed by the x cutpoints."""
+    ensure_fast_shuffle()
+    ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[key, bal])
+
+    def derive(t: pa.Table) -> pa.Table:
+        x = (t[key].to_numpy(zero_copy_only=False) % 100).astype(np.float64)
+        y = t[bal].to_numpy(zero_copy_only=False) / 100.0
+        return pa.table({"x": pa.array(x), "y": pa.array(y)})
+
+    pts = ds.map_batches(derive, batch_format="pyarrow")
+    from ray.data.aggregate import Count
+
+    vc = (
+        pts.groupby("x")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("x")
+        .reset_index(drop=True)
+    )
+    vals = vc["x"].to_numpy(dtype=np.float64)
+    counts = vc["n"].to_numpy(dtype=np.int64)
+    n = int(counts.sum())
+    cum = np.cumsum(counts)
+    bounds = [0, n // 3, (2 * n) // 3, n]
+    cut_vals = []
+    for i in range(3):
+        lo_rank, hi_rank = bounds[i], bounds[i + 1] - 1
+        lo_v = vals[np.searchsorted(cum, lo_rank, side="right")]
+        hi_v = vals[np.searchsorted(cum, hi_rank, side="right")]
+        cut_vals.append((lo_v, hi_v))
+
+    # value-assigned bands: box = number of band-hi cutpoints strictly
+    # below x (ties at a cutpoint land in the earlier band on both sides)
+    his = np.array([hv for _, hv in cut_vals])
+
+    def band_stats(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        band = np.searchsorted(his, x, side="left").clip(max=2)
+        part = pa.table(
+            {
+                "band": pa.array(band.astype(np.int64)),
+                "x": pa.array(x),
+                "y": pa.array(y),
+            }
+        )
+        return (
+            part.group_by("band")
+            .aggregate(
+                [("x", "min"), ("x", "max"), ("y", "min"), ("y", "max"),
+                 ("y", "count")]
+            )
+            .rename_columns(
+                ["band", "x_lo", "x_hi", "y_lo", "y_hi", "n"]
+            )
+        )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    g = (
+        pts.map_batches(band_stats, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(
+            Min("x_lo", alias_name="x_lo"),
+            Max("x_hi", alias_name="x_hi"),
+            Min("y_lo", alias_name="y_lo"),
+            Max("y_hi", alias_name="y_hi"),
+            Sum("n", alias_name="n"),
+        )
+        .to_pandas()
+        .sort_values("band")
+    )
+    return [
+        {
+            "box": int(row["band"]),
+            "x_lo": float(row["x_lo"]),
+            "x_hi": float(row["x_hi"]),
+            "y_lo": float(row["y_lo"]),
+            "y_hi": float(row["y_hi"]),
+            "n": int(row["n"]),
+        }
+        for _, row in g.iterrows()
+    ]
+
+
+def spatial_coverage(sf_dir: str) -> pd.DataFrame:
+    rows = []
+    for label, t, k, b in POINT_SOURCES:
+        for box in _boxes(sf_dir, t, k, b):
+            rows.append({"source": label, **box})
+    out = pd.DataFrame(rows)
+    for c in ("box", "n"):
+        out[c] = out[c].astype("int64")
+    for c in ("x_lo", "x_hi", "y_lo", "y_hi"):
+        out[c] = round_away(out[c], 4)
+    return out
+
+
+def spatial_coverage_sql() -> str:
+    parts = []
+    for label, t, k, b in POINT_SOURCES:
+        parts.append(
+            f"""
+            SELECT '{label}' AS source, box,
+                   ROUND(min(x), 4) AS x_lo, ROUND(max(x), 4) AS x_hi,
+                   ROUND(min(y), 4) AS y_lo, ROUND(max(y), 4) AS y_hi,
+                   count(*) AS n
+            FROM (
+                SELECT p.x, p.y,
+                       least(2, (SELECT count(*) FROM cuts_{label} c
+                                 WHERE c.hi < p.x)) AS box
+                FROM pts_{label} p
+            )
+            GROUP BY 1, 2
+            """
+        )
+    ctes = []
+    for label, t, k, b in POINT_SOURCES:
+        ctes.append(
+            f"""pts_{label} AS (
+                SELECT ({k} % 100)::DOUBLE AS x, {b} / 100.0 AS y FROM {t}
+            ),
+            cuts_{label} AS (
+                SELECT band, max(x) AS hi FROM (
+                    SELECT x,
+                           CASE WHEN rk < cnt // 3 THEN 0
+                                WHEN rk < (2 * cnt) // 3 THEN 1
+                                ELSE 2 END AS band
+                    FROM (
+                        SELECT x, row_number() OVER (ORDER BY x) - 1 AS rk,
+                               count(*) OVER () AS cnt
+                        FROM pts_{label}
+                    )
+                ) GROUP BY band
+            )"""
+        )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        + " UNION ALL ".join(parts)
+        + " ORDER BY source, box"
+    )
+
+
+def spatial_overlap_scores(sf_dir: str) -> pd.DataFrame:
+    """J5: area-overlap fraction between the two sources' envelope sets:
+    score = sum over box pairs of intersect_area / total_query_area
+    (pinned (query_box, cand_box) accumulation order)."""
+    boxes = {
+        label: _boxes(sf_dir, t, k, b) for label, t, k, b in POINT_SOURCES
+    }
+    q_label = POINT_SOURCES[0][0]
+    q = boxes[q_label]
+    total = 0.0
+    for qb in q:
+        total += (qb["x_hi"] - qb["x_lo"]) * (qb["y_hi"] - qb["y_lo"])
+    rows = []
+    for label in boxes:
+        if label == q_label:
+            continue
+        score = 0.0
+        for qb in q:
+            for cb in boxes[label]:
+                w = min(qb["x_hi"], cb["x_hi"]) - max(qb["x_lo"], cb["x_lo"])
+                h = min(qb["y_hi"], cb["y_hi"]) - max(qb["y_lo"], cb["y_lo"])
+                if w > 0 and h > 0:
+                    score += (w * h) / total
+        rows.append({"candidate": label, "score": score})
+    out = pd.DataFrame(rows)
+    out["score"] = round_away(out["score"], 4)
+    return out.sort_values("candidate").reset_index(drop=True)
+
+
+def spatial_overlap_sql() -> str:
+    cov = spatial_coverage_sql()
+    # reuse the coverage query unrounded via a wrapper: rebuild boxes with
+    # raw extents inside this query
+    ctes = []
+    box_selects = []
+    for label, t, k, b in POINT_SOURCES:
+        ctes.append(
+            f"""pts_{label} AS (
+                SELECT ({k} % 100)::DOUBLE AS x, {b} / 100.0 AS y FROM {t}
+            ),
+            cuts_{label} AS (
+                SELECT band, max(x) AS hi FROM (
+                    SELECT x,
+                           CASE WHEN rk < cnt // 3 THEN 0
+                                WHEN rk < (2 * cnt) // 3 THEN 1
+                                ELSE 2 END AS band
+                    FROM (
+                        SELECT x, row_number() OVER (ORDER BY x) - 1 AS rk,
+                               count(*) OVER () AS cnt
+                        FROM pts_{label}
+                    )
+                ) GROUP BY band
+            )"""
+        )
+        box_selects.append(
+            f"""SELECT '{label}' AS source, box,
+                   min(x) AS x_lo, max(x) AS x_hi,
+                   min(y) AS y_lo, max(y) AS y_hi
+            FROM (
+                SELECT p.x, p.y,
+                       least(2, (SELECT count(*) FROM cuts_{label} c
+                                 WHERE c.hi < p.x)) AS box
+                FROM pts_{label} p
+            ) GROUP BY 1, 2"""
+        )
+    q_label = POINT_SOURCES[0][0]
+    return (
+        "WITH " + ", ".join(ctes)
+        + ", boxes AS (" + " UNION ALL ".join(box_selects) + ")"
+        + f""",
+        q AS (SELECT * FROM boxes WHERE source = '{q_label}'),
+        total AS (
+            SELECT sum((x_hi - x_lo) * (y_hi - y_lo) ORDER BY box) AS tot
+            FROM q
+        )
+        SELECT r.source AS candidate,
+               ROUND(coalesce(sum(
+                   CASE WHEN least(q.x_hi, r.x_hi) - greatest(q.x_lo, r.x_lo) > 0
+                         AND least(q.y_hi, r.y_hi) - greatest(q.y_lo, r.y_lo) > 0
+                        THEN ((least(q.x_hi, r.x_hi) - greatest(q.x_lo, r.x_lo))
+                              * (least(q.y_hi, r.y_hi) - greatest(q.y_lo, r.y_lo)))
+                             / total.tot
+                        ELSE 0 END
+                   ORDER BY q.box, r.box
+               ), 0), 4) AS score
+        FROM boxes r
+        CROSS JOIN total
+        LEFT JOIN q ON true
+        WHERE r.source != '{q_label}'
+        GROUP BY r.source
+        ORDER BY candidate
+    """
+    )
