@@ -43,6 +43,17 @@ class Analyzer:
         # per-instance stem memo (frozen dataclass → set via object)
         object.__setattr__(self, "_stem_cache", {})
 
+    def to_kwargs(self) -> dict:
+        """Constructor kwargs for round-tripping this analyzer to worker
+        processes. Declared dataclass fields only — ``__dict__`` also holds
+        the ``_stem_cache`` memo set in ``__post_init__`` and would raise
+        TypeError when splatted back into ``Analyzer(**...)``."""
+        import dataclasses
+
+        return {
+            f.name: getattr(self, f.name) for f in dataclasses.fields(self)
+        }
+
     @property
     def split_pattern(self) -> str:
         return f"[^{self.token_chars}]+"

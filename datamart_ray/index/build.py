@@ -121,6 +121,38 @@ class IndexConfig:
     def analyzer_from_json(obj: dict) -> Analyzer:
         return Analyzer(**obj["analyzer"])
 
+    @staticmethod
+    def from_json(obj: dict) -> "IndexConfig":
+        """Rebuild the committed config from a manifest's ``config`` blob
+        (analyzer + layout fields; build-perf knobs keep their defaults)."""
+        return IndexConfig(
+            analyzer=IndexConfig.analyzer_from_json(obj),
+            content_col=obj.get("content_col", "content"),
+            id_col=obj.get("id_col"),
+            meta_cols=tuple(obj.get("meta_cols", ())),
+            chunk_docs=int(obj.get("chunk_docs", 4096)),
+        )
+
+
+def load_index_config(index_dir: str) -> IndexConfig:
+    """The index's committed IndexConfig (from index.json, falling back to
+    the first committed segment manifest). Maintenance ops that default
+    ``config=None`` MUST use this instead of ``IndexConfig()`` so a
+    compaction/delta never silently swaps the analyzer the postings were
+    built with (e.g. stem='porter')."""
+    from datamart_ray.index.manifest import active_segments, read_manifest
+
+    idx_path = os.path.join(index_dir, INDEX_MANIFEST_NAME)
+    if os.path.isfile(idx_path):
+        with open(idx_path) as f:
+            obj = json.load(f)
+        if "config" in obj:
+            return IndexConfig.from_json(obj["config"])
+    segs = active_segments(index_dir)
+    if segs:
+        return IndexConfig.from_json(read_manifest(segs[0])["config"])
+    raise ValueError(f"no committed config under {index_dir}")
+
 
 # ----------------------------------------------------------------------
 # Planning (driver side, parquet footers only — no data read)
@@ -444,19 +476,24 @@ def build_segment(
     # (spec order = sorted file names → deterministic rollup).
     n_docs = 0
     total_dl = 0
+    max_doc_id = -1
     rollup = hashlib.sha256()
     for name in sorted(os.listdir(docmeta_dir)):
         t = pq.read_table(
-            os.path.join(docmeta_dir, name), columns=["doclen", "sha256"]
+            os.path.join(docmeta_dir, name),
+            columns=["doc_id", "doclen", "sha256"],
         )
         n_docs += t.num_rows
         total_dl += pc.sum(t["doclen"]).as_py() or 0
+        if t.num_rows:
+            max_doc_id = max(max_doc_id, pc.max(t["doc_id"]).as_py())
         rollup.update(bytes.fromhex("".join(t["sha256"].to_pylist())))
     t1 = time.time()
 
     manifest = {
         "segment": seg_name,
         "n_docs": n_docs,
+        "max_doc_id": int(max_doc_id),
         "total_doclen": int(total_dl),
         "n_terms": terms_table.num_rows,
         "n_postings": int(pc.sum(terms_table["df"]).as_py() or 0),

@@ -23,9 +23,15 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from datamart_ray.index.build import IndexConfig, build_segment, plan_specs
+from datamart_ray.index.build import (
+    IndexConfig,
+    build_segment,
+    load_index_config,
+    plan_specs,
+)
 from datamart_ray.index.manifest import (
     INDEX_MANIFEST_NAME,
+    active_segments,
     atomic_write_bytes,
     atomic_write_json,
     list_committed_segments,
@@ -40,6 +46,32 @@ def _segment_doc_ids(seg_dir: str) -> np.ndarray:
     return t["doc_id"].to_numpy()
 
 
+def _segment_max_doc_id(seg_dir: str) -> int:
+    """Largest docID ever assigned in this segment (manifest field, with a
+    docmeta scan fallback for pre-field segments). Deleted docs keep their
+    IDs reserved — delta ingest must never reuse a surviving OR tombstoned
+    ID, so this is the manifest value, not max(surviving)."""
+    m = read_manifest(seg_dir)
+    if "max_doc_id" in m:
+        return int(m["max_doc_id"])
+    ids = _segment_doc_ids(seg_dir)
+    return int(ids.max()) if ids.size else -1
+
+
+def _gc_orphan_segments(index_dir: str) -> list[str]:
+    """Remove committed segment dirs that index.json does not list —
+    leftovers of a crash between compaction's commit and its cleanup."""
+    import shutil
+
+    active = {os.path.basename(d) for d in active_segments(index_dir)}
+    removed = []
+    for d in list_committed_segments(index_dir):
+        if os.path.basename(d) not in active:
+            shutil.rmtree(d)
+            removed.append(os.path.basename(d))
+    return removed
+
+
 def read_tombstones(seg_dir: str) -> np.ndarray:
     path = os.path.join(seg_dir, TOMBSTONE_NAME)
     if not os.path.exists(path):
@@ -52,7 +84,7 @@ def delete_docs(index_dir: str, doc_ids) -> int:
     Returns the number of newly deleted docs. Idempotent."""
     targets = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
     deleted = 0
-    for seg_dir in list_committed_segments(index_dir):
+    for seg_dir in active_segments(index_dir):
         seg_ids = np.sort(_segment_doc_ids(seg_dir))
         pos = np.searchsorted(seg_ids, targets)
         in_range = pos < seg_ids.size
@@ -81,7 +113,7 @@ def delete_where(index_dir: str, column: str, value) -> int:
     import pyarrow.compute as pc
 
     targets = []
-    for seg_dir in list_committed_segments(index_dir):
+    for seg_dir in active_segments(index_dir):
         meta = pq.read_table(
             os.path.join(seg_dir, "docmeta"), columns=["doc_id", column]
         )
@@ -117,11 +149,15 @@ def compact_segments(
 
     ensure_fast_shuffle()
     t0 = time.time()
-    seg_dirs = list_committed_segments(index_dir)
+    _gc_orphan_segments(index_dir)
+    seg_dirs = active_segments(index_dir)
     if not seg_dirs:
         raise ValueError(f"no committed segments under {index_dir}")
     manifests = [read_manifest(d) for d in seg_dirs]
-    config = config or IndexConfig()
+    # config=None means "keep the committed config" — defaulting to
+    # IndexConfig() would silently swap the analyzer the postings were
+    # built with (query-time tokenization would then disagree).
+    config = config or load_index_config(index_dir)
     tombs = np.sort(
         np.concatenate([read_tombstones(d) for d in seg_dirs])
     )
@@ -134,6 +170,16 @@ def compact_segments(
     if os.path.exists(tmp_dir):
         shutil.rmtree(tmp_dir)
     os.makedirs(os.path.join(tmp_dir, "docmeta"))
+
+    # The compacted segment gets a FRESH name (never reuses an active one):
+    # commit it, repoint index.json at it, THEN delete the superseded dirs,
+    # so a crash anywhere in the swap leaves a consistent view (see
+    # manifest.active_segments).
+    next_idx = 1 + max(
+        int(os.path.basename(d).split("-")[1]) for d in seg_dirs
+    )
+    seg_name = f"seg-{next_idx:05d}"
+    max_doc_id = max(_segment_max_doc_id(d) for d in seg_dirs)
 
     # --- postings: strip tombstones per chunk, then re-chunk per term ----
     chunker = _BuildChunks(config.chunk_docs)
@@ -257,8 +303,9 @@ def compact_segments(
 
     all_files = [f for m in manifests for f in m["files"]]
     manifest = {
-        "segment": "seg-00000",
+        "segment": seg_name,
         "n_docs": n_docs,
+        "max_doc_id": int(max_doc_id),
         "total_doclen": int(total_dl),
         "n_terms": terms_table.num_rows,
         "n_postings": int(
@@ -275,20 +322,20 @@ def compact_segments(
     }
     atomic_write_json(os.path.join(tmp_dir, "MANIFEST.json"), manifest)
 
-    # swap: remove old segments, promote the compacted one
-    for d in seg_dirs:
-        shutil.rmtree(d)
-    commit_segment_dir(tmp_dir, os.path.join(seg_root, "seg-00000"))
+    # swap (crash-safe order): commit new → repoint index.json → delete old
+    commit_segment_dir(tmp_dir, os.path.join(seg_root, seg_name))
     atomic_write_json(
         os.path.join(index_dir, INDEX_MANIFEST_NAME),
         {
-            "segments": ["seg-00000"],
+            "segments": [seg_name],
             "config": config.to_json(),
-            "built": ["seg-00000"],
+            "built": [seg_name],
             "resumed_skipped": [],
             "n_files": len(all_files),
         },
     )
+    for d in seg_dirs:
+        shutil.rmtree(d)
     return manifest
 
 
@@ -300,19 +347,25 @@ def ingest_delta(
     """Add new files as fresh segment(s) without touching committed ones."""
     from datamart_ray.index.build import _expand_paths
 
-    config = config or IndexConfig()
     files = _expand_paths(new_paths)
     if not files:
         raise ValueError(f"no parquet files under {new_paths!r}")
 
-    existing = list_committed_segments(index_dir)
+    existing = active_segments(index_dir)
+    if config is None:
+        config = (
+            load_index_config(index_dir) if existing else IndexConfig()
+        )
     next_idx = 0
     base = 0
     known_files = []
     for seg_dir in existing:
         m = read_manifest(seg_dir)
         next_idx = max(next_idx, int(m["segment"].split("-")[1]) + 1)
-        base += m["n_docs"]
+        # dense docIDs continue past the HIGHEST id ever assigned — not
+        # past sum(n_docs), which shrinks after delete+compact and would
+        # reuse surviving doc IDs across segments (corrupting merges).
+        base = max(base, _segment_max_doc_id(seg_dir) + 1)
         known_files.extend(f["path"] for f in m["files"])
     new_files = [f for f in files if f not in set(known_files)]
     if not new_files:

@@ -61,3 +61,24 @@ def list_committed_segments(index_dir: str) -> list[str]:
         if name.startswith("seg-") and segment_is_committed(seg):
             out.append(seg)
     return out
+
+
+def active_segments(index_dir: str) -> list[str]:
+    """Committed segment dirs that index.json lists as active.
+
+    index.json is the authority once it exists: compaction commits its
+    merged segment under a FRESH name, repoints index.json at it, and only
+    then deletes the superseded dirs — so a crash mid-swap leaves either
+    (old dirs active, new dir orphaned) or (new dir active, old dirs
+    orphaned), never a duplicate-doc view. Falls back to the plain
+    directory scan when index.json is absent or stale (e.g. a build that
+    crashed before writing it)."""
+    committed = list_committed_segments(index_dir)
+    idx_path = os.path.join(index_dir, INDEX_MANIFEST_NAME)
+    if os.path.isfile(idx_path):
+        with open(idx_path) as f:
+            names = set(json.load(f).get("segments", []))
+        active = [d for d in committed if os.path.basename(d) in names]
+        if active:
+            return active
+    return committed

@@ -36,9 +36,17 @@ def json_extract_rollup(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["props"])
 
     def extract(t: pa.Table) -> pa.Table:
+        # null props / missing / null k → -1 (the SQL twin coalesces the
+        # same way); bucket via floor division on BOTH sides (DuckDB's
+        # integer // truncates toward zero, so the twin uses floor(k/10.0))
+        def k_of(s):
+            if not s:
+                return -1
+            v = json.loads(s).get("k")
+            return -1 if v is None else v
+
         ks = np.array(
-            [json.loads(s)["k"] if s else -1 for s in t["props"].to_pylist()],
-            dtype=np.int64,
+            [k_of(s) for s in t["props"].to_pylist()], dtype=np.int64
         )
         part = pa.table(
             {"k_bucket": pa.array(ks // 10), "k": pa.array(ks)}
@@ -63,10 +71,16 @@ def json_extract_rollup(sf_dir: str) -> pd.DataFrame:
 
 
 JSON_SQL = """
-    SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+    WITH kv AS (
+        SELECT coalesce(
+            CAST(json_extract(props, '$.k') AS BIGINT), -1
+        ) AS k
+        FROM events
+    )
+    SELECT CAST(floor(k / 10.0) AS BIGINT) AS k_bucket,
            count(*) AS n,
-           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
-    FROM events
+           CAST(sum(k) AS BIGINT) AS sum_k
+    FROM kv
     GROUP BY 1
     ORDER BY k_bucket
 """

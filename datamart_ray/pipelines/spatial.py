@@ -62,7 +62,11 @@ def wkt_roundtrip(sf_dir: str) -> pd.DataFrame:
             np.float64
         )
         y = t["s_acctbal"].to_numpy(zero_copy_only=False) / 100.0
-        wkt = pa.array([f"POINT ({a!r} {b!r})" for a, b in zip(x, y)])
+        # float() first: numpy>=2.0 repr of a float64 scalar is
+        # 'np.float64(3.5)' (NEP 51), which the WKT regex would not match
+        wkt = pa.array(
+            [f"POINT ({float(a)!r} {float(b)!r})" for a, b in zip(x, y)]
+        )
         parsed = parse_wkt_batch(wkt)
         part = pa.table(
             {

@@ -42,7 +42,7 @@ from datamart_ray.index.build import IndexConfig
 from datamart_ray.index import codec
 from datamart_ray.index.manifest import (
     INDEX_MANIFEST_NAME,
-    list_committed_segments,
+    active_segments,
     read_manifest,
 )
 from datamart_ray.search.bm25 import BM25Params, bm25_idf, bm25_tf_norm, topk_select
@@ -270,7 +270,7 @@ class SearchEngine:
             self.manifest = json.load(f)
         self.analyzer = IndexConfig.analyzer_from_json(self.manifest["config"])
         self.params = params
-        seg_dirs = list_committed_segments(index_dir)
+        seg_dirs = active_segments(index_dir)
         if not seg_dirs:
             raise ValueError(f"no committed segments under {index_dir}")
         self.readers = [SegmentReader(d, filter_cols) for d in seg_dirs]
@@ -360,7 +360,7 @@ class DistributedSearchEngine:
             self.manifest = json.load(f)
         self.analyzer = IndexConfig.analyzer_from_json(self.manifest["config"])
         self.params = params
-        seg_dirs = list_committed_segments(index_dir)
+        seg_dirs = active_segments(index_dir)
         if not seg_dirs:
             raise ValueError(f"no committed segments under {index_dir}")
         self.actors = [SegmentScorer.remote(d) for d in seg_dirs]

@@ -140,7 +140,7 @@ def minhash_candidate_pairs(
     deduplicated (doc_a < doc_b) pair list (driver-side; candidate sets are
     tiny relative to the corpus by construction)."""
     ensure_fast_shuffle()
-    kw = (analyzer or Analyzer()).__dict__ if analyzer else {}
+    kw = analyzer.to_kwargs() if analyzer else {}
     sig = ds.map_batches(
         _MinHashStage,
         fn_constructor_args=(id_col, text_col, n_perm, bands, shingle_n, kw),

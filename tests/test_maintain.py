@@ -136,3 +136,88 @@ def test_compaction_makes_deletes_permanent(ray_session, tmp_path):
         assert np.allclose(
             got["score"].to_pylist(), [s for _, s in want], atol=1e-9
         ), q
+
+
+def test_delete_compact_delta_docid_uniqueness(ray_session, tmp_path):
+    """ADVICE high: delta after delete+compact must not reuse surviving
+    doc IDs (base = max docID + 1, not sum of shrunken n_docs)."""
+    from datamart_ray.index.maintain import compact_segments
+
+    corpus_a = str(tmp_path / "a")
+    corpus_b = str(tmp_path / "b")
+    generate_corpus(corpus_a, n_files=60, vocab_size=500, n_output_files=2)
+    generate_corpus(
+        corpus_b, n_files=20, vocab_size=500, n_output_files=1, seed=43
+    )
+    idx = str(tmp_path / "idx")
+    build_index(corpus_a, idx, IndexConfig(docs_per_spec=30))
+    delete_docs(idx, [3, 10, 17, 40, 55])
+    compact_segments(idx)
+    res = ingest_delta(idx, corpus_b, IndexConfig(docs_per_spec=30))
+    assert res["added"]
+    eng = SearchEngine(idx)
+    all_ids = np.concatenate([r._doc_ids for r in eng.readers])
+    assert np.unique(all_ids).size == all_ids.size
+    # delta IDs start past the original corpus max (59), despite deletes
+    assert all_ids.max() == 59 + 20
+    assert eng.n_docs == 60 - 5 + 20
+
+
+def test_compact_preserves_committed_config(ray_session, tmp_path):
+    """ADVICE medium: compact(config=None) keeps the committed analyzer
+    instead of silently swapping in the default one."""
+    from datamart_ray.analyzer import Analyzer
+    from datamart_ray.index.maintain import compact_segments
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, n_files=40, vocab_size=300, n_output_files=1)
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(
+        analyzer=Analyzer(stem="porter"), docs_per_spec=20
+    )
+    build_index(corpus, idx, cfg)
+    before = SearchEngine(idx).search("running qzcommonneedle", mode="or")
+    compact_segments(idx)  # config=None → must load committed config
+    eng = SearchEngine(idx)
+    assert eng.analyzer.stem == "porter"
+    after = eng.search("running qzcommonneedle", mode="or")
+    assert after["doc_id"].to_pylist() == before["doc_id"].to_pylist()
+    assert np.allclose(
+        after["score"].to_pylist(), before["score"].to_pylist(), atol=1e-12
+    )
+
+
+def test_compact_swap_is_crash_safe(ray_session, tmp_path):
+    """ADVICE medium: after compaction the merged segment lives under a
+    fresh name; readers follow index.json, and an interrupted swap (old
+    dirs still on disk) neither duplicates docs nor loses data."""
+    import shutil
+
+    from datamart_ray.index.maintain import _gc_orphan_segments, compact_segments
+    from datamart_ray.index.manifest import (
+        active_segments,
+        list_committed_segments,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, n_files=60, vocab_size=400, n_output_files=2)
+    idx = str(tmp_path / "idx")
+    build_index(corpus, idx, IndexConfig(docs_per_spec=30, segment_docs=40))
+    n0 = SearchEngine(idx).n_docs
+    # simulate a crash mid-swap: re-create a stale old segment dir AFTER
+    # compaction committed the new one and repointed index.json
+    old_dirs = active_segments(idx)
+    backup = str(tmp_path / "backup-seg")
+    shutil.copytree(old_dirs[0], backup)
+    compact_segments(idx)
+    stale = os.path.join(idx, "segments", os.path.basename(old_dirs[0]))
+    shutil.copytree(backup, stale)
+    # index.json is the authority: stale dir is invisible to readers
+    assert len(active_segments(idx)) == 1
+    eng = SearchEngine(idx)
+    assert eng.n_docs == n0
+    assert len(list_committed_segments(idx)) == 2
+    # and gc removes the orphan
+    removed = _gc_orphan_segments(idx)
+    assert removed == [os.path.basename(old_dirs[0])]
+    assert len(list_committed_segments(idx)) == 1

@@ -182,3 +182,16 @@ def test_registry():
 
     with _pytest.raises(KeyError):
         registry.get_stage("nope_missing")
+
+
+def test_minhash_custom_analyzer(dup_docs_ds):
+    """ADVICE: a non-default analyzer must round-trip into the stage
+    (Analyzer.to_kwargs, not __dict__ which carries _stem_cache)."""
+    from datamart_ray.analyzer import Analyzer
+
+    pairs = minhash_candidate_pairs(
+        dup_docs_ds, n_perm=64, bands=32,
+        analyzer=Analyzer(min_token_len=2),
+    )
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (42, 43) in got
