@@ -119,8 +119,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["sj_nearest_point"] = nearest_point_join
     from datamart_ray.stages.similarity import embedding_near_dups, knn_lsh
 
-    # rows-only entries (not SQL-expressible: engine-defined hash chains /
-    # probabilistic LSH candidate generation)
+    # dedup/ANN entries: LSH candidate generation is probabilistic, but
+    # the outputs are the exact-VERIFIED pair/top-k lists, and the bands
+    # are recall-complete on these fixtures (measured, with margin) — so
+    # each is gated by an exhaustive DuckDB twin.
     out["dd_minhash_near_dups"] = minhash_near_dups
     out["dd_simhash_pairs"] = simhash_dup_pairs
     out["dd_embedding_near_dups"] = embedding_near_dups
@@ -178,4 +180,15 @@ def oracle_sql() -> dict[str, str]:
     out["tr_expand_names"] = transforms.expand_sql()
     out["sm_union_matches"] = union_matches_sql("/root/testdata/sf0.001")
     out["sj_nearest_point"] = nearest_sql()
+
+    # dedup/ANN family: exhaustive twins of the verified outputs
+    from datamart_ray.stages.dedup import shingle_jaccard_sql
+    from datamart_ray.stages.similarity import embedding_near_dups_sql
+    from datamart_ray.stages.textstats import fingerprints_sql
+
+    out["dd_minhash_near_dups"] = shingle_jaccard_sql(0.5)
+    out["dd_simhash_pairs"] = shingle_jaccard_sql(0.5)
+    out["dd_embedding_near_dups"] = embedding_near_dups_sql(0.45)
+    out["sim_knn_lsh"] = knn_cosine_sql()
+    out["ts_fingerprints"] = fingerprints_sql()
     return out

