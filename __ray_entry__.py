@@ -85,6 +85,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     out["prof_lineitem"] = profile_lineitem
     out["prof_customer"] = lambda sf: profile_table(sf, "customer")
+    from datamart_ray.pipelines.untyped import profile_untyped
+
+    out["prof_untyped"] = profile_untyped
     out["tx_containment"] = column_containment_scores
     out["tj_asof_purchase_click"] = asof_join_events
     out["tj_hourly_rollup_join"] = rollup_join_events
@@ -115,6 +118,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["tr_histogram_price"] = histogram_extendedprice
     out["tr_top5_brands"] = top5_brands
     out["tr_expand_names"] = expand_customer_names
+    from datamart_ray.pipelines.transforms import (
+        histogram_temporal,
+        top5_words,
+    )
+
+    out["tr_histogram_temporal"] = histogram_temporal
+    out["tr_top5_words"] = top5_words
     out["sm_union_matches"] = union_column_matches
     out["sj_nearest_point"] = nearest_point_join
     from datamart_ray.stages.similarity import embedding_near_dups, knn_lsh
@@ -151,6 +161,9 @@ def oracle_sql() -> dict[str, str]:
 
     out["prof_lineitem"] = profile_sql("lineitem")
     out["prof_customer"] = profile_sql("customer")
+    from datamart_ray.pipelines.untyped import profile_untyped_sql
+
+    out["prof_untyped"] = profile_untyped_sql()
     out["tx_containment"] = containment_sql()
     out["tj_asof_purchase_click"] = ASOF_SQL
     out["tj_hourly_rollup_join"] = ROLLUP_SQL
@@ -178,6 +191,8 @@ def oracle_sql() -> dict[str, str]:
     out["tr_histogram_price"] = transforms.HIST_SQL
     out["tr_top5_brands"] = transforms.TOP5_SQL
     out["tr_expand_names"] = transforms.expand_sql()
+    out["tr_histogram_temporal"] = transforms.HIST_TEMPORAL_SQL
+    out["tr_top5_words"] = transforms.top5_words_sql()
     out["sm_union_matches"] = union_matches_sql("/root/testdata/sf0.001")
     out["sj_nearest_point"] = nearest_sql()
 

@@ -6,17 +6,26 @@ containment sketches held in the external Lazo server
 334-425; sketches lib_profiler/datamart_profiler/core.py:502-557). Here:
 
 - exact path (oracle-gated): containment(A→B) = |A∩B| / |A| over the
-  columns' distinct-value sets, computed as per-column distinct shuffles
-  (values leave as hashes) + a driver-side pairwise intersect over the
-  (small) distinct sets;
-- sketch path: `stages.dedup.minhash_signature` over the same value sets
-  gives the O(1)-size mergeable summary for cross-dataset search at scale.
+  columns' distinct-value sets, computed as a DISTRIBUTED set
+  intersection: per-batch distinct projection → one union Dataset of
+  (col, value) rows → groupby(value) pair expansion → pair-count groupby.
+  The driver only ever sees the per-column sizes (6 ints) and the final
+  pair scores (≤36 rows) — no distinct set is ever materialized
+  driver-side (r1 VERDICT "What's wrong" #5).
+- sketch path (:func:`column_minhash_sketches` /
+  :func:`sketch_containment_scores`): mergeable per-column MinHash
+  signatures built as per-batch partial signatures min-folded on the
+  driver (k uint64s per column — O(1) state, the Lazo shape), with the
+  standard Jaccard→containment conversion. The exact path gates it in
+  tests.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -33,41 +42,75 @@ TEXT_COLUMNS: list[tuple[str, str, str]] = [
 ]
 
 
-def _distinct_values(sf_dir: str, table: str, column: str) -> set[str]:
-    ensure_fast_shuffle()
-    ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[column])
-    vals = ds.unique(column)
-    return {v for v in vals if v is not None}
+def _distinct_value_rows(sf_dir: str) -> rd.Dataset:
+    """One Dataset of globally-distinct (col, v) rows over TEXT_COLUMNS:
+    per-batch unique projection (shrinks the shuffle input), then one
+    distinct groupby."""
+    parts = []
+    for label, t, c in TEXT_COLUMNS:
+        ds = rd.read_parquet(f"{sf_dir}/{t}.parquet", columns=[c])
+
+        def proj(tbl: pa.Table, label=label, c=c) -> pa.Table:
+            u = pc.unique(pc.drop_null(tbl[c].combine_chunks()))
+            return pa.table(
+                {
+                    "col": pa.array(
+                        np.full(len(u), label, dtype=object),
+                        type=pa.string(),
+                    ),
+                    "v": pc.cast(u, pa.string()),
+                }
+            )
+
+        parts.append(ds.map_batches(proj, batch_format="pyarrow"))
+    allv = parts[0].union(*parts[1:])
+    from ray.data.aggregate import Count
+
+    return allv.groupby(["col", "v"]).aggregate(Count(alias_name="_n"))
 
 
 def column_containment_scores(sf_dir: str) -> pd.DataFrame:
-    """All ordered column pairs with containment > 0."""
-    sets = {
-        label: _distinct_values(sf_dir, t, c) for label, t, c in TEXT_COLUMNS
-    }
-    rows = []
-    for a_label, a_vals in sets.items():
-        for b_label, b_vals in sets.items():
-            if a_label == b_label or not a_vals:
-                continue
-            inter = len(a_vals & b_vals)
-            if inter:
-                rows.append(
-                    {
-                        "query_col": a_label,
-                        "candidate_col": b_label,
-                        "n_common": inter,
-                        "containment": inter / len(a_vals),
-                    }
-                )
-    out = pd.DataFrame(
-        rows, columns=["query_col", "candidate_col", "n_common", "containment"]
+    """All ordered column pairs with containment > 0 — exact, computed as
+    a distributed shuffle on the value (never a driver-side set)."""
+    ensure_fast_shuffle()
+    from ray.data.aggregate import Count
+
+    distinct = _distinct_value_rows(sf_dir).drop_columns(["_n"])
+    sizes = (
+        distinct.groupby("col").aggregate(Count(alias_name="n")).to_pandas()
     )
-    if len(out):
-        out["n_common"] = out["n_common"].astype("int64")
-        out["containment"] = round_away(out["containment"], 4)
-    return out.sort_values(["query_col", "candidate_col"]).reset_index(
-        drop=True
+    size_of = dict(zip(sizes["col"], sizes["n"]))
+
+    def pairs_of_value(g: pd.DataFrame) -> pd.DataFrame:
+        cols = sorted(g["col"].unique())
+        if len(cols) < 2:
+            return pd.DataFrame({"query_col": [], "candidate_col": []})
+        a, b = zip(
+            *[(x, y) for x in cols for y in cols if x != y]
+        )
+        return pd.DataFrame({"query_col": a, "candidate_col": b})
+
+    pair_counts = (
+        _distinct_value_rows(sf_dir)
+        .groupby("v")
+        .map_groups(pairs_of_value, batch_format="pandas")
+        .groupby(["query_col", "candidate_col"])
+        .aggregate(Count(alias_name="n_common"))
+        .to_pandas()
+    )
+    if pair_counts.empty:
+        return pd.DataFrame(
+            columns=["query_col", "candidate_col", "n_common", "containment"]
+        )
+    out = pair_counts[pair_counts["n_common"] > 0].copy()
+    out["n_common"] = out["n_common"].astype("int64")
+    out["containment"] = round_away(
+        out["n_common"] / out["query_col"].map(size_of).astype(np.float64),
+        4,
+    )
+    return (
+        out.sort_values(["query_col", "candidate_col"])
+        .reset_index(drop=True)
     )
 
 
@@ -92,3 +135,86 @@ def containment_sql() -> str:
         WHERE n_common > 0
         ORDER BY query_col, candidate_col
     """
+
+
+# ----------------------------------------------------------------------
+# Lazo-style sketch path: O(1) mergeable column summaries
+# ----------------------------------------------------------------------
+
+def column_minhash_sketches(
+    sf_dir: str, n_perm: int = 256
+) -> dict[str, tuple[np.ndarray, int]]:
+    """Per-column (MinHash signature over the distinct-value set, exact
+    distinct count). Signatures are built as per-batch PARTIAL signatures
+    (one n_perm-vector per batch) and min-folded — the mergeable-summary
+    property that lets a 100-TB column be sketched with k uint64s of
+    driver state per column."""
+    from datamart_ray.stages.dedup import _hash_tokens, _mix64, _perm_seeds
+
+    ensure_fast_shuffle()
+    seeds = _perm_seeds(n_perm)
+    out: dict[str, tuple[np.ndarray, int]] = {}
+    from ray.data.aggregate import Count
+
+    for label, t, c in TEXT_COLUMNS:
+        ds = rd.read_parquet(f"{sf_dir}/{t}.parquet", columns=[c])
+
+        def partial_sig(tbl: pa.Table, c=c) -> pa.Table:
+            u = pc.unique(pc.drop_null(tbl[c].combine_chunks()))
+            vh = _hash_tokens(
+                pc.cast(u, pa.string()).to_numpy(zero_copy_only=False)
+            )
+            if vh.size == 0:
+                sig = np.full(
+                    seeds.size, np.iinfo(np.uint64).max, dtype=np.uint64
+                )
+            else:
+                sig = _mix64(vh[None, :] ^ seeds[:, None]).min(axis=1)
+            return pa.table({"sig": pa.array([sig.view(np.int64)])})
+
+        parts = ds.map_batches(
+            partial_sig, batch_format="pyarrow"
+        ).to_pandas()
+        sig = np.full(n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        for row in parts["sig"]:
+            sig = np.minimum(sig, np.asarray(row, dtype=np.int64).view(np.uint64))
+        n_distinct = int(
+            rd.read_parquet(f"{sf_dir}/{t}.parquet", columns=[c])
+            .groupby(c)
+            .aggregate(Count(alias_name="_n"))
+            .count()
+        )
+        out[label] = (sig, n_distinct)
+    return out
+
+
+def sketch_containment_scores(
+    sf_dir: str, n_perm: int = 256
+) -> pd.DataFrame:
+    """Containment estimates from the mergeable sketches: Ĵ = fraction of
+    agreeing MinHash slots; containment(A→B) ≈ Ĵ(|A|+|B|) / ((1+Ĵ)|A|),
+    clipped to [0,1] — the Lazo estimator shape."""
+    sk = column_minhash_sketches(sf_dir, n_perm)
+    rows = []
+    for a_label, (sa, na) in sk.items():
+        for b_label, (sb, nb) in sk.items():
+            if a_label == b_label or na == 0:
+                continue
+            j = float((sa == sb).mean())
+            if j <= 0.0:
+                continue
+            est = j * (na + nb) / ((1.0 + j) * na)
+            rows.append(
+                {
+                    "query_col": a_label,
+                    "candidate_col": b_label,
+                    "containment_est": min(est, 1.0),
+                }
+            )
+    return (
+        pd.DataFrame(
+            rows, columns=["query_col", "candidate_col", "containment_est"]
+        )
+        .sort_values(["query_col", "candidate_col"])
+        .reset_index(drop=True)
+    )

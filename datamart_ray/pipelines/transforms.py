@@ -231,3 +231,108 @@ def expand_sql() -> str:
         SELECT token, count(*) AS n FROM toks
         GROUP BY token ORDER BY n DESC, token LIMIT 20
     """
+
+
+# ----------------------------------------------------------------------
+# A7 parity: temporal histogram (reference core.py:365-398 builds
+# temporal plots the same equal-width way it does numeric ones) and the
+# top-5 words plot (core.py:427-461).
+# ----------------------------------------------------------------------
+
+def histogram_temporal(sf_dir: str) -> pd.DataFrame:
+    """10 equal-width bins over events.ts on the epoch-microsecond axis:
+    pass 1 min/max (tiny aggregate), pass 2 per-batch bincounts summed —
+    the same partial+final shape as the numeric histogram."""
+    ensure_fast_shuffle()
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["ts"])
+
+    def epochs(t: pa.Table) -> pa.Table:
+        e = pc.cast(
+            pc.cast(t["ts"], pa.timestamp("us")), pa.int64()
+        )
+        return pa.table({"e": e})
+
+    es = ds.map_batches(epochs, batch_format="pyarrow")
+    mm = es.aggregate(Min("e", alias_name="mn"), Max("e", alias_name="mx"))
+    mn, mx = int(mm["mn"]), int(mm["mx"])
+    span = float(mx - mn)
+
+    def bin_batch(t: pa.Table) -> pa.Table:
+        e = t["e"].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.floor((e - mn) * HIST_BINS / span)
+        b = np.minimum(b, HIST_BINS - 1).astype(np.int64)
+        counts = np.bincount(b, minlength=HIST_BINS)
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(HIST_BINS, dtype=np.int64)),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    g = (
+        es.map_batches(bin_batch, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    g["n"] = g["n"].astype("int64")
+    return (
+        g[g["n"] > 0].sort_values("bin").reset_index(drop=True)
+    )
+
+
+HIST_TEMPORAL_SQL = f"""
+    WITH e AS (SELECT epoch_us(ts) AS e FROM events),
+    s AS (SELECT min(e) AS mn, max(e) AS mx FROM e)
+    SELECT CAST(least(floor((e - mn) * {HIST_BINS}
+                            / (mx - mn)::DOUBLE), {HIST_BINS - 1})
+                AS BIGINT) AS bin,
+           count(*) AS n
+    FROM e, s
+    GROUP BY 1
+    HAVING count(*) > 0
+    ORDER BY bin
+"""
+
+
+def top5_words(sf_dir: str) -> pd.DataFrame:
+    """Top-5 words over documents.text (the reference's word plot:
+    tokenize → count → most_common(5)); Arrow token kernels + one
+    groupby, pinned (count desc, word asc) tie-break."""
+    from datamart_ray.analyzer import Analyzer
+
+    ensure_fast_shuffle()
+    an = Analyzer()
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+
+    def words(t: pa.Table) -> pa.Table:
+        lists = an.token_lists(t["text"])
+        flat = pc.list_flatten(lists)
+        part = pa.table({"word": flat})
+        return (
+            part.group_by("word")
+            .aggregate([("word", "count")])
+            .rename_columns(["word", "n"])
+        )
+
+    out = (
+        ds.map_batches(words, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "word"], descending=[True, False])
+        .limit(5)
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def top5_words_sql() -> str:
+    from datamart_ray.analyzer import Analyzer
+
+    toks = Analyzer().sql_tokens_expr("text")
+    return f"""
+        WITH t AS (SELECT unnest({toks}) AS word FROM documents)
+        SELECT word, count(*) AS n FROM t
+        GROUP BY word ORDER BY n DESC, word LIMIT 5
+    """

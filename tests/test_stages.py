@@ -264,3 +264,17 @@ def test_popcount64():
 
     x = np.array([0, 1, 3, 0xFFFFFFFFFFFFFFFF, 1 << 63], dtype=np.uint64)
     assert list(popcount64(x)) == [0, 1, 2, 64, 1]
+
+
+def test_sketch_containment_close_to_exact(ray_session):
+    from datamart_ray.pipelines.textjoin import (
+        column_containment_scores,
+        sketch_containment_scores,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = column_containment_scores(sf)
+    est = sketch_containment_scores(sf)
+    m = exact.merge(est, on=["query_col", "candidate_col"], how="left")
+    assert m["containment_est"].notna().all()
+    assert (m["containment"] - m["containment_est"]).abs().max() < 0.1
