@@ -127,6 +127,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["tr_top5_words"] = top5_words
     out["sm_union_matches"] = union_column_matches
     out["sj_nearest_point"] = nearest_point_join
+    from datamart_ray.pipelines.profindex import (
+        search_augmentation_candidates,
+        search_join_candidates,
+        search_union_candidates,
+    )
+
+    # the integrated profile-index search (the reference's product loop)
+    out["pi_join_candidates"] = search_join_candidates
+    out["pi_union_candidates"] = search_union_candidates
+    out["pi_augmentation"] = search_augmentation_candidates
     from datamart_ray.stages.similarity import embedding_near_dups, knn_lsh
 
     # dedup/ANN entries: LSH candidate generation is probabilistic, but
@@ -195,6 +205,16 @@ def oracle_sql() -> dict[str, str]:
     out["tr_top5_words"] = transforms.top5_words_sql()
     out["sm_union_matches"] = union_matches_sql("/root/testdata/sf0.001")
     out["sj_nearest_point"] = nearest_sql()
+
+    from datamart_ray.pipelines.profindex import (
+        augmentation_candidates_sql,
+        join_candidates_sql,
+        union_candidates_sql,
+    )
+
+    out["pi_join_candidates"] = join_candidates_sql()
+    out["pi_union_candidates"] = union_candidates_sql()
+    out["pi_augmentation"] = augmentation_candidates_sql()
 
     # dedup/ANN family: exhaustive twins of the verified outputs
     from datamart_ray.stages.dedup import shingle_jaccard_sql

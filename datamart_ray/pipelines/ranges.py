@@ -54,12 +54,17 @@ def _column_ranges(sf_dir: str, table: str, column: str) -> list[dict]:
     Deterministic under ties (bucket boundaries are sorted rank positions,
     values are distinct after the groupby), bit-identical to the driver
     walk."""
+    ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[column])
+    return tercile_ranges(ds, column)
+
+
+def tercile_ranges(ds: rd.Dataset, column: str) -> list[dict]:
+    """Distributed exact tercile ranges of one numeric column Dataset."""
     import pyarrow.compute as pc
 
     import ray
 
     ensure_fast_shuffle()
-    ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[column])
     vc = ds.groupby(column).aggregate(Count(alias_name="n")).sort(column)
     refs = vc.to_arrow_refs()
 

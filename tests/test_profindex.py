@@ -1,0 +1,149 @@
+"""Profile-index search + query variable constraints.
+
+Golden-plan tests mirror the reference's tests/test_search.py style:
+a query document in, an exact parsed plan out."""
+
+import math
+
+import pytest
+
+from datamart_ray.search.query import (
+    QueryError,
+    VariableConstraints,
+    parse_query,
+    parse_variables,
+)
+
+
+def test_parse_temporal_variable_golden():
+    cons = parse_variables(
+        [
+            {
+                "type": "temporal_variable",
+                "start": "2019-01-01",
+                "end": "2019-12-31",
+                "granularity": "day",
+            }
+        ]
+    )
+    assert cons.granularity == "day"
+    lo, hi = cons.temporal_window
+    assert lo == 1546300800.0  # 2019-01-01T00:00:00Z
+    assert hi == 1577750400.0  # 2019-12-31T00:00:00Z
+
+
+def test_parse_temporal_open_end_and_errors():
+    cons = parse_variables(
+        [{"type": "temporal_variable", "start": "2019-01-01"}]
+    )
+    assert cons.temporal_window[1] == math.inf
+    with pytest.raises(QueryError):
+        parse_variables(
+            [
+                {
+                    "type": "temporal_variable",
+                    "start": "2020-01-01",
+                    "end": "2019-01-01",
+                }
+            ]
+        )
+    with pytest.raises(QueryError):
+        parse_variables(
+            [{"type": "temporal_variable", "start": "not a date"}]
+        )
+    with pytest.raises(QueryError):
+        parse_variables(
+            [{"type": "temporal_variable", "granularity": "fortnight"}]
+        )
+
+
+def test_parse_geospatial_variable_golden():
+    cons = parse_variables(
+        [
+            {
+                "type": "geospatial_variable",
+                "latitude1": 40.8,
+                "latitude2": 40.6,
+                "longitude1": -73.9,
+                "longitude2": -74.1,
+            }
+        ]
+    )
+    assert cons.bbox == (-74.1, -73.9, 40.6, 40.8)  # normalized
+    # incomplete bounds are skipped, not an error (reference behavior)
+    assert parse_variables(
+        [{"type": "geospatial_variable", "latitude1": 1.0}]
+    ).bbox is None
+
+
+def test_parse_tabular_and_unknown():
+    cons = parse_variables(
+        [{"type": "tabular_variable", "columns": [0, 2]}]
+    )
+    assert cons.tabular_columns == (0, 2)
+    with pytest.raises(QueryError):
+        parse_variables([{"type": "tabular_variable", "columns": ["a"]}])
+    with pytest.raises(QueryError):
+        parse_variables([{"type": "beverage_variable"}])
+    with pytest.raises(QueryError):
+        parse_variables("nope")
+
+
+def test_parse_query_with_variables_golden():
+    plan = parse_query(
+        {
+            "keywords": "taxi trips",
+            "variables": [
+                {"type": "temporal_variable", "start": "2019-01-01"},
+                {"type": "tabular_variable", "columns": [1]},
+            ],
+        }
+    )
+    assert plan.keywords == "taxi trips"
+    assert isinstance(plan.variables, VariableConstraints)
+    assert plan.variables.tabular_columns == (1,)
+    assert plan.variables.temporal_window[0] == 1546300800.0
+
+
+def test_join_candidates_with_constraints(ray_session):
+    from datamart_ray.pipelines.profindex import search_join_candidates
+
+    sf = "/root/testdata/sf0.001"
+    base = search_join_candidates(sf)
+    assert len(base) > 0
+    assert set(base.columns) == {
+        "query_column", "candidate_table", "candidate_column", "score",
+    }
+    # tabular constraint: restrict pivots to orders column 0 (o_orderkey)
+    only_first = search_join_candidates(
+        sf,
+        variables=[{"type": "tabular_variable", "columns": [0]}],
+    )
+    assert set(only_first["query_column"]) <= {"o_orderkey"}
+    # temporal constraint far in the future drops all datetime pivots
+    no_time = search_join_candidates(
+        sf,
+        variables=[
+            {"type": "temporal_variable", "start": "2300-01-01"}
+        ],
+    )
+    assert "o_orderdate" not in set(no_time["query_column"])
+    # a window covering everything changes nothing
+    wide = search_join_candidates(
+        sf,
+        variables=[
+            {"type": "temporal_variable", "start": "1970-01-01"}
+        ],
+    )
+    assert wide.equals(base)
+
+
+def test_union_candidates_reference_rules(ray_session):
+    from datamart_ray.pipelines.profindex import search_union_candidates
+
+    out = search_union_candidates("/root/testdata/sf0.001")
+    # every listed table matched at least 2 columns (union.py:177-179)
+    assert (out["n_matched"] > 1).all()
+    assert (out["score"] > 0).all()
+    # scores are sorted descending
+    assert list(out["score"]) == sorted(out["score"], reverse=True)
