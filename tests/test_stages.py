@@ -278,3 +278,97 @@ def test_sketch_containment_close_to_exact(ray_session):
     m = exact.merge(est, on=["query_col", "candidate_col"], how="left")
     assert m["containment_est"].notna().all()
     assert (m["containment"] - m["containment_est"]).abs().max() < 0.1
+
+
+def test_pivot_detection_and_unpivot(ray_session, tmp_path):
+    from datamart_ray.sources.convert import (
+        detect_and_convert_pivoted,
+        detect_pivoted_columns,
+    )
+    import pyarrow.parquet as pq_
+
+    # wide date-pivot: 2 id columns + 4 date columns
+    assert detect_pivoted_columns(
+        ["station", "metric", "2020-01-01", "2020-01-02",
+         "2020-01-03", "2020-01-04"]
+    ) == [0, 1]
+    # ordinary table: too many non-date names
+    assert detect_pivoted_columns(["a", "b", "c", "2020-01-01"]) is None
+    assert detect_pivoted_columns(["a", "2020-01-01"]) is None
+
+    csv = tmp_path / "wide.csv"
+    csv.write_text(
+        "station,2020-01-01,2020-01-02,2020-01-03\n"
+        "s1,1.0,2.0,3.0\n"
+        "s2,4.0,5.0,6.0\n"
+    )
+    out = detect_and_convert_pivoted(str(csv), str(tmp_path / "o"))
+    t = pq_.read_table(out).to_pandas().sort_values(
+        ["station", "date"]
+    ).reset_index(drop=True)
+    assert list(t.columns) == ["station", "date", "value"]
+    assert len(t) == 6
+    assert t[(t["station"] == "s2") & (t["date"] == "2020-01-02")][
+        "value"
+    ].iloc[0] == 5.0
+
+
+def test_d3m_metadata_coltypes_golden():
+    from datamart_ray.sources.convert import d3m_metadata
+
+    meta = {
+        "name": "demo",
+        "columns": [
+            {"name": "flag", "structural_type": "text",
+             "semantic_types": ["boolean", "categorical"]},
+            {"name": "seg", "structural_type": "text",
+             "semantic_types": ["categorical"]},
+            {"name": "when", "structural_type": "text",
+             "semantic_types": ["date_time"]},
+            {"name": "n", "structural_type": "integer",
+             "semantic_types": []},
+            {"name": "x", "structural_type": "float",
+             "semantic_types": []},
+            {"name": "label", "structural_type": "text",
+             "semantic_types": []},
+        ],
+    }
+    doc = d3m_metadata("ds1", meta, need_d3mindex=True)
+    cols = doc["dataResources"][0]["columns"]
+    got = [(c["colName"], c["colType"], c["role"]) for c in cols]
+    assert got == [
+        ("d3mIndex", "integer", ["index"]),
+        ("flag", "boolean", ["attribute"]),
+        ("seg", "categorical", ["attribute"]),
+        ("when", "dateTime", ["attribute"]),
+        ("n", "integer", ["attribute"]),
+        ("x", "real", ["attribute"]),
+        ("label", "string", ["attribute"]),
+    ]
+    assert doc["about"]["datasetSchemaVersion"] == "4.0.0"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        d3m_metadata("ds1", meta, version="9.9")
+
+
+def test_write_d3m_dataset(ray_session, tmp_path):
+    import json
+
+    from datamart_ray.sources.convert import write_d3m_dataset
+
+    ds = rd.from_items([{"n": 1, "s": "a"}, {"n": 2, "s": "b"}])
+    out = write_d3m_dataset(
+        ds, str(tmp_path / "d3m"), "demo",
+        [
+            {"name": "n", "structural_type": "integer",
+             "semantic_types": []},
+            {"name": "s", "structural_type": "text",
+             "semantic_types": ["categorical"]},
+        ],
+    )
+    doc = json.load(open(f"{out}/datasetDoc.json"))
+    assert doc["dataResources"][0]["columns"][1]["colType"] == "categorical"
+    import pyarrow.dataset as pads
+
+    assert pads.dataset(f"{out}/tables").count_rows() == 2
