@@ -146,6 +146,32 @@ def run_bench() -> dict:
         fn(SF_DIR)
         timings[name] = round(time.time() - t0, 3)
 
+    # dedup stage throughput over the 120k-doc code corpus: vectorized
+    # MinHash signatures + banded-LSH candidate groupby (the near-dup
+    # discovery kernel; VERDICT r1 asked for this number in BENCH)
+    import pandas as _pd
+    import pyarrow as _pa
+
+    import ray.data as rd
+
+    from datamart_ray.stages.dedup import minhash_candidate_pairs
+
+    def add_ids(t: _pa.Table) -> _pa.Table:
+        h = _pd.util.hash_array(
+            t["path"].to_numpy(zero_copy_only=False)
+        ).view("int64")
+        return _pa.table({"doc_id": _pa.array(h), "text": t["content"]})
+
+    dedup_ds = rd.read_parquet(
+        corpus, columns=["path", "content"]
+    ).map_batches(add_ids, batch_format="pyarrow")
+    t0 = time.time()
+    minhash_candidate_pairs(dedup_ds)
+    timings["dedup_minhash_lsh"] = round(time.time() - t0, 3)
+    extra["dedup_docs_per_sec"] = round(
+        CORPUS_FILES / timings["dedup_minhash_lsh"], 1
+    )
+
     ray.shutdown()
     value = round(sum(timings.values()), 3)
     return {

@@ -57,6 +57,97 @@ def _bucket_pairs_capped(
     return ids[ia], ids[ib]
 
 
+def _num_shards() -> int:
+    try:
+        import ray
+
+        return max(
+            32, 4 * int(ray.cluster_resources().get("CPU", 8))
+        )
+    except Exception:
+        return 32
+
+
+def sharded_group_pairs(
+    sig: rd.Dataset,
+    key_cols: list[str],
+    pair_cap: int,
+    carry_col: str | None = None,
+):
+    """(band, bucket)-grouped pair expansion WITHOUT a per-group
+    map_groups: millions of mostly-singleton LSH groups make per-group
+    pandas dispatch the bottleneck, so we shuffle once on a SHARD key
+    (hash of the group key mod ~4×CPUs), then each shard task finds its
+    group boundaries vectorized and expands only groups of size ≥ 2.
+    Returns a Dataset of (doc_a, doc_b[, carry_a, carry_b]) rows."""
+    n_shards = _num_shards()
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        h = np.zeros(t.num_rows, dtype=np.uint64)
+        for c in key_cols:
+            h = h * np.uint64(0x100000001B3) ^ t[c].to_numpy(
+                zero_copy_only=False
+            ).astype(np.uint64)
+        h = _mix64(h)
+        return t.append_column(
+            "shard", pa.array((h % np.uint64(n_shards)).astype(np.int64))
+        )
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([*key_cols, "doc_id"], kind="mergesort")
+        keys = [g[c].to_numpy() for c in key_cols]
+        ids = g["doc_id"].to_numpy()
+        carry = g[carry_col].to_numpy() if carry_col else None
+        n = len(g)
+
+        def empty_frame():
+            cols = {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+            }
+            if carry_col:
+                cols["carry_a"] = pd.Series([], dtype="int64")
+                cols["carry_b"] = pd.Series([], dtype="int64")
+            return pd.DataFrame(cols)
+
+        if n < 2:
+            return empty_frame()
+        change = np.zeros(n - 1, dtype=bool)
+        for k in keys:
+            change |= k[1:] != k[:-1]
+        starts = np.r_[0, np.flatnonzero(change) + 1]
+        ends = np.r_[starts[1:], n]
+        sizes = ends - starts
+        out_a, out_b, car_a, car_b = [], [], [], []
+        for gi in np.flatnonzero(sizes >= 2):
+            s, e = starts[gi], ends[gi]
+            a, b = _bucket_pairs_capped(ids[s:e], pair_cap)
+            out_a.append(a)
+            out_b.append(b)
+            if carry_col:
+                # ids within the group are sorted → positions align
+                pos = np.searchsorted(ids[s:e], a)
+                posb = np.searchsorted(ids[s:e], b)
+                car_a.append(carry[s:e][pos])
+                car_b.append(carry[s:e][posb])
+        if not out_a:
+            return empty_frame()
+        cols = {
+            "doc_a": np.concatenate(out_a),
+            "doc_b": np.concatenate(out_b),
+        }
+        if carry_col:
+            cols["carry_a"] = np.concatenate(car_a)
+            cols["carry_b"] = np.concatenate(car_b)
+        return pd.DataFrame(cols)
+
+    return (
+        sig.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_pairs, batch_format="pandas")
+    )
+
+
 def _perm_seeds(n_perm: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.integers(
@@ -240,25 +331,14 @@ def minhash_candidate_pairs(
     tiny relative to the corpus by construction)."""
     ensure_fast_shuffle()
     kw = analyzer.to_kwargs() if analyzer else {}
-    sig = ds.map_batches(
-        _MinHashStage,
-        fn_constructor_args=(id_col, text_col, n_perm, bands, shingle_n, kw),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-        num_cpus=1,
-    )
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        a, b = _bucket_pairs_capped(g["doc_id"].to_numpy(), pair_cap)
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
-
-    pairs = (
-        sig.groupby(["band", "bucket"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-    )
+    # stateless task pool: the stage is a picklable callable instance
+    # (analyzer + seeds rebuild in microseconds; an actor pool would only
+    # cap parallelism and add startup latency at this stage cost)
+    stage = _MinHashStage(id_col, text_col, n_perm, bands, shingle_n, kw)
+    sig = ds.map_batches(stage, batch_format="pyarrow")
+    pairs = sharded_group_pairs(
+        sig, ["band", "bucket"], pair_cap
+    ).to_pandas()
     if pairs.empty:
         return pd.DataFrame(
             {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
@@ -501,13 +581,8 @@ def simhash_dup_pairs(
     ensure_fast_shuffle()
     path = f"{sf_dir}/documents.parquet"
     ds = rd.read_parquet(path, columns=["doc_id", "text"])
-    sig = ds.map_batches(
-        _SimHashStage,
-        fn_constructor_args=("doc_id", "text", {}, shingle_n),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-        num_cpus=1,
-    )
+    stage = _SimHashStage("doc_id", "text", {}, shingle_n)
+    sig = ds.map_batches(stage, batch_format="pyarrow")
     n_bands = max_hamming + 1
     width = 64 // n_bands
 
@@ -532,26 +607,26 @@ def simhash_dup_pairs(
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame(
-                {"doc_a": [], "doc_b": [], "hamming": []}
-            )
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy().view(np.uint64)
-        a, b = _bucket_pairs_capped(ids, pair_cap)
-        pos = np.searchsorted(ids, a), np.searchsorted(ids, b)
-        ham = popcount64(hs[pos[0]] ^ hs[pos[1]])
-        keep = ham <= max_hamming
-        return pd.DataFrame(
-            {"doc_a": a[keep], "doc_b": b[keep], "hamming": ham[keep]}
+    def hamming_filter(t: pa.Table) -> pa.Table:
+        ha = t["carry_a"].to_numpy(zero_copy_only=False).view(np.uint64)
+        hb = t["carry_b"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ham = popcount64(ha ^ hb)
+        keep = pa.array(ham <= max_hamming)
+        return pa.table(
+            {
+                "doc_a": t["doc_a"].filter(keep),
+                "doc_b": t["doc_b"].filter(keep),
+            }
         )
 
     pairs = (
-        sig.map_batches(band_rows, batch_format="pyarrow")
-        .groupby(["band", "key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        sharded_group_pairs(
+            sig.map_batches(band_rows, batch_format="pyarrow"),
+            ["band", "key"],
+            pair_cap,
+            carry_col="simhash",
+        )
+        .map_batches(hamming_filter, batch_format="pyarrow")
         .to_pandas()
     )
     empty = pd.DataFrame(

@@ -264,20 +264,17 @@ def embedding_near_dups(
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        from datamart_ray.stages.dedup import _bucket_pairs_capped
-
-        if len(g) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": []})
-        a, b = _bucket_pairs_capped(g["vec_id"].to_numpy(), pair_cap)
-        return pd.DataFrame({"vec_a": a, "vec_b": b})
+    from datamart_ray.stages.dedup import sharded_group_pairs
 
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    sig = ds.map_batches(band_rows, batch_format="pyarrow").map_batches(
+        lambda t: t.rename_columns(["doc_id", "band", "bucket"]),
+        batch_format="pyarrow",
+    )
     cand = (
-        ds.map_batches(band_rows, batch_format="pyarrow")
-        .groupby(["band", "bucket"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        sharded_group_pairs(sig, ["band", "bucket"], pair_cap)
         .to_pandas()
+        .rename(columns={"doc_a": "vec_a", "doc_b": "vec_b"})
     )
     empty = pd.DataFrame(
         {
