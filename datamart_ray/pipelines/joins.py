@@ -97,6 +97,13 @@ def hash_join(
     runs once per *bucket* (vectorized) instead of routing through the join
     operator's aggregator actors. Buckets default to 4x cluster CPUs; salt
     hot keys into sub-buckets before calling if one key dominates.
+
+    Measured (r2): an Arrow-typed-null exchange (padding absent columns
+    with validity-bitmap nulls instead of pandas NaN arrays) ran SLOWER
+    here — 6.7s vs 3.7-4.9s on the q02 join at sf0.1/32 CPUs — because at
+    these schema widths the padding is negligible while Arrow-format
+    group handling costs more; the pandas exchange stays. Revisit only
+    for joins with wide value schemas.
     """
     from datamart_ray.util import ensure_fast_shuffle
 
