@@ -175,3 +175,29 @@ def test_resume_skips_committed_segments(
         b = read_manifest(os.path.join(d2, "segments", seg))
         for key in ("n_docs", "total_doclen", "n_terms", "n_postings", "sha256_rollup"):
             assert a[key] == b[key], (seg, key)
+
+
+def test_lazy_reader_matches_eager(ray_session, tmp_path):
+    """lazy=True (filtered per-term reads + LRU) must return identical
+    results to the eager whole-table reader."""
+    from datamart_ray.corpus import generate_corpus, reference_queries
+    from datamart_ray.index.build import IndexConfig, build_index
+    from datamart_ray.search.engine import SearchEngine
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, n_files=300, vocab_size=2000, n_output_files=4)
+    idx = str(tmp_path / "idx")
+    build_index(corpus, idx, IndexConfig(docs_per_spec=100))
+    eager = SearchEngine(idx)
+    lazy = SearchEngine(idx, lazy=True)
+    for q in reference_queries():
+        f = {"lang": q["lang"]} if "lang" in q else None
+        a = eager.search(q["query"], k=50, mode=q["mode"], filters=f)
+        b = lazy.search(q["query"], k=50, mode=q["mode"], filters=f)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+        assert a["score"].to_pylist() == b["score"].to_pylist(), q
+    # repeated query exercises the LRU hit path
+    q0 = reference_queries()[0]
+    c = lazy.search(q0["query"], k=50, mode=q0["mode"])
+    d = lazy.search(q0["query"], k=50, mode=q0["mode"])
+    assert c["doc_id"].to_pylist() == d["doc_id"].to_pylist()
