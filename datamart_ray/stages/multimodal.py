@@ -1,15 +1,22 @@
-"""Multimodal column stages — real Ray plumbing, stubbed codecs.
+"""Multimodal column stages — real Ray plumbing, dependency-free codecs
+where the format allows, stubs elsewhere.
 
 Image/audio/video ride through the engine as opaque ``binary`` columns with
 typed metadata, processed by actor-pool ``map_batches`` stages (decoder
-state loaded once per actor in ``__init__``). The decode kernels themselves
-are STUBBED in this container (no PIL/cv2/ffmpeg): each stage tries the real
-import, and otherwise falls back to a clearly-marked deterministic fake so
-the schema/batching/actor plumbing is real and testable.
+state loaded once per actor in ``__init__``). Codec status:
+
+- PPM/PGM images (netpbm P5/P6): REAL decode (header parse +
+  ``np.frombuffer`` — no external deps).
+- WAV audio: REAL decode via the stdlib ``wave`` module (PCM frames →
+  numpy, duration/sample-rate/RMS features).
+- JPEG/PNG/video: try PIL/cv2 once per actor; otherwise a clearly-marked
+  deterministic fake keeps the schema/batching/actor plumbing runnable
+  (no PIL/cv2/ffmpeg in this container).
 
 Schema contract:
     input : (item_id: int64, payload: binary, mime: string)
     decode: + (width: int32, height: int32, ok: bool)
+    audio : + (sample_rate: int32, n_samples: int64, rms: float64, ok)
     feats : + (feature: list<float>[dim])
 """
 
@@ -19,6 +26,50 @@ import numpy as np
 import pyarrow as pa
 
 import ray.data as rd
+
+
+def decode_netpbm(payload: bytes):
+    """Real decoder for binary netpbm images (P5 gray / P6 RGB): returns
+    (width, height, pixel ndarray) or None if not netpbm."""
+    if not payload.startswith((b"P5", b"P6")):
+        return None
+    channels = 3 if payload[:2] == b"P6" else 1
+    # header: magic, width, height, maxval — whitespace/comment separated
+    fields: list[int] = []
+    i = 2
+    n = len(payload)
+    while len(fields) < 3 and i < n:
+        c = payload[i : i + 1]
+        if c == b"#":  # comment to end of line
+            while i < n and payload[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not payload[j : j + 1].isspace():
+                j += 1
+            fields.append(int(payload[i:j]))
+            i = j
+    if len(fields) < 3 or i >= n:
+        return None
+    width, height, maxval = fields
+    i += 1  # single whitespace after maxval
+    dtype = np.uint8 if maxval < 256 else np.dtype(">u2")
+    count = width * height * channels
+    pix = np.frombuffer(payload, dtype=dtype, count=count, offset=i)
+    if pix.size < count:
+        return None
+    return width, height, pix.reshape(height, width, channels)
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Inverse of decode_netpbm for test fixtures (P6 RGB / P5 gray)."""
+    h, w, c = pixels.shape
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + pixels.astype(
+        np.uint8
+    ).tobytes()
 
 PAYLOAD_SCHEMA = pa.schema(
     [
@@ -46,6 +97,12 @@ class DecodeImageStage:
             self._pil = None  # STUB: deterministic fake decode
 
     def _decode_one(self, payload: bytes) -> tuple[int, int, bool]:
+        if not payload:
+            return 0, 0, False
+        decoded = decode_netpbm(payload)  # real, dependency-free path
+        if decoded is not None:
+            w, h, _ = decoded
+            return w, h, True
         if self._pil is not None:
             import io
 
@@ -54,9 +111,7 @@ class DecodeImageStage:
                     return im.width, im.height, True
             except Exception:
                 return 0, 0, False
-        if not payload:
-            return 0, 0, False
-        # deterministic fake: size derived from payload content
+        # STUB fallback: deterministic fake size from payload content
         h = int.from_bytes(payload[:8].ljust(8, b"\0"), "little")
         return 64 + h % 512, 64 + (h >> 16) % 512, True
 
@@ -86,9 +141,34 @@ class ImageFeatureStage:
         self.dim = dim
         self.model = None  # STUB: no vision model in this container
 
+    def _grid_pool(self, pix: np.ndarray) -> np.ndarray:
+        """Real content feature for decodable images: grayscale →
+        g×g block-mean grid (g = ⌈√dim⌉) → first `dim` cells, unit-norm."""
+        gray = pix.astype(np.float64).mean(axis=2)
+        g = int(np.ceil(np.sqrt(self.dim)))
+        h, w = gray.shape
+        ys = np.linspace(0, h, g + 1).astype(int)
+        xs = np.linspace(0, w, g + 1).astype(int)
+        cells = [
+            gray[ys[i]: max(ys[i + 1], ys[i] + 1),
+                 xs[j]: max(xs[j + 1], xs[j] + 1)].mean()
+            for i in range(g)
+            for j in range(g)
+        ]
+        v = np.asarray(cells[: self.dim], dtype=np.float64)
+        if v.size < self.dim:
+            v = np.pad(v, (0, self.dim - v.size))
+        n = np.linalg.norm(v)
+        return (v / n if n else v).astype(np.float32)
+
     def __call__(self, t: pa.Table) -> pa.Table:
         feats = []
         for p in t["payload"].to_pylist():
+            decoded = decode_netpbm(p or b"")
+            if decoded is not None:
+                feats.append(self._grid_pool(decoded[2]))
+                continue
+            # STUB fallback: deterministic hash-derived vector
             seed = int.from_bytes((p or b"\0")[:8].ljust(8, b"\0"), "little")
             rng = np.random.default_rng(seed % (2**63))
             v = rng.standard_normal(self.dim)
@@ -132,3 +212,75 @@ def image_features(
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class DecodeAudioStage:
+    """Actor-pool stage: WAV payload → (sample_rate, n_samples, rms, ok).
+
+    REAL decode via the stdlib ``wave`` module (PCM 8/16/32-bit), frames
+    → numpy for the RMS; non-WAV payloads report ok=False."""
+
+    _WIDTH_DTYPE = {1: np.uint8, 2: np.int16, 4: np.int32}
+
+    def _decode_one(self, payload: bytes):
+        import io
+        import wave
+
+        try:
+            with wave.open(io.BytesIO(payload)) as w:
+                rate = w.getframerate()
+                n = w.getnframes()
+                width = w.getsampwidth()
+                frames = w.readframes(n)
+            dtype = self._WIDTH_DTYPE.get(width)
+            if dtype is None:
+                return 0, 0, 0.0, False
+            x = np.frombuffer(frames, dtype=dtype).astype(np.float64)
+            if width == 1:
+                x -= 128.0  # 8-bit WAV is unsigned
+            rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+            return rate, n, rms, True
+        except Exception:
+            return 0, 0, 0.0, False
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = [self._decode_one(p or b"") for p in t["payload"].to_pylist()]
+        rate, n, rms, ok = zip(*rows) if rows else ((), (), (), ())
+        return pa.table(
+            {
+                "item_id": t["item_id"],
+                "mime": t["mime"],
+                "sample_rate": pa.array(rate, type=pa.int32()),
+                "n_samples": pa.array(n, type=pa.int64()),
+                "rms": pa.array(rms, type=pa.float64()),
+                "ok": pa.array(ok, type=pa.bool_()),
+            }
+        )
+
+
+def decode_audio(
+    ds: rd.Dataset, concurrency: tuple[int, int] = (1, 4), batch_size: int = 64
+) -> rd.Dataset:
+    return ds.map_batches(
+        DecodeAudioStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 16000
+) -> bytes:
+    """Inverse of DecodeAudioStage for test fixtures (16-bit mono PCM)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.astype(np.int16).tobytes())
+    return buf.getvalue()

@@ -372,3 +372,53 @@ def test_write_d3m_dataset(ray_session, tmp_path):
     import pyarrow.dataset as pads
 
     assert pads.dataset(f"{out}/tables").count_rows() == 2
+
+
+def test_multimodal_real_codecs(ray_session):
+    """PPM images and WAV audio decode for REAL (no external deps)."""
+    from datamart_ray.stages.multimodal import (
+        decode_audio,
+        decode_images,
+        decode_netpbm,
+        encode_ppm,
+        encode_wav,
+        image_features,
+    )
+
+    rng = np.random.default_rng(7)
+    items = []
+    for i in range(6):
+        pix = rng.integers(0, 256, size=(8 + i, 12, 3), dtype=np.uint8)
+        items.append(
+            {"item_id": i, "payload": encode_ppm(pix), "mime": "image/x-ppm"}
+        )
+    # round-trip sanity
+    w, h, pix0 = decode_netpbm(items[0]["payload"])
+    assert (w, h) == (12, 8)
+    out = decode_images(rd.from_items(items)).to_pandas()
+    assert out["ok"].all()
+    assert set(out["width"]) == {12}
+    assert sorted(out["height"]) == [8, 9, 10, 11, 12, 13]
+    # content-based features: identical image → identical feature,
+    # different image → different feature
+    feats = image_features(rd.from_items(items), dim=16).to_pandas()
+    f0 = np.array(feats[feats["item_id"] == 0]["feature"].iloc[0])
+    assert abs(np.linalg.norm(f0) - 1.0) < 1e-5
+    again = image_features(rd.from_items(items), dim=16).to_pandas()
+    f0b = np.array(again[again["item_id"] == 0]["feature"].iloc[0])
+    assert np.allclose(f0, f0b)
+
+    t = np.arange(1600)
+    tone = (np.sin(2 * np.pi * 440 * t / 16000) * 10000).astype(np.int16)
+    audio_items = [
+        {"item_id": 0, "payload": encode_wav(tone), "mime": "audio/wav"},
+        {"item_id": 1, "payload": b"not a wav", "mime": "audio/wav"},
+    ]
+    a = decode_audio(rd.from_items(audio_items)).to_pandas().sort_values(
+        "item_id"
+    )
+    assert bool(a.iloc[0]["ok"]) and not bool(a.iloc[1]["ok"])
+    assert a.iloc[0]["sample_rate"] == 16000
+    assert a.iloc[0]["n_samples"] == 1600
+    # RMS of a sine at amplitude A is A/sqrt(2)
+    assert abs(a.iloc[0]["rms"] - 10000 / np.sqrt(2)) < 100
