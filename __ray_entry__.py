@@ -30,7 +30,10 @@ Operator coverage map (SURVEY.md §2 → entry):
   J6       value-set containment       → tx_containment
   J7/U4    union-candidate matching    → sm_union_matches
   S13/A7/K7/M2 melt/histogram/top5/expand → tr_*
-  dedup    minhash/simhash/embedding   → dd_* (rows-only)
+  dedup    exact-first/minhash/simhash/embedding → dd_* (oracle-gated
+           against exhaustive DuckDB twins of the verified outputs)
+  M3/M4/A11 string-typed regex vote    → prof_untyped
+  profile-index search (product loop)  → pi_join/pi_union/pi_augmentation
 See COVERAGE.md for the full SURVEY.md §2 map.
 """
 
@@ -143,6 +146,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the outputs are the exact-VERIFIED pair/top-k lists, and the bands
     # are recall-complete on these fixtures (measured, with margin) — so
     # each is gated by an exhaustive DuckDB twin.
+    from datamart_ray.stages.dedup import exact_dedup_first
+
+    out["dd_exact_first"] = exact_dedup_first
     out["dd_minhash_near_dups"] = minhash_near_dups
     out["dd_simhash_pairs"] = simhash_dup_pairs
     out["dd_embedding_near_dups"] = embedding_near_dups
@@ -221,6 +227,9 @@ def oracle_sql() -> dict[str, str]:
     from datamart_ray.stages.similarity import embedding_near_dups_sql
     from datamart_ray.stages.textstats import fingerprints_sql
 
+    from datamart_ray.stages.dedup import exact_dedup_first_sql
+
+    out["dd_exact_first"] = exact_dedup_first_sql()
     out["dd_minhash_near_dups"] = shingle_jaccard_sql(0.5)
     out["dd_simhash_pairs"] = shingle_jaccard_sql(0.5)
     out["dd_embedding_near_dups"] = embedding_near_dups_sql(0.45)

@@ -652,3 +652,73 @@ def simhash_dup_pairs(
         threshold,
     )
     return out if len(out) else empty
+
+
+# ----------------------------------------------------------------------
+# Exact dedup, keep-first (U2 with a deterministic survivor rule)
+# ----------------------------------------------------------------------
+
+def exact_dedup_first(
+    sf_dir: str,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> pd.DataFrame:
+    """Keep the FIRST row per duplicate key over `events` (first = min by
+    order_cols) — the exact-dedup survivor rule real pipelines need
+    (ft_exact_dedup's sha-identity dedup is vacuous on corpora without
+    byte-identical rows; every (user, event_type) key here genuinely
+    repeats). Shape: map-side first-per-key combine per batch, then ONE
+    shard-key shuffle and a vectorized sorted drop_duplicates per shard —
+    never a per-key group dispatch."""
+    ensure_fast_shuffle()
+    cols = [*key_cols, *order_cols]
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+    n_shards = _num_shards()
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(cols, kind="mergesort").drop_duplicates(
+            subset=list(key_cols), keep="first"
+        )
+        df = df.copy()
+        df["__shard"] = (
+            pd.util.hash_pandas_object(
+                df[list(key_cols)], index=False
+            ).to_numpy()
+            % n_shards
+        ).astype("int64")
+        return df
+
+    def first_per_key(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(cols, kind="mergesort")
+            .drop_duplicates(subset=list(key_cols), keep="first")
+            .drop(columns="__shard")
+        )
+
+    out = (
+        ds.map_batches(combine, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(first_per_key, batch_format="pandas")
+        .to_pandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    return out[[*key_cols, "event_id"]].rename(
+        columns={"event_id": "first_event"}
+    )
+
+
+def exact_dedup_first_sql() -> str:
+    return """
+        SELECT user_id, event_type, event_id AS first_event
+        FROM (
+            SELECT user_id, event_type, event_id,
+                   row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id
+                   ) AS rk
+            FROM events
+        )
+        WHERE rk = 1
+        ORDER BY user_id, event_type
+    """
