@@ -38,6 +38,8 @@ analog of querying ES.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -135,6 +137,16 @@ UNION_MIN_SIM = 0.3  # documented deviation from the ES fuzzy gate
 FUZZY_MAX_DIST = 2  # ES fuzzy AUTO edit distance (join pivot names)
 
 _INDEX_CACHE: dict[str, pd.DataFrame] = {}
+_INDEX_VERSION = 1
+
+
+def _index_artifact_path(sf_dir: str) -> str:
+    import hashlib
+
+    key = hashlib.sha256(
+        f"{sf_dir}|v{_INDEX_VERSION}|{JOIN_COLUMNS}".encode()
+    ).hexdigest()[:16]
+    return f"/tmp/graft_profile_index/{key}/ranges.parquet"
 
 
 def _epoch_expr(column: str) -> str:
@@ -144,10 +156,20 @@ def _epoch_expr(column: str) -> str:
 def build_profile_index(sf_dir: str) -> pd.DataFrame:
     """The candidate range index: (table, column, kind, rng, lo, hi) for
     every JOIN_COLUMNS entry — tercile coverage per column, each computed
-    by the distributed exact-quantile pass. Cached per sf_dir (the analog
-    of the persisted ES index)."""
+    by the distributed exact-quantile pass.
+
+    Persisted per sf_dir as a parquet artifact (the analog of the
+    reference's ES index: profile once, search many) and memoized
+    in-process; a crashed/restarted search session reloads instead of
+    re-profiling. Delete the artifact (or bump _INDEX_VERSION) to force a
+    rebuild after catalog changes."""
     if sf_dir in _INDEX_CACHE:
         return _INDEX_CACHE[sf_dir]
+    art = _index_artifact_path(sf_dir)
+    if os.path.exists(art):
+        out = pd.read_parquet(art)
+        _INDEX_CACHE[sf_dir] = out
+        return out
     ensure_fast_shuffle()
     rows = []
     for table, column, kind in JOIN_COLUMNS:
@@ -184,6 +206,10 @@ def build_profile_index(sf_dir: str) -> pd.DataFrame:
                 }
             )
     out = pd.DataFrame(rows)
+    os.makedirs(os.path.dirname(art), exist_ok=True)
+    tmp = art + f".tmp.{os.getpid()}"
+    out.to_parquet(tmp)
+    os.replace(tmp, art)  # atomic commit, like the segment manifests
     _INDEX_CACHE[sf_dir] = out
     return out
 

@@ -152,33 +152,39 @@ def q02_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     ).map_batches(prep_combine, batch_format="pyarrow")
     customer = read_small(_p(sf_dir, "customer"), ["c_custkey", "c_nationkey"])
     nation = read_small(_p(sf_dir, "nation"), ["n_nationkey", "n_name"])
+    # the exchange carries the int nation KEY, not the name string —
+    # names are mapped back onto the 25-row final aggregate
     dim = customer.merge(
         nation, left_on="c_nationkey", right_on="n_nationkey"
-    )[["c_custkey", "n_name"]]
+    )[["c_custkey", "n_nationkey"]]
     orders = rd.read_parquet(
         _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
     )
     # dims ride onto orders with zero shuffle (broadcast lookup)
     orders_nation = broadcast_join(
         orders, dim, on="o_custkey", right_on="c_custkey"
-    ).select_columns(["o_orderkey", "n_name"])
+    ).select_columns(["o_orderkey", "n_nationkey"])
     # the one all-to-all: fact ⋈ orders on the shared key
     j = hash_join(
         lineitem, orders_nation, left_on="l_orderkey", right_on="o_orderkey"
     )
     # map-side combine before the final (tiny) groupby
     partial = j.map_batches(
-        lambda t: t.group_by("n_name").aggregate([("rev_u", "sum")])
-        .rename_columns(["n_name", "rev_u"]),
+        lambda t: t.group_by("n_nationkey").aggregate([("rev_u", "sum")])
+        .rename_columns(["n_nationkey", "rev_u"]),
         batch_format="pyarrow",
     )
     g = (
-        partial.groupby("n_name")
+        partial.groupby("n_nationkey")
         .aggregate(Sum("rev_u", alias_name="rev_u"))
         .to_pandas()
     )
+    name_of = dict(zip(nation["n_nationkey"], nation["n_name"]))
     return pd.DataFrame(
-        {"n_name": g["n_name"], "revenue": round_away(g["rev_u"] / 10000.0, 2)}
+        {
+            "n_name": g["n_nationkey"].map(name_of),
+            "revenue": round_away(g["rev_u"] / 10000.0, 2),
+        }
     )
 
 
