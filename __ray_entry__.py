@@ -128,6 +128,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     out["tr_histogram_temporal"] = histogram_temporal
     out["tr_top5_words"] = top5_words
+    from datamart_ray.pipelines.window import sliding_window_counts
+
+    out["tw_sliding_window"] = sliding_window_counts
     out["sm_union_matches"] = union_column_matches
     out["sj_nearest_point"] = nearest_point_join
     from datamart_ray.pipelines.profindex import (
@@ -209,6 +212,9 @@ def oracle_sql() -> dict[str, str]:
     out["tr_expand_names"] = transforms.expand_sql()
     out["tr_histogram_temporal"] = transforms.HIST_TEMPORAL_SQL
     out["tr_top5_words"] = transforms.top5_words_sql()
+    from datamart_ray.pipelines.window import sliding_window_sql
+
+    out["tw_sliding_window"] = sliding_window_sql()
     out["sm_union_matches"] = union_matches_sql("/root/testdata/sf0.001")
     out["sj_nearest_point"] = nearest_sql()
 

@@ -88,6 +88,32 @@ def ft_token_counts(sf_dir: str) -> pd.DataFrame:
     return ds.map_batches(count_tokens, batch_format="pyarrow").to_pandas()
 
 
+BPE_PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+
+def ft_bpe_token_counts(sf_dir: str) -> pd.DataFrame:
+    """Per-document BPE-ish pretoken count: the GPT-2-style pretokenizer
+    shape (letter runs | digit runs | punctuation runs) reduced to an
+    RE2-safe pattern (no lookahead) so the Arrow kernel and the DuckDB
+    twin run the IDENTICAL regex. One count_substring_regex per batch —
+    the "how many tokens will the tokenizer emit" pass every LLM data
+    pipeline budgets with."""
+    ds = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+    def count_pretokens(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            pc.fill_null(t["text"], ""), BPE_PRETOKEN_RE
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_pretokens": pc.cast(n, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(count_pretokens, batch_format="pyarrow").to_pandas()
+
+
 def ft_df_top_terms(sf_dir: str) -> pd.DataFrame:
     """Top-20 terms by document frequency (A10 df stat + K7 most_common).
     Distinct (term, doc) inside each batch (vectorized), then a partial
@@ -269,6 +295,13 @@ def build_sql() -> dict[str, str]:
                    len({ANALYZER.sql_tokens_expr('text')})::BIGINT AS n_tokens
             FROM documents
         """,
+        "ft_bpe_token_counts": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(
+                       coalesce(text, ''), '{BPE_PRETOKEN_RE}'
+                   ))::BIGINT AS n_pretokens
+            FROM documents
+        """,
         "ft_df_top_terms": f"""
             WITH {_tok_cte()}
             SELECT term, count(DISTINCT doc_id)::BIGINT AS df
@@ -300,6 +333,7 @@ def build_sql() -> dict[str, str]:
 
 QUERIES = {
     "ft_token_counts": ft_token_counts,
+    "ft_bpe_token_counts": ft_bpe_token_counts,
     "ft_df_top_terms": ft_df_top_terms,
     "ft_bm25_topk": ft_bm25_topk,
     "ft_bm25_lang_filter": ft_bm25_lang_filter,

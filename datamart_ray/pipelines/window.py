@@ -1,0 +1,105 @@
+"""Windowed aggregates over event streams — the streaming-window custom
+operator (graft brief: "windowed aggregate / streaming window"; the
+reference's closest analog is the temporal aggregation chain,
+lib_profiler/datamart_profiler/temporal.py + the hourly rollups).
+
+:func:`sliding_window_counts` computes, for EVERY event, the number of
+events by the same user inside the trailing window
+``[ts - window, ts]`` — SQL ``count(*) OVER (PARTITION BY user_id ORDER
+BY ts RANGE BETWEEN INTERVAL .. PRECEDING AND CURRENT ROW)`` semantics
+(RANGE framing: all ts-peers count, regardless of row order).
+
+Ray shape (scale-safe): ONE shuffle on a user-hash shard key
+(~4×CPUs groups, never per-user dispatch); each shard task sorts its
+rows once and answers every window with two vectorized ``searchsorted``
+calls per user segment. Timestamps are compared as integer epoch
+microseconds — no float round-off at window edges.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from datamart_ray.util import ensure_fast_shuffle
+
+
+def sliding_window_counts(
+    sf_dir: str, window_sec: int = 3600
+) -> pd.DataFrame:
+    """(event_id, user_id, n_window) for every event in `events`."""
+    ensure_fast_shuffle()
+    from datamart_ray.stages.dedup import _num_shards
+
+    n_shards = _num_shards()
+    window_us = np.int64(window_sec) * np.int64(1_000_000)
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        e = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        users = t["user_id"].to_numpy(zero_copy_only=False)
+        shard = (
+            pd.util.hash_array(users.astype(np.int64)) % n_shards
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts_us": e,
+                "shard": pa.array(shard),
+            }
+        )
+
+    def count_windows(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort"
+        )
+        users = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        n = len(g)
+        out = np.empty(n, dtype=np.int64)
+        bounds = np.r_[
+            0, np.flatnonzero(users[1:] != users[:-1]) + 1, n
+        ]
+        for i in range(bounds.size - 1):
+            s, e = bounds[i], bounds[i + 1]
+            seg = ts[s:e]
+            # RANGE frame: [ts_i - window, ts_i], peers inclusive
+            lo = np.searchsorted(seg, seg - window_us, side="left")
+            hi = np.searchsorted(seg, seg, side="right")
+            out[s:e] = hi - lo
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": users,
+                "n_window": out,
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(count_windows, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+def sliding_window_sql(window_sec: int = 3600) -> str:
+    return f"""
+        SELECT event_id, user_id,
+               count(*) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL {window_sec} SECOND PRECEDING
+                         AND CURRENT ROW
+               ) AS n_window
+        FROM events
+        ORDER BY event_id
+    """

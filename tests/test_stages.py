@@ -422,3 +422,34 @@ def test_multimodal_real_codecs(ray_session):
     assert a.iloc[0]["n_samples"] == 1600
     # RMS of a sine at amplitude A is A/sqrt(2)
     assert abs(a.iloc[0]["rms"] - 10000 / np.sqrt(2)) < 100
+
+
+def test_sliding_window_counts_small(ray_session, tmp_path):
+    """Window semantics: RANGE frame, trailing 1h, ts-peers inclusive."""
+    import pyarrow.parquet as pq_
+
+    from datamart_ray.pipelines.window import sliding_window_counts
+
+    base = np.datetime64("2020-01-01T00:00:00", "us")
+    mins = lambda m: base + np.timedelta64(m * 60, "s")
+    rows = [
+        # user 1: events at 0, 30, 59, 61, 200 minutes
+        (0, 1, mins(0)), (1, 1, mins(30)), (2, 1, mins(59)),
+        (3, 1, mins(61)), (4, 1, mins(200)),
+        # user 2: two events at the SAME timestamp (peers both count)
+        (5, 2, mins(10)), (6, 2, mins(10)),
+    ]
+    t = pa.table(
+        {
+            "event_id": [r[0] for r in rows],
+            "user_id": [r[1] for r in rows],
+            "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+        }
+    )
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq_.write_table(t, str(d / "events.parquet"))
+    out = sliding_window_counts(str(d))
+    got = dict(zip(out["event_id"], out["n_window"]))
+    # 60-min window inclusive: at 61min, events at 1..61 → 30,59,61
+    assert got == {0: 1, 1: 2, 2: 3, 3: 3, 4: 1, 5: 2, 6: 2}
