@@ -156,6 +156,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["dd_simhash_pairs"] = simhash_dup_pairs
     out["dd_embedding_near_dups"] = embedding_near_dups
     out["sim_knn_lsh"] = knn_lsh
+    from datamart_ray.stages.similarity import knn_ivf
+
+    out["sim_knn_ivf"] = knn_ivf
     out["ts_fingerprints"] = document_fingerprints
     return out
 
@@ -240,5 +243,6 @@ def oracle_sql() -> dict[str, str]:
     out["dd_simhash_pairs"] = shingle_jaccard_sql(0.5)
     out["dd_embedding_near_dups"] = embedding_near_dups_sql(0.45)
     out["sim_knn_lsh"] = knn_cosine_sql()
+    out["sim_knn_ivf"] = knn_cosine_sql()
     out["ts_fingerprints"] = fingerprints_sql()
     return out

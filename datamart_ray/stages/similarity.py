@@ -149,19 +149,36 @@ def knn_lsh(
 
     ds = rd.read_parquet(path, columns=[id_col, vec_col])
     cand = ds.map_batches(find_candidates, batch_format="pyarrow").to_pandas()
-    empty = pd.DataFrame(
+    return _distributed_rescore(path, id_col, vec_col, cand, q_ids, Q, k)
+
+
+def _empty_knn() -> pd.DataFrame:
+    return pd.DataFrame(
         {
             "query_id": pd.Series([], dtype="int64"),
             "neighbor_id": pd.Series([], dtype="int64"),
             "sim": pd.Series([], dtype="float64"),
         }
     )
+
+
+def _distributed_rescore(
+    path: str,
+    id_col: str,
+    vec_col: str,
+    cand: pd.DataFrame,
+    q_ids: np.ndarray,
+    Q: np.ndarray,
+    k: int,
+) -> pd.DataFrame:
+    """Exact rescoring of (query_id, cand_id) candidate pairs, fully
+    distributed: broadcast the (small) pair list sorted by cand_id; each
+    batch scores only its own candidate rows against the queries they
+    were bucketed with, then a per-query top-k groupby finishes — the
+    driver never sees a vector table. Shared by the LSH and IVF paths."""
+    empty = _empty_knn()
     if cand.empty:
         return empty
-    # exact rescoring, distributed: broadcast the (small) candidate pair
-    # list sorted by cand_id; each batch scores only its own candidate
-    # rows against the queries they were bucketed with, then a per-query
-    # top-k groupby finishes — the driver never sees a vector table.
     cand = cand.drop_duplicates()
     q_index = {int(q): j for j, q in enumerate(q_ids)}
     pc_ids = cand["cand_id"].to_numpy().astype(np.int64)
@@ -348,3 +365,111 @@ def embedding_near_dups_sql(threshold: float = 0.45) -> str:
         WHERE {sim} >= {threshold}
         ORDER BY vec_a, vec_b
     """
+
+
+# ----------------------------------------------------------------------
+# IVF ANN — the coarse-quantizer scale path
+# ----------------------------------------------------------------------
+
+def ivf_centroids(
+    sf_dir: str,
+    n_clusters: int = 16,
+    iters: int = 10,
+    sample_stride: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic spherical k-means coarse quantizer: the training
+    sample is every `sample_stride`-th id (fetched via the distributed
+    broadcast-join filter — size the stride so the sample stays
+    driver-bounded at scale), init = first k sample vectors, fixed Lloyd
+    iterations, empty clusters keep their previous centroid. No RNG →
+    identical across runs and parallelism."""
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = rd.read_parquet(path, columns=[id_col, vec_col])
+
+    def strided(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % sample_stride == 0))
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(strided, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    sample = pa.concat_tables(parts).combine_chunks()
+    order = np.argsort(sample[id_col].to_numpy(zero_copy_only=False))
+    X = _to_matrix(sample[vec_col])[order]
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = Xn[:n_clusters].copy()
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for c in range(n_clusters):
+            members = Xn[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    C[c] = m / n
+    return C
+
+
+def knn_ivf(
+    sf_dir: str,
+    query_ids: tuple[int, ...] = (0, 1, 2),
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """IVF approximate nearest neighbors: assign every vector to its
+    nearest coarse centroid (one matmul per batch), probe each query's
+    `nprobe` closest clusters, exact-rescore the candidates distributed
+    (same kernel as knn_lsh). Candidate volume ≈ nprobe/n_clusters of the
+    corpus — the inverted-file scale path when vectors cluster.
+
+    nprobe=12 of 16 clusters is measured recall-complete (exact top-k
+    frame equality at sf0.001/0.01/0.1) on the near-orthogonal,
+    deliberately ANN-hostile test embeddings; real clustered embeddings
+    run nprobe ≪ n_clusters.
+    """
+    ensure_fast_shuffle()
+    path = f"{sf_dir}/embeddings.parquet"
+    C = ivf_centroids(
+        sf_dir, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col
+    )
+    qt = fetch_rows_by_ids(path, id_col, list(query_ids), [id_col, vec_col])
+    q_ids = qt[id_col].to_numpy(zero_copy_only=False)
+    Q = _to_matrix(qt[vec_col])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    # per query: the nprobe closest clusters
+    probe = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    ref = ray.put((q_ids.astype(np.int64), probe, C))
+
+    def find_candidates(t: pa.Table) -> pa.Table:
+        qids, probe_l, C_l = ray.get(ref)
+        X = _to_matrix(t[vec_col])
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        assign = np.argmax(Xn @ C_l.T, axis=1)  # (n,)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        out_q, out_c = [], []
+        for j, qid in enumerate(qids):
+            hit = np.isin(assign, probe_l[j]) & (ids != qid)
+            out_q.append(np.full(int(hit.sum()), qid, dtype=np.int64))
+            out_c.append(ids[hit].astype(np.int64))
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "cand_id": pa.array(np.concatenate(out_c)),
+            }
+        )
+
+    cand = (
+        rd.read_parquet(path, columns=[id_col, vec_col])
+        .map_batches(find_candidates, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return _distributed_rescore(path, id_col, vec_col, cand, q_ids, Q, k)

@@ -453,3 +453,12 @@ def test_sliding_window_counts_small(ray_session, tmp_path):
     got = dict(zip(out["event_id"], out["n_window"]))
     # 60-min window inclusive: at 61min, events at 1..61 → 30,59,61
     assert got == {0: 1, 1: 2, 2: 3, 3: 3, 4: 1, 5: 2, 6: 2}
+
+
+def test_knn_ivf_matches_exact(ray_session):
+    from datamart_ray.stages.similarity import knn_cosine, knn_ivf
+
+    sf = "/root/testdata/sf0.001"
+    exact = knn_cosine(sf, query_ids=(0, 1), k=5).reset_index(drop=True)
+    ivf = knn_ivf(sf, query_ids=(0, 1), k=5).reset_index(drop=True)
+    assert exact.equals(ivf)
