@@ -113,6 +113,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["sp_wkt_roundtrip"] = wkt_roundtrip
     out["sp_coverage_boxes"] = spatial_coverage
     out["sp_overlap_scores"] = spatial_overlap_scores
+    from datamart_ray.pipelines.spatial import search_spatial_candidates
+
+    out["sp_search_candidates"] = search_spatial_candidates
     out["sc_json_extract"] = json_extract_rollup
     out["sc_temporal_resolution"] = temporal_resolution
     out["rg_coverage_ranges"] = coverage_ranges
@@ -205,6 +208,9 @@ def oracle_sql() -> dict[str, str]:
     out["sp_wkt_roundtrip"] = WKT_SQL
     out["sp_coverage_boxes"] = spatial_coverage_sql()
     out["sp_overlap_scores"] = spatial_overlap_sql()
+    from datamart_ray.pipelines.spatial import spatial_candidates_sql
+
+    out["sp_search_candidates"] = spatial_candidates_sql()
     out["sc_json_extract"] = JSON_SQL
     out["sc_temporal_resolution"] = temporal_resolution_sql()
     out["rg_coverage_ranges"] = coverage_ranges_sql()

@@ -353,3 +353,104 @@ def spatial_overlap_sql() -> str:
         ORDER BY candidate
     """
     )
+
+
+# ----------------------------------------------------------------------
+# Geospatial-variable candidate search: the parsed bbox constraint
+# (search/query.parse_variables) applied as the reference's geo_shape
+# envelope-intersects filter + score
+# (apiserver/apiserver/search/__init__.py:303-330, join.py:229-331)
+# ----------------------------------------------------------------------
+
+DEFAULT_BBOX = (10.0, 60.0, 0.0, 45.0)  # (x_lo, x_hi, y_lo, y_hi)
+
+
+def search_spatial_candidates(
+    sf_dir: str, variables: list[dict] | None = None
+) -> pd.DataFrame:
+    """Rank POINT_SOURCES by how much of the query bounding box their
+    coverage envelopes intersect: score = Σ_boxes intersect_area /
+    bbox_area (pinned box order). The bbox comes from a reference-style
+    ``geospatial_variable`` constraint when given, else DEFAULT_BBOX."""
+    from datamart_ray.search.query import parse_variables
+
+    cons = parse_variables(variables or [])
+    x_lo, x_hi, y_lo, y_hi = cons.bbox or DEFAULT_BBOX
+    area = (x_hi - x_lo) * (y_hi - y_lo)
+    rows = []
+    for label, t, k, b in POINT_SOURCES:
+        score = 0.0
+        n_hit = 0
+        for box in _boxes(sf_dir, t, k, b):  # pinned box order
+            w = min(x_hi, box["x_hi"]) - max(x_lo, box["x_lo"])
+            h = min(y_hi, box["y_hi"]) - max(y_lo, box["y_lo"])
+            if w > 0 and h > 0:
+                n_hit += 1
+                score += (w * h) / area
+        if n_hit:
+            rows.append(
+                {"source": label, "n_hit": n_hit, "score": score}
+            )
+    out = pd.DataFrame(rows, columns=["source", "n_hit", "score"])
+    out["n_hit"] = out["n_hit"].astype("int64")
+    out["score"] = round_away(out["score"], 4)
+    return out.sort_values(
+        ["score", "source"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
+def spatial_candidates_sql(
+    bbox: tuple[float, float, float, float] = DEFAULT_BBOX,
+) -> str:
+    x_lo, x_hi, y_lo, y_hi = bbox
+    area = (x_hi - x_lo) * (y_hi - y_lo)
+    ctes = []
+    box_selects = []
+    for label, t, k, b in POINT_SOURCES:
+        ctes.append(
+            f"""pts_{label} AS (
+                SELECT ({k} % 100)::DOUBLE AS x, {b} / 100.0 AS y FROM {t}
+            ),
+            cuts_{label} AS (
+                SELECT band, max(x) AS hi FROM (
+                    SELECT x,
+                           CASE WHEN rk < cnt // 3 THEN 0
+                                WHEN rk < (2 * cnt) // 3 THEN 1
+                                ELSE 2 END AS band
+                    FROM (
+                        SELECT x, row_number() OVER (ORDER BY x) - 1 AS rk,
+                               count(*) OVER () AS cnt
+                        FROM pts_{label}
+                    )
+                ) GROUP BY band
+            )"""
+        )
+        box_selects.append(
+            f"""SELECT '{label}' AS source, box,
+                   min(x) AS x_lo, max(x) AS x_hi,
+                   min(y) AS y_lo, max(y) AS y_hi
+            FROM (
+                SELECT p.x, p.y,
+                       least(2, (SELECT count(*) FROM cuts_{label} c
+                                 WHERE c.hi < p.x)) AS box
+                FROM pts_{label} p
+            ) GROUP BY 1, 2"""
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + ", boxes AS (" + " UNION ALL ".join(box_selects) + ")"
+        + f"""
+        SELECT source, count(*) AS n_hit,
+               ROUND(sum(
+                   (least({x_hi}, x_hi) - greatest({x_lo}, x_lo))
+                   * (least({y_hi}, y_hi) - greatest({y_lo}, y_lo))
+                   / {area} ORDER BY box
+               ), 4) AS score
+        FROM boxes
+        WHERE least({x_hi}, x_hi) - greatest({x_lo}, x_lo) > 0
+          AND least({y_hi}, y_hi) - greatest({y_lo}, y_lo) > 0
+        GROUP BY source
+        HAVING count(*) > 0
+        ORDER BY score DESC, source
+    """
+    )

@@ -147,3 +147,48 @@ def test_union_candidates_reference_rules(ray_session):
     assert (out["score"] > 0).all()
     # scores are sorted descending
     assert list(out["score"]) == sorted(out["score"], reverse=True)
+
+
+def test_spatial_candidates_bbox_variable(ray_session):
+    from datamart_ray.pipelines.spatial import search_spatial_candidates
+
+    sf = "/root/testdata/sf0.001"
+    base = search_spatial_candidates(sf)
+    assert len(base) > 0 and (base["score"] > 0).all()
+    # an explicit geospatial_variable bbox flows through the parser
+    # (x plays longitude, y latitude in the derived point space)
+    custom = search_spatial_candidates(
+        sf,
+        variables=[
+            {
+                "type": "geospatial_variable",
+                "longitude1": 0.0, "longitude2": 100.0,
+                "latitude1": -100.0, "latitude2": 100.0,
+            }
+        ],
+    )
+    # a bbox covering everything scores every source at ~full coverage
+    assert len(custom) == len(
+        search_spatial_candidates(
+            sf,
+            variables=[
+                {
+                    "type": "geospatial_variable",
+                    "longitude1": 0.0, "longitude2": 100.0,
+                    "latitude1": -100.0, "latitude2": 100.0,
+                }
+            ],
+        )
+    )
+    # a bbox far outside the data returns nothing
+    nowhere = search_spatial_candidates(
+        sf,
+        variables=[
+            {
+                "type": "geospatial_variable",
+                "longitude1": 5000.0, "longitude2": 6000.0,
+                "latitude1": 5000.0, "latitude2": 6000.0,
+            }
+        ],
+    )
+    assert len(nowhere) == 0
