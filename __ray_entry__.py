@@ -163,6 +163,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     out["sim_knn_ivf"] = knn_ivf
     out["ts_fingerprints"] = document_fingerprints
+    from datamart_ray.stages.multimodal import image_roundtrip_stats
+
+    out["mm_image_roundtrip"] = image_roundtrip_stats
     return out
 
 
@@ -251,4 +254,7 @@ def oracle_sql() -> dict[str, str]:
     out["sim_knn_lsh"] = knn_cosine_sql()
     out["sim_knn_ivf"] = knn_cosine_sql()
     out["ts_fingerprints"] = fingerprints_sql()
+    from datamart_ray.stages.multimodal import IMAGE_ROUNDTRIP_SQL
+
+    out["mm_image_roundtrip"] = IMAGE_ROUNDTRIP_SQL
     return out

@@ -284,3 +284,58 @@ def encode_wav(
         w.setframerate(sample_rate)
         w.writeframes(samples.astype(np.int16).tobytes())
     return buf.getvalue()
+
+
+def image_roundtrip_stats(sf_dir: str) -> "pd.DataFrame":
+    """Driver-gated proof of the REAL image codec: deterministically
+    render a PPM per document (size derived from n_chars), push the
+    binary payloads through the actor-pool decode stage, and report the
+    decoded dimensions. The DuckDB twin computes the expected sizes
+    directly from `documents` — any decoder drift breaks the hash."""
+    import pandas as pd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def render(t: pa.Table) -> pa.Table:
+        ids = t["item_id" if "item_id" in t.column_names else "doc_id"]
+        n = t["n_chars"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for nc in n:
+            w = int(nc % 16 + 2)
+            h = int(nc // 16 % 16 + 2)
+            grad = (
+                np.arange(w * h * 3, dtype=np.int64) % 256
+            ).astype(np.uint8).reshape(h, w, 3)
+            payloads.append(encode_ppm(grad))
+        return pa.table(
+            {
+                "item_id": ids,
+                "payload": pa.array(payloads, type=pa.binary()),
+                "mime": pa.array(
+                    ["image/x-ppm"] * t.num_rows, type=pa.string()
+                ),
+            }
+        )
+
+    out = (
+        decode_images(ds.map_batches(render, batch_format="pyarrow"))
+        .to_pandas()
+        .rename(columns={"item_id": "doc_id"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["ok"].all()
+    out["width"] = out["width"].astype("int64")
+    out["height"] = out["height"].astype("int64")
+    return out[["doc_id", "width", "height"]]
+
+
+IMAGE_ROUNDTRIP_SQL = """
+    SELECT doc_id,
+           n_chars % 16 + 2 AS width,
+           n_chars // 16 % 16 + 2 AS height
+    FROM documents
+    ORDER BY doc_id
+"""

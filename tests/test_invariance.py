@@ -69,3 +69,24 @@ def test_all_query_results_identical(variant_indexes):
                 np.asarray(r["score"]), np.asarray(base["score"]),
                 err_msg=q["name"],
             )
+
+
+def test_tercile_ranges_block_invariance(ray_session):
+    """Distributed exact quantiles are independent of block structure."""
+    import ray.data as rd
+
+    from datamart_ray.pipelines.ranges import tercile_ranges
+
+    path = "/root/testdata/sf0.001/lineitem.parquet"
+    a = tercile_ranges(
+        rd.read_parquet(path, columns=["l_quantity"]), "l_quantity"
+    )
+    b = tercile_ranges(
+        rd.read_parquet(path, columns=["l_quantity"]).repartition(7),
+        "l_quantity",
+    )
+    c = tercile_ranges(
+        rd.read_parquet(path, columns=["l_quantity"]).repartition(1),
+        "l_quantity",
+    )
+    assert a == b == c
