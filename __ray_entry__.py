@@ -166,6 +166,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from datamart_ray.stages.multimodal import image_roundtrip_stats
 
     out["mm_image_roundtrip"] = image_roundtrip_stats
+    from datamart_ray.pipelines.augment import (
+        ag_join_orders_lineitem,
+        ag_union_customer_supplier,
+    )
+
+    out["ag_join_orders_lineitem"] = ag_join_orders_lineitem
+    out["ag_union_customer_supplier"] = ag_union_customer_supplier
     return out
 
 
@@ -257,4 +264,8 @@ def oracle_sql() -> dict[str, str]:
     from datamart_ray.stages.multimodal import IMAGE_ROUNDTRIP_SQL
 
     out["mm_image_roundtrip"] = IMAGE_ROUNDTRIP_SQL
+    from datamart_ray.pipelines.augment import AG_JOIN_SQL, AG_UNION_SQL
+
+    out["ag_join_orders_lineitem"] = AG_JOIN_SQL
+    out["ag_union_customer_supplier"] = AG_UNION_SQL
     return out
