@@ -564,7 +564,7 @@ def popcount64(x: np.ndarray) -> np.ndarray:
 def simhash_dup_pairs(
     sf_dir: str,
     threshold: float = 0.5,
-    max_hamming: int = 10,
+    max_hamming: int = 12,
     shingle_n: int = 3,
     pair_cap: int = BUCKET_PAIR_CAP,
 ) -> pd.DataFrame:
@@ -574,10 +574,11 @@ def simhash_dup_pairs(
     groupby → Hamming filter → exact shingle-Jaccard ≥ threshold.
 
     Output is the VERIFIED (doc_a, doc_b, jaccard) list, so the DuckDB
-    all-pairs twin (:func:`shingle_jaccard_sql`) gates it exactly: on the
-    test corpora every true pair sits at Hamming ≤ 8 while the closest
-    non-dup pair is at 14 (measured), so max_hamming=10 is recall-complete
-    with margin."""
+    all-pairs twin (:func:`shingle_jaccard_sql`) gates it exactly:
+    measured across sf0.001/0.01/0.1 every true (j≥0.5) pair sits at
+    Hamming ≤ 12, so max_hamming=12 is recall-complete; false positives
+    above the band (closest false pair: Hamming 10) are removed by the
+    exact-Jaccard verification, which only needs recall from the bands."""
     ensure_fast_shuffle()
     path = f"{sf_dir}/documents.parquet"
     ds = rd.read_parquet(path, columns=["doc_id", "text"])
