@@ -75,10 +75,12 @@ class SegmentReader:
         self.manifest = read_manifest(seg_dir)
         self.n_docs = self.manifest["n_docs"]
         self.total_doclen = self.manifest["total_doclen"]
+        # term dictionary as sorted parallel arrays + binary search —
+        # several times more compact than a Python dict (terms.parquet is
+        # written term-sorted), which matters at giant-segment vocab sizes
         t = pq.read_table(os.path.join(seg_dir, "terms.parquet"))
-        self._df = dict(
-            zip(t["term"].to_pylist(), t["df"].to_pylist())
-        )
+        self._dict_terms = t["term"].to_numpy(zero_copy_only=False)
+        self._dict_dfs = t["df"].to_numpy()
         self._postings_dir = os.path.join(seg_dir, "postings")
         self._post_table: pa.Table | None = None
         self._term_rows: dict[str, np.ndarray] | None = None
@@ -103,7 +105,13 @@ class SegmentReader:
         self._tombstones = np.sort(read_tombstones(seg_dir))
 
     def df(self, term: str) -> int:
-        return self._df.get(term, 0)
+        i = int(np.searchsorted(self._dict_terms, term))
+        if (
+            i < self._dict_terms.size
+            and self._dict_terms[i] == term
+        ):
+            return int(self._dict_dfs[i])
+        return 0
 
     def _ensure_postings(self) -> None:
         """Load the segment's posting-chunk table once and index rows by
@@ -369,21 +377,34 @@ class SearchEngine:
 
 @ray.remote
 class SegmentScorer:
-    """One long-lived scorer actor per segment (SURVEY.md §2.3 ST8)."""
+    """Long-lived scorer actor over one or MORE segments (SURVEY.md §2.3
+    ST8). With many segments, DistributedSearchEngine packs several per
+    actor (actor count capped at cluster size) — per-segment scoring and
+    the pinned top-k merge are unchanged, so results stay rank-identical
+    to one-actor-per-segment."""
 
     def __init__(
         self,
-        seg_dir: str,
+        seg_dirs: str | list[str],
         filter_cols: tuple = ("lang", "repo"),
         lazy: bool = False,
     ):
-        self.reader = SegmentReader(seg_dir, filter_cols, lazy=lazy)
+        if isinstance(seg_dirs, str):
+            seg_dirs = [seg_dirs]
+        self.readers = [
+            SegmentReader(d, filter_cols, lazy=lazy) for d in seg_dirs
+        ]
 
     def stats(self) -> tuple[int, int]:
-        return self.reader.n_docs, self.reader.total_doclen
+        return (
+            sum(r.n_docs for r in self.readers),
+            sum(r.total_doclen for r in self.readers),
+        )
 
     def dfs(self, terms: list[str]) -> dict[str, int]:
-        return {t: self.reader.df(t) for t in terms}
+        return {
+            t: sum(r.df(t) for r in self.readers) for t in terms
+        }
 
     def top_k(
         self,
@@ -395,10 +416,21 @@ class SegmentScorer:
         filters: dict[str, str] | None,
         params: BM25Params,
     ) -> tuple[np.ndarray, np.ndarray]:
-        d, s = _score_segment(
-            self.reader, terms, idfs, avgdl, mode, filters, params, k=k
+        parts_d, parts_s = [], []
+        for reader in self.readers:
+            d, s = _score_segment(
+                reader, terms, idfs, avgdl, mode, filters, params, k=k
+            )
+            if d.size:
+                dk, sk = topk_select(d, s, k)
+                parts_d.append(dk)
+                parts_s.append(sk)
+        if not parts_d:
+            e = np.empty(0, dtype=np.int64)
+            return e, np.empty(0, dtype=np.float64)
+        return topk_select(
+            np.concatenate(parts_d), np.concatenate(parts_s), k
         )
-        return topk_select(d, s, k)
 
 
 class DistributedSearchEngine:
@@ -414,6 +446,7 @@ class DistributedSearchEngine:
         index_dir: str,
         params: BM25Params = BM25Params(),
         lazy: bool = False,
+        max_actors: int | None = None,
     ):
         with open(os.path.join(index_dir, INDEX_MANIFEST_NAME)) as f:
             self.manifest = json.load(f)
@@ -422,8 +455,19 @@ class DistributedSearchEngine:
         seg_dirs = active_segments(index_dir)
         if not seg_dirs:
             raise ValueError(f"no committed segments under {index_dir}")
+        if max_actors is None:
+            try:
+                max_actors = max(
+                    1, int(ray.cluster_resources().get("CPU", 4))
+                )
+            except Exception:
+                max_actors = 4
+        n_actors = min(len(seg_dirs), max_actors)
+        groups: list[list[str]] = [[] for _ in range(n_actors)]
+        for i, d in enumerate(seg_dirs):  # round-robin packing
+            groups[i % n_actors].append(d)
         self.actors = [
-            SegmentScorer.remote(d, lazy=lazy) for d in seg_dirs
+            SegmentScorer.remote(g, lazy=lazy) for g in groups
         ]
         stats = ray.get([a.stats.remote() for a in self.actors])
         self.n_docs = sum(n for n, _ in stats)

@@ -201,3 +201,29 @@ def test_lazy_reader_matches_eager(ray_session, tmp_path):
     c = lazy.search(q0["query"], k=50, mode=q0["mode"])
     d = lazy.search(q0["query"], k=50, mode=q0["mode"])
     assert c["doc_id"].to_pylist() == d["doc_id"].to_pylist()
+
+
+def test_distributed_engine_actor_packing(ray_session, tmp_path):
+    """max_actors < n_segments packs several readers per scorer actor;
+    results stay identical to one-actor-per-segment."""
+    from datamart_ray.corpus import generate_corpus, reference_queries
+    from datamart_ray.index.build import IndexConfig, build_index
+    from datamart_ray.search.engine import DistributedSearchEngine
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, n_files=120, vocab_size=800, n_output_files=4)
+    idx = str(tmp_path / "idx")
+    build_index(
+        corpus, idx, IndexConfig(docs_per_spec=30, segment_docs=30)
+    )
+    wide = DistributedSearchEngine(idx)  # one actor per segment
+    assert len(wide.actors) == 4
+    packed = DistributedSearchEngine(idx, max_actors=2)
+    assert len(packed.actors) == 2
+    for q in reference_queries()[:6]:
+        a = wide.search(q["query"], k=50, mode=q["mode"])
+        b = packed.search(q["query"], k=50, mode=q["mode"])
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+        assert a["score"].to_pylist() == b["score"].to_pylist(), q
+    wide.shutdown()
+    packed.shutdown()
