@@ -1,0 +1,182 @@
+"""Operational CLI — the batch analog of the reference's service surface
+(apiserver REST endpoints + coordinator scripts):
+
+    python -m datamart_ray build   --input DIR --index DIR [--stem porter]
+    python -m datamart_ray search  --index DIR --query "..." [--mode or]
+                                   [--k 50] [--filter lang=python] [--json]
+    python -m datamart_ray delta   --index DIR --input DIR
+    python -m datamart_ray delete  --index DIR --ids 1,2,3 | --where lang=python
+    python -m datamart_ray compact --index DIR
+    python -m datamart_ray profile --sf DIR            (profile-index build)
+    python -m datamart_ray augment --sf DIR --task join|union
+
+Owns its Ray session (guarded init, shutdown on exit) — library code
+never calls ray.init().
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _parse_filters(pairs: list[str]) -> dict[str, str]:
+    out = {}
+    for p in pairs or []:
+        k, _, v = p.partition("=")
+        if not k or not v:
+            raise SystemExit(f"bad --filter {p!r} (want col=value)")
+        out[k] = v
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="datamart_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build (or resume) an index")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--stem", default=None, choices=[None, "porter"])
+    b.add_argument("--segment-docs", type=int, default=4_000_000)
+
+    s = sub.add_parser("search", help="BM25 top-k query")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--mode", default="and", choices=["and", "or"])
+    s.add_argument("--k", type=int, default=50)
+    s.add_argument("--filter", action="append", default=[])
+    s.add_argument("--distributed", action="store_true")
+    s.add_argument("--lazy", action="store_true")
+    s.add_argument("--json", action="store_true")
+
+    d = sub.add_parser("delta", help="ingest new files as a delta segment")
+    d.add_argument("--index", required=True)
+    d.add_argument("--input", required=True)
+
+    x = sub.add_parser("delete", help="tombstone documents")
+    x.add_argument("--index", required=True)
+    x.add_argument("--ids", default=None)
+    x.add_argument("--where", default=None)
+
+    c = sub.add_parser("compact", help="merge segments, drop tombstones")
+    c.add_argument("--index", required=True)
+
+    p = sub.add_parser("profile", help="build the profile (range) index")
+    p.add_argument("--sf", required=True)
+
+    a = sub.add_parser("augment", help="run an augmentation task")
+    a.add_argument("--sf", required=True)
+    a.add_argument("--task", required=True, choices=["join", "union"])
+
+    args = ap.parse_args(argv)
+
+    import ray
+
+    owned = not ray.is_initialized()
+    if owned:
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    try:
+        return _run(args)
+    finally:
+        if owned:
+            ray.shutdown()
+
+
+def _run(args) -> int:
+    if args.cmd == "build":
+        from datamart_ray.analyzer import Analyzer
+        from datamart_ray.index.build import IndexConfig, build_index
+
+        cfg = IndexConfig(
+            analyzer=Analyzer(stem=args.stem),
+            segment_docs=args.segment_docs,
+        )
+        manifest = build_index(args.input, args.index, cfg)
+        print(json.dumps(manifest))
+        return 0
+    if args.cmd == "search":
+        from datamart_ray.search.engine import (
+            DistributedSearchEngine,
+            SearchEngine,
+        )
+
+        if args.distributed:
+            eng = DistributedSearchEngine(args.index, lazy=args.lazy)
+        else:
+            eng = SearchEngine(args.index, lazy=args.lazy)
+        t = eng.search(
+            args.query,
+            k=args.k,
+            mode=args.mode,
+            filters=_parse_filters(args.filter) or None,
+        )
+        rows = list(
+            zip(t["doc_id"].to_pylist(), t["score"].to_pylist())
+        )
+        if args.json:
+            print(
+                json.dumps(
+                    [{"doc_id": d, "score": s} for d, s in rows]
+                )
+            )
+        else:
+            for d, s in rows:
+                print(f"{d}\t{s:.6f}")
+        if args.distributed:
+            eng.shutdown()
+        return 0
+    if args.cmd == "delta":
+        from datamart_ray.index.maintain import ingest_delta
+
+        print(json.dumps(ingest_delta(args.index, args.input), default=str))
+        return 0
+    if args.cmd == "delete":
+        from datamart_ray.index.maintain import delete_docs, delete_where
+
+        if args.ids:
+            n = delete_docs(
+                args.index, [int(x) for x in args.ids.split(",")]
+            )
+        elif args.where:
+            col, _, val = args.where.partition("=")
+            n = delete_where(args.index, col, val)
+        else:
+            raise SystemExit("delete needs --ids or --where")
+        print(json.dumps({"deleted": n}))
+        return 0
+    if args.cmd == "compact":
+        from datamart_ray.index.maintain import compact_segments
+
+        print(json.dumps(compact_segments(args.index), default=str))
+        return 0
+    if args.cmd == "profile":
+        from datamart_ray.pipelines.profindex import build_profile_index
+
+        idx = build_profile_index(args.sf)
+        print(idx.to_json(orient="records"))
+        return 0
+    if args.cmd == "augment":
+        from datamart_ray.pipelines.augment import (
+            ag_join_orders_lineitem,
+            ag_union_customer_supplier,
+        )
+
+        fn = (
+            ag_join_orders_lineitem
+            if args.task == "join"
+            else ag_union_customer_supplier
+        )
+        out = fn(args.sf)
+        print(out.head(20).to_json(orient="records"))
+        return 0
+    raise SystemExit(f"unknown command {args.cmd}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -75,3 +75,43 @@ def test_entry_smoke(ray_session):
         else set(res.columns)
     )
     assert cols == {"doc_id", "score"}
+
+
+def test_cli_build_search_delete_compact(ray_session, tmp_path, capsys):
+    """The operational CLI drives build → search → delete → compact →
+    search with consistent results (in-process: the guarded ray.init
+    sees the session fixture and does not own it)."""
+    import json
+
+    from datamart_ray.__main__ import main
+    from datamart_ray.corpus import generate_corpus
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, n_files=80, vocab_size=500, n_output_files=2)
+    idx = str(tmp_path / "idx")
+    assert main(["build", "--input", corpus, "--index", idx]) == 0
+    manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest["built"] == ["seg-00000"]
+
+    assert main(
+        ["search", "--index", idx, "--query", "qzcommonneedle",
+         "--mode", "or", "--json"]
+    ) == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(hits) > 2
+    victim = hits[0]["doc_id"]
+
+    assert main(
+        ["delete", "--index", idx, "--ids", str(victim)]
+    ) == 0
+    assert json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    ) == {"deleted": 1}
+    assert main(["compact", "--index", idx]) == 0
+    capsys.readouterr()
+    assert main(
+        ["search", "--index", idx, "--query", "qzcommonneedle",
+         "--mode", "or", "--json"]
+    ) == 0
+    hits2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert victim not in [h["doc_id"] for h in hits2]
