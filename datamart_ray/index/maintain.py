@@ -123,7 +123,9 @@ def delete_where(index_dir: str, column: str, value) -> int:
 
 
 def compact_segments(
-    index_dir: str, config: IndexConfig | None = None
+    index_dir: str,
+    config: IndexConfig | None = None,
+    rechunk: bool = False,
 ) -> dict:
     """Merge every committed segment into one, making tombstoned deletes
     permanent (the Lucene merge analog; completes U5's delete semantics).
@@ -181,13 +183,62 @@ def compact_segments(
     seg_name = f"seg-{next_idx:05d}"
     max_doc_id = max(_segment_max_doc_id(d) for d in seg_dirs)
 
-    # --- postings: strip tombstones per chunk, then re-chunk per term ----
+    # --- postings -------------------------------------------------------
+    # Default: streaming chunk-strip — a chunk whose [first, last] docID
+    # range contains NO tombstone passes through VERBATIM (readers merge
+    # per-term chunks across files and re-sort defensively, so chunk
+    # provenance doesn't matter); only dirty chunks are decoded, stripped
+    # and re-encoded. No shuffle, no whole-corpus re-chunk. After many
+    # delete/compact cycles chunk sizes fragment below chunk_docs —
+    # ``rechunk=True`` runs the full explode → groupby(term) → rebuild
+    # instead (the Lucene-style merge).
     chunker = _BuildChunks(config.chunk_docs)
 
+    def strip_chunks(t: pa.Table) -> pa.Table:
+        tl = np.asarray(tombs_list, dtype=np.int64)
+        if tl.size == 0:
+            return t
+        first = t["first_docid"].to_numpy()
+        last = t["last_docid"].to_numpy()
+        lo = np.searchsorted(tl, first)
+        dirty = (lo < tl.size) & (
+            tl[np.minimum(lo, tl.size - 1)] <= last
+        )
+        clean = t.filter(pa.array(~dirty))
+        if not dirty.any():
+            return clean
+        d = t.filter(pa.array(dirty))
+        rows = {c: [] for c in POSTINGS_SCHEMA.names}
+        terms = d["term"].to_pylist()
+        docs_col = d["docs"].to_pylist()
+        tfs_col = d["tfs"].to_pylist()
+        for i in range(d.num_rows):  # dirty chunks only
+            docs = codec.decode_docids(docs_col[i])
+            tfs = codec.unpack_ints(tfs_col[i]).astype(np.int64)
+            pos = np.searchsorted(tl, docs)
+            ok = np.ones(docs.size, dtype=bool)
+            inr = pos < tl.size
+            ok[inr] = tl[pos[inr]] != docs[inr]
+            docs, tfs = docs[ok], tfs[ok]
+            if docs.size == 0:
+                continue
+            rows["term"].append(terms[i])
+            rows["first_docid"].append(int(docs[0]))
+            rows["last_docid"].append(int(docs[-1]))
+            rows["df"].append(int(docs.size))
+            rows["max_tf"].append(int(tfs.max()))
+            rows["docs"].append(codec.encode_docids(docs))
+            rows["tfs"].append(codec.pack_ints(tfs))
+        stripped = pa.table(
+            {
+                name: pa.array(rows[name], type=POSTINGS_SCHEMA.field(name).type)
+                for name in POSTINGS_SCHEMA.names
+            }
+        )
+        return pa.concat_tables([clean, stripped])
+
     def strip_and_explode(t: pa.Table) -> pa.Table:
-        """Decode chunks (skipping the strip when no tombstone overlaps),
-        drop deleted docs, re-emit as (term, doc_id, tf) triples for the
-        term groupby that rebuilds clean chunks."""
+        """rechunk path: decode, drop deleted docs, re-emit triples."""
         tl = np.asarray(tombs_list, dtype=np.int64)
         terms_out, docs_out, tfs_out = [], [], []
         for row in t.to_pylist():
@@ -236,12 +287,17 @@ def compact_segments(
         for f in sorted(os.listdir(os.path.join(d, "postings")))
         if f.endswith(".parquet")
     ]
-    triples = rd.read_parquet(posting_paths).map_batches(
-        strip_and_explode, batch_format="pyarrow"
-    )
-    chunks = triples.groupby("term").map_groups(
-        rebuild, batch_format="pyarrow"
-    )
+    if rechunk:
+        triples = rd.read_parquet(posting_paths).map_batches(
+            strip_and_explode, batch_format="pyarrow"
+        )
+        chunks = triples.groupby("term").map_groups(
+            rebuild, batch_format="pyarrow"
+        )
+    else:
+        chunks = rd.read_parquet(posting_paths).map_batches(
+            strip_chunks, batch_format="pyarrow"
+        )
     chunks.write_parquet(os.path.join(tmp_dir, "postings"))
 
     # --- docmeta minus tombstones ---------------------------------------

@@ -221,3 +221,28 @@ def test_compact_swap_is_crash_safe(ray_session, tmp_path):
     removed = _gc_orphan_segments(idx)
     assert removed == [os.path.basename(old_dirs[0])]
     assert len(list_committed_segments(idx)) == 1
+
+
+def test_compaction_rechunk_path_equivalent(ray_session, tmp_path):
+    """Default streaming chunk-strip and full rechunk produce identical
+    search results after deletes."""
+    from datamart_ray.index.maintain import compact_segments
+    import shutil
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, n_files=80, vocab_size=500, n_output_files=2)
+    for mode in (False, True):
+        idx = str(tmp_path / f"idx_{mode}")
+        build_index(
+            corpus, idx, IndexConfig(docs_per_spec=40, segment_docs=50)
+        )
+        delete_docs(idx, [1, 5, 9, 33])
+        compact_segments(idx, rechunk=mode)
+    a = SearchEngine(str(tmp_path / "idx_False"))
+    b = SearchEngine(str(tmp_path / "idx_True"))
+    for q, m in [("qzcommonneedle", "and"), ("qzstopneedle qzpairneedlea", "or")]:
+        ra = a.search(q, k=100, mode=m)
+        rb = b.search(q, k=100, mode=m)
+        assert ra["doc_id"].to_pylist() == rb["doc_id"].to_pylist(), q
+        assert ra["score"].to_pylist() == rb["score"].to_pylist(), q
+    assert a.n_docs == b.n_docs == 76
