@@ -513,6 +513,84 @@ class DistributedSearchEngine:
             }
         )
 
+    def search_many(
+        self,
+        queries: list[dict],
+    ) -> list[pa.Table]:
+        """Pipelined batch execution: ONE df round for the union of all
+        queries' terms, then every (query × actor) scoring call submitted
+        at once — actors interleave work instead of idling between
+        queries. Each query dict: {"query": str, "k"?, "mode"?,
+        "filters"?}. Results are per-query tables, identical to calling
+        :meth:`search` serially (same global stats, same tie-breaks)."""
+        plans = []
+        all_terms: list[str] = []
+        seen = set()
+        for q in queries:
+            terms = list(dict.fromkeys(self.analyzer.tokenize(q["query"])))
+            plans.append(
+                {
+                    "terms": terms,
+                    "k": q.get("k", TOP_K_SIZE),
+                    "mode": q.get("mode", "and"),
+                    "filters": q.get("filters"),
+                }
+            )
+            for t in terms:
+                if t not in seen:
+                    seen.add(t)
+                    all_terms.append(t)
+        if all_terms:
+            df_maps = ray.get(
+                [a.dfs.remote(all_terms) for a in self.actors]
+            )
+            df_of = {
+                t: sum(m[t] for m in df_maps) for t in all_terms
+            }
+        else:
+            df_of = {}
+        futures = []
+        for p in plans:
+            if not p["terms"]:
+                futures.append(None)
+                continue
+            idfs = {
+                t: bm25_idf(df_of[t], self.n_docs, self.params)
+                for t in p["terms"]
+            }
+            futures.append(
+                [
+                    a.top_k.remote(
+                        p["terms"], idfs, self.avgdl, p["k"],
+                        p["mode"], p["filters"], self.params,
+                    )
+                    for a in self.actors
+                ]
+            )
+        out = []
+        for p, fut in zip(plans, futures):
+            ids = np.empty(0, dtype=np.int64)
+            scores = np.empty(0, dtype=np.float64)
+            if fut is not None:
+                results = ray.get(fut)
+                parts_d = [d for d, _ in results if d.size]
+                parts_s = [s for _, s in results if s.size]
+                if parts_d:
+                    ids, scores = topk_select(
+                        np.concatenate(parts_d),
+                        np.concatenate(parts_s),
+                        p["k"],
+                    )
+            out.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(ids, type=pa.int64()),
+                        "score": pa.array(scores, type=pa.float64()),
+                    }
+                )
+            )
+        return out
+
     def shutdown(self):
         for a in self.actors:
             ray.kill(a)

@@ -227,3 +227,30 @@ def test_distributed_engine_actor_packing(ray_session, tmp_path):
         assert a["score"].to_pylist() == b["score"].to_pylist(), q
     wide.shutdown()
     packed.shutdown()
+
+
+def test_search_many_matches_serial(ray_session, tmp_path):
+    from datamart_ray.corpus import generate_corpus, reference_queries
+    from datamart_ray.index.build import IndexConfig, build_index
+    from datamart_ray.search.engine import DistributedSearchEngine
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, n_files=150, vocab_size=900, n_output_files=3)
+    idx = str(tmp_path / "idx")
+    build_index(corpus, idx, IndexConfig(docs_per_spec=50, segment_docs=60))
+    eng = DistributedSearchEngine(idx)
+    qs = [
+        {"query": q["query"], "mode": q["mode"], "k": 50,
+         "filters": {"lang": q["lang"]} if "lang" in q else None}
+        for q in reference_queries()
+    ]
+    batch = eng.search_many(qs)
+    for q, b in zip(qs, batch):
+        a = eng.search(
+            q["query"], k=50, mode=q["mode"], filters=q["filters"]
+        )
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+        assert a["score"].to_pylist() == b["score"].to_pylist(), q
+    # empty-term query yields an empty table, not an error
+    assert eng.search_many([{"query": "!!!"}])[0].num_rows == 0
+    eng.shutdown()
