@@ -246,3 +246,63 @@ def test_compaction_rechunk_path_equivalent(ray_session, tmp_path):
         assert ra["doc_id"].to_pylist() == rb["doc_id"].to_pylist(), q
         assert ra["score"].to_pylist() == rb["score"].to_pylist(), q
     assert a.n_docs == b.n_docs == 76
+
+
+def test_lifecycle_marathon_delta_delete_compact(ray_session, tmp_path):
+    """Three delete→compact→delta cycles: doc IDs stay globally unique,
+    crashed-compact leftovers are tolerated, and final results match an
+    exhaustive oracle over the surviving docs."""
+    import pyarrow.parquet as pq
+
+    from datamart_ray.index.maintain import compact_segments
+    from datamart_ray.oracle import PyBM25Oracle
+
+    idx = str(tmp_path / "idx")
+    corpora = []
+    for i in range(4):
+        c = str(tmp_path / f"c{i}")
+        generate_corpus(
+            c, n_files=40, vocab_size=400, n_output_files=1, seed=50 + i
+        )
+        corpora.append(c)
+    build_index(corpora[0], idx, IndexConfig(docs_per_spec=20))
+
+    alive: dict[int, str] = {}  # doc_id → content
+    t = pq.read_table(corpora[0])
+    for i, s in enumerate(t["content"].to_pylist()):
+        alive[i] = s
+    next_id = 40
+    for cycle, corpus in enumerate(corpora[1:]):
+        # delete two live docs, compact, then ingest the next corpus
+        victims = sorted(alive)[cycle : cycle + 2]
+        delete_docs(idx, victims)
+        for v in victims:
+            del alive[v]
+        # leave a fake stale tmp dir — compact must tolerate it
+        import os
+
+        os.makedirs(
+            os.path.join(idx, "segments", ".tmp-compact"), exist_ok=True
+        )
+        compact_segments(idx)
+        ingest_delta(idx, corpus, IndexConfig(docs_per_spec=20))
+        t = pq.read_table(corpus)
+        for i, s in enumerate(t["content"].to_pylist()):
+            alive[next_id + i] = s
+        next_id += 40
+
+    eng = SearchEngine(idx)
+    all_ids = np.concatenate([r._doc_ids for r in eng.readers])
+    assert np.unique(all_ids).size == all_ids.size
+    assert eng.n_docs == len(alive) == 160 - 6
+    oracle = PyBM25Oracle(sorted(alive.items()))
+    for q, mode in [
+        ("qzcommonneedle", "and"),
+        ("qzstopneedle qzpairneedlea", "or"),
+    ]:
+        got = eng.search(q, k=100, mode=mode)
+        want = oracle.search(q, k=100, mode=mode)
+        assert got["doc_id"].to_pylist() == [d for d, _ in want], q
+        assert np.allclose(
+            got["score"].to_pylist(), [s for _, s in want], atol=1e-9
+        ), q
