@@ -437,7 +437,7 @@ def build_segment(
             .groupby("bucket")
             .map_groups(build_bucket, batch_format="pyarrow")
         )
-    chunks.write_parquet(postings_dir)
+    chunks.write_parquet(postings_dir, row_group_size=4096)
     t_post = time.time()
     try:  # per-stage execution metrics → lineage record in the manifest
         ray_stats_tail = chunks.stats().splitlines()[-18:]

@@ -298,7 +298,9 @@ def compact_segments(
         chunks = rd.read_parquet(posting_paths).map_batches(
             strip_chunks, batch_format="pyarrow"
         )
-    chunks.write_parquet(os.path.join(tmp_dir, "postings"))
+    chunks.write_parquet(
+        os.path.join(tmp_dir, "postings"), row_group_size=4096
+    )
 
     # --- docmeta minus tombstones ---------------------------------------
     n_docs = 0
