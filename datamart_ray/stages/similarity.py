@@ -75,21 +75,26 @@ def knn_cosine(
 
     ds = rd.read_parquet(path, columns=[id_col, vec_col])
     partial = ds.map_batches(_score, batch_format="pyarrow")
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["sim", "neighbor_id"], ascending=[False, True]
-        ).head(k)
-        return g
-
-    out = (
-        partial.groupby("query_id")
-        .map_groups(final_topk, batch_format="pandas")
-        .to_pandas()
-    )
+    # final merge on the driver: the partial top-k output is bounded by
+    # (#blocks × #queries × k) rows, so a shuffle here would be pure
+    # overhead (measured ~1s of fixed sort-shuffle cost for 3 groups)
+    out = _finish_topk(partial.to_pandas(), k)
     out["sim"] = round_away(out["sim"], 4)
-    out = out.reset_index(drop=True)
-    return out
+    return out.reset_index(drop=True)
+
+
+def _finish_topk(partial: pd.DataFrame, k: int) -> pd.DataFrame:
+    if partial.empty:
+        return _empty_knn()
+    return (
+        partial.sort_values(
+            ["query_id", "sim", "neighbor_id"],
+            ascending=[True, False, True],
+        )
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
 
 
 def knn_lsh(
@@ -219,20 +224,23 @@ def _distributed_rescore(
             }
         )
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(
-            ["sim", "neighbor_id"], ascending=[False, True]
-        ).head(k)
+    # per-batch partial top-k keeps the collected rows bounded by
+    # (#blocks × #queries × k); the driver finishes the tiny merge
+    def batch_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return pa.Table.from_pandas(
+            _finish_topk(df, k), preserve_index=False
+        )
 
     out = (
         rd.read_parquet(path, columns=[id_col, vec_col])
         .map_batches(rescore, batch_format="pyarrow")
-        .groupby("query_id")
-        .map_groups(final_topk, batch_format="pandas")
+        .map_batches(batch_topk, batch_format="pyarrow")
         .to_pandas()
     )
     if out.empty:
         return empty
+    out = _finish_topk(out, k)
     out["sim"] = round_away(out["sim"], 4)
     return out.sort_values(
         ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
