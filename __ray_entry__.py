@@ -146,6 +146,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["pi_join_candidates"] = search_join_candidates
     out["pi_union_candidates"] = search_union_candidates
     out["pi_augmentation"] = search_augmentation_candidates
+    from datamart_ray.pipelines.profindex import search_datasets
+
+    out["pi_keyword_search"] = search_datasets
     from datamart_ray.stages.similarity import embedding_near_dups, knn_lsh
 
     # dedup/ANN entries: LSH candidate generation is probabilistic, but
@@ -246,6 +249,9 @@ def oracle_sql() -> dict[str, str]:
     out["pi_join_candidates"] = join_candidates_sql()
     out["pi_union_candidates"] = union_candidates_sql()
     out["pi_augmentation"] = augmentation_candidates_sql()
+    from datamart_ray.pipelines.profindex import search_datasets_sql
+
+    out["pi_keyword_search"] = search_datasets_sql()
 
     # dedup/ANN family: exhaustive twins of the verified outputs
     from datamart_ray.stages.dedup import shingle_jaccard_sql

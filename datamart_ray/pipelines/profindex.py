@@ -630,3 +630,96 @@ def augmentation_candidates_sql(query_table: str = "orders") -> str:
               + coalesce(c.cs, 0.0) > 0
         ORDER BY total DESC, candidate_table
     """
+
+
+# ----------------------------------------------------------------------
+# Keyword dataset search — the main /search scoring shape
+# (parse_keyword_query_main_index, search/__init__.py:55-107: keywords
+# are an AND filter over name/attribute keywords with weight 10,
+# multiplied into the variable should-score sum via function_score)
+# ----------------------------------------------------------------------
+
+KEYWORD_WEIGHT = 10  # reference search/__init__.py:139 ('weight': 10)
+
+
+def table_keywords(table: str) -> set[str]:
+    """Attribute-keyword set of a table: expanded table + column names
+    (the dataset_attribute_keywords field analog; M2 expansion)."""
+    from datamart_ray.pipelines.transforms import expand_attribute_name
+
+    words = set(expand_attribute_name(table))
+    for t, c, _ in UNION_COLUMNS:
+        if t == table:
+            words |= set(expand_attribute_name(c))
+    return words
+
+
+def search_datasets(
+    sf_dir: str,
+    keywords: str = "name acctbal",
+    query_table: str = "orders",
+) -> pd.DataFrame:
+    """Ranked dataset search: tables whose keyword set contains EVERY
+    query token (the multi_match operator:'and' filter), scored
+    KEYWORD_WEIGHT × their augmentation should-score sum (function_score
+    score_mode sum / boost_mode multiply)."""
+    toks = [w.lower() for w in keywords.split() if w]
+    aug = search_augmentation_candidates(sf_dir, query_table)
+    rows = []
+    for _, r in aug.iterrows():
+        kws = table_keywords(r["candidate_table"])
+        if toks and all(t in kws for t in toks):
+            rows.append(
+                {
+                    "candidate_table": r["candidate_table"],
+                    "score": float(KEYWORD_WEIGHT * r["total"]),
+                }
+            )
+    out = pd.DataFrame(rows, columns=["candidate_table", "score"])
+    out["score"] = round_away(out["score"], 4)
+    return out.sort_values(
+        ["score", "candidate_table"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
+def search_datasets_sql(
+    keywords: str = "name acctbal", query_table: str = "orders"
+) -> str:
+    from datamart_ray.pipelines.transforms import _BOUNDARY_SUBS
+
+    toks = [w.lower() for w in keywords.split() if w]
+    names = []
+    seen_tables = set()
+    for t, c, _ in UNION_COLUMNS:
+        if t != query_table:
+            if t not in seen_tables:
+                seen_tables.add(t)
+                names.append((t, t))
+            names.append((t, c))
+    nv = ", ".join(f"('{t}', '{n}')" for t, n in names)
+    kv = ", ".join(f"('{k}')" for k in toks)
+    expr = "nm"
+    for pat, rep in _BOUNDARY_SUBS:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return f"""
+        WITH aug AS ({augmentation_candidates_sql(query_table)}),
+        names(tbl, nm) AS (VALUES {nv}),
+        kw(k) AS (VALUES {kv}),
+        toks AS (
+            SELECT DISTINCT tbl,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower({expr}), '\\s+'),
+                       t -> t != ''
+                   )) AS token
+            FROM names
+        ),
+        matched AS (
+            SELECT tbl FROM toks JOIN kw ON toks.token = kw.k
+            GROUP BY tbl
+            HAVING count(DISTINCT token) = {len(toks)}
+        )
+        SELECT candidate_table,
+               ROUND({KEYWORD_WEIGHT} * total, 4) AS score
+        FROM aug JOIN matched ON matched.tbl = aug.candidate_table
+        ORDER BY score DESC, candidate_table
+    """

@@ -65,8 +65,11 @@ def langid_breakdown(sf_dir: str) -> pd.DataFrame:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
 
-    def pred(t: pa.Table) -> pa.Table:
-        return pa.table(
+    def pred_counts(t: pa.Table) -> pa.Table:
+        # partial (lang, predicted) counts per batch — the collected set
+        # is bounded by #batches × |langs|², so the driver finishes the
+        # merge and no shuffle runs at all
+        part = pa.table(
             {
                 "lang": t["lang"],
                 "predicted": pa.array(
@@ -74,14 +77,17 @@ def langid_breakdown(sf_dir: str) -> pd.DataFrame:
                 ),
             }
         )
-
-    from ray.data.aggregate import Count
+        return (
+            part.group_by(["lang", "predicted"])
+            .aggregate([("predicted", "count")])
+            .rename_columns(["lang", "predicted", "n"])
+        )
 
     out = (
-        ds.map_batches(pred, batch_format="pyarrow")
-        .groupby(["lang", "predicted"])
-        .aggregate(Count(alias_name="n"))
+        ds.map_batches(pred_counts, batch_format="pyarrow")
         .to_pandas()
+        .groupby(["lang", "predicted"], as_index=False)["n"]
+        .sum()
     )
     out["n"] = out["n"].astype("int64")
     return out
