@@ -462,3 +462,34 @@ def test_knn_ivf_matches_exact(ray_session):
     exact = knn_cosine(sf, query_ids=(0, 1), k=5).reset_index(drop=True)
     ivf = knn_ivf(sf, query_ids=(0, 1), k=5).reset_index(drop=True)
     assert exact.equals(ivf)
+
+
+def test_untyped_vote_edges():
+    """Structural regex vote edge semantics (reference
+    profile_types.py:121-137 + 2% tolerance)."""
+    from datamart_ray.pipelines.untyped import _count_batch
+
+    # all-empty column → 'missing' is decided by n_empty == n_total
+    c = _count_batch(pa.array(["", "", None], type=pa.string()))
+    assert c["n_empty"] == 3 and c["n_total"] == 3
+
+    # exclusive chain: "4.0" is an INTEGER (reference _re_int), never float
+    c = _count_batch(pa.array(["4.0", "7.000", "3.5", ".5", "1e9"]))
+    assert c["n_int"] == 2
+    assert c["n_float"] == 2  # 3.5 and .5 ("1e9" needs a decimal point)
+
+    # bool is counted independently of the int chain ("0"/"1" are both)
+    c = _count_batch(pa.array(["0", "1", "yes", "No", "maybe"]))
+    assert c["n_int"] == 2 and c["n_bool"] == 4
+
+    # WKT point with comma goes to other_point, not point
+    c = _count_batch(
+        pa.array(["POINT (1.5 2.5)", "POINT (1.5, 2.5)"])
+    )
+    assert c["n_point"] == 1 and c["n_other_point"] == 1
+
+    # free text needs >= 3 whitespace runs
+    c = _count_batch(
+        pa.array(["one two three four", "one two three", "word"])
+    )
+    assert c["n_text"] == 1
