@@ -3,15 +3,18 @@
 - exact: hash-partition + per-group first (U2; the Ray analog of the
   reference's seen-set dedups, e.g. socrata_discovery.py:77-78) — see also
   ``pipelines.fulltext.ft_exact_dedup``.
-- MinHash + LSH near-dup: shingle → minhash signature → band → bucket
-  groupby → candidate pairs → exact n-gram-Jaccard verification. The analog
-  of the reference's Lazo MinHash sketches (ST1/J6,
-  lib_profiler/datamart_profiler/core.py:502-557) re-expressed as pure
-  Ray Data: signatures are computed vectorized per batch, the only shuffle
-  is the (band, bucket) groupby, and verification joins text back via a
-  broadcast of candidate doc texts (candidate sets are tiny vs the corpus).
-- SimHash: 64-bit signatures + banded grouping for Hamming-distance ≤ k
-  candidates.
+- MinHash + LSH near-dup: global shingle stream → vectorized signatures
+  (one minimum.reduceat per permutation) → band buckets → ONE shard-key
+  shuffle with vectorized in-task group expansion (never per-group
+  dispatch; oversized buckets emit capped star pairs) → exact
+  shingle-Jaccard verification over a distributed candidate fetch. The
+  analog of the reference's Lazo MinHash sketches (ST1/J6,
+  lib_profiler/datamart_profiler/core.py:502-557).
+- SimHash: shingle-set 64-bit signatures + pigeonhole banding
+  (max_hamming+1 bands) → Hamming filter → the same exact verification;
+  `simhash64`/`batch_simhash` keep the classic token-multiset variant.
+- exact keep-first: `exact_dedup_first` (survivor rule per duplicate
+  key, map-side combine + shard shuffle).
 
 All hash functions are fixed-seed and deterministic across runs and
 parallelism levels.

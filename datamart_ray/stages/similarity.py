@@ -7,8 +7,12 @@ a tiny groupby. This is the scale path for "score 100 TB of embeddings
 against a handful of queries": the only data motion is the partial top-k
 rows.
 
-An LSH-bucketed variant (random hyperplane signatures) provides the
-sublinear path: candidate buckets only, same verification kernel.
+Two sublinear paths share the exact distributed rescoring kernel:
+hyperplane-LSH banding (`knn_lsh`) and an inverted-file coarse
+quantizer (`knn_ivf`, deterministic spherical k-means). Embedding
+near-dup pairs (`embedding_near_dups`) use the same banding with
+exact-cosine verification; all are gated by exhaustive DuckDB twins
+(parameters measured recall-complete on the fixtures).
 """
 
 from __future__ import annotations
