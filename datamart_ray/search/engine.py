@@ -87,6 +87,7 @@ class SegmentReader:
         self.lazy = lazy
         self._lazy_cache_terms = lazy_cache_terms
         self._lazy_cache: "dict[str, pa.Table]" = {}
+        self._tc_cache: dict = {}  # term → TermChunks (decode memo inside)
         meta_dir = os.path.join(seg_dir, "docmeta")
         avail = set(
             pq.ParquetFile(
@@ -166,25 +167,27 @@ class SegmentReader:
             filters=[("term", "==", term)],
         )
 
+    def term_chunks(self, term: str):
+        """Cached TermChunks for `term` — block-max metadata plus a
+        per-chunk decode memo, so hot terms never re-decode varbyte."""
+        from datamart_ray.search.wand import TermChunks
+
+        hit = self._tc_cache.pop(term, None)
+        if hit is None:
+            hit = TermChunks(self.postings_chunks(term))
+        while len(self._tc_cache) >= self._lazy_cache_terms:
+            self._tc_cache.pop(next(iter(self._tc_cache)))
+        self._tc_cache[term] = hit
+        return hit
+
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
-        """All chunks of `term` merged → (sorted docIDs, aligned tfs)."""
-        t = self.postings_chunks(term)
-        if t.num_rows == 0:
+        """All chunks of `term` merged → (sorted docIDs, aligned tfs).
+        Chunks may interleave in id_col/salted modes — decode_all
+        restores global docID order."""
+        if self.df(term) == 0:
             e = np.empty(0, dtype=np.int64)
             return e, e
-        order = np.argsort(t["first_docid"].to_numpy(), kind="stable")
-        docs_col = t["docs"].to_pylist()
-        tfs_col = t["tfs"].to_pylist()
-        d = [codec.decode_docids(docs_col[i]) for i in order]
-        f = [codec.unpack_ints(tfs_col[i]).astype(np.int64) for i in order]
-        docs = np.concatenate(d)
-        tfs = np.concatenate(f)
-        if docs.size > 1 and not np.all(docs[1:] > docs[:-1]):
-            # chunks may interleave in id_col mode (user-assigned docIDs
-            # across partitions) — restore global docID order
-            o = np.argsort(docs, kind="stable")
-            docs, tfs = docs[o], tfs[o]
-        return docs, tfs
+        return self.term_chunks(term).decode_all()
 
     def doclen_of(self, docids: np.ndarray) -> np.ndarray:
         pos = np.searchsorted(self._doc_ids, docids)
@@ -237,11 +240,9 @@ def _score_segment(
 
     if mode == "or" and k is not None:
         # block-max pruned scoring (rank-identical to exhaustive; wand.py)
-        from datamart_ray.search.wand import TermChunks, pruned_or_scores
+        from datamart_ray.search.wand import pruned_or_scores
 
-        term_chunks = {
-            t: TermChunks(reader.postings_chunks(t)) for t in present
-        }
+        term_chunks = {t: reader.term_chunks(t) for t in present}
         return pruned_or_scores(
             term_chunks,
             terms,
@@ -259,9 +260,7 @@ def _score_segment(
         # rarest-first intersection with chunk skipping: only chunks whose
         # docID range contains a surviving candidate are ever decoded —
         # the frequent terms of a selective conjunction stay compressed.
-        from datamart_ray.search.wand import TermChunks
-
-        tcs = {t: TermChunks(reader.postings_chunks(t)) for t in present}
+        tcs = {t: reader.term_chunks(t) for t in present}
         order = sorted(present, key=lambda t: reader.df(t))
         post: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         docids, tf0 = tcs[order[0]].decode_all()

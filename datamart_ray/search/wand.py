@@ -48,6 +48,19 @@ class TermChunks:
         self._docs = [table["docs"][int(i)].as_py() for i in order]
         self._tfs = [table["tfs"][int(i)].as_py() for i in order]
         self.n = len(self._docs)
+        # per-chunk decode memo: a TermChunks cached by the reader (hot
+        # terms) never re-decodes the same varbyte chunk twice
+        self._memo: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _chunk(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        hit = self._memo.get(i)
+        if hit is None:
+            hit = (
+                codec.decode_docids(self._docs[i]),
+                codec.unpack_ints(self._tfs[i]).astype(np.int64),
+            )
+            self._memo[i] = hit
+        return hit
 
     def decode(self, keep: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Decode only the chunks flagged in boolean mask `keep`."""
@@ -55,8 +68,9 @@ class TermChunks:
         if idx.size == 0:
             e = np.empty(0, dtype=np.int64)
             return e, e
-        d = [codec.decode_docids(self._docs[i]) for i in idx]
-        f = [codec.unpack_ints(self._tfs[i]).astype(np.int64) for i in idx]
+        pairs = [self._chunk(int(i)) for i in idx]
+        d = [p[0] for p in pairs]
+        f = [p[1] for p in pairs]
         docs = np.concatenate(d)
         tfs = np.concatenate(f)
         if docs.size > 1 and not np.all(docs[1:] > docs[:-1]):

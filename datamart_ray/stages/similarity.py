@@ -2,8 +2,8 @@
 
 Baseline: brute-force cosine top-k — the query matrix is broadcast once
 (``ray.put``), each ``map_batches`` task does one numpy matmul against its
-batch (zero Python per-row work), partial top-k per batch, final top-k via
-a tiny groupby. This is the scale path for "score 100 TB of embeddings
+batch (zero Python per-row work), partial top-k per batch, bounded
+driver-side final merge. This is the scale path for "score 100 TB of embeddings
 against a handful of queries": the only data motion is the partial top-k
 rows.
 
