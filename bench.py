@@ -95,7 +95,9 @@ def run_bench() -> dict:
     extra["index_docs"] = CORPUS_FILES
     extra["docs_per_sec"] = round(CORPUS_FILES / timings["code_index_build"], 1)
 
-    eng = SearchEngine(index_dir)
+    # head-term warm-up (64 terms/segment): first-touch decode of head
+    # postings otherwise dominates the p95 tail
+    eng = SearchEngine(index_dir, warm_terms=64)
     lat = []
     qset = reference_queries()
     for _ in range(3):

@@ -319,6 +319,7 @@ class SearchEngine:
         params: BM25Params = BM25Params(),
         filter_cols: tuple = ("lang", "repo"),
         lazy: bool = False,
+        warm_terms: int = 0,
     ):
         with open(os.path.join(index_dir, INDEX_MANIFEST_NAME)) as f:
             self.manifest = json.load(f)
@@ -333,6 +334,21 @@ class SearchEngine:
         self.n_docs = sum(r.n_docs for r in self.readers)
         total_dl = sum(r.total_doclen for r in self.readers)
         self.avgdl = total_dl / self.n_docs if self.n_docs else 0.0
+        if warm_terms:
+            self.warm(warm_terms)
+
+    def warm(self, n_terms: int) -> int:
+        """Preload (and memo-decode) the n highest-df terms per segment —
+        head terms dominate query-cost tails, so warming them moves the
+        first-touch IO+decode out of the serving path. Returns the number
+        of (segment, term) pairs warmed."""
+        warmed = 0
+        for r in self.readers:
+            order = np.argsort(r._dict_dfs)[::-1][:n_terms]
+            for t in r._dict_terms[order]:
+                r.term_chunks(str(t)).decode_all()
+                warmed += 1
+        return warmed
 
     def df(self, term: str) -> int:
         return sum(r.df(term) for r in self.readers)
