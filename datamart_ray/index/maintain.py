@@ -452,3 +452,61 @@ def ingest_delta(
         },
     )
     return {"added": [seg_name], "manifest": manifest}
+
+
+def verify_index_invariant(index_dir: str) -> dict:
+    """Audit the per-row content-sha256 invariant: recompute each active
+    segment's sha rollup from its docmeta partitions AND re-hash the
+    SOURCE parquet content for the files the manifest claims, comparing
+    both against the committed ``sha256_rollup``. Streams the source in
+    manifest file order (never materializes the corpus); returns
+    {segment: {"docmeta_ok": bool, "source_ok": bool}}. The index-side
+    check always runs; the source check is skipped (None) for segments
+    whose source files no longer exist (e.g. post-compaction unions of
+    rotated inputs)."""
+    import hashlib
+
+    out = {}
+    for seg_dir in active_segments(index_dir):
+        m = read_manifest(seg_dir)
+        want = m["sha256_rollup"]
+        # index side: docmeta partitions in spec order
+        meta_dir = os.path.join(seg_dir, "docmeta")
+        rollup = hashlib.sha256()
+        for name in sorted(os.listdir(meta_dir)):
+            t = pq.read_table(
+                os.path.join(meta_dir, name), columns=["sha256"]
+            )
+            rollup.update(bytes.fromhex("".join(t["sha256"].to_pylist())))
+        docmeta_ok = rollup.hexdigest() == want
+        # source side: re-hash content row-by-row in (file, row) order
+        source_ok = None
+        files = [f["path"] for f in m["files"]]
+        if files and all(os.path.exists(p) for p in files):
+            # rollup = sha256 over the BYTES of each row's hex digest,
+            # streamed row-group by row-group in (file, row) order
+            src = hashlib.sha256()
+            for path in files:
+                pf = pq.ParquetFile(path)
+                for rg in range(pf.metadata.num_row_groups):
+                    content = pf.read_row_group(rg, columns=["content"])[
+                        "content"
+                    ]
+                    for s in content.to_pylist():
+                        src.update(
+                            bytes.fromhex(
+                                hashlib.sha256(
+                                    (s or "").encode("utf-8")
+                                ).hexdigest()
+                            )
+                        )
+            source_ok = (
+                src.hexdigest() == want
+                if m.get("n_deleted", 0) == 0
+                else None  # compacted rollup covers survivors only
+            )
+        out[os.path.basename(seg_dir)] = {
+            "docmeta_ok": docmeta_ok,
+            "source_ok": source_ok,
+        }
+    return out

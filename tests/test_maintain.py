@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from datamart_ray.corpus import generate_corpus
@@ -306,3 +307,30 @@ def test_lifecycle_marathon_delta_delete_compact(ray_session, tmp_path):
         assert np.allclose(
             got["score"].to_pylist(), [s for _, s in want], atol=1e-9
         ), q
+
+
+def test_verify_index_invariant(ray_session, tmp_path):
+    from datamart_ray.index.maintain import verify_index_invariant
+    import pyarrow.parquet as pq
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, n_files=50, vocab_size=300, n_output_files=2)
+    idx = str(tmp_path / "idx")
+    build_index(corpus, idx, IndexConfig(docs_per_spec=25))
+    rep = verify_index_invariant(idx)
+    assert all(
+        v["docmeta_ok"] and v["source_ok"] for v in rep.values()
+    ), rep
+    # corrupt one docmeta sha → the audit catches it
+    import glob
+
+    f = glob.glob(f"{idx}/segments/seg-00000/docmeta/*.parquet")[0]
+    t = pq.read_table(f)
+    bad = t.set_column(
+        t.schema.get_field_index("sha256"),
+        "sha256",
+        pa.array(["0" * 64] * t.num_rows),
+    )
+    pq.write_table(bad, f)
+    rep2 = verify_index_invariant(idx)
+    assert not all(v["docmeta_ok"] for v in rep2.values())
