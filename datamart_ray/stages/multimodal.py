@@ -339,3 +339,143 @@ IMAGE_ROUNDTRIP_SQL = """
     FROM documents
     ORDER BY doc_id
 """
+
+
+def _netpbm_end_offset(payload: bytes) -> int | None:
+    """Byte length of the netpbm image at the head of `payload`."""
+    if not payload.startswith((b"P5", b"P6")):
+        return None
+    channels = 3 if payload[:2] == b"P6" else 1
+    fields: list[int] = []
+    i = 2
+    n = len(payload)
+    while len(fields) < 3 and i < n:
+        c = payload[i : i + 1]
+        if c == b"#":
+            while i < n and payload[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not payload[j : j + 1].isspace():
+                j += 1
+            fields.append(int(payload[i:j]))
+            i = j
+    if len(fields) < 3 or i >= n:
+        return None
+    width, height, maxval = fields
+    bpp = 1 if maxval < 256 else 2
+    return i + 1 + width * height * channels * bpp
+
+
+class ResizeImageStage:
+    """Actor-pool stage: payload → payload resized to (out_w, out_h).
+    REAL nearest-neighbor resize for netpbm payloads (numpy index grids,
+    no deps); non-decodable payloads pass through with ok=False."""
+
+    def __init__(self, out_w: int = 32, out_h: int = 32):
+        self.out_w = out_w
+        self.out_h = out_h
+
+    def _resize_one(self, payload: bytes) -> tuple[bytes, bool]:
+        decoded = decode_netpbm(payload or b"")
+        if decoded is None:
+            return payload or b"", False
+        w, h, pix = decoded
+        ys = np.minimum(
+            (np.arange(self.out_h) * h) // self.out_h, h - 1
+        )
+        xs = np.minimum(
+            (np.arange(self.out_w) * w) // self.out_w, w - 1
+        )
+        out = pix[np.ix_(ys, xs)]
+        return encode_ppm(out.astype(np.uint8)), True
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = [self._resize_one(p) for p in t["payload"].to_pylist()]
+        payloads, ok = zip(*rows) if rows else ((), ())
+        return pa.table(
+            {
+                "item_id": t["item_id"],
+                "mime": t["mime"],
+                "payload": pa.array(list(payloads), type=pa.binary()),
+                "ok": pa.array(list(ok), type=pa.bool_()),
+            }
+        )
+
+
+def resize_images(
+    ds: rd.Dataset,
+    out_w: int = 32,
+    out_h: int = 32,
+    concurrency: tuple[int, int] = (1, 4),
+    batch_size: int = 64,
+) -> rd.Dataset:
+    return ds.map_batches(
+        ResizeImageStage,
+        fn_constructor_args=(out_w, out_h),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+class FrameSampleStage:
+    """Actor-pool stage: "video" payload (a concatenation of netpbm
+    frames — the dependency-free container stand-in for real video) →
+    one row per SAMPLED frame (every `stride`-th), flat_map-style.
+    Real video codecs (cv2/ffmpeg) would slot into _iter_frames; absent
+    here, non-netpbm payloads yield zero frames."""
+
+    def __init__(self, stride: int = 2, max_frames: int = 64):
+        self.stride = stride
+        self.max_frames = max_frames
+
+    def _iter_frames(self, payload: bytes):
+        off = 0
+        while off < len(payload):
+            ln = _netpbm_end_offset(payload[off:])
+            if ln is None:
+                return
+            yield payload[off : off + ln]
+            off += ln
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_id, out_idx, out_frame = [], [], []
+        for item_id, p in zip(
+            t["item_id"].to_pylist(), t["payload"].to_pylist()
+        ):
+            for i, frame in enumerate(self._iter_frames(p or b"")):
+                if i % self.stride:
+                    continue
+                out_id.append(item_id)
+                out_idx.append(i)
+                out_frame.append(frame)
+                if len(out_frame) >= self.max_frames:
+                    break
+        return pa.table(
+            {
+                "item_id": pa.array(out_id, type=pa.int64()),
+                "frame_index": pa.array(out_idx, type=pa.int32()),
+                "frame": pa.array(out_frame, type=pa.binary()),
+            }
+        )
+
+
+def sample_frames(
+    ds: rd.Dataset,
+    stride: int = 2,
+    concurrency: tuple[int, int] = (1, 4),
+    batch_size: int = 16,
+) -> rd.Dataset:
+    """Small batches: video payloads are the widest rows in the engine."""
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_args=(stride,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

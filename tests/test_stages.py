@@ -493,3 +493,35 @@ def test_untyped_vote_edges():
         pa.array(["one two three four", "one two three", "word"])
     )
     assert c["n_text"] == 1
+
+
+def test_multimodal_resize_and_frame_sample(ray_session):
+    from datamart_ray.stages.multimodal import (
+        decode_netpbm,
+        encode_ppm,
+        resize_images,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(3)
+    frames = [
+        encode_ppm(rng.integers(0, 256, size=(10, 8, 3), dtype=np.uint8))
+        for _ in range(5)
+    ]
+    items = [
+        {"item_id": 0, "payload": frames[0], "mime": "image/x-ppm"},
+        {"item_id": 1, "payload": b"junk", "mime": "image/x-ppm"},
+    ]
+    out = resize_images(rd.from_items(items), 4, 6).to_pandas()
+    row0 = out[out["item_id"] == 0].iloc[0]
+    assert bool(row0["ok"])
+    w, h, pix = decode_netpbm(row0["payload"])
+    assert (w, h) == (4, 6) and pix.shape == (6, 4, 3)
+    assert not bool(out[out["item_id"] == 1].iloc[0]["ok"])
+
+    video = [{"item_id": 7, "payload": b"".join(frames), "mime": "video/x-ppm-seq"}]
+    sampled = sample_frames(rd.from_items(video), stride=2).to_pandas()
+    assert list(sampled["frame_index"]) == [0, 2, 4]
+    # each sampled frame is itself a decodable image
+    for f in sampled["frame"]:
+        assert decode_netpbm(f) is not None
