@@ -134,6 +134,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from datamart_ray.pipelines.window import sliding_window_counts
 
     out["tw_sliding_window"] = sliding_window_counts
+    from datamart_ray.pipelines.joins import rj_acctbal_windows
+
+    out["rj_interval_join"] = rj_acctbal_windows
     out["sm_union_matches"] = union_column_matches
     out["sj_nearest_point"] = nearest_point_join
     from datamart_ray.pipelines.profindex import (
@@ -237,6 +240,9 @@ def oracle_sql() -> dict[str, str]:
     from datamart_ray.pipelines.window import sliding_window_sql
 
     out["tw_sliding_window"] = sliding_window_sql()
+    from datamart_ray.pipelines.joins import RJ_WINDOWS_SQL
+
+    out["rj_interval_join"] = RJ_WINDOWS_SQL
     out["sm_union_matches"] = union_matches_sql("/root/testdata/sf0.001")
     out["sj_nearest_point"] = nearest_sql()
 
