@@ -279,3 +279,142 @@ RJ_WINDOWS_SQL = """
     HAVING count(*) > 0
     ORDER BY window_id
 """
+
+
+def interval_join_shuffle(
+    big: rd.Dataset,
+    intervals: rd.Dataset,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    id_col: str = "window_id",
+    unit_scale: int = 100,
+    band_width: float | None = None,
+) -> pd.DataFrame:
+    """The BIG-BIG range join scale path (when the interval table itself
+    is too large to broadcast): band partitioning instead of a broadcast.
+
+    1. Pick a band width (given, or estimated distributed from interval
+       spans: ~4× the mean span, so an interval replicates to ≲2 bands
+       on average).
+    2. Intervals REPLICATE to every band they overlap; values map to
+       their single band — one shuffle co-locates each value with every
+       interval that could contain it.
+    3. Per (band) group: vectorized containment over the band's interval
+       set → per-interval fixed-point partials; a final tiny groupby
+       folds cross-band partials (an interval spans several bands).
+
+    Same output contract as :func:`interval_join_aggregate` (per-interval
+    count + fixed-point sum, intervals with 0 matches dropped).
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    from datamart_ray.util import ensure_fast_shuffle, to_units
+
+    ensure_fast_shuffle()
+    if band_width is None:
+        from ray.data.aggregate import Count as _Count
+
+        stats = intervals.map_batches(
+            lambda t: pa.table(
+                {
+                    "span": pa.array(
+                        [
+                            float(
+                                pa.compute.sum(
+                                    pa.compute.subtract(
+                                        t[hi_col], t[lo_col]
+                                    )
+                                ).as_py()
+                                or 0.0
+                            )
+                        ]
+                    ),
+                    "n": pa.array([t.num_rows], type=pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+        total_span = float(stats["span"].sum())
+        n_iv = int(stats["n"].sum())
+        band_width = max(total_span / max(n_iv, 1) * 4.0, 1e-9)
+    W = float(band_width)
+
+    def tag_intervals(t: pa.Table) -> pa.Table:
+        lo = t[lo_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        hi = t[hi_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b_lo = np.floor(lo / W).astype(np.int64)
+        b_hi = np.floor(np.nextafter(hi, -np.inf) / W).astype(np.int64)
+        reps = (b_hi - b_lo + 1).clip(min=1)
+        idx = np.repeat(np.arange(ids.size), reps)
+        band = np.concatenate(
+            [np.arange(a, a + r) for a, r in zip(b_lo, reps)]
+        ) if ids.size else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "band": pa.array(band),
+                "side": pa.array(np.zeros(band.size, dtype=np.int8)),
+                "window_id": pa.array(ids[idx]),
+                "lo": pa.array(lo[idx]),
+                "hi": pa.array(hi[idx]),
+                "u": pa.array(np.zeros(band.size, dtype=np.int64)),
+            }
+        )
+
+    def tag_values(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        u = to_units(v, unit_scale)
+        band = np.floor(v / W).astype(np.int64)
+        n = v.size
+        return pa.table(
+            {
+                "band": pa.array(band),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "window_id": pa.array(np.zeros(n, dtype=np.int64)),
+                "lo": pa.array(v),  # carry the value in `lo`
+                "hi": pa.array(np.zeros(n, dtype=np.float64)),
+                "u": pa.array(u),
+            }
+        )
+
+    tagged = intervals.map_batches(
+        tag_intervals, batch_format="pyarrow"
+    ).union(big.map_batches(tag_values, batch_format="pyarrow"))
+
+    def band_match(g: pd.DataFrame) -> pd.DataFrame:
+        iv = g[g["side"] == 0]
+        vals = g[g["side"] == 1]
+        if iv.empty or vals.empty:
+            return pd.DataFrame(
+                {
+                    "window_id": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                    "sum_u": pd.Series([], dtype="int64"),
+                }
+            )
+        lo = iv["lo"].to_numpy()
+        hi = iv["hi"].to_numpy()
+        ids = iv["window_id"].to_numpy()
+        v = vals["lo"].to_numpy()
+        u = vals["u"].to_numpy()
+        hit = (v[None, :] >= lo[:, None]) & (v[None, :] < hi[:, None])
+        n = hit.sum(axis=1).astype(np.int64)
+        sums = (hit * u[None, :]).sum(axis=1).astype(np.int64)
+        keep = n > 0
+        return pd.DataFrame(
+            {"window_id": ids[keep], "n": n[keep], "sum_u": sums[keep]}
+        )
+
+    out = (
+        tagged.groupby("band")
+        .map_groups(band_match, batch_format="pandas")
+        .groupby("window_id")
+        .aggregate(
+            _Sum("n", alias_name="n"), _Sum("sum_u", alias_name="sum_u")
+        )
+        .to_pandas()
+    )
+    for c in ("window_id", "n", "sum_u"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("window_id").reset_index(drop=True)

@@ -84,3 +84,39 @@ def test_hash_join_int_dtypes_survive(left_right):
     got = hash_join(left, right, left_on="k", right_on="rk").to_pandas()
     assert got["k"].dtype == np.int64
     assert got["rval"].dtype == np.int64
+
+
+def test_interval_join_shuffle_matches_broadcast(ray_session):
+    """The band-partitioned big-big range join equals the broadcast path
+    (overlapping intervals, values in multiple windows)."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+
+    from datamart_ray.pipelines.joins import (
+        interval_join_aggregate,
+        interval_join_shuffle,
+    )
+
+    rng = np.random.default_rng(11)
+    vals = rng.uniform(-100, 1100, size=5000)
+    big = rd.from_items([{"x": float(v)} for v in vals])
+    k = np.arange(25, dtype=np.float64)
+    iv_df = pd.DataFrame(
+        {
+            "window_id": k.astype(np.int64),
+            "lo": k * 40.0 - 30.0,
+            "hi": k * 40.0 + 55.0,  # overlapping
+        }
+    )
+    a = interval_join_aggregate(big, iv_df, "x")
+    b = interval_join_shuffle(
+        big, rd.from_pandas(iv_df), "x"
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # explicit band width exercising heavy replication
+    c = interval_join_shuffle(
+        big, rd.from_pandas(iv_df), "x", band_width=13.0
+    )
+    pd.testing.assert_frame_equal(a, c)
