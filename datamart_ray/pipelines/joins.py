@@ -378,36 +378,73 @@ def interval_join_shuffle(
             }
         )
 
-    tagged = intervals.map_batches(
-        tag_intervals, batch_format="pyarrow"
-    ).union(big.map_batches(tag_values, batch_format="pyarrow"))
+    # group on a SHARD of the band (≈4×CPUs groups), never per band —
+    # a fine band width would otherwise shuffle millions of tiny groups
+    # through per-group pandas dispatch (the r1 LSH lesson)
+    from datamart_ray.stages.dedup import _num_shards
 
-    def band_match(g: pd.DataFrame) -> pd.DataFrame:
-        iv = g[g["side"] == 0]
-        vals = g[g["side"] == 1]
-        if iv.empty or vals.empty:
-            return pd.DataFrame(
-                {
-                    "window_id": pd.Series([], dtype="int64"),
-                    "n": pd.Series([], dtype="int64"),
-                    "sum_u": pd.Series([], dtype="int64"),
-                }
-            )
-        lo = iv["lo"].to_numpy()
-        hi = iv["hi"].to_numpy()
-        ids = iv["window_id"].to_numpy()
-        v = vals["lo"].to_numpy()
-        u = vals["u"].to_numpy()
-        hit = (v[None, :] >= lo[:, None]) & (v[None, :] < hi[:, None])
-        n = hit.sum(axis=1).astype(np.int64)
-        sums = (hit * u[None, :]).sum(axis=1).astype(np.int64)
-        keep = n > 0
-        return pd.DataFrame(
-            {"window_id": ids[keep], "n": n[keep], "sum_u": sums[keep]}
+    n_shards = _num_shards()
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        band = t["band"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "shard",
+            pa.array(
+                (
+                    pd.util.hash_array(band.astype(np.int64)) % n_shards
+                ).astype(np.int64)
+            ),
         )
 
+    tagged = (
+        intervals.map_batches(tag_intervals, batch_format="pyarrow")
+        .union(big.map_batches(tag_values, batch_format="pyarrow"))
+        .map_batches(add_shard, batch_format="pyarrow")
+    )
+
+    def band_match(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "window_id": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "sum_u": pd.Series([], dtype="int64"),
+            }
+        )
+        parts = []
+        g = g.sort_values("band", kind="mergesort")
+        bands = g["band"].to_numpy()
+        bounds = np.r_[
+            0, np.flatnonzero(bands[1:] != bands[:-1]) + 1, len(g)
+        ]
+        for bi in range(bounds.size - 1):
+            seg = g.iloc[bounds[bi]: bounds[bi + 1]]
+            iv = seg[seg["side"] == 0]
+            vals = seg[seg["side"] == 1]
+            if iv.empty or vals.empty:
+                continue
+            lo = iv["lo"].to_numpy()
+            hi = iv["hi"].to_numpy()
+            ids = iv["window_id"].to_numpy()
+            v = vals["lo"].to_numpy()
+            u = vals["u"].to_numpy()
+            hit = (v[None, :] >= lo[:, None]) & (v[None, :] < hi[:, None])
+            n = hit.sum(axis=1).astype(np.int64)
+            sums = (hit * u[None, :]).sum(axis=1).astype(np.int64)
+            keep = n > 0
+            if keep.any():
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "window_id": ids[keep],
+                            "n": n[keep],
+                            "sum_u": sums[keep],
+                        }
+                    )
+                )
+        return pd.concat(parts, ignore_index=True) if parts else empty
+
     out = (
-        tagged.groupby("band")
+        tagged.groupby("shard")
         .map_groups(band_match, batch_format="pandas")
         .groupby("window_id")
         .aggregate(
