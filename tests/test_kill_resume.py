@@ -37,21 +37,27 @@ def test_sigkill_midbuild_then_resume(ray_session, tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = BUILD_SCRIPT.format(repo=repo, corpus=corpus, idx=idx)
 
-    proc = subprocess.Popen(
-        [sys.executable, "-c", script],
-        stdout=subprocess.DEVNULL,
-        stderr=subprocess.DEVNULL,
-    )
-    # wait until at least one segment commits, then SIGKILL the builder
     seg0 = os.path.join(idx, "segments", "seg-00000", "MANIFEST.json")
-    deadline = time.time() + 240
-    while time.time() < deadline and not os.path.exists(seg0):
-        if proc.poll() is not None:
-            break  # finished before we could kill — still a valid resume
-        time.sleep(0.2)
-    if proc.poll() is None:
-        proc.send_signal(signal.SIGKILL)
-        proc.wait()
+    # one retry: under heavy machine load a fresh Ray session in the
+    # subprocess can occasionally fail to start before committing anything
+    for attempt in range(2):
+        proc = subprocess.Popen(
+            [sys.executable, "-c", script],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        # wait until at least one segment commits, then SIGKILL the builder
+        deadline = time.time() + 240
+        while time.time() < deadline and not os.path.exists(seg0):
+            if proc.poll() is not None:
+                break  # finished before we could kill — still a valid resume
+            time.sleep(0.2)
+        if proc.poll() is None:
+            proc.send_signal(signal.SIGKILL)
+            proc.wait()
+        if os.path.exists(seg0):
+            break
+        time.sleep(5)  # builder died without committing — retry once
     assert os.path.exists(seg0), "no segment committed before kill"
 
     committed_before = sorted(
