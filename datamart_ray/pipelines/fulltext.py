@@ -290,6 +290,12 @@ def _bm25_sql(query: str, k: int, lang: str | None = None) -> str:
 
 def build_sql() -> dict[str, str]:
     return {
+        "lk_doc_lookup": LK_LOOKUP_SQL,
+        "ft_delta_df_top_terms": f"""
+            WITH {_tok_cte()}
+            SELECT term, count(DISTINCT doc_id) AS df FROM tok
+            GROUP BY term ORDER BY df DESC, term LIMIT 20
+        """,
         "ft_token_counts": f"""
             SELECT doc_id,
                    len({ANALYZER.sql_tokens_expr('text')})::BIGINT AS n_tokens
@@ -331,9 +337,88 @@ def build_sql() -> dict[str, str]:
     }
 
 
+def lk_doc_lookup(sf_dir: str) -> pd.DataFrame:
+    """J8 lookup-by-ID as a driver-gated entry: fetch a fixed id set from
+    `documents` through the distributed broadcast-filter path
+    (util.fetch_rows_by_ids) — only matching rows ever reach the driver."""
+    from datamart_ray.util import fetch_rows_by_ids
+
+    ids = (3, 17, 42, 108, 256, 499)
+    t = fetch_rows_by_ids(
+        _docs_path(sf_dir), "doc_id", list(ids),
+        ["doc_id", "lang", "source", "n_chars"],
+    )
+    out = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out
+
+
+LK_LOOKUP_SQL = """
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE doc_id IN (3, 17, 42, 108, 256, 499)
+    ORDER BY doc_id
+"""
+
+
+def ft_delta_df_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Incremental-ingest correctness as a driver-gated entry: split
+    `documents` in half, build an index over the first half, delta-ingest
+    the second (index/maintain.ingest_delta), then compute df top-terms
+    from the FINAL index's per-segment term dictionaries. The DuckDB twin
+    computes df over the whole table — equality proves delta ingest ==
+    from-scratch build over the union (§2.9)."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from datamart_ray.index.build import build_index as _build
+    from datamart_ray.index.maintain import ingest_delta
+
+    src = _docs_path(sf_dir)
+    key = hashlib.sha1(
+        f"delta:{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}".encode()
+    ).hexdigest()[:12]
+    base_dir = f"/tmp/datamart_ray_delta/{key}"
+    half_a = os.path.join(base_dir, "half_a.parquet")
+    half_b = os.path.join(base_dir, "half_b.parquet")
+    index_dir = os.path.join(base_dir, "idx")
+    if not os.path.exists(os.path.join(base_dir, ".halves")):
+        os.makedirs(base_dir, exist_ok=True)
+        t = pq_.read_table(src)
+        ids = t["doc_id"].to_numpy()
+        mid = int(np.median(ids))
+        import pyarrow.compute as pc_
+
+        pq_.write_table(t.filter(pc_.less_equal(t["doc_id"], mid)), half_a)
+        pq_.write_table(t.filter(pc_.greater(t["doc_id"], mid)), half_b)
+        open(os.path.join(base_dir, ".halves"), "w").write("ok")
+    cfg = IndexConfig(
+        analyzer=ANALYZER,
+        content_col="text",
+        id_col="doc_id",
+        meta_cols=("lang", "source"),
+    )
+    _build(half_a, index_dir, cfg)
+    ingest_delta(index_dir, half_b, cfg)
+    eng = SearchEngine(index_dir)
+    # global df = sum of per-segment dictionary dfs
+    dfs: dict[str, int] = {}
+    for r in eng.readers:
+        for term, df in zip(r._dict_terms, r._dict_dfs):
+            dfs[term] = dfs.get(term, 0) + int(df)
+    out = pd.DataFrame(
+        sorted(dfs.items(), key=lambda kv: (-kv[1], kv[0]))[:20],
+        columns=["term", "df"],
+    )
+    out["df"] = out["df"].astype("int64")
+    return out
+
+
 QUERIES = {
     "ft_token_counts": ft_token_counts,
     "ft_bpe_token_counts": ft_bpe_token_counts,
+    "lk_doc_lookup": lk_doc_lookup,
+    "ft_delta_df_top_terms": ft_delta_df_top_terms,
     "ft_df_top_terms": ft_df_top_terms,
     "ft_bm25_topk": ft_bm25_topk,
     "ft_bm25_lang_filter": ft_bm25_lang_filter,
