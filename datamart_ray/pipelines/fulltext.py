@@ -148,6 +148,16 @@ def ft_bm25_topk(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def ft_bm25_or_topk(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-k in OR mode — gates the block-max pruned (WAND-family)
+    scoring path against the exhaustive SQL union twin in the driver."""
+    eng = get_engine(sf_dir)
+    t = eng.search(BM25_QUERY, k=BM25_K, mode="or")
+    out = t.to_pandas()
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
 def ft_bm25_lang_filter(sf_dir: str) -> pd.DataFrame:
     """BM25 + keyword filter (reference: source/type terms filters,
     apiserver/apiserver/search/__init__.py:79-105). Stats stay global —
@@ -241,7 +251,9 @@ def _tok_cte() -> str:
     """
 
 
-def _bm25_sql(query: str, k: int, lang: str | None = None) -> str:
+def _bm25_sql(
+    query: str, k: int, lang: str | None = None, mode_or: bool = False
+) -> str:
     terms = list(dict.fromkeys(ANALYZER.tokenize(query)))
     qvals = ", ".join(f"('{t}', {i})" for i, t in enumerate(terms))
     lang_join = (
@@ -282,7 +294,7 @@ def _bm25_sql(query: str, k: int, lang: str | None = None) -> str:
             FROM contrib GROUP BY doc_id
         )
         SELECT doc_id, ROUND(score, 4) AS score
-        FROM scored WHERE nt = {len(terms)}
+        FROM scored WHERE {'TRUE' if mode_or else f'nt = {len(terms)}'}
         ORDER BY score DESC, doc_id
         LIMIT {k}
     """
@@ -315,6 +327,7 @@ def build_sql() -> dict[str, str]:
             ORDER BY df DESC, term LIMIT 20
         """,
         "ft_bm25_topk": _bm25_sql(BM25_QUERY, BM25_K),
+        "ft_bm25_or_topk": _bm25_sql(BM25_QUERY, BM25_K, mode_or=True),
         "ft_bm25_lang_filter": _bm25_sql(BM25_FILTER_QUERY, BM25_K, lang="en"),
         "ft_exact_dedup": """
             SELECT min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n
@@ -421,6 +434,7 @@ QUERIES = {
     "ft_delta_df_top_terms": ft_delta_df_top_terms,
     "ft_df_top_terms": ft_df_top_terms,
     "ft_bm25_topk": ft_bm25_topk,
+    "ft_bm25_or_topk": ft_bm25_or_topk,
     "ft_bm25_lang_filter": ft_bm25_lang_filter,
     "ft_exact_dedup": ft_exact_dedup,
     "ft_quality_scores": ft_quality_scores,
