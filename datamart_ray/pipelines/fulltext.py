@@ -158,6 +158,24 @@ def ft_bm25_or_topk(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def ft_bm25_dist_topk(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-k through the DISTRIBUTED engine (per-segment scorer
+    actors, global-stats exchange, driver heap merge) — the actor path
+    gets its own oracle row; same SQL twin as the in-process entry."""
+    from datamart_ray.search.engine import DistributedSearchEngine
+
+    eng = get_engine(sf_dir)  # ensures the on-disk index exists
+    index_dir = eng.readers[0].seg_dir.rsplit("/segments/", 1)[0]
+    deng = DistributedSearchEngine(index_dir)
+    try:
+        t = deng.search(BM25_QUERY, k=BM25_K, mode="and")
+    finally:
+        deng.shutdown()
+    out = t.to_pandas()
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
 def ft_bm25_lang_filter(sf_dir: str) -> pd.DataFrame:
     """BM25 + keyword filter (reference: source/type terms filters,
     apiserver/apiserver/search/__init__.py:79-105). Stats stay global —
@@ -328,6 +346,7 @@ def build_sql() -> dict[str, str]:
         """,
         "ft_bm25_topk": _bm25_sql(BM25_QUERY, BM25_K),
         "ft_bm25_or_topk": _bm25_sql(BM25_QUERY, BM25_K, mode_or=True),
+        "ft_bm25_dist_topk": _bm25_sql(BM25_QUERY, BM25_K),
         "ft_bm25_lang_filter": _bm25_sql(BM25_FILTER_QUERY, BM25_K, lang="en"),
         "ft_exact_dedup": """
             SELECT min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n
@@ -435,6 +454,7 @@ QUERIES = {
     "ft_df_top_terms": ft_df_top_terms,
     "ft_bm25_topk": ft_bm25_topk,
     "ft_bm25_or_topk": ft_bm25_or_topk,
+    "ft_bm25_dist_topk": ft_bm25_dist_topk,
     "ft_bm25_lang_filter": ft_bm25_lang_filter,
     "ft_exact_dedup": ft_exact_dedup,
     "ft_quality_scores": ft_quality_scores,
