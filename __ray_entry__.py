@@ -118,6 +118,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["sp_search_candidates"] = search_spatial_candidates
     out["sc_json_extract"] = json_extract_rollup
     out["sc_temporal_resolution"] = temporal_resolution
+    from datamart_ray.pipelines.scalars import strftime_rollup
+
+    out["sc_strftime_rollup"] = strftime_rollup
     out["rg_coverage_ranges"] = coverage_ranges
     out["rg_overlap_scores"] = range_overlap_scores
     out["tr_melt_lineitem"] = melt_lineitem
@@ -229,6 +232,9 @@ def oracle_sql() -> dict[str, str]:
     out["sp_search_candidates"] = spatial_candidates_sql()
     out["sc_json_extract"] = JSON_SQL
     out["sc_temporal_resolution"] = temporal_resolution_sql()
+    from datamart_ray.pipelines.scalars import STRFTIME_SQL
+
+    out["sc_strftime_rollup"] = STRFTIME_SQL
     out["rg_coverage_ranges"] = coverage_ranges_sql()
     out["rg_overlap_scores"] = range_overlap_sql()
     out["tr_melt_lineitem"] = transforms.MELT_SQL

@@ -169,3 +169,49 @@ def temporal_resolution_sql() -> str:
         FROM s, det
         ORDER BY pos
     """
+
+
+def strftime_rollup(sf_dir: str) -> pd.DataFrame:
+    """§2.8 date-format scalar coverage: strftime keys computed by the
+    Arrow kernel (identical format strings to the DuckDB twin), rolled up
+    per month key with a distinct-day count — the common 'partition key
+    from a timestamp' pattern."""
+    ensure_fast_shuffle()
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["o_orderdate"], pa.timestamp("us"))
+        part = pa.table(
+            {
+                "month_key": pc.strftime(ts, format="%Y-%m"),
+                "day_key": pc.strftime(ts, format="%Y-%m-%d"),
+            }
+        )
+        return (
+            part.group_by(["month_key", "day_key"])
+            .aggregate([("day_key", "count")])
+            .rename_columns(["month_key", "day_key", "n"])
+        )
+
+    parts = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["month_key", "day_key"], as_index=False)["n"]
+        .sum()
+    )
+    out = parts.groupby("month_key", as_index=False).agg(
+        n=("n", "sum"), n_days=("day_key", "nunique")
+    )
+    for c in ("n", "n_days"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("month_key").reset_index(drop=True)
+
+
+STRFTIME_SQL = """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month_key,
+           count(*) AS n,
+           count(DISTINCT strftime(o_orderdate, '%Y-%m-%d')) AS n_days
+    FROM orders
+    GROUP BY 1
+    ORDER BY month_key
+"""
