@@ -526,7 +526,64 @@ def build_index(
         raise ValueError(f"no parquet files under {paths!r}")
     specs, file_infos = plan_specs(files, config.docs_per_spec)
 
+    # Pre-existing index: keep active segments this build does NOT
+    # supersede (ADVICE r2: build → delta → build(resume) → compact was a
+    # silent data-loss path — the rebuild's index.json listed only its own
+    # planned segments, deactivating delta segments, which the next
+    # compact deleted as orphans). A pre-existing active segment is
+    #   - SUPERSEDED (dropped from index.json, gc'd at the next compact)
+    #     when every file it covers is in this build's input: the new
+    #     segments re-index those rows (rebuild after compact);
+    #   - PRESERVED (carried into the new index.json) when its files are
+    #     disjoint from this build's input (a delta segment);
+    #   - a partial overlap is ambiguous (dropping loses the non-overlap
+    #     docs, keeping duplicates the rest) → refuse with guidance.
+    planned_paths = {fi["path"] for fi in file_infos}
+    preserved: list[str] = []
+    preserved_files = 0
+    if os.path.isfile(os.path.join(index_dir, INDEX_MANIFEST_NAME)):
+        from datamart_ray.index.manifest import active_segments, read_manifest
+
+        n_new_ids = sum(fi["n_rows"] for fi in file_infos)
+        for seg_dir in active_segments(index_dir):
+            m = read_manifest(seg_dir)
+            seg_paths = {f["path"] for f in m["files"]}
+            if not (seg_paths & planned_paths):
+                if config.id_col is None and m["files"]:
+                    # dense docIDs restart at 0 every full build; a
+                    # preserved segment keeps its old range — refuse if
+                    # the grown input would reach into it
+                    min_base = min(f["base"] for f in m["files"])
+                    if n_new_ids > min_base:
+                        raise ValueError(
+                            f"dense docIDs of this build (0..{n_new_ids - 1})"
+                            " would collide with preserved segment "
+                            f"{os.path.basename(seg_dir)} (docIDs from "
+                            f"{min_base}); compact the index first, or "
+                            "include its files in this build's input"
+                        )
+                preserved.append(os.path.basename(seg_dir))
+                preserved_files += len(seg_paths)
+            elif not (seg_paths <= planned_paths):
+                raise ValueError(
+                    f"active segment {os.path.basename(seg_dir)} covers "
+                    "files both inside and outside this build's input; "
+                    "rebuilding would silently drop or duplicate docs — "
+                    "include its files "
+                    f"{sorted(seg_paths - planned_paths)[:3]} in the build "
+                    "input, or compact the index first"
+                )
+
     # Assign files to segments by cumulative doc count (file granularity).
+    # Planned names skip indices held by preserved segments (a delta
+    # segment's name must never be reused by a rebuild's segment).
+    taken = set(preserved)
+
+    def _seg_name(i: int) -> tuple[str, int]:
+        while f"seg-{i:05d}" in taken:
+            i += 1
+        return f"seg-{i:05d}", i + 1
+
     segments: list[tuple[str, list[dict], list[dict]]] = []
     cur_files: list[dict] = []
     cur_docs = 0
@@ -535,22 +592,23 @@ def build_index(
     for fi in file_infos:
         if cur_docs and cur_docs + fi["n_rows"] > config.segment_docs:
             seg_paths = {f["path"] for f in cur_files}
+            name, seg_idx = _seg_name(seg_idx)
             segments.append(
                 (
-                    f"seg-{seg_idx:05d}",
+                    name,
                     [s for s in specs if s["path"] in seg_paths],
                     cur_files,
                 )
             )
-            seg_idx += 1
             cur_files, cur_docs = [], 0
         cur_files.append(fi)
         cur_docs += fi["n_rows"]
     if cur_files:
         seg_paths = {f["path"] for f in cur_files}
+        name, seg_idx = _seg_name(seg_idx)
         segments.append(
             (
-                f"seg-{seg_idx:05d}",
+                name,
                 [s for s in specs if s["path"] in seg_paths],
                 cur_files,
             )
@@ -578,11 +636,12 @@ def build_index(
         built.append(seg_name)
 
     global_manifest = {
-        "segments": [s[0] for s in segments],
+        "segments": [s[0] for s in segments] + preserved,
         "config": config.to_json(),
         "built": built,
         "resumed_skipped": skipped,
-        "n_files": len(files),
+        "preserved": preserved,
+        "n_files": len(files) + preserved_files,
     }
     atomic_write_json(
         os.path.join(index_dir, INDEX_MANIFEST_NAME), global_manifest

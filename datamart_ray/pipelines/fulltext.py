@@ -88,7 +88,12 @@ def ft_token_counts(sf_dir: str) -> pd.DataFrame:
     return ds.map_batches(count_tokens, batch_format="pyarrow").to_pandas()
 
 
-BPE_PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+# NB: single backslash — r"\s" — so the class really excludes whitespace.
+# (The r2 version had r"\\s" inside the raw string: a literal backslash +
+# 's', which let whitespace runs be absorbed into punctuation pretokens;
+# both engine and oracle shared the constant so the gate stayed green, but
+# the count was not the documented GPT-2-style pretokenizer. ADVICE r2.)
+BPE_PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 
 
 def ft_bpe_token_counts(sf_dir: str) -> pd.DataFrame:

@@ -59,7 +59,13 @@ def json_extract_rollup(sf_dir: str) -> pd.DataFrame:
                 if v:
                     parsed = json.loads(v).get("k")
                     if parsed is not None:
-                        ks[i] = int(parsed)
+                        # match the twin's CAST(... AS BIGINT): DuckDB
+                        # rounds half away from zero; Python int() would
+                        # truncate (5.5 → 5 vs DuckDB 6). ADVICE r2.
+                        ks[i] = int(
+                            np.sign(parsed)
+                            * np.floor(abs(float(parsed)) + 0.5)
+                        )
         part = pa.table(
             {"k_bucket": pa.array(ks // 10), "k": pa.array(ks)}
         )

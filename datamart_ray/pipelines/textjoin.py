@@ -7,11 +7,12 @@ containment sketches held in the external Lazo server
 
 - exact path (oracle-gated): containment(A→B) = |A∩B| / |A| over the
   columns' distinct-value sets, computed as a DISTRIBUTED set
-  intersection: per-batch distinct projection → one union Dataset of
-  (col, value) rows → groupby(value) pair expansion → pair-count groupby.
-  The driver only ever sees the per-column sizes (6 ints) and the final
-  pair scores (≤36 rows) — no distinct set is ever materialized
-  driver-side (r1 VERDICT "What's wrong" #5).
+  intersection with ONE shuffle: per-batch distinct projection → one
+  union Dataset of (col, value) rows → shard by hash(value) → per-shard
+  dedupe + partial sizes + partial pair counts (≤ |cols|²+|cols| rows
+  per shard). The driver only ever sums those partials — no distinct
+  set is ever materialized driver-side (r1 VERDICT "What's wrong" #5;
+  single-shuffle rework r3 per VERDICT r2 #5).
 - sketch path (:func:`column_minhash_sketches` /
   :func:`sketch_containment_scores`): mergeable per-column MinHash
   signatures built as per-batch partial signatures min-folded on the
@@ -42,10 +43,20 @@ TEXT_COLUMNS: list[tuple[str, str, str]] = [
 ]
 
 
-def _distinct_value_rows(sf_dir: str) -> rd.Dataset:
-    """One Dataset of globally-distinct (col, v) rows over TEXT_COLUMNS:
-    per-batch unique projection (shrinks the shuffle input), then one
-    distinct groupby."""
+def column_containment_scores(sf_dir: str) -> pd.DataFrame:
+    """All ordered column pairs with containment > 0 — exact, computed
+    with ONE shuffle total (r3; VERDICT r2 "What's wrong" #5 flagged the
+    old two-pass `groupby(v).map_groups`-per-distinct-value shape):
+    per-batch unique (col, v) projection → shard by hash(v) → each shard
+    task dedupes ITS values globally (a value lands in exactly one shard),
+    then emits BOTH partial per-column distinct sizes and partial
+    (query_col, candidate_col) co-occurrence counts — at most
+    |columns|² + |columns| tiny rows per shard. The driver only ever sums
+    those partials; no distinct set, value group, or second shuffle."""
+    ensure_fast_shuffle()
+    from datamart_ray.stages.dedup import _num_shards
+
+    n_shards = _num_shards()
     parts = []
     for label, t, c in TEXT_COLUMNS:
         ds = rd.read_parquet(f"{sf_dir}/{t}.parquet", columns=[c])
@@ -64,45 +75,59 @@ def _distinct_value_rows(sf_dir: str) -> rd.Dataset:
 
         parts.append(ds.map_batches(proj, batch_format="pyarrow"))
     allv = parts[0].union(*parts[1:])
-    from ray.data.aggregate import Count
 
-    return allv.groupby(["col", "v"]).aggregate(Count(alias_name="_n"))
-
-
-def column_containment_scores(sf_dir: str) -> pd.DataFrame:
-    """All ordered column pairs with containment > 0 — exact, computed as
-    a distributed shuffle on the value (never a driver-side set)."""
-    ensure_fast_shuffle()
-    from ray.data.aggregate import Count
-
-    distinct = _distinct_value_rows(sf_dir).drop_columns(["_n"])
-    sizes = (
-        distinct.groupby("col").aggregate(Count(alias_name="n")).to_pandas()
-    )
-    size_of = dict(zip(sizes["col"], sizes["n"]))
-
-    def pairs_of_value(g: pd.DataFrame) -> pd.DataFrame:
-        cols = sorted(g["col"].unique())
-        if len(cols) < 2:
-            return pd.DataFrame({"query_col": [], "candidate_col": []})
-        a, b = zip(
-            *[(x, y) for x in cols for y in cols if x != y]
+    def add_shard(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            t["v"].to_numpy(zero_copy_only=False).astype(object)
         )
-        return pd.DataFrame({"query_col": a, "candidate_col": b})
+        return t.append_column(
+            "shard", pa.array((h % np.uint64(n_shards)).astype(np.int64))
+        )
 
-    pair_counts = (
-        _distinct_value_rows(sf_dir)
-        .groupby("v")
-        .map_groups(pairs_of_value, batch_format="pandas")
-        .groupby(["query_col", "candidate_col"])
-        .aggregate(Count(alias_name="n_common"))
+    def shard_partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["col", "v"])
+        sizes = g.groupby("col").size()
+        m = g.merge(g, on="v")
+        m = m[m["col_x"] != m["col_y"]]
+        pairs = m.groupby(["col_x", "col_y"]).size()
+        return pd.DataFrame(
+            {
+                "query_col": [
+                    *sizes.index,
+                    *(a for a, _ in pairs.index),
+                ],
+                "candidate_col": [
+                    *[""] * len(sizes),
+                    *(b for _, b in pairs.index),
+                ],
+                "n": [*sizes.to_numpy(), *pairs.to_numpy()],
+            }
+        )
+
+    partials = (
+        allv.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_partials, batch_format="pandas")
         .to_pandas()
     )
-    if pair_counts.empty:
-        return pd.DataFrame(
-            columns=["query_col", "candidate_col", "n_common", "containment"]
-        )
-    out = pair_counts[pair_counts["n_common"] > 0].copy()
+    empty = pd.DataFrame(
+        columns=["query_col", "candidate_col", "n_common", "containment"]
+    )
+    if partials.empty:
+        return empty
+    totals = partials.groupby(["query_col", "candidate_col"])["n"].sum()
+    size_of = {
+        q: int(n) for (q, c), n in totals.items() if c == ""
+    }
+    out = pd.DataFrame(
+        [
+            {"query_col": q, "candidate_col": c, "n_common": int(n)}
+            for (q, c), n in totals.items()
+            if c != "" and n > 0
+        ]
+    )
+    if out.empty:
+        return empty
     out["n_common"] = out["n_common"].astype("int64")
     out["containment"] = round_away(
         out["n_common"] / out["query_col"].map(size_of).astype(np.float64),

@@ -334,3 +334,67 @@ def test_verify_index_invariant(ray_session, tmp_path):
     pq.write_table(bad, f)
     rep2 = verify_index_invariant(idx)
     assert not all(v["docmeta_ok"] for v in rep2.values())
+
+
+def test_rebuild_preserves_delta_segments(ray_session, tmp_path):
+    """ADVICE r2 medium: build → delta → build(resume) → compact must not
+    lose the delta docs. The rebuild's index.json must keep active
+    segments whose files are outside its input; compact then merges all
+    of them instead of gc'ing the delta as an orphan."""
+    from datamart_ray.index.maintain import compact_segments
+
+    corpus_a = str(tmp_path / "a")
+    corpus_b = str(tmp_path / "b")
+    generate_corpus(corpus_a, n_files=60, vocab_size=400, n_output_files=2)
+    generate_corpus(
+        corpus_b, n_files=20, vocab_size=400, n_output_files=1, seed=43
+    )
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(docs_per_spec=30)
+    build_index(corpus_a, idx, cfg)
+    ingest_delta(idx, corpus_b, cfg)
+    assert SearchEngine(idx).n_docs == 80
+
+    # re-run the original build (the "resume" a crashed driver retries)
+    m = build_index(corpus_a, idx, cfg)
+    assert m["built"] == []  # seg-00000 resumed
+    assert "seg-00001" in m["segments"]  # delta segment preserved
+    assert m["preserved"] == ["seg-00001"]
+    eng = SearchEngine(idx)
+    assert eng.n_docs == 80  # delta docs still searchable
+
+    # compact must merge, not delete, the delta
+    cm = compact_segments(idx)
+    assert cm["n_docs"] == 80
+    assert SearchEngine(idx).n_docs == 80
+
+    # rebuilding from the ORIGINAL input after compaction is ambiguous
+    # (the compacted segment covers files both in and out of the input)
+    with pytest.raises(ValueError, match="inside and outside"):
+        build_index(corpus_a, idx, cfg)
+
+
+def test_rebuild_docid_collision_refused(ray_session, tmp_path):
+    """A grown rebuild whose dense docIDs would reach into a preserved
+    delta segment's range is refused instead of corrupting the index."""
+    corpus_a = str(tmp_path / "a")
+    corpus_b = str(tmp_path / "b")
+    generate_corpus(corpus_a, n_files=40, vocab_size=300, n_output_files=1)
+    generate_corpus(
+        corpus_b, n_files=20, vocab_size=300, n_output_files=1, seed=43
+    )
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(docs_per_spec=30)
+    build_index(corpus_a, idx, cfg)
+    ingest_delta(idx, corpus_b, cfg)  # delta docIDs 40..59
+    # grow the original input past the delta base (40 → 50 docs)
+    generate_corpus(
+        str(tmp_path / "extra"), n_files=10, vocab_size=300,
+        n_output_files=1, seed=9,
+    )
+    os.rename(
+        str(tmp_path / "extra" / "corpus-00000.parquet"),
+        os.path.join(corpus_a, "corpus-99999.parquet"),
+    )
+    with pytest.raises(ValueError, match="collide"):
+        build_index(corpus_a, idx, cfg)
