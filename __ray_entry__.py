@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["sc_json_extract"] = json_extract_rollup
 
     from datamart_ray.pipelines.profindex import (
+        keyword_search_bm25,
         search_augmentation_candidates,
         search_datasets,
         search_join_candidates,
@@ -138,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["pi_union_candidates"] = search_union_candidates
     out["pi_augmentation"] = search_augmentation_candidates
     out["pi_keyword_search"] = search_datasets
+    out["pi_keyword_bm25"] = keyword_search_bm25
 
     from datamart_ray.pipelines.spatial import (
         search_spatial_candidates,
@@ -264,6 +266,7 @@ def oracle_sql() -> dict[str, str]:
     from datamart_ray.pipelines.profindex import (
         augmentation_candidates_sql,
         join_candidates_sql,
+        keyword_search_bm25_sql,
         search_datasets_sql,
         union_candidates_sql,
     )
@@ -272,6 +275,7 @@ def oracle_sql() -> dict[str, str]:
     out["pi_union_candidates"] = union_candidates_sql()
     out["pi_augmentation"] = augmentation_candidates_sql()
     out["pi_keyword_search"] = search_datasets_sql()
+    out["pi_keyword_bm25"] = keyword_search_bm25_sql()
 
     from datamart_ray.pipelines.spatial import (
         spatial_candidates_sql,

@@ -682,6 +682,223 @@ def search_datasets(
     ).reset_index(drop=True)
 
 
+# ----------------------------------------------------------------------
+# BM25-scored keyword dataset search — the MAIN-index /search scoring
+# shape (parse_keyword_query_main_index, search/__init__.py:55-77:
+# multi_match operator:'and' type:'cross_fields' over
+# id^10 / description / name / attribute_keywords, BM25-scored by ES).
+# Here the table-metadata docs are scored by the IN-REPO BM25 engine:
+# one tiny per-field index (id / name / attribute_keywords; no
+# description field exists in this catalog), term-centric combine =
+# per-term max over fields of field_weight × BM25(term, field), operator
+# 'and' = every term must match the doc in some field. Documented
+# deviation from ES cross_fields: ES blends df ACROSS fields; we pin
+# best-field per term (deterministic, SQL-twinnable — same family as the
+# K2 sum-rank deviation).
+# ----------------------------------------------------------------------
+
+CATALOG_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+KW_FIELDS = (("id", 10.0), ("name", 1.0), ("attr", 1.0))
+KW_QUERIES = ("name", "orders", "id")
+_KW_VERSION = 1
+
+
+def _catalog_field_texts(sf_dir: str) -> dict[str, list[str]]:
+    """Per-field metadata text of every catalog table, aligned with
+    CATALOG_TABLES order: id = raw table name (the `id^10` field), name =
+    M2-expanded table name, attr = M2-expanded column names from the
+    parquet footer schema (dataset_attribute_keywords analog)."""
+    import pyarrow.parquet as pq
+
+    from datamart_ray.pipelines.transforms import expand_attribute_name
+
+    ids, names, attrs = [], [], []
+    for tbl in CATALOG_TABLES:
+        cols = pq.ParquetFile(
+            f"{sf_dir}/{tbl}.parquet"
+        ).schema_arrow.names
+        ids.append(tbl)
+        names.append(" ".join(expand_attribute_name(tbl)))
+        attrs.append(
+            " ".join(
+                w for c in cols for w in expand_attribute_name(c)
+            )
+        )
+    return {"id": ids, "name": names, "attr": attrs}
+
+
+def keyword_search_bm25(
+    sf_dir: str, queries: tuple[str, ...] = KW_QUERIES
+) -> pd.DataFrame:
+    """Keyword dataset search scored by the real BM25 engine (VERDICT r2
+    "What's missing" #2): each field's 10-doc metadata corpus is indexed
+    once (atomic on-disk artifact keyed on the corpus content — the
+    catalog schema is sf-invariant, so every scale factor shares it) and
+    each query term is scored per field through SearchEngine; the
+    term-centric cross_fields combine and the AND gate run on the
+    resulting (terms × tables) score matrix."""
+    import hashlib
+    import json
+
+    import pyarrow.parquet as pq
+
+    from datamart_ray.index.build import IndexConfig, build_index
+    from datamart_ray.search.engine import SearchEngine
+
+    texts = _catalog_field_texts(sf_dir)
+    key = hashlib.sha256(
+        (json.dumps(texts, sort_keys=True) + f"|v{_KW_VERSION}").encode()
+    ).hexdigest()[:16]
+    root = f"/tmp/graft_kwindex/{key}"
+    engines: dict[str, SearchEngine] = {}
+    for fld, _w in KW_FIELDS:
+        idx = os.path.join(root, fld)
+        if not os.path.exists(os.path.join(idx, "index.json")):
+            corpus = os.path.join(root, f"corpus-{fld}")
+            os.makedirs(corpus, exist_ok=True)
+            pq.write_table(
+                pa.table({"content": pa.array(texts[fld])}),
+                os.path.join(corpus, "part-00000.parquet"),
+            )
+            build_index(corpus, idx, IndexConfig(meta_cols=()))
+        engines[fld] = SearchEngine(idx)
+
+    n = len(CATALOG_TABLES)
+    analyzer = engines["id"].analyzer
+    rows = []
+    for q in queries:
+        terms = list(dict.fromkeys(analyzer.tokenize(q)))
+        if not terms:
+            continue
+        best = np.zeros((len(terms), n))
+        hit = np.zeros((len(terms), n), dtype=bool)
+        for fld, w in KW_FIELDS:
+            for ti, term in enumerate(terms):
+                t = engines[fld].search(term, k=n, mode="and")
+                ids_ = t["doc_id"].to_numpy(zero_copy_only=False)
+                sc = t["score"].to_numpy(zero_copy_only=False)
+                hit[ti, ids_] = True
+                best[ti, ids_] = np.maximum(best[ti, ids_], w * sc)
+        ok = hit.all(axis=0)
+        total = best.sum(axis=0)
+        for d in np.flatnonzero(ok):
+            rows.append(
+                {
+                    "query": q,
+                    "candidate_table": CATALOG_TABLES[d],
+                    "score": float(total[d]),
+                }
+            )
+    out = pd.DataFrame(
+        rows, columns=["query", "candidate_table", "score"]
+    )
+    if out.empty:
+        out["score"] = out["score"].astype("float64")
+        return out
+    out["score"] = round_away(out["score"].to_numpy(), 4)
+    return out.sort_values(
+        ["query", "score", "candidate_table"],
+        ascending=[True, False, True],
+    ).reset_index(drop=True)
+
+
+def keyword_search_bm25_sql(
+    queries: tuple[str, ...] = KW_QUERIES
+) -> str:
+    """DuckDB twin: recomputes the per-field BM25 (same pinned formula as
+    the fulltext twins: idf = ln(1 + (N - df + .5)/(df + .5)), k1=1.2,
+    b=0.75) over the SAME metadata corpus, derived independently inside
+    DuckDB — table names inlined, attribute keywords from
+    information_schema.columns, the M2 expansion as the regex chain, the
+    analyzer as its documented regexp_extract_all twin."""
+    from datamart_ray.analyzer import Analyzer
+    from datamart_ray.pipelines.transforms import _BOUNDARY_SUBS
+
+    analyzer = Analyzer()
+
+    def expand(col: str) -> str:
+        e = col
+        for pat, rep in _BOUNDARY_SUBS:
+            e = f"regexp_replace({e}, '{pat}', '{rep}', 'g')"
+        return e
+
+    tv = ", ".join(f"('{t}')" for t in CATALOG_TABLES)
+    tlist = ", ".join(f"'{t}'" for t in CATALOG_TABLES)
+    qvals, qn = [], []
+    for q in queries:
+        terms = list(dict.fromkeys(analyzer.tokenize(q)))
+        qn.append(f"('{q}', {len(terms)})")
+        qvals.extend(
+            f"('{q}', '{t}', {i})" for i, t in enumerate(terms)
+        )
+    toks = analyzer.sql_tokens_expr("txt")
+    return f"""
+        WITH tables(tbl) AS (VALUES {tv}),
+        cols AS (
+            SELECT lower(table_name) AS tn, column_name AS cn
+            FROM information_schema.columns
+            WHERE lower(table_name) IN ({tlist})
+        ),
+        fields(tbl, fld, w, txt) AS (
+            SELECT tbl, 'id', 10.0, tbl FROM tables
+            UNION ALL
+            SELECT tbl, 'name', 1.0, {expand('tbl')} FROM tables
+            UNION ALL
+            SELECT tn, 'attr', 1.0,
+                   string_agg({expand('cn')}, ' ' ORDER BY cn)
+            FROM cols GROUP BY tn
+        ),
+        tok AS (
+            SELECT tbl, fld, w, unnest({toks}) AS term FROM fields
+        ),
+        tf AS (
+            SELECT tbl, fld, w, term, count(*)::DOUBLE AS tf
+            FROM tok GROUP BY ALL
+        ),
+        dl AS (
+            SELECT tbl, fld, count(*)::DOUBLE AS dl
+            FROM tok GROUP BY ALL
+        ),
+        stats AS (
+            SELECT fld, count(*)::DOUBLE AS n, avg(dl) AS avgdl
+            FROM dl GROUP BY fld
+        ),
+        df AS (
+            SELECT fld, term, count(*)::DOUBLE AS df
+            FROM tf GROUP BY ALL
+        ),
+        qterms(q, term, qord) AS (VALUES {', '.join(qvals)}),
+        qn(q, n_terms) AS (VALUES {', '.join(qn)}),
+        contrib AS (
+            SELECT qt.q, qt.qord, tf.tbl,
+                   max(tf.w
+                       * ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf * (1.2 + 1)
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                   ) AS c
+            FROM tf
+            JOIN qterms qt USING (term)
+            JOIN df ON df.fld = tf.fld AND df.term = tf.term
+            JOIN dl ON dl.tbl = tf.tbl AND dl.fld = tf.fld
+            JOIN stats s ON s.fld = tf.fld
+            GROUP BY qt.q, qt.qord, tf.tbl
+        ),
+        scored AS (
+            SELECT q, tbl, sum(c ORDER BY qord) AS score,
+                   count(*) AS nt
+            FROM contrib GROUP BY q, tbl
+        )
+        SELECT s.q AS query, s.tbl AS candidate_table,
+               ROUND(s.score, 4) AS score
+        FROM scored s JOIN qn ON qn.q = s.q
+        WHERE s.nt = qn.n_terms
+        ORDER BY query, score DESC, candidate_table
+    """
+
+
 def search_datasets_sql(
     keywords: str = "name acctbal", query_table: str = "orders"
 ) -> str:

@@ -192,3 +192,25 @@ def test_spatial_candidates_bbox_variable(ray_session):
         ],
     )
     assert len(nowhere) == 0
+
+
+def test_keyword_bm25_boost_and_gate(ray_session):
+    """id^10 field boost and the multi_match operator:'and' gate
+    (reference search/__init__.py:55-77)."""
+    from datamart_ray.pipelines.profindex import keyword_search_bm25
+
+    sf = "/root/testdata/sf0.001"
+    out = keyword_search_bm25(sf, queries=("orders", "id", "zzzznope id"))
+    # 'orders' hits the id field (weight 10) of exactly the orders table
+    o = out[out["query"] == "orders"]
+    assert list(o["candidate_table"]) == ["orders"]
+    # the boosted id-field score dwarfs any unboosted single-term score
+    # (id field w=10 vs attr w=1)
+    assert float(o["score"].iloc[0]) > 5 * float(
+        out[out["query"] == "id"]["score"].max()
+    )
+    # AND semantics: a query containing a never-matching term returns 0 rows
+    assert len(out[out["query"] == "zzzznope id"]) == 0
+    # deterministic across calls (cached artifact path)
+    again = keyword_search_bm25(sf, queries=("orders", "id", "zzzznope id"))
+    assert out.equals(again)
