@@ -51,6 +51,7 @@ class TermChunks:
         # per-chunk decode memo: a TermChunks cached by the reader (hot
         # terms) never re-decodes the same varbyte chunk twice
         self._memo: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._all: tuple[np.ndarray, np.ndarray] | None = None
 
     def _chunk(self, i: int) -> tuple[np.ndarray, np.ndarray]:
         hit = self._memo.get(i)
@@ -79,7 +80,13 @@ class TermChunks:
         return docs, tfs
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
-        return self.decode(np.ones(self.n, dtype=bool))
+        # full-concat memo: high-df terms pay the concatenate +
+        # sortedness check (and possible argsort) only once — the
+        # steady-state cost of every OR query's θ seed otherwise
+        # re-merges a head term's whole posting list per query
+        if self._all is None:
+            self._all = self.decode(np.ones(self.n, dtype=bool))
+        return self._all
 
 
 def _range_max_ub(tc: TermChunks, ubs: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -165,11 +172,30 @@ def pruned_or_scores(
             )
         keep_masks[t] = (chunk_ub[t] + other) >= theta
 
+    # MaxScore term partition: walk terms by ascending cmax; a prefix
+    # whose cumulative cmax stays < θ is NON-ESSENTIAL — a doc appearing
+    # only in non-essential terms is bounded by that cumulative sum and
+    # cannot reach the top-k, so the candidate union is built from the
+    # essential terms alone (a stopword-like term's huge posting list
+    # stops inflating the union; its contributions to candidate docs are
+    # still added exactly below). Docs that can reach θ appear in some
+    # essential term, so this drops no true top-k member.
+    non_ess: set[str] = set()
+    if theta > 0.0 and len(present) > 1:
+        cum = 0.0
+        for t in sorted(present, key=lambda t: cmax[t]):
+            if cum + cmax[t] < theta and len(non_ess) < len(present) - 1:
+                cum += cmax[t]
+                non_ess.add(t)
+            else:
+                break
+    essential = [t for t in present if t not in non_ess]
+
     # exact union scoring over surviving chunks (pinned term order)
     post = {t: term_chunks[t].decode(keep_masks[t]) for t in present}
     all_docs = np.unique(
-        np.concatenate([post[t][0] for t in present if post[t][0].size])
-    ) if any(post[t][0].size for t in present) else np.empty(0, dtype=np.int64)
+        np.concatenate([post[t][0] for t in essential if post[t][0].size])
+    ) if any(post[t][0].size for t in essential) else np.empty(0, dtype=np.int64)
     if allowed is not None and all_docs.size:
         from datamart_ray.search.engine import _isin_sorted
 
