@@ -422,6 +422,10 @@ class SegmentScorer:
             sum(r.total_doclen for r in self.readers),
         )
 
+    def node_id(self) -> str:
+        """Placement probe (multi-node tests / ops visibility)."""
+        return ray.get_runtime_context().get_node_id()
+
     def dfs(self, terms: list[str]) -> dict[str, int]:
         return {
             t: sum(r.df(t) for r in self.readers) for t in terms
@@ -487,8 +491,14 @@ class DistributedSearchEngine:
         groups: list[list[str]] = [[] for _ in range(n_actors)]
         for i, d in enumerate(seg_dirs):  # round-robin packing
             groups[i % n_actors].append(d)
+        # SPREAD: scorer actors hold segment postings in heap memory, so
+        # on a multi-node cluster they must land on distinct nodes (memory
+        # balance + per-node read IO) rather than pack onto one
         self.actors = [
-            SegmentScorer.remote(g, lazy=lazy) for g in groups
+            SegmentScorer.options(scheduling_strategy="SPREAD").remote(
+                g, lazy=lazy
+            )
+            for g in groups
         ]
         stats = ray.get([a.stats.remote() for a in self.actors])
         self.n_docs = sum(n for n, _ in stats)

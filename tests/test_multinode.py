@@ -1,0 +1,118 @@
+"""Simulated multi-node evidence (VERDICT r2 "Next round" #7): a real
+2-raylet cluster via ray.cluster_utils.Cluster, run in a SUBPROCESS so it
+cannot collide with the session-scoped single-node Ray fixture.
+
+Asserts, on a 2-node cluster:
+- DistributedSearchEngine's scorer actors SPREAD across both nodes
+  (each actor holds segment postings in heap — packing them onto one
+  node would concentrate all serving memory and read IO);
+- distributed search results are rank-identical to the in-process
+  SearchEngine over the same index (the global-stats exchange makes
+  scores independent of actor placement and node count).
+
+The index is built FIRST under a plain single-node ray.init in the same
+subprocess (Ray Data's streaming executor is not exercised on the
+mini-cluster — its tiny per-node object stores are not the shape Ray
+Data schedules for; Dataset-pipeline parallelism invariance is covered
+by tests/test_cross_parallelism.py), then the cluster is started and
+only the actor serving path runs on it.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SCRIPT = r"""
+import json, os, sys
+sys.path.insert(0, @@REPO@@)
+import ray
+
+corpus = os.path.join(@@TMP@@, "corpus")
+idx = os.path.join(@@TMP@@, "idx")
+
+# phase 1: build a multi-segment index on a plain single-node session
+ray.init(address="local", num_cpus=4, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from datamart_ray.corpus import generate_corpus
+from datamart_ray.index.build import IndexConfig, build_index
+from datamart_ray.search.engine import SearchEngine
+generate_corpus(corpus, n_files=400, vocab_size=500, n_output_files=8,
+                seed=7)
+build_index(corpus, idx, IndexConfig(docs_per_spec=50, segment_docs=100))
+eng = SearchEngine(idx)
+queries = [
+    ("qzcommonneedle", "or"),
+    ("qzuniqueneedle", "and"),
+    ("qzcommonneedle qzpairneedlea", "or"),
+    ("qzpairneedlea qzpairneedleb", "and"),
+]
+local = {}
+for q, mode in queries:
+    t = eng.search(q, k=20, mode=mode)
+    local[q] = [t["doc_id"].to_pylist(), t["score"].to_pylist()]
+n_segs = len(eng.readers)
+ray.shutdown()
+
+# phase 2: 2-node cluster, actor serving path only
+from ray.cluster_utils import Cluster
+c = Cluster(
+    initialize_head=True,
+    head_node_args={"num_cpus": 2, "object_store_memory": 200 * 1024**2},
+)
+c.add_node(num_cpus=2, object_store_memory=200 * 1024**2)
+ray.init(address=c.address, include_dashboard=False,
+         logging_level="ERROR")
+c.wait_for_nodes()
+n_alive = len([n for n in ray.nodes() if n["Alive"]])
+
+from datamart_ray.search.engine import DistributedSearchEngine
+deng = DistributedSearchEngine(idx, max_actors=4)
+n_actors = len(deng.actors)
+nodes_used = set(
+    ray.get([a.node_id.remote() for a in deng.actors])
+)
+dist = {}
+for q, mode in queries:
+    t = deng.search(q, k=20, mode=mode)
+    dist[q] = [t["doc_id"].to_pylist(), t["score"].to_pylist()]
+deng.shutdown()
+ray.shutdown()
+c.shutdown()
+
+print("RESULT:" + json.dumps({
+    "n_alive": n_alive,
+    "n_segs": n_segs,
+    "n_actors": n_actors,
+    "nodes_used": len(nodes_used),
+    "match": dist == local,
+}))
+"""
+
+
+@pytest.mark.slow
+def test_scorer_actors_spread_and_rank_identity(tmp_path):
+    import json
+
+    proc = subprocess.run(
+        [sys.executable, "-c", SCRIPT.replace("@@REPO@@", repr(REPO)).replace("@@TMP@@", repr(str(tmp_path)))],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=REPO,
+    )
+    lines = [
+        ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT:")
+    ]
+    assert lines, f"no RESULT line\nstdout={proc.stdout[-2000:]}\nstderr={proc.stderr[-2000:]}"
+    r = json.loads(lines[-1][len("RESULT:"):])
+    assert r["n_alive"] == 2
+    assert r["n_segs"] >= 4  # multi-segment index (one actor can't hide it)
+    assert r["n_actors"] >= 2
+    assert r["nodes_used"] == 2, r  # SPREAD put scorers on BOTH nodes
+    assert r["match"], "distributed ranking differs from in-process"
