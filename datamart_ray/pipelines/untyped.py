@@ -165,11 +165,30 @@ def _count_batch(arr: pa.Array) -> dict[str, int]:
     }
 
 
-def profile_untyped(sf_dir: str) -> pd.DataFrame:
+def profile_untyped(
+    sf_dir: str, manual_annotations: dict | None = None
+) -> pd.DataFrame:
     """Structural/semantic typing of the derived untyped columns.
     Output: (column, structural_type, semantic_types, n_distinct,
-    missing_ratio, unclean_ratio)."""
+    missing_ratio, unclean_ratio).
+
+    `manual_annotations` mirrors the reference's user-supplied override
+    metadata (lib_profiler core.py:269-281; profile_types.py:150-184):
+    ``{"columns": [{"name": ..., "structural_type": ...,
+    "semantic_types": [...]}]}``. An annotated column SKIPS the regex
+    vote — the manual structural type is taken verbatim, the unclean
+    ratio is computed AGAINST that type from the same distributed regex
+    counts, and the semantic list is the manual one (with the boolean
+    unclean recompute of profile_types.py:168-171). The distributed
+    counting passes are identical either way; overrides only change the
+    driver-side assembly of the metadata-sized count rows."""
     ensure_fast_shuffle()
+    manual = {}
+    if manual_annotations:
+        manual = {
+            c["name"]: c
+            for c in manual_annotations.get("columns", [])
+        }
     src = rd.read_parquet(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_acctbal", "c_mktsegment"],
@@ -229,8 +248,12 @@ def profile_untyped(sf_dir: str) -> pd.DataFrame:
         n_point_all = int(c["n_point"] + c["n_other_point"])
         th = max(1.0, (1.0 - MAX_UNCLEAN) * (n - empty))
         nd = int(duniq.loc[name, "n_distinct"]) if name in duniq.index else 0
+        if name in manual:
+            # manual annotation replaces the vote (profile_types.py:
+            # 150-152); unclean is computed against the MANUAL type
+            stype = manual[name]["structural_type"]
         # structural vote (identify_structural_type)
-        if empty == n:
+        elif empty == n:
             stype = "missing"
         elif c["n_int"] >= th:
             stype = "integer"
@@ -254,24 +277,32 @@ def profile_untyped(sf_dir: str) -> pd.DataFrame:
             unclean = (n - empty - c["n_point"]) / n
         elif stype == "polygon":
             unclean = (n - empty - c["n_polygon"]) / n
-        # semantic types (identify_types, no geo_data)
-        semantics = []
-        if c["n_bool"] >= th:
-            semantics.append("boolean")
-            unclean = (n - empty - c["n_bool"]) / n
-        if stype == "text":
-            if c["n_text"] >= th:
-                semantics.append("free_text")
-            elif (
-                nd <= MAX_CATEGORICAL_RATIO * (n - empty)
-                or "boolean" in semantics
+        if name in manual:
+            # semantic types come from the manual list verbatim
+            # (profile_types.py:163-165), with the boolean unclean
+            # recompute of :168-171
+            semantics = list(manual[name].get("semantic_types", []))
+            if "boolean" in semantics:
+                unclean = (n - empty - c["n_bool"]) / n
+        else:
+            # semantic types (identify_types, no geo_data)
+            semantics = []
+            if c["n_bool"] >= th:
+                semantics.append("boolean")
+                unclean = (n - empty - c["n_bool"]) / n
+            if stype == "text":
+                if c["n_text"] >= th:
+                    semantics.append("free_text")
+                elif (
+                    nd <= MAX_CATEGORICAL_RATIO * (n - empty)
+                    or "boolean" in semantics
+                ):
+                    semantics.append("categorical")
+            elif stype == "integer" and (
+                name.lower().startswith(("id", "identifier", "index"))
+                or name.lower().endswith(("id", "identifier", "index"))
             ):
-                semantics.append("categorical")
-        elif stype == "integer" and (
-            name.lower().startswith(("id", "identifier", "index"))
-            or name.lower().endswith(("id", "identifier", "index"))
-        ):
-            semantics.append("id")
+                semantics.append("id")
         missing = empty / n if (stype != "missing" and empty > 0) else np.nan
         rows.append(
             {

@@ -525,3 +525,44 @@ def test_multimodal_resize_and_frame_sample(ray_session):
     # each sampled frame is itself a decodable image
     for f in sampled["frame"]:
         assert decode_netpbm(f) is not None
+
+
+def test_manual_annotation_overrides_profile(ray_session):
+    """Reference manual_annotations hook (lib_profiler core.py:269-281;
+    profile_types.py:150-184): an annotated column skips the regex vote,
+    takes the manual structural/semantic types verbatim, and computes the
+    unclean ratio against the MANUAL type."""
+    from datamart_ray.pipelines.untyped import profile_untyped
+
+    sf = "/root/testdata/sf0.001"
+    base = profile_untyped(sf).set_index("column")
+    assert base.loc["cust_id", "structural_type"] == "integer"
+    assert base.loc["flag", "structural_type"] == "text"
+
+    ann = {
+        "columns": [
+            {
+                "name": "cust_id",
+                "structural_type": "text",
+                "semantic_types": ["categorical"],
+            },
+            {
+                "name": "flag",
+                "structural_type": "integer",
+                "semantic_types": [],
+            },
+        ]
+    }
+    over = profile_untyped(sf, manual_annotations=ann).set_index("column")
+    # override flips the structural type and the semantic list
+    assert over.loc["cust_id", "structural_type"] == "text"
+    assert over.loc["cust_id", "semantic_types"] == "categorical"
+    import numpy as np
+    assert np.isnan(over.loc["cust_id", "unclean_ratio"])  # text: no ratio
+    # unclean ratio is computed against the MANUAL type: flag's yes/no
+    # values are 100% unclean as integers
+    assert over.loc["flag", "structural_type"] == "integer"
+    assert over.loc["flag", "unclean_ratio"] == 1.0
+    # unannotated columns are untouched
+    unann = [c for c in base.index if c not in ("cust_id", "flag")]
+    assert over.loc[unann].equals(base.loc[unann])
