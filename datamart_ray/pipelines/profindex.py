@@ -682,6 +682,68 @@ def search_datasets(
     ).reset_index(drop=True)
 
 
+def interleave_ranked_results(
+    join_results: list, union_results: list, k: int = 50
+) -> list:
+    """EXACT K2 parity: the reference's result combination zip-interleaves
+    the join and union ranked lists pairwise, appends whichever list is
+    longer, and truncates to top-50
+    (get_augmentation_search_results, apiserver/apiserver/search/
+    __init__.py:412-425). `search_augmentation_candidates` keeps its
+    documented sum-rank deviation; this is the faithful variant."""
+    min_size = min(len(join_results), len(union_results))
+    results = list(zip(join_results[:min_size], union_results[:min_size]))
+    results = [elt for sublist in results for elt in sublist]
+    if len(join_results) > min_size:
+        results += join_results[min_size:]
+    if len(union_results) > min_size:
+        results += union_results[min_size:]
+    return results[:k]
+
+
+def search_augmentation_interleaved(
+    sf_dir: str, query_table: str = "orders", k: int = 50
+) -> pd.DataFrame:
+    """Combined augmentation search with the reference's exact interleave
+    (rank, source, candidate_table, score): join candidates ranked by
+    score (one row per candidate table, best pair), union candidates
+    ranked by score, zip-interleaved join-first."""
+    join = search_join_candidates(sf_dir, query_table)
+    union = search_union_candidates(sf_dir, query_table)
+    jr = []
+    if len(join):
+        jb = (
+            join.groupby("candidate_table")["score"]
+            .max()
+            .reset_index()
+            .sort_values(
+                ["score", "candidate_table"], ascending=[False, True]
+            )
+        )
+        jr = [
+            ("join", r["candidate_table"], float(r["score"]))
+            for _, r in jb.iterrows()
+        ]
+    ur = [
+        ("union", r["candidate_table"], float(r["score"]))
+        for _, r in union.iterrows()
+    ]
+    rows = [
+        {
+            "rank": i,
+            "source": src,
+            "candidate_table": ct,
+            "score": round(s, 4),
+        }
+        for i, (src, ct, s) in enumerate(
+            interleave_ranked_results(jr, ur, k)
+        )
+    ]
+    return pd.DataFrame(
+        rows, columns=["rank", "source", "candidate_table", "score"]
+    )
+
+
 # ----------------------------------------------------------------------
 # BM25-scored keyword dataset search — the MAIN-index /search scoring
 # shape (parse_keyword_query_main_index, search/__init__.py:55-77:

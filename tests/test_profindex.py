@@ -214,3 +214,30 @@ def test_keyword_bm25_boost_and_gate(ray_session):
     # deterministic across calls (cached artifact path)
     again = keyword_search_bm25(sf, queries=("orders", "id", "zzzznope id"))
     assert out.equals(again)
+
+
+def test_interleave_k2_parity(ray_session):
+    """Golden-plan test of the reference's exact result combination
+    (search/__init__.py:412-425): pairwise zip join-first, longer-list
+    tail appended, truncate to k."""
+    from datamart_ray.pipelines.profindex import (
+        interleave_ranked_results,
+        search_augmentation_interleaved,
+    )
+
+    j = ["j1", "j2", "j3"]
+    u = ["u1"]
+    assert interleave_ranked_results(j, u) == ["j1", "u1", "j2", "j3"]
+    assert interleave_ranked_results(u, j) == ["u1", "j1", "j2", "j3"]
+    assert interleave_ranked_results(j, [], k=2) == ["j1", "j2"]
+    assert interleave_ranked_results([], [], k=2) == []
+
+    out = search_augmentation_interleaved("/root/testdata/sf0.001")
+    assert len(out) > 0
+    # join-first pairwise alternation over the zipped prefix
+    n_join = (out["source"] == "join").sum()
+    n_union = (out["source"] == "union").sum()
+    prefix = out.head(2 * min(n_join, n_union))
+    assert list(prefix["source"][::2].unique()) == ["join"]
+    assert list(prefix["source"][1::2].unique()) == ["union"]
+    assert list(out["rank"]) == list(range(len(out)))
