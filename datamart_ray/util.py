@@ -84,6 +84,25 @@ def fetch_rows_by_ids(path, id_col: str, ids, columns: list[str]):
     import ray.data as rd
 
     ids = np.unique(np.asarray(ids, dtype=np.int64))
+
+    # Single-file fast path: one parquet file is by definition
+    # single-node data, so a driver-side row-group-pruned filtered read
+    # (footer stats skip non-matching row groups; only matching rows are
+    # materialized) is strictly cheaper than spinning up a Dataset
+    # execution (~0.6s fixed) to do the same pruning. A 100-TB table is
+    # never one file — multi-file inputs keep the distributed fetch,
+    # whose workers prune footers in parallel.
+    import os
+
+    if isinstance(path, str) and os.path.isfile(path):
+        import pyarrow.parquet as pq
+
+        return pq.read_table(
+            path,
+            columns=columns,
+            filters=[(id_col, "in", ids.tolist())],
+        ).combine_chunks()
+
     ref = ray.put(ids)
 
     def keep(t: pa.Table) -> pa.Table:
