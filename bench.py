@@ -174,6 +174,15 @@ def run_bench() -> dict:
         CORPUS_FILES / timings["dedup_minhash_lsh"], 1
     )
 
+    # end-to-end VERIFIED near-dup pipeline over $GRAFT_SF_DIR documents
+    # (r3: candidates + exact shingle-Jaccard verification, all
+    # distributed — the full dd_minhash_near_dups path)
+    from datamart_ray.stages.dedup import minhash_near_dups
+
+    t0 = time.time()
+    minhash_near_dups(SF_DIR)
+    timings["dedup_minhash_verified"] = round(time.time() - t0, 3)
+
     ray.shutdown()
     value = round(sum(timings.values()), 3)
     return {

@@ -239,7 +239,9 @@ def test_simhash_dup_pairs_verified(ray_session, tmp_path):
 
 
 def test_rolling_fingerprints_matches_scalar_chain():
-    """Vectorized position-loop FNV chain == the sequential definition."""
+    """Vectorized segmented FNV fingerprint == the sequential scalar
+    definition (seg-token segment digests chained per doc), including
+    docs spanning multiple segments."""
     from datamart_ray.analyzer import Analyzer
     from datamart_ray.stages.dedup import _hash_tokens
     from datamart_ray.stages.textstats import (
@@ -248,15 +250,36 @@ def test_rolling_fingerprints_matches_scalar_chain():
         rolling_fingerprints,
     )
 
-    an = Analyzer()
-    texts = ["one two three", "", "single", "a b c d e f g h i j k"]
-    lists = an.token_lists(pa.array(texts))
-    got = rolling_fingerprints(lists, len(texts))
-    for i, txt in enumerate(texts):
+    def scalar(tokens, seg):
+        th = _hash_tokens(tokens)
+        digests = []
+        for i in range(0, len(th), seg):
+            d = np.uint64(FNV_OFFSET)
+            for h in th[i : i + seg]:
+                d = d * FNV_PRIME ^ h
+            digests.append(d)
         acc = np.uint64(FNV_OFFSET)
-        for h in _hash_tokens(an.tokenize(txt)):
-            acc = acc * FNV_PRIME ^ h
-        assert got[i] == acc, (i, txt)
+        for d in digests:
+            acc = acc * FNV_PRIME ^ d
+        return acc
+
+    an = Analyzer()
+    texts = [
+        "one two three",
+        "",
+        "single",
+        "a b c d e f g h i j k",
+        " ".join(f"w{i}" for i in range(1000)),  # spans many segments
+    ]
+    lists = an.token_lists(pa.array(texts))
+    for seg in (4, 256):
+        got = rolling_fingerprints(lists, len(texts), seg=seg)
+        for i, txt in enumerate(texts):
+            assert got[i] == scalar(an.tokenize(txt), seg), (i, seg)
+    # order sensitivity across a segment boundary
+    a = an.token_lists(pa.array(["x y z w", "y x z w"]))
+    fa = rolling_fingerprints(a, 2, seg=2)
+    assert fa[0] != fa[1]
 
 
 def test_popcount64():
