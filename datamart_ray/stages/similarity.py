@@ -228,8 +228,10 @@ def _distributed_rescore_ds(
     cosine runs vectorized per batch against the broadcast query matrix,
     and per-batch partial top-k bounds what the driver merges to
     (#blocks × #queries × k) rows. Shared by the LSH and IVF paths."""
+    from ray.data.aggregate import Count
+
     from datamart_ray.pipelines.joins import hash_join
-    from datamart_ray.stages.dedup import dedupe_pairs_ds
+    from datamart_ray.stages.dedup import dedupe_pairs_ds, semi_filter_payload
 
     empty = _empty_knn()
     pairs = dedupe_pairs_ds(
@@ -244,7 +246,23 @@ def _distributed_rescore_ds(
     emb = _packed_vectors(
         rd.read_parquet(path, columns=[id_col, vec_col]), id_col, vec_col
     )
-    joined = hash_join(pairs, emb, left_on="cand_id", right_on="doc_id")
+    # semi-filter the packed vectors to candidate ids first (broadcast
+    # scan below the id cap — no corpus-sized shuffle) so the pair join
+    # exchanges candidate-bounded rows on both sides
+    need = (
+        pairs.select_columns(["cand_id"])
+        .groupby("cand_id")
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .map_batches(
+            lambda t: t.rename_columns(["doc_id"]),
+            batch_format="pyarrow",
+        )
+    )
+    emb_needed = semi_filter_payload(emb, need, "doc_id")
+    joined = hash_join(
+        pairs, emb_needed, left_on="cand_id", right_on="doc_id"
+    )
 
     # vectorized score + per-batch partial top-k in one pandas pass
     def score(df: pd.DataFrame) -> pd.DataFrame:
@@ -517,6 +535,105 @@ def ivf_centroids(
         pa.table({"c": pa.array([row for row in C.tolist()])}), tmp
     )
     os.replace(tmp, art)  # atomic commit, like the segment manifests
+    return C
+
+
+FIXED_POINT_BITS = 40  # fixed-point scale for deterministic partial sums
+
+
+def ivf_centroids_distributed(
+    sf_dir: str,
+    n_clusters: int = 16,
+    iters: int = 10,
+    sample_stride: int | None = None,
+    train_budget: int = IVF_TRAIN_BUDGET,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    repartition_blocks: int | None = None,
+) -> np.ndarray:
+    """Fully DISTRIBUTED Lloyd iterations — the trainer for samples too
+    large even for the bounded driver collect: each iteration broadcasts
+    the centroids, every batch computes assignments (one matmul) and
+    emits per-cluster PARTIAL sums, and the driver folds k tiny rows per
+    batch.
+
+    Deterministic across runs AND parallelism levels: partial sums are
+    accumulated in fixed-point int64 (2^40 scale), so the fold is
+    associative/commutative integer addition — block structure cannot
+    perturb the means (the same fixed-point trick as the profiler's
+    moment sums). Init = the k lowest-id sample vectors (fetched by id),
+    empty clusters keep their previous centroid."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/embeddings.parquet"
+    if sample_stride is None:
+        n_rows = pq.ParquetFile(path).metadata.num_rows
+        sample_stride = max(1, -(-n_rows // train_budget))
+
+    ds = rd.read_parquet(path, columns=[id_col, vec_col])
+
+    def strided(t: pa.Table, stride=sample_stride) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % stride == 0))
+
+    sample = ds.map_batches(strided, batch_format="pyarrow")
+    if repartition_blocks:  # test hook: force a different block structure
+        sample = sample.repartition(repartition_blocks)
+    sample = sample.materialize()
+
+    # init: the k smallest sample ids (same spirit as the driver
+    # trainer's "first k sample vectors" — deterministic, no RNG)
+    init_ids = (
+        sample.select_columns([id_col])
+        .sort(id_col)
+        .limit(n_clusters)
+        .to_pandas()[id_col]
+        .to_numpy()
+    )
+    qt = fetch_rows_by_ids(path, id_col, init_ids.tolist(), [id_col, vec_col])
+    order = np.argsort(qt[id_col].to_numpy(zero_copy_only=False))
+    X0 = _to_matrix(qt[vec_col])[order]
+    C = X0 / np.linalg.norm(X0, axis=1, keepdims=True)
+    scale = np.int64(1) << np.int64(FIXED_POINT_BITS)
+
+    for _ in range(iters):
+        ref = ray.put(C)
+
+        def partials(t: pa.Table, k=n_clusters) -> pa.Table:
+            C_l = ray.get(ref)
+            X = _to_matrix(t[vec_col])
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            assign = np.argmax(Xn @ C_l.T, axis=1)
+            d = Xn.shape[1]
+            sums = np.zeros((k, d), dtype=np.int64)
+            fx = np.rint(Xn * float(scale)).astype(np.int64)
+            np.add.at(sums, assign, fx)
+            counts = np.bincount(assign, minlength=k).astype(np.int64)
+            return pa.table(
+                {
+                    "c": pa.array(np.arange(k, dtype=np.int64)),
+                    "n": pa.array(counts),
+                    "s": pa.array(list(sums)),
+                }
+            )
+
+        part = sample.map_batches(
+            partials, batch_format="pyarrow"
+        ).to_pandas()
+        # integer fold: order-independent
+        counts = np.zeros(n_clusters, dtype=np.int64)
+        sums = np.zeros((n_clusters, C.shape[1]), dtype=np.int64)
+        for _, r in part.iterrows():
+            counts[int(r["c"])] += int(r["n"])
+            sums[int(r["c"])] += np.asarray(r["s"], dtype=np.int64)
+        for c in range(n_clusters):
+            if counts[c]:
+                m = sums[c].astype(np.float64) / (
+                    float(scale) * counts[c]
+                )
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    C[c] = m / nm
     return C
 
 

