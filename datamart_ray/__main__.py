@@ -9,6 +9,9 @@
     python -m datamart_ray compact --index DIR
     python -m datamart_ray profile --sf DIR            (profile-index build)
     python -m datamart_ray augment --sf DIR --task join|union
+    python -m datamart_ray dedup   --sf DIR [--method minhash|simhash|embedding|exact]
+    python -m datamart_ray knn     --sf DIR [--method brute|lsh|ivf] [--query-ids 0,1,2]
+    python -m datamart_ray kwsearch --sf DIR --query "..."
 
 Owns its Ray session (guarded init, shutdown on exit) — library code
 never calls ray.init().
@@ -69,6 +72,31 @@ def main(argv: list[str] | None = None) -> int:
     a = sub.add_parser("augment", help="run an augmentation task")
     a.add_argument("--sf", required=True)
     a.add_argument("--task", required=True, choices=["join", "union"])
+
+    dd = sub.add_parser(
+        "dedup", help="near-duplicate discovery over documents"
+    )
+    dd.add_argument("--sf", required=True)
+    dd.add_argument(
+        "--method",
+        default="minhash",
+        choices=["minhash", "simhash", "embedding", "exact"],
+    )
+    dd.add_argument("--threshold", type=float, default=None)
+
+    kn = sub.add_parser("knn", help="cosine top-k over embeddings")
+    kn.add_argument("--sf", required=True)
+    kn.add_argument("--query-ids", default="0,1,2")
+    kn.add_argument("--k", type=int, default=5)
+    kn.add_argument(
+        "--method", default="brute", choices=["brute", "lsh", "ivf"]
+    )
+
+    kw = sub.add_parser(
+        "kwsearch", help="BM25-scored keyword dataset search"
+    )
+    kw.add_argument("--sf", required=True)
+    kw.add_argument("--query", required=True)
 
     args = ap.parse_args(argv)
 
@@ -174,6 +202,47 @@ def _run(args) -> int:
         )
         out = fn(args.sf)
         print(out.head(20).to_json(orient="records"))
+        return 0
+    if args.cmd == "dedup":
+        from datamart_ray.stages import dedup as dd
+        from datamart_ray.stages.similarity import embedding_near_dups
+
+        if args.method == "minhash":
+            out = dd.minhash_near_dups(
+                args.sf, threshold=args.threshold or 0.5
+            )
+        elif args.method == "simhash":
+            out = dd.simhash_dup_pairs(
+                args.sf, threshold=args.threshold or 0.5
+            )
+        elif args.method == "embedding":
+            out = embedding_near_dups(
+                args.sf, threshold=args.threshold or 0.45
+            )
+        else:
+            out = dd.exact_dedup_first(args.sf)
+        print(out.to_json(orient="records"))
+        return 0
+    if args.cmd == "knn":
+        from datamart_ray.stages.similarity import (
+            knn_cosine,
+            knn_ivf,
+            knn_lsh,
+        )
+
+        fn = {"brute": knn_cosine, "lsh": knn_lsh, "ivf": knn_ivf}[
+            args.method
+        ]
+        ids = tuple(int(x) for x in args.query_ids.split(","))
+        print(
+            fn(args.sf, query_ids=ids, k=args.k).to_json(orient="records")
+        )
+        return 0
+    if args.cmd == "kwsearch":
+        from datamart_ray.pipelines.profindex import keyword_search_bm25
+
+        out = keyword_search_bm25(args.sf, queries=(args.query,))
+        print(out.to_json(orient="records"))
         return 0
     raise SystemExit(f"unknown command {args.cmd}")
 

@@ -115,3 +115,25 @@ def test_cli_build_search_delete_compact(ray_session, tmp_path, capsys):
     ) == 0
     hits2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert victim not in [h["doc_id"] for h in hits2]
+
+
+def test_cli_dedup_knn_kwsearch(ray_session, capsys):
+    """The r3 CLI additions drive the dedup / ANN / keyword-search
+    pipelines end-to-end."""
+    import json
+
+    from datamart_ray.__main__ import main
+
+    sf = "/root/testdata/sf0.001"
+    assert main(["knn", "--sf", sf, "--k", "3"]) == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rows) == 9  # 3 queries x k=3
+
+    assert main(["dedup", "--sf", sf, "--method", "minhash"]) == 0
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    assert main(["kwsearch", "--sf", sf, "--query", "id"]) == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {r["candidate_table"] for r in rows} == {
+        "events", "documents", "embeddings"
+    }
