@@ -1,0 +1,147 @@
+"""Posting-heap sidecar: mmap-served per-term posting chunks for the
+giant-segment lazy mode.
+
+The lazy SegmentReader pays a filtered parquet read per cold term
+(row-group pruning + decompression — ~60-90 ms). For segments too big to
+hold eagerly, this sidecar rewrites the segment's posting-chunk rows,
+term-sorted, as an Arrow IPC FILE (record batches cut at term
+boundaries) plus a tiny index parquet mapping every term to its
+(batch, row-offset, row-count). Serving a term is then
+
+    pa.ipc.open_file(pa.memory_map(...)).get_batch(b).slice(s, n)
+
+— zero-copy from the OS page cache, resident memory O(touched pages),
+~1 ms cold. The engine's decode/memo layers are unchanged.
+
+Segment dirs are immutable after commit (deletes are docmeta tombstones;
+delta/compact create NEW segment dirs), so a sidecar never goes stale.
+Built on demand at first lazy open (atomic tmp+rename — a crashed build
+leaves no partial artifact) or explicitly via :func:`build_posting_heap`.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+HEAP_FILE = "postings.arrows"
+HEAP_IDX_FILE = "postings_heapidx.parquet"
+TARGET_BATCH_ROWS = 2048
+
+
+def build_posting_heap(
+    seg_dir: str, target_rows: int = TARGET_BATCH_ROWS
+) -> str:
+    """Write (atomically) the heap + index sidecar for one segment.
+    Idempotent: returns immediately if the sidecar exists."""
+    heap_path = os.path.join(seg_dir, HEAP_FILE)
+    idx_path = os.path.join(seg_dir, HEAP_IDX_FILE)
+    if os.path.exists(heap_path) and os.path.exists(idx_path):
+        return heap_path
+    t = pq.read_table(os.path.join(seg_dir, "postings"))
+    terms = t["term"].to_numpy(zero_copy_only=False)
+    order = np.argsort(terms, kind="stable")
+    t = t.take(pa.array(order)).combine_chunks()
+    sorted_terms = terms[order]
+    n = len(sorted_terms)
+    if n == 0:
+        tmp_heap = heap_path + f".tmp.{os.getpid()}"
+        with pa.OSFile(tmp_heap, "wb") as sink:
+            with pa.ipc.new_file(sink, t.schema):
+                pass
+        tmp_idx = idx_path + f".tmp.{os.getpid()}"
+        pq.write_table(
+            pa.table(
+                {
+                    "term": pa.array([], type=pa.string()),
+                    "batch": pa.array([], type=pa.int32()),
+                    "start": pa.array([], type=pa.int32()),
+                    "n": pa.array([], type=pa.int32()),
+                }
+            ),
+            tmp_idx,
+        )
+        os.replace(tmp_idx, idx_path)
+        os.replace(tmp_heap, heap_path)
+        return heap_path
+    bounds = np.flatnonzero(sorted_terms[1:] != sorted_terms[:-1]) + 1
+    starts = np.concatenate(([0], bounds)).astype(np.int64)
+    ends = np.concatenate((bounds, [n])).astype(np.int64)
+
+    # cut record batches at term boundaries, packing ≥ target_rows each
+    batch_cut = [0]  # indices into the per-term starts/ends arrays
+    acc = 0
+    for ti in range(starts.size):
+        acc += int(ends[ti] - starts[ti])
+        if acc >= target_rows:
+            batch_cut.append(ti + 1)
+            acc = 0
+    if batch_cut[-1] != starts.size:
+        batch_cut.append(starts.size)
+
+    term_batch = np.empty(starts.size, dtype=np.int32)
+    term_start = np.empty(starts.size, dtype=np.int32)
+    term_n = (ends - starts).astype(np.int32)
+    tmp_heap = heap_path + f".tmp.{os.getpid()}"
+    with pa.OSFile(tmp_heap, "wb") as sink:
+        with pa.ipc.new_file(sink, t.schema) as writer:
+            for bi in range(len(batch_cut) - 1):
+                lo_t, hi_t = batch_cut[bi], batch_cut[bi + 1]
+                row_lo = int(starts[lo_t])
+                row_hi = int(ends[hi_t - 1])
+                term_batch[lo_t:hi_t] = bi
+                term_start[lo_t:hi_t] = (
+                    starts[lo_t:hi_t] - row_lo
+                ).astype(np.int32)
+                writer.write_table(t.slice(row_lo, row_hi - row_lo))
+
+    # index rows aligned with the SORTED distinct term order (the same
+    # order as terms.parquet, which is written term-sorted)
+    tmp_idx = idx_path + f".tmp.{os.getpid()}"
+    pq.write_table(
+        pa.table(
+            {
+                "term": pa.array(sorted_terms[starts]),
+                "batch": pa.array(term_batch),
+                "start": pa.array(term_start),
+                "n": pa.array(term_n),
+            }
+        ),
+        tmp_idx,
+    )
+    os.replace(tmp_idx, idx_path)
+    os.replace(tmp_heap, heap_path)  # heap last: idx alone is ignored
+    return heap_path
+
+
+class PostingHeap:
+    """mmap-backed per-term posting-chunk access over the sidecar."""
+
+    def __init__(self, seg_dir: str, build: bool = True):
+        heap_path = os.path.join(seg_dir, HEAP_FILE)
+        idx_path = os.path.join(seg_dir, HEAP_IDX_FILE)
+        if not (os.path.exists(heap_path) and os.path.exists(idx_path)):
+            if not build:
+                raise FileNotFoundError(heap_path)
+            build_posting_heap(seg_dir)
+        self._reader = pa.ipc.open_file(pa.memory_map(heap_path))
+        idx = pq.read_table(idx_path)
+        self._terms = idx["term"].to_numpy(zero_copy_only=False)
+        self._batch = idx["batch"].to_numpy()
+        self._start = idx["start"].to_numpy()
+        self._n = idx["n"].to_numpy()
+        self.schema = self._reader.schema
+
+    def chunks(self, term: str) -> pa.Table:
+        """Posting-chunk rows of `term` (zero-copy slice; empty table if
+        the term is absent)."""
+        i = int(np.searchsorted(self._terms, term))
+        if i >= self._terms.size or self._terms[i] != term:
+            return self.schema.empty_table()
+        b = self._reader.get_batch(int(self._batch[i]))
+        return pa.Table.from_batches(
+            [b.slice(int(self._start[i]), int(self._n[i]))]
+        )

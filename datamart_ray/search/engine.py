@@ -57,11 +57,13 @@ class SegmentReader:
     - eager (default): the posting-chunk table is loaded once and indexed
       by term — the low-latency path while a segment fits its scorer
       (one SegmentScorer actor per segment);
-    - ``lazy=True``: per-term filtered parquet reads with row-group
-      pruning (posting files are term-sorted per bucket, so the `term`
-      column's row-group statistics prune most of the file) + an LRU of
-      decoded terms — the giant-segment path: memory stays O(touched
-      terms), at the cost of per-query IO.
+    - ``lazy=True``: per-term access through the mmap posting-heap
+      sidecar (``index/heap.py`` — term-sorted Arrow IPC file served as
+      zero-copy batch slices from the OS page cache; built atomically on
+      first lazy open) + an LRU of decoded terms — the giant-segment
+      path: resident memory stays O(touched pages), cold terms cost ~1 ms
+      instead of a filtered parquet read. Falls back to row-group-pruned
+      filtered reads if the sidecar cannot be built (read-only dir).
     """
 
     def __init__(
@@ -87,6 +89,14 @@ class SegmentReader:
         self.lazy = lazy
         self._lazy_cache_terms = lazy_cache_terms
         self._lazy_cache: "dict[str, pa.Table]" = {}
+        self._heap = None
+        if lazy:
+            try:
+                from datamart_ray.index.heap import PostingHeap
+
+                self._heap = PostingHeap(seg_dir)
+            except OSError:
+                self._heap = None  # read-only dir → filtered-read path
         self._tc_cache: dict = {}  # term → TermChunks (decode memo inside)
         meta_dir = os.path.join(seg_dir, "docmeta")
         avail = set(
@@ -162,12 +172,15 @@ class SegmentReader:
         return t
 
     def _lazy_chunks(self, term: str) -> pa.Table:
-        """Filtered per-term read (row-group pruning via `term` stats) —
-        never loads the whole posting table."""
+        """Per-term access without loading the whole posting table: the
+        mmap heap sidecar when available (zero-copy slice), else a
+        filtered read (row-group pruning via `term` stats)."""
         if self.df(term) == 0:
             from datamart_ray.index.build import POSTINGS_SCHEMA
 
             return POSTINGS_SCHEMA.empty_table()
+        if self._heap is not None:
+            return self._heap.chunks(term)
         return pq.read_table(
             self._postings_dir,
             filters=[("term", "==", term)],

@@ -202,6 +202,28 @@ def test_lazy_reader_matches_eager(ray_session, tmp_path):
     d = lazy.search(q0["query"], k=50, mode=q0["mode"])
     assert c["doc_id"].to_pylist() == d["doc_id"].to_pylist()
 
+    # the r3 lazy path serves terms from the mmap posting-heap sidecar
+    # (built atomically on first lazy open)
+    from datamart_ray.index.heap import HEAP_FILE, PostingHeap
+
+    seg = lazy.readers[0].seg_dir
+    assert os.path.exists(os.path.join(seg, HEAP_FILE))
+    assert lazy.readers[0]._heap is not None
+    # heap slices == the filtered-read fallback, term by term
+    fallback = SearchEngine(idx, lazy=True)
+    for r in fallback.readers:
+        r._heap = None
+        r._lazy_cache.clear()
+    heap = PostingHeap(seg)
+    for term in ("qzcommonneedle", "qzuniqueneedle", "qznoterm"):
+        a = heap.chunks(term)
+        b = fallback.readers[0]._lazy_chunks(term)
+        assert a.num_rows == b.num_rows, term
+        if a.num_rows:
+            ak = a.sort_by("first_docid").to_pydict()
+            bk = b.sort_by("first_docid").to_pydict()
+            assert ak == bk, term
+
 
 def test_distributed_engine_actor_packing(ray_session, tmp_path):
     """max_actors < n_segments packs several readers per scorer actor;
