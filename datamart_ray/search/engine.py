@@ -49,6 +49,19 @@ from datamart_ray.search.bm25 import BM25Params, bm25_idf, bm25_tf_norm, topk_se
 
 TOP_K_SIZE = 50  # reference: apiserver/apiserver/search/base.py:1
 
+# Above this many postings a segment is served lazily (mmap posting
+# heap) under lazy="auto": eager mode holds the whole chunk table in
+# process heap (~6-10 B/posting), so a giant segment would OOM its
+# reader/scorer. 256M postings ≈ 2 GB resident — a safe per-reader
+# bound; below it the eager sorted-slice table is the faster warm path.
+AUTO_LAZY_POSTINGS = 256_000_000
+
+
+def _resolve_lazy(seg_dir: str, lazy: bool | str) -> bool:
+    if lazy != "auto":
+        return bool(lazy)
+    return read_manifest(seg_dir).get("n_postings", 0) > AUTO_LAZY_POSTINGS
+
 
 class SegmentReader:
     """Reads one committed segment: term dict, postings, docmeta arrays.
@@ -337,7 +350,7 @@ class SearchEngine:
         index_dir: str,
         params: BM25Params = BM25Params(),
         filter_cols: tuple = ("lang", "repo"),
-        lazy: bool = False,
+        lazy: bool | str = "auto",
         warm_terms: int = 0,
     ):
         with open(os.path.join(index_dir, INDEX_MANIFEST_NAME)) as f:
@@ -348,7 +361,8 @@ class SearchEngine:
         if not seg_dirs:
             raise ValueError(f"no committed segments under {index_dir}")
         self.readers = [
-            SegmentReader(d, filter_cols, lazy=lazy) for d in seg_dirs
+            SegmentReader(d, filter_cols, lazy=_resolve_lazy(d, lazy))
+            for d in seg_dirs
         ]
         self.n_docs = sum(r.n_docs for r in self.readers)
         total_dl = sum(r.total_doclen for r in self.readers)
@@ -421,12 +435,13 @@ class SegmentScorer:
         self,
         seg_dirs: str | list[str],
         filter_cols: tuple = ("lang", "repo"),
-        lazy: bool = False,
+        lazy: bool | str = "auto",
     ):
         if isinstance(seg_dirs, str):
             seg_dirs = [seg_dirs]
         self.readers = [
-            SegmentReader(d, filter_cols, lazy=lazy) for d in seg_dirs
+            SegmentReader(d, filter_cols, lazy=_resolve_lazy(d, lazy))
+            for d in seg_dirs
         ]
 
     def stats(self) -> tuple[int, int]:
@@ -483,7 +498,7 @@ class DistributedSearchEngine:
         self,
         index_dir: str,
         params: BM25Params = BM25Params(),
-        lazy: bool = False,
+        lazy: bool | str = "auto",
         max_actors: int | None = None,
     ):
         with open(os.path.join(index_dir, INDEX_MANIFEST_NAME)) as f:

@@ -276,3 +276,27 @@ def test_search_many_matches_serial(ray_session, tmp_path):
     # empty-term query yields an empty table, not an error
     assert eng.search_many([{"query": "!!!"}])[0].num_rows == 0
     eng.shutdown()
+
+
+def test_auto_lazy_threshold(ray_session, tmp_path, monkeypatch):
+    """lazy='auto' picks eager for small segments and the mmap-heap lazy
+    mode once a segment's posting count crosses AUTO_LAZY_POSTINGS."""
+    from datamart_ray.corpus import generate_corpus
+    from datamart_ray.index.build import IndexConfig, build_index
+    from datamart_ray.search import engine as eng_mod
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, n_files=60, vocab_size=300, n_output_files=1)
+    idx = str(tmp_path / "idx")
+    build_index(corpus, idx, IndexConfig(docs_per_spec=30))
+
+    auto = eng_mod.SearchEngine(idx)  # default lazy="auto"
+    assert all(not r.lazy for r in auto.readers)  # small → eager
+
+    monkeypatch.setattr(eng_mod, "AUTO_LAZY_POSTINGS", 1)
+    big = eng_mod.SearchEngine(idx)
+    assert all(r.lazy for r in big.readers)  # "giant" → lazy + heap
+    assert all(r._heap is not None for r in big.readers)
+    a = auto.search("qzcommonneedle", k=10, mode="or")
+    b = big.search("qzcommonneedle", k=10, mode="or")
+    assert a.to_pydict() == b.to_pydict()
