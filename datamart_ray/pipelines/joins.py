@@ -58,6 +58,42 @@ def broadcast_join(
     return big.map_batches(_join, batch_format="pandas")
 
 
+def broadcast_lookup_join(
+    big: rd.Dataset,
+    keys,
+    values,
+    on: str,
+    value_col: str,
+    keep_cols: list[str],
+) -> rd.Dataset:
+    """Inner join of a Dataset against a broadcast int64 key→value map,
+    vectorized: the (sorted-key, value) arrays ship once via the object
+    store and each batch resolves matches with one searchsorted — no
+    per-batch pandas merge against the whole map (which costs
+    O(batch + |map|) per batch). The tight special case of
+    :func:`broadcast_join` for single-int-key, single-int-value maps."""
+    import numpy as np
+
+    k = np.asarray(keys, dtype=np.int64)
+    v = np.asarray(values, dtype=np.int64)
+    order = np.argsort(k, kind="stable")
+    ref = ray.put((k[order], v[order]))
+
+    def attach(t: pa.Table) -> pa.Table:
+        kk, vv = ray.get(ref)
+        bk = t[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(kk, bk)
+        hit = (pos < kk.size) & (
+            kk[np.minimum(pos, kk.size - 1)] == bk
+        )
+        mask = pa.array(hit)
+        cols = {c: t[c].filter(mask) for c in keep_cols}
+        cols[value_col] = pa.array(vv[pos[hit]])
+        return pa.table(cols)
+
+    return big.map_batches(attach, batch_format="pyarrow")
+
+
 def anti_semi_filter(
     big: rd.Dataset, keys: set, on: str, anti: bool = False
 ) -> rd.Dataset:

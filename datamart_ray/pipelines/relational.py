@@ -28,10 +28,18 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 from datamart_ray.pipelines.joins import (
     anti_semi_filter,
     broadcast_join,
+    broadcast_lookup_join,
     hash_join,
     read_small,
 )
 from datamart_ray.util import ensure_fast_shuffle, round_away, to_units, units_sql
+
+
+# Join-side broadcast threshold: a ≤5M-row skinny key map (two int64
+# columns ≈ 80 MB) ships to each node once via the object store; above
+# it the partitioned hash join keeps both sides distributed. Planned
+# from parquet FOOTER row counts — no data is read to decide.
+BROADCAST_ROWS = 5_000_000
 
 
 def _p(sf_dir: str, table: str) -> str:
@@ -130,7 +138,12 @@ def q02_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
 
     Scale shape: (1) pre-aggregate revenue per orderkey *before* any join
     (the combiner pattern — shrinks the fact side to one row per key);
-    (2) one explicit partitioned hash join against orders (big-big);
+    (2) the fact ⋈ orders join strategy is PLANNED FROM FOOTER
+    STATISTICS: when the orders table's parquet-metadata row count is
+    below BROADCAST_ROWS the (o_orderkey → n_nationkey) side is built
+    driver-side and broadcast (zero shuffles in the whole query), else
+    the explicit partitioned hash join runs big-big (that path is
+    exercised by tj_hourly_rollup_join / ag_join at every scale);
     (3) customer and nation ride as broadcast lookups (dimension-sized).
     """
     def prep_combine(t: pa.Table) -> pa.Table:
@@ -157,17 +170,41 @@ def q02_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     dim = customer.merge(
         nation, left_on="c_nationkey", right_on="n_nationkey"
     )[["c_custkey", "n_nationkey"]]
-    orders = rd.read_parquet(
-        _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
-    )
-    # dims ride onto orders with zero shuffle (broadcast lookup)
-    orders_nation = broadcast_join(
-        orders, dim, on="o_custkey", right_on="c_custkey"
-    ).select_columns(["o_orderkey", "n_nationkey"])
-    # the one all-to-all: fact ⋈ orders on the shared key
-    j = hash_join(
-        lineitem, orders_nation, left_on="l_orderkey", right_on="o_orderkey"
-    )
+    import pyarrow.dataset as pads
+
+    n_orders = pads.dataset(_p(sf_dir, "orders")).count_rows()  # footers
+    if n_orders <= BROADCAST_ROWS:
+        # two skinny int columns ≤ BROADCAST_ROWS rows: build the
+        # (o_orderkey → n_nationkey) map driver-side and broadcast it —
+        # the whole query then runs with ZERO shuffles
+        odf = read_small(
+            _p(sf_dir, "orders"), ["o_orderkey", "o_custkey"]
+        ).merge(dim, left_on="o_custkey", right_on="c_custkey")[
+            ["o_orderkey", "n_nationkey"]
+        ]
+        j = broadcast_lookup_join(
+            lineitem,
+            odf["o_orderkey"].to_numpy(),
+            odf["n_nationkey"].to_numpy(),
+            on="l_orderkey",
+            value_col="n_nationkey",
+            keep_cols=["rev_u"],
+        )
+    else:
+        orders = rd.read_parquet(
+            _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
+        )
+        # dims ride onto orders with zero shuffle (broadcast lookup)
+        orders_nation = broadcast_join(
+            orders, dim, on="o_custkey", right_on="c_custkey"
+        ).select_columns(["o_orderkey", "n_nationkey"])
+        # the one all-to-all: fact ⋈ orders on the shared key
+        j = hash_join(
+            lineitem,
+            orders_nation,
+            left_on="l_orderkey",
+            right_on="o_orderkey",
+        )
     # map-side combine before the final (tiny) groupby
     partial = j.map_batches(
         lambda t: t.group_by("n_nationkey").aggregate([("rev_u", "sum")])
