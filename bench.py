@@ -113,6 +113,26 @@ def run_bench() -> dict:
     timings["bm25_p50"] = round(statistics.median(lat), 4)
     extra["bm25_p95"] = round(sorted(lat)[int(len(lat) * 0.95)], 4)
 
+    # giant-segment serving path: lazy=True reads every term through the
+    # mmap posting-heap sidecar (built here on first open) — the numbers
+    # a 100-TB segment would see, measured on the same query set
+    t0 = time.time()
+    leng = SearchEngine(index_dir, lazy=True)
+    extra["heap_build_sec"] = round(time.time() - t0, 3)
+    llat = []
+    for _ in range(3):
+        for q in qset:
+            t0 = time.time()
+            leng.search(
+                q["query"],
+                k=50,
+                mode=q["mode"],
+                filters={"lang": q["lang"]} if "lang" in q else None,
+            )
+            llat.append(time.time() - t0)
+    extra["bm25_lazy_p50"] = round(statistics.median(llat), 4)
+    extra["bm25_lazy_p95"] = round(sorted(llat)[int(len(llat) * 0.95)], 4)
+
     # distributed serving path (per-segment scorer actors, driver merge)
     from datamart_ray.search.engine import DistributedSearchEngine
 
