@@ -98,6 +98,13 @@ def main(argv: list[str] | None = None) -> int:
     kw.add_argument("--sf", required=True)
     kw.add_argument("--query", required=True)
 
+    hp = sub.add_parser(
+        "heap",
+        help="prebuild the mmap posting-heap sidecars (giant-segment "
+        "lazy serving) for every active segment",
+    )
+    hp.add_argument("--index", required=True)
+
     args = ap.parse_args(argv)
 
     import ray
@@ -207,18 +214,19 @@ def _run(args) -> int:
         from datamart_ray.stages import dedup as dd
         from datamart_ray.stages.similarity import embedding_near_dups
 
+        def thr(default: float) -> float:
+            # explicit --threshold 0 is a valid value ("report all
+            # verified pairs") — never `or`-default a float arg
+            return (
+                default if args.threshold is None else args.threshold
+            )
+
         if args.method == "minhash":
-            out = dd.minhash_near_dups(
-                args.sf, threshold=args.threshold or 0.5
-            )
+            out = dd.minhash_near_dups(args.sf, threshold=thr(0.5))
         elif args.method == "simhash":
-            out = dd.simhash_dup_pairs(
-                args.sf, threshold=args.threshold or 0.5
-            )
+            out = dd.simhash_dup_pairs(args.sf, threshold=thr(0.5))
         elif args.method == "embedding":
-            out = embedding_near_dups(
-                args.sf, threshold=args.threshold or 0.45
-            )
+            out = embedding_near_dups(args.sf, threshold=thr(0.45))
         else:
             out = dd.exact_dedup_first(args.sf)
         print(out.to_json(orient="records"))
@@ -243,6 +251,15 @@ def _run(args) -> int:
 
         out = keyword_search_bm25(args.sf, queries=(args.query,))
         print(out.to_json(orient="records"))
+        return 0
+    if args.cmd == "heap":
+        from datamart_ray.index.heap import build_posting_heap
+        from datamart_ray.index.manifest import active_segments
+
+        built = [
+            build_posting_heap(d) for d in active_segments(args.index)
+        ]
+        print(json.dumps({"heaps": built}))
         return 0
     raise SystemExit(f"unknown command {args.cmd}")
 

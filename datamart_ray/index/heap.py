@@ -44,7 +44,13 @@ def build_posting_heap(
     t = pq.read_table(os.path.join(seg_dir, "postings"))
     terms = t["term"].to_numpy(zero_copy_only=False)
     order = np.argsort(terms, kind="stable")
-    t = t.take(pa.array(order)).combine_chunks()
+    # NOTE: no combine_chunks — a giant segment's binary docs/tfs column
+    # can exceed Arrow's 2 GiB single-buffer cap; slices below work on
+    # the chunked result. The build still holds the table (+ its sorted
+    # copy) in memory once; for segments too big even for that, run the
+    # build at index-build time / via `python -m datamart_ray heap` on a
+    # large-memory worker — serving afterwards is mmap-only.
+    t = t.take(pa.array(order))
     sorted_terms = terms[order]
     n = len(sorted_terms)
     if n == 0:

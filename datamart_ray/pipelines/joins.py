@@ -82,10 +82,14 @@ def broadcast_lookup_join(
     def attach(t: pa.Table) -> pa.Table:
         kk, vv = ray.get(ref)
         bk = t[on].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.searchsorted(kk, bk)
-        hit = (pos < kk.size) & (
-            kk[np.minimum(pos, kk.size - 1)] == bk
-        )
+        if kk.size == 0:
+            hit = np.zeros(bk.size, dtype=bool)
+            pos = np.zeros(bk.size, dtype=np.int64)
+        else:
+            pos = np.searchsorted(kk, bk)
+            hit = (pos < kk.size) & (
+                kk[np.minimum(pos, kk.size - 1)] == bk
+            )
         mask = pa.array(hit)
         cols = {c: t[c].filter(mask) for c in keep_cols}
         cols[value_col] = pa.array(vv[pos[hit]])

@@ -815,18 +815,31 @@ def keyword_search_bm25(
         (json.dumps(texts, sort_keys=True) + f"|v{_KW_VERSION}").encode()
     ).hexdigest()[:16]
     root = f"/tmp/graft_kwindex/{key}"
-    engines: dict[str, SearchEngine] = {}
-    for fld, _w in KW_FIELDS:
-        idx = os.path.join(root, fld)
-        if not os.path.exists(os.path.join(idx, "index.json")):
-            corpus = os.path.join(root, f"corpus-{fld}")
+    if not os.path.isdir(root):
+        # atomic dir commit: build every field index under a
+        # process-unique staging dir, then one rename — two concurrent
+        # cold-cache builders never write into the same tree, and the
+        # rename loser simply adopts the winner's tree
+        stage = f"{root}.build.{os.getpid()}"
+        for fld, _w in KW_FIELDS:
+            corpus = os.path.join(stage, f"corpus-{fld}")
             os.makedirs(corpus, exist_ok=True)
             pq.write_table(
                 pa.table({"content": pa.array(texts[fld])}),
                 os.path.join(corpus, "part-00000.parquet"),
             )
-            build_index(corpus, idx, IndexConfig(meta_cols=()))
-        engines[fld] = SearchEngine(idx)
+            build_index(
+                corpus, os.path.join(stage, fld), IndexConfig(meta_cols=())
+            )
+        try:
+            os.rename(stage, root)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)  # lost the race
+    engines: dict[str, SearchEngine] = {}
+    for fld, _w in KW_FIELDS:
+        engines[fld] = SearchEngine(os.path.join(root, fld))
 
     n = len(CATALOG_TABLES)
     analyzer = engines["id"].analyzer

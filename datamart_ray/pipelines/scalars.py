@@ -62,9 +62,10 @@ def json_extract_rollup(sf_dir: str) -> pd.DataFrame:
                         # match the twin's CAST(... AS BIGINT): DuckDB
                         # rounds half away from zero; Python int() would
                         # truncate (5.5 → 5 vs DuckDB 6). ADVICE r2.
+                        # (coerce BEFORE sign — k may be a numeric string)
+                        f = float(parsed)
                         ks[i] = int(
-                            np.sign(parsed)
-                            * np.floor(abs(float(parsed)) + 0.5)
+                            np.sign(f) * np.floor(abs(f) + 0.5)
                         )
         part = pa.table(
             {"k_bucket": pa.array(ks // 10), "k": pa.array(ks)}

@@ -108,8 +108,11 @@ class SegmentReader:
                 from datamart_ray.index.heap import PostingHeap
 
                 self._heap = PostingHeap(seg_dir)
-            except OSError:
-                self._heap = None  # read-only dir → filtered-read path
+            except (OSError, MemoryError, pa.ArrowInvalid):
+                # read-only dir, or the one-time sidecar build does not
+                # fit this process (prebuild via `python -m datamart_ray
+                # heap` on a large-memory worker) → filtered-read path
+                self._heap = None
         self._tc_cache: dict = {}  # term → TermChunks (decode memo inside)
         meta_dir = os.path.join(seg_dir, "docmeta")
         avail = set(
@@ -151,7 +154,14 @@ class SegmentReader:
         t = pq.read_table(self._postings_dir)
         terms = t["term"].to_numpy(zero_copy_only=False)
         order = np.argsort(terms, kind="stable")
-        t = t.take(pa.array(order)).combine_chunks()
+        t = t.take(pa.array(order))
+        try:
+            # single-chunk columns make the per-term slice fully
+            # zero-copy; best-effort — a near-cap binary column (>2 GiB)
+            # cannot combine, and slices work on the chunked table too
+            t = t.combine_chunks()
+        except (pa.ArrowInvalid, pa.ArrowCapacityError, MemoryError):
+            pass
         self._post_table = t
         sorted_terms = terms[order]
         bounds = np.flatnonzero(sorted_terms[1:] != sorted_terms[:-1]) + 1

@@ -457,11 +457,14 @@ def _centroid_artifact_path(
     try:
         import os
 
-        mtime = int(os.stat(path).st_mtime)
+        st = os.stat(path)
+        # ns-resolution mtime + size: a same-second in-place rewrite
+        # must not reuse centroids trained on the previous corpus
+        ident = f"{st.st_mtime_ns}:{st.st_size}"
     except OSError:
-        mtime = 0
+        ident = "0"
     key = hashlib.sha256(
-        f"{path}|{mtime}|k{n_clusters}|i{iters}|s{stride}|v{_IVF_VERSION}"
+        f"{path}|{ident}|k{n_clusters}|i{iters}|s{stride}|v{_IVF_VERSION}"
         .encode()
     ).hexdigest()[:16]
     return f"/tmp/graft_ivf_centroids/{key}/centroids.parquet"
