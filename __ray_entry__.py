@@ -187,6 +187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["sp_wkt_roundtrip"] = wkt_roundtrip
     out["sc_temporal_resolution"] = temporal_resolution
     out["sc_strftime_rollup"] = strftime_rollup
+    # heap-served (giant-segment lazy) BM25 — same twin as ft_bm25_topk
+    out["ft_bm25_lazy_topk"] = fulltext.ft_bm25_lazy_topk
 
     from datamart_ray.pipelines.transforms import (
         expand_customer_names,
@@ -318,6 +320,7 @@ def oracle_sql() -> dict[str, str]:
     out["sp_wkt_roundtrip"] = WKT_SQL
     out["sc_temporal_resolution"] = temporal_resolution_sql()
     out["sc_strftime_rollup"] = STRFTIME_SQL
+    out["ft_bm25_lazy_topk"] = fulltext.SQL["ft_bm25_topk"]
 
     from datamart_ray.pipelines import transforms
 

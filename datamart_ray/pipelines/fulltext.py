@@ -153,6 +153,21 @@ def ft_bm25_topk(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def ft_bm25_lazy_topk(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-k through the giant-segment serving path: a fresh
+    SearchEngine with lazy=True reads every term from the mmap
+    posting-heap sidecar (index/heap.py) — same SQL twin as
+    ft_bm25_topk, so the driver gates heap-served == eager-served."""
+    from datamart_ray.search.engine import SearchEngine
+
+    eng = get_engine(sf_dir)  # ensures the on-disk index exists
+    index_dir = eng.readers[0].seg_dir.rsplit("/segments/", 1)[0]
+    leng = SearchEngine(index_dir, lazy=True)
+    out = leng.search(BM25_QUERY, k=BM25_K, mode="and").to_pandas()
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
 def ft_bm25_or_topk(sf_dir: str) -> pd.DataFrame:
     """BM25 top-k in OR mode — gates the block-max pruned (WAND-family)
     scoring path against the exhaustive SQL union twin in the driver."""

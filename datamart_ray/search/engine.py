@@ -432,6 +432,20 @@ class SearchEngine:
             }
         )
 
+    def search_many(self, queries: list[dict]) -> list[pa.Table]:
+        """Batch API parity with DistributedSearchEngine.search_many —
+        in-process there is nothing to pipeline, so this is sequential
+        execution with the same query-dict shape."""
+        return [
+            self.search(
+                q["query"],
+                k=q.get("k", TOP_K_SIZE),
+                mode=q.get("mode", "and"),
+                filters=q.get("filters"),
+            )
+            for q in queries
+        ]
+
 
 @ray.remote
 class SegmentScorer:

@@ -277,6 +277,17 @@ def test_search_many_matches_serial(ray_session, tmp_path):
     assert eng.search_many([{"query": "!!!"}])[0].num_rows == 0
     eng.shutdown()
 
+    # in-process batch API parity: same query-dict shape, same results
+    from datamart_ray.search.engine import SearchEngine
+
+    ip = SearchEngine(idx)
+    for q, b in zip(qs, ip.search_many(qs)):
+        a = ip.search(
+            q["query"], k=50, mode=q["mode"], filters=q["filters"]
+        )
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+        assert a["score"].to_pylist() == b["score"].to_pylist(), q
+
 
 def test_auto_lazy_threshold(ray_session, tmp_path, monkeypatch):
     """lazy='auto' picks eager for small segments and the mmap-heap lazy
