@@ -120,6 +120,59 @@ def read_small(path: str, columns: list[str] | None = None) -> pd.DataFrame:
     return pq.read_table(path, columns=columns).to_pandas()
 
 
+def detect_hot_keys(
+    ds: rd.Dataset,
+    on: str,
+    num_buckets: int | None = None,
+    factor: float = 4.0,
+    max_keys: int = 64,
+) -> np.ndarray:
+    """Heavy-hitter join keys of `ds[on]` — the keys whose row count
+    exceeds `factor` × the mean bucket size, i.e. the ones that would
+    concentrate a partitioned join into one oversized task.
+
+    Scale shape: per-batch partial top-256 value counts (tiny rows; a
+    globally hot key is hot in many batches, so its summed partial count
+    approaches its true count — lower-bound heavy-hitter counting) → one
+    small groupby over the candidate set. Never a full per-key groupby."""
+    from ray.data.aggregate import Sum
+
+    if num_buckets is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            cpus = 4
+        num_buckets = max(16, 4 * cpus)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[on].value_counts().head(256)
+        return pd.DataFrame({on: vc.index, "n": vc.to_numpy()})
+
+    total = ds.count()  # metadata-only for parquet-backed datasets
+    if not total:
+        return np.empty(0, dtype=object)
+    cand = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(on)
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    cut = factor * total / num_buckets
+    hot = (
+        cand[cand["n"] > cut]
+        .sort_values("n", ascending=False)
+        .head(max_keys)[on]
+        .to_numpy()
+    )
+    return hot
+
+
+# sub-bucket fan-out per salted hot key (hot rows spread across this
+# many buckets; the dim side replicates its hot rows the same number of
+# times — a bounded, hot-set-sized duplication)
+SALT_FANOUT = 16
+
+
 def hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -127,6 +180,7 @@ def hash_join(
     right_on: str | list[str] | None = None,
     how: str = "inner",
     num_buckets: int | None = None,
+    hot_keys=None,
 ) -> rd.Dataset:
     """Explicit partitioned hash join: bucket by key hash on both sides,
     one ``groupby(bucket)`` shuffle, one vectorized pandas merge per bucket.
@@ -135,8 +189,16 @@ def hash_join(
     reference's chunked pandas join, augmentation.py:376-623). It measures
     3-6x faster than ``Dataset.join`` on this Ray version because the merge
     runs once per *bucket* (vectorized) instead of routing through the join
-    operator's aggregator actors. Buckets default to 4x cluster CPUs; salt
-    hot keys into sub-buckets before calling if one key dominates.
+    operator's aggregator actors. Buckets default to 4x cluster CPUs.
+
+    Skew handling: pass `hot_keys` (an array of single-column key values,
+    e.g. from :func:`detect_hot_keys`) and rows carrying those keys are
+    SALTED across SALT_FANOUT sub-buckets on the left while the right
+    side REPLICATES its hot rows into the same sub-buckets — a dominant
+    key's merge work spreads over many tasks instead of one. Inner joins
+    only (replication would duplicate outer-join unmatched rows); the
+    left-row salt is a position hash, which cannot change the join's
+    OUTPUT set, so results stay parallelism-invariant.
 
     Measured (r2): an Arrow-typed-null exchange (padding absent columns
     with validity-bitmap nulls instead of pandas NaN arrays) ran SLOWER
@@ -186,15 +248,65 @@ def hash_join(
     all_cols = list(dict.fromkeys(l_cols + r_cols))
     B = num_buckets
 
+    hot_arr = None
+    if hot_keys is not None and len(hot_keys):
+        if how != "inner":
+            raise ValueError("hot-key salting requires an inner join")
+        if len(left_on) != 1:
+            raise ValueError("hot-key salting supports single-column keys")
+        hot_arr = np.asarray(hot_keys)
+        if SALT_FANOUT > B:
+            raise ValueError("SALT_FANOUT must be <= num_buckets")
+    # sub-bucket s of a hot key = (base_hash + s) % B: consecutive
+    # buckets, guaranteed DISTINCT for s in [0, SALT_FANOUT) because
+    # SALT_FANOUT <= B — a multiplicative step can alias two sub-buckets
+    # onto one bucket and duplicate the replicated build row's matches.
+
     def tag(side: int, on: list[str]):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
-            df["__bucket"] = (
-                pd.util.hash_pandas_object(df[on], index=False).to_numpy()
-                % B
+            base = pd.util.hash_pandas_object(
+                df[on], index=False
+            ).to_numpy()
+            if hot_arr is None:
+                df["__bucket"] = (base % B).astype("int64")
+                df["__side"] = side
+                return df.reindex(
+                    columns=all_cols + ["__bucket", "__side"]
+                )
+            ishot = np.isin(df[on[0]].to_numpy(), hot_arr)
+            if side == 0:
+                # probe side: spread hot rows over SALT_FANOUT
+                # sub-buckets (position salt — the join's output set is
+                # independent of which bucket a probe row lands in)
+                salt = np.zeros(len(df), dtype=np.uint64)
+                salt[ishot] = np.arange(
+                    int(ishot.sum()), dtype=np.uint64
+                ) % np.uint64(SALT_FANOUT)
+                df["__bucket"] = (
+                    (base.astype(np.uint64) + salt) % B
+                ).astype("int64")
+                df["__side"] = side
+                return df.reindex(
+                    columns=all_cols + ["__bucket", "__side"]
+                )
+            # build side: replicate each hot row into every sub-bucket
+            cold = df[~ishot].copy()
+            cold["__bucket"] = (
+                base[~ishot] % B
             ).astype("int64")
-            df["__side"] = side
-            return df.reindex(
+            parts = [cold]
+            hotdf = df[ishot]
+            hbase = base[ishot].astype(np.uint64)
+            for s in range(SALT_FANOUT):
+                rep = hotdf.copy()
+                rep["__bucket"] = (
+                    (hbase + np.uint64(s)) % B
+                ).astype("int64")
+                parts.append(rep)
+            out = pd.concat(parts, ignore_index=True)
+            out["__side"] = side
+            return out.reindex(
                 columns=all_cols + ["__bucket", "__side"]
             )
 

@@ -120,3 +120,56 @@ def test_interval_join_shuffle_matches_broadcast(ray_session):
         big, rd.from_pandas(iv_df), "x", band_width=13.0
     )
     pd.testing.assert_frame_equal(a, c)
+
+
+def test_detect_hot_keys_finds_dominant_key(ray_session):
+    from datamart_ray.pipelines.joins import detect_hot_keys
+
+    # key 42 holds half the rows; the rest are near-uniform
+    rows = [{"k": 42, "v": i} for i in range(2000)]
+    rows += [{"k": i % 400, "v": i} for i in range(2000)]
+    ds = rd.from_items(rows).repartition(8)
+    hot = detect_hot_keys(ds, "k", num_buckets=64)
+    assert 42 in set(hot.tolist())
+    # uniform keys (~5-6 rows each vs cut 4*4000/64=250) must not appear
+    assert len(hot) <= 3
+
+
+def test_hash_join_salted_matches_unsalted(ray_session):
+    """Hot-key salting (probe salt + build replication) must not change
+    the inner-join output set — including duplicate build-side rows on
+    both hot and cold keys."""
+    rng = np.random.default_rng(7)
+    ks = np.where(rng.random(3000) < 0.5, 42, rng.integers(0, 50, 3000))
+    left = rd.from_items(
+        [{"k": int(k), "lval": i} for i, k in enumerate(ks)]
+    ).repartition(6)
+    # duplicate key rows on the build side (1:N fan-out through the join)
+    right_rows = [{"k": k, "rval": k * 10 + d} for k in range(45) for d in range(2)]
+    right = rd.from_items(right_rows).repartition(3)
+
+    want = (
+        hash_join(left, right, left_on="k", num_buckets=32)
+        .to_pandas()
+    )
+    got = hash_join(
+        left,
+        right,
+        left_on="k",
+        num_buckets=32,
+        hot_keys=np.array([42]),
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
+    # sanity: the hot key genuinely dominates and fans out 1:2
+    assert (want["k"] == 42).sum() == 2 * (ks == 42).sum()
+
+
+def test_hash_join_salted_rejects_outer_and_multikey(ray_session):
+    a = rd.from_items([{"k": 1, "v": 1}])
+    b = rd.from_items([{"k": 1, "w": 2}])
+    with pytest.raises(ValueError, match="inner"):
+        hash_join(a, b, left_on="k", how="left", hot_keys=[1])
+    c = rd.from_items([{"k": 1, "j": 1, "v": 1}])
+    d = rd.from_items([{"k": 1, "j": 1, "w": 2}])
+    with pytest.raises(ValueError, match="single-column"):
+        hash_join(c, d, left_on=["k", "j"], hot_keys=[1])
