@@ -10,6 +10,8 @@ Modes:
                              same input → throughput at both + scaling
                              efficiency = (T8/T32)/4 (sandbox evidence for
                              the N→4N cluster criterion).
+  python bench.py --skew     skewed-join micro-bench: unsalted vs
+                             hot_keys='auto' salted hash_join.
 """
 
 from __future__ import annotations
@@ -262,9 +264,68 @@ def run_scaling() -> dict:
     }
 
 
+def run_skew() -> dict:
+    """Skew-join micro-bench: a probe table where ONE key holds half the
+    rows, inner-joined against a small build table, unsalted vs salted
+    (`hot_keys="auto"` = heavy-hitter detection + probe salt + build
+    replication). Evidence for the north rule's skew-aware shuffle claim:
+    the unsalted join concentrates half the merge work in one bucket
+    task; salting spreads it over SALT_FANOUT tasks."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from datamart_ray.pipelines.joins import hash_join
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    n = 4_000_000
+    rng = np.random.default_rng(42)
+    keys = np.where(
+        rng.random(n) < 0.5, 7, rng.integers(0, 20_000, n)
+    ).astype(np.int64)
+    probe = pd.DataFrame(
+        {"k": keys, "v": rng.integers(0, 1_000_000, n)}
+    )
+    build = pd.DataFrame(
+        {"k": np.arange(20_000, dtype=np.int64), "w": np.arange(20_000)}
+    )
+    probe_ds = rd.from_pandas(probe).repartition(64).materialize()
+    build_ds = rd.from_pandas(build).repartition(8).materialize()
+
+    out = {}
+    for label, hot in (("unsalted", None), ("salted_auto", "auto")):
+        t0 = time.time()
+        cnt = hash_join(
+            probe_ds, build_ds, left_on="k", hot_keys=hot
+        ).count()
+        out[label + "_sec"] = round(time.time() - t0, 3)
+        out[label + "_rows"] = cnt
+    ray.shutdown()
+    out["speedup"] = round(out["unsalted_sec"] / out["salted_auto_sec"], 2)
+    return {
+        "metric": "skewed inner join (50% of 4M probe rows on one key), "
+        "unsalted vs hot_keys='auto'",
+        "num_cpus": NUM_CPUS,
+        **out,
+    }
+
+
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--skew" in sys.argv:
+        print(json.dumps(run_skew()))
     else:
         print(json.dumps(run_bench()))

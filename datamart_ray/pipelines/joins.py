@@ -192,7 +192,9 @@ def hash_join(
     operator's aggregator actors. Buckets default to 4x cluster CPUs.
 
     Skew handling: pass `hot_keys` (an array of single-column key values,
-    e.g. from :func:`detect_hot_keys`) and rows carrying those keys are
+    e.g. from :func:`detect_hot_keys`, or the string ``"auto"`` to run
+    detection on the probe side first — one extra cheap pass) and rows
+    carrying those keys are
     SALTED across SALT_FANOUT sub-buckets on the left while the right
     side REPLICATES its hot rows into the same sub-buckets — a dominant
     key's merge work spreads over many tasks instead of one. Inner joins
@@ -249,6 +251,14 @@ def hash_join(
     B = num_buckets
 
     hot_arr = None
+    if isinstance(hot_keys, str):
+        if hot_keys != "auto":
+            raise ValueError("hot_keys must be an array or 'auto'")
+        if how != "inner":
+            raise ValueError("hot-key salting requires an inner join")
+        if len(left_on) != 1:
+            raise ValueError("hot-key salting supports single-column keys")
+        hot_keys = detect_hot_keys(left, left_on[0], num_buckets=B)
     if hot_keys is not None and len(hot_keys):
         if how != "inner":
             raise ValueError("hot-key salting requires an inner join")

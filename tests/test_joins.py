@@ -164,6 +164,23 @@ def test_hash_join_salted_matches_unsalted(ray_session):
     assert (want["k"] == 42).sum() == 2 * (ks == 42).sum()
 
 
+def test_hash_join_auto_hot_keys(ray_session):
+    """hot_keys='auto' (detection inside the join) matches unsalted."""
+    rows = [{"k": 5, "lval": i} for i in range(1500)]
+    rows += [{"k": i % 30, "lval": -i} for i in range(300)]
+    left = rd.from_items(rows).repartition(6)
+    right = rd.from_items(
+        [{"k": k, "rval": k * 2} for k in range(30)]
+    ).repartition(2)
+    want = hash_join(left, right, left_on="k", num_buckets=32).to_pandas()
+    got = hash_join(
+        left, right, left_on="k", num_buckets=32, hot_keys="auto"
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
+    with pytest.raises(ValueError, match="array or 'auto'"):
+        hash_join(left, right, left_on="k", hot_keys="always")
+
+
 def test_hash_join_salted_rejects_outer_and_multikey(ray_session):
     a = rd.from_items([{"k": 1, "v": 1}])
     b = rd.from_items([{"k": 1, "w": 2}])
