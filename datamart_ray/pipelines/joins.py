@@ -120,6 +120,17 @@ def read_small(path: str, columns: list[str] | None = None) -> pd.DataFrame:
     return pq.read_table(path, columns=columns).to_pandas()
 
 
+def _default_num_buckets() -> int:
+    """Shared bucket-count policy for the partitioned hash join and its
+    hot-key detector (4× cluster CPUs, floor 16) — one definition so the
+    detector's threshold stays consistent with the join's bucket count."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(16, 4 * cpus)
+
+
 def detect_hot_keys(
     ds: rd.Dataset,
     on: str,
@@ -131,36 +142,44 @@ def detect_hot_keys(
     exceeds `factor` × the mean bucket size, i.e. the ones that would
     concentrate a partitioned join into one oversized task.
 
-    Scale shape: per-batch partial top-256 value counts (tiny rows; a
-    globally hot key is hot in many batches, so its summed partial count
-    approaches its true count — lower-bound heavy-hitter counting) → one
-    small groupby over the candidate set. Never a full per-key groupby."""
+    Scale shape: ONE pass — per-batch partial top-256 value counts (tiny
+    rows; a globally hot key is hot in many batches, so its summed
+    partial count approaches its true count — lower-bound heavy-hitter
+    counting), with the batch's TOTAL row count riding on the batch's
+    first candidate row, → one small groupby over the candidate set.
+    Never a full per-key groupby, never a separate count pass."""
     from ray.data.aggregate import Sum
 
+    if on in ("__hh_n", "__hh_tot"):
+        raise ValueError("key column collides with a reserved name")
     if num_buckets is None:
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 4))
-        except Exception:
-            cpus = 4
-        num_buckets = max(16, 4 * cpus)
+        num_buckets = _default_num_buckets()
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         vc = df[on].value_counts().head(256)
-        return pd.DataFrame({on: vc.index, "n": vc.to_numpy()})
+        tot = np.zeros(len(vc), dtype=np.int64)
+        if len(tot):
+            tot[0] = len(df)
+        return pd.DataFrame(
+            {on: vc.index, "__hh_n": vc.to_numpy(), "__hh_tot": tot}
+        )
 
-    total = ds.count()  # metadata-only for parquet-backed datasets
-    if not total:
-        return np.empty(0, dtype=object)
     cand = (
         ds.map_batches(partial, batch_format="pandas")
         .groupby(on)
-        .aggregate(Sum("n", alias_name="n"))
+        .aggregate(
+            Sum("__hh_n", alias_name="__hh_n"),
+            Sum("__hh_tot", alias_name="__hh_tot"),
+        )
         .to_pandas()
     )
+    total = int(cand["__hh_tot"].sum()) if len(cand) else 0
+    if not total:
+        return np.empty(0, dtype=object)
     cut = factor * total / num_buckets
     hot = (
-        cand[cand["n"] > cut]
-        .sort_values("n", ascending=False)
+        cand[cand["__hh_n"] > cut]
+        .sort_values("__hh_n", ascending=False)
         .head(max_keys)[on]
         .to_numpy()
     )
@@ -219,11 +238,7 @@ def hash_join(
         else ([right_on] if isinstance(right_on, str) else list(right_on))
     )
     if num_buckets is None:
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 4))
-        except Exception:
-            cpus = 4
-        num_buckets = max(16, 4 * cpus)
+        num_buckets = _default_num_buckets()
 
     l_schema = left.schema()
     r_schema = right.schema()
@@ -251,6 +266,7 @@ def hash_join(
     B = num_buckets
 
     hot_arr = None
+    fanout = min(SALT_FANOUT, B)  # degrade gracefully on tiny clusters
     if isinstance(hot_keys, str):
         if hot_keys != "auto":
             raise ValueError("hot_keys must be an array or 'auto'")
@@ -265,12 +281,13 @@ def hash_join(
         if len(left_on) != 1:
             raise ValueError("hot-key salting supports single-column keys")
         hot_arr = np.asarray(hot_keys)
-        if SALT_FANOUT > B:
-            raise ValueError("SALT_FANOUT must be <= num_buckets")
     # sub-bucket s of a hot key = (base_hash + s) % B: consecutive
-    # buckets, guaranteed DISTINCT for s in [0, SALT_FANOUT) because
-    # SALT_FANOUT <= B — a multiplicative step can alias two sub-buckets
+    # buckets, guaranteed DISTINCT for s in [0, fanout) because
+    # fanout <= B — a multiplicative step can alias two sub-buckets
     # onto one bucket and duplicate the replicated build row's matches.
+    # base is masked below 2^63 in the salted path so base + s cannot
+    # wrap uint64 (wraparound would alias two sub-buckets whenever
+    # 2^64 % B < fanout and the hash sits in the top `fanout` values).
 
     def tag(side: int, on: list[str]):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -284,18 +301,18 @@ def hash_join(
                 return df.reindex(
                     columns=all_cols + ["__bucket", "__side"]
                 )
+            # mask below 2^63: base + s can then never wrap uint64
+            base = base.astype(np.uint64) & np.uint64((1 << 63) - 1)
             ishot = np.isin(df[on[0]].to_numpy(), hot_arr)
             if side == 0:
-                # probe side: spread hot rows over SALT_FANOUT
+                # probe side: spread hot rows over `fanout`
                 # sub-buckets (position salt — the join's output set is
                 # independent of which bucket a probe row lands in)
                 salt = np.zeros(len(df), dtype=np.uint64)
                 salt[ishot] = np.arange(
                     int(ishot.sum()), dtype=np.uint64
-                ) % np.uint64(SALT_FANOUT)
-                df["__bucket"] = (
-                    (base.astype(np.uint64) + salt) % B
-                ).astype("int64")
+                ) % np.uint64(fanout)
+                df["__bucket"] = ((base + salt) % B).astype("int64")
                 df["__side"] = side
                 return df.reindex(
                     columns=all_cols + ["__bucket", "__side"]
@@ -307,8 +324,8 @@ def hash_join(
             ).astype("int64")
             parts = [cold]
             hotdf = df[ishot]
-            hbase = base[ishot].astype(np.uint64)
-            for s in range(SALT_FANOUT):
+            hbase = base[ishot]
+            for s in range(fanout):
                 rep = hotdf.copy()
                 rep["__bucket"] = (
                     (hbase + np.uint64(s)) % B

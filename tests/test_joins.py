@@ -181,6 +181,28 @@ def test_hash_join_auto_hot_keys(ray_session):
         hash_join(left, right, left_on="k", hot_keys="always")
 
 
+def test_hash_join_salted_tiny_bucket_count(ray_session):
+    """num_buckets < SALT_FANOUT clamps the fan-out instead of raising —
+    'auto' must not become a data-dependent crash on small clusters."""
+    left = rd.from_items(
+        [{"k": 1 if i % 2 else i % 5, "v": i} for i in range(400)]
+    ).repartition(4)
+    right = rd.from_items([{"k": k, "w": k} for k in range(5)])
+    want = hash_join(left, right, left_on="k", num_buckets=4).to_pandas()
+    got = hash_join(
+        left, right, left_on="k", num_buckets=4, hot_keys=np.array([1])
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
+
+
+def test_detect_hot_keys_reserved_name(ray_session):
+    from datamart_ray.pipelines.joins import detect_hot_keys
+
+    ds = rd.from_items([{"__hh_n": 1}])
+    with pytest.raises(ValueError, match="reserved"):
+        detect_hot_keys(ds, "__hh_n")
+
+
 def test_hash_join_salted_rejects_outer_and_multikey(ray_session):
     a = rd.from_items([{"k": 1, "v": 1}])
     b = rd.from_items([{"k": 1, "w": 2}])
