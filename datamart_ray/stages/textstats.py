@@ -178,10 +178,10 @@ def rolling_fingerprints(
     docs return the offset basis. The fnv_chain column is engine-defined
     (no SQL twin), so the segmented definition is pinned here and by the
     scalar-reference test."""
-    from datamart_ray.stages.dedup import _hash_tokens
+    from datamart_ray.stages.dedup import _hash_string_array
 
     flat = pc.list_flatten(lists)
-    th = _hash_tokens(flat.to_numpy(zero_copy_only=False))
+    th = _hash_string_array(flat)
     doclens = pc.list_value_length(lists).to_numpy(
         zero_copy_only=False
     ).astype(np.int64)
