@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from datamart_ray.stages.dedup import (
         exact_dedup_first,
+        minhash_dedup_survivors,
         minhash_near_dups,
         simhash_dup_pairs,
     )
@@ -90,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # each is gated by an exhaustive DuckDB twin.
     out["dd_exact_first"] = exact_dedup_first
     out["dd_minhash_near_dups"] = minhash_near_dups
+    out["dd_minhash_survivors"] = minhash_dedup_survivors
     out["dd_simhash_pairs"] = simhash_dup_pairs
     out["dd_embedding_near_dups"] = embedding_near_dups
     out["sim_knn_cosine"] = knn_cosine
@@ -159,7 +161,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     out["rg_coverage_ranges"] = coverage_ranges
-    out["rg_overlap_scores"] = range_overlap_scores
 
     from datamart_ray.pipelines.window import sliding_window_counts
 
@@ -189,10 +190,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["sp_wkt_roundtrip"] = wkt_roundtrip
     out["sc_temporal_resolution"] = temporal_resolution
     out["sc_strftime_rollup"] = strftime_rollup
-    # sp_coverage_boxes: witnessed green in r1 AND r2; spatial.py is
-    # unchanged this round, so it absorbs the tail slot freed for the
-    # new ft_bm25_lazy_topk entry
+    # sp_coverage_boxes / rg_overlap_scores: witnessed green in r1 AND
+    # r2; spatial.py / ranges.py are unchanged this round, so they absorb
+    # the tail slots freed for the new ft_bm25_lazy_topk and
+    # dd_minhash_survivors entries
     out["sp_coverage_boxes"] = spatial_coverage
+    out["rg_overlap_scores"] = range_overlap_scores
 
     from datamart_ray.pipelines.transforms import (
         expand_customer_names,
@@ -218,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
     from datamart_ray.pipelines.augment import AG_JOIN_SQL, AG_UNION_SQL
     from datamart_ray.stages.dedup import (
         exact_dedup_first_sql,
+        minhash_survivors_sql,
         shingle_jaccard_sql,
     )
     from datamart_ray.stages.multimodal import IMAGE_ROUNDTRIP_SQL
@@ -236,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
     # dedup/ANN family: exhaustive twins of the verified outputs
     out["dd_exact_first"] = exact_dedup_first_sql()
     out["dd_minhash_near_dups"] = shingle_jaccard_sql(0.5)
+    out["dd_minhash_survivors"] = minhash_survivors_sql(0.5)
     out["dd_simhash_pairs"] = shingle_jaccard_sql(0.5)
     out["dd_embedding_near_dups"] = embedding_near_dups_sql(0.45)
     out["sim_knn_cosine"] = knn_cosine_sql()

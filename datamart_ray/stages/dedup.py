@@ -979,3 +979,176 @@ def exact_dedup_first_sql() -> str:
         WHERE rk = 1
         ORDER BY user_id, event_type
     """
+
+
+# ----------------------------------------------------------------------
+# Near-dup SURVIVOR selection: connected components over verified pairs
+# ----------------------------------------------------------------------
+
+def connected_components_ds(
+    pairs: rd.Dataset,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 32,
+) -> rd.Dataset:
+    """(doc, root) for every node of the pair graph, root = component
+    minimum — DISTRIBUTED min-label propagation, the dedup "which copy do
+    we keep" step after near-dup verification.
+
+    Each round: one partitioned hash join ships every node's current
+    label across the (bidirectional) edge set, one groupby-min folds the
+    incoming labels with the node's own. Labels only ever DECREASE, so
+    the global label sum is a monotone convergence witness: the loop
+    stops the first round the sum is unchanged (⇒ fixed point). Rounds
+    needed = max component diameter — near-dup clusters are shallow
+    (dozens of hops would mean a chain of pairwise-similar docs), and
+    `max_rounds` guards pathological chains with a logged warning.
+
+    Scale shape: the driver holds one scalar per round; edges and labels
+    stay Datasets throughout (pairs on dup-heavy crawl corpora are
+    corpus-proportional — a driver union-find would OOM exactly like the
+    r2 driver-verify paths this module replaced)."""
+    from ray.data.aggregate import Min, Sum
+
+    from datamart_ray.pipelines.joins import hash_join
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        d = t["src"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc": pa.array(d), "lab": pa.array(d)})
+
+    def as_arrow(t: pa.Table) -> pa.Table:
+        # groupby-aggregate emits pandas blocks; union requires one block
+        # type across both branches
+        return t
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("doc")
+        .aggregate(Min("lab", alias_name="lab"))
+        .map_batches(as_arrow, batch_format="pyarrow")
+        .materialize()
+    )
+    if not labels.count():
+        return labels
+    prev_sum = labels.aggregate(Sum("lab"))["sum(lab)"]
+    for rnd in range(max_rounds):
+        msgs = hash_join(
+            edges, labels, left_on="src", right_on="doc"
+        ).map_batches(
+            lambda t: pa.table({"doc": t["dst"], "lab": t["lab"]}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            labels.union(msgs)
+            .groupby("doc")
+            .aggregate(Min("lab", alias_name="lab"))
+            .map_batches(as_arrow, batch_format="pyarrow")
+            .materialize()
+        )
+        cur_sum = labels.aggregate(Sum("lab"))["sum(lab)"]
+        if cur_sum == prev_sum:  # labels only decrease → fixed point
+            break
+        prev_sum = cur_sum
+    else:
+        logger.warning(
+            "connected_components_ds: no fixed point after %d rounds "
+            "(component diameter exceeds max_rounds); labels are a "
+            "valid coarsening but not fully converged", max_rounds,
+        )
+    return labels
+
+
+def minhash_dedup_survivors(
+    sf_dir: str,
+    threshold: float = 0.5,
+    n_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    pair_cap: int = BUCKET_PAIR_CAP,
+) -> pd.DataFrame:
+    """The actual DEDUP step over `documents`: MinHash-LSH candidates →
+    distributed exact shingle-Jaccard verification → distributed
+    connected components → survivor rule "component minimum doc_id is
+    kept". Output: one row per REMOVED doc, (doc_id, kept_id), sorted —
+    the removal manifest a training-data pipeline applies to drop
+    near-duplicate copies (transitively: a~b and b~c removes both b and
+    c in favor of a even when a~c was never a candidate pair)."""
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "kept_id": pd.Series([], dtype="int64"),
+        }
+    )
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    cand = minhash_candidate_pairs_ds(
+        ds, n_perm=n_perm, bands=bands, shingle_n=shingle_n,
+        pair_cap=pair_cap,
+    )
+    stage = _ShingleSetStage("doc_id", "text", shingle_n, {})
+    sh = rd.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        stage, batch_format="pyarrow"
+    )
+    verified = attach_pair_payloads(
+        dedupe_pairs_ds(cand), sh, _pair_jaccard_kernel(threshold)
+    )
+    if verified is None:
+        return empty
+    comp = connected_components_ds(verified)
+
+    def removed(t: pa.Table) -> pa.Table:
+        doc = t["doc"].to_numpy(zero_copy_only=False)
+        lab = t["lab"].to_numpy(zero_copy_only=False)
+        keep = lab < doc
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[keep].astype(np.int64)),
+                "kept_id": pa.array(lab[keep].astype(np.int64)),
+            }
+        )
+
+    out = comp.map_batches(removed, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return empty
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def minhash_survivors_sql(threshold: float = 0.5, shingle_n: int = 3) -> str:
+    """DuckDB twin: exhaustive verified pair list (same expression as the
+    dd_minhash oracle) → transitive closure by recursive reachability →
+    a doc is removed iff some smaller doc is reachable; its keeper is the
+    component minimum (= min reachable node, which for a removed doc is
+    always < the doc itself)."""
+    return f"""
+        WITH RECURSIVE vpairs AS (
+            SELECT doc_a, doc_b FROM ({shingle_jaccard_sql(threshold, shingle_n)})
+        ),
+        edges AS (
+            SELECT doc_a AS s, doc_b AS d FROM vpairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM vpairs
+        ),
+        reach(doc, r) AS (
+            SELECT s, d FROM edges
+            UNION
+            SELECT reach.doc, edges.d
+            FROM reach JOIN edges ON reach.r = edges.s
+        )
+        SELECT doc AS doc_id, MIN(r) AS kept_id
+        FROM reach
+        GROUP BY doc
+        HAVING MIN(r) < doc
+        ORDER BY doc_id
+    """

@@ -606,3 +606,58 @@ def test_ivf_distributed_kmeans_block_invariant(ray_session):
     assert c2.shape == (16, c2.shape[1])
     assert np.array_equal(c2, c8)  # bit-identical across block layouts
     assert np.allclose(np.linalg.norm(c2, axis=1), 1.0)
+
+
+def test_connected_components_path_graph(ray_session):
+    """A chain 1-5-9, 9-3 plus an isolated pair (20,21): every node
+    converges to its component minimum; transitive closure crosses the
+    chain even though (1,3) was never a pair."""
+    from datamart_ray.stages.dedup import connected_components_ds
+
+    pairs = rd.from_items(
+        [
+            {"doc_a": 5, "doc_b": 9},
+            {"doc_a": 1, "doc_b": 5},
+            {"doc_a": 3, "doc_b": 9},
+            {"doc_a": 20, "doc_b": 21},
+        ]
+    )
+    lab = connected_components_ds(pairs).to_pandas()
+    got = dict(zip(lab["doc"], lab["lab"]))
+    assert got == {1: 1, 5: 1, 9: 1, 3: 1, 20: 20, 21: 20}
+
+
+def test_minhash_dedup_survivors_planted(tmp_path, ray_session):
+    """Survivor manifest over a small corpus: exact dup pair (42,43) and
+    near-dup pair (40,41) each remove the larger id; a transitive triple
+    removes both copies in favor of the smallest."""
+    import pyarrow.parquet as pq_
+
+    from datamart_ray.stages.dedup import minhash_dedup_survivors
+
+    texts = []
+    for i in range(40):
+        texts.append(
+            f"unique document number {i} with content "
+            + " ".join(f"w{i}{j}" for j in range(10))
+        )
+    near = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts.append(near + " lambda")   # 40
+    texts.append(near + " mu")       # 41
+    dup = "exact duplicate content here shared verbatim by two docs"
+    texts.append(dup)                # 42
+    texts.append(dup)                # 43
+    texts.append(dup + " trailing")  # 44 — chains to 42/43 transitively
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    pq_.write_table(t, str(tmp_path / "documents.parquet"))
+    out = minhash_dedup_survivors(str(tmp_path), threshold=0.5, bands=32)
+    got = dict(zip(out["doc_id"], out["kept_id"]))
+    assert got[41] == 40
+    assert got[43] == 42
+    assert got[44] == 42  # transitive: kept is the component MINIMUM
+    assert 40 not in got and 42 not in got
