@@ -111,8 +111,10 @@ def main(argv: list[str] | None = None) -> int:
 
     owned = not ray.is_initialized()
     if owned:
+        # no explicit address: respects RAY_ADDRESS, so the same CLI
+        # connects to the cluster under `ray job submit` and starts a
+        # local instance when run standalone (RAY_ADDRESS unset/local)
         ray.init(
-            address="local",
             include_dashboard=False,
             logging_level="ERROR",
         )
