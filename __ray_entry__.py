@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from datamart_ray.stages.textstats import (
         document_fingerprints,
         langid_breakdown,
+        repetition_scores,
     )
 
     out: dict[str, Callable[[str], Any]] = {}
@@ -98,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["sim_knn_lsh"] = knn_lsh
     out["sim_knn_ivf"] = knn_ivf
     out["ts_fingerprints"] = document_fingerprints
+    out["ts_repetition_scores"] = repetition_scores
     out["mm_image_roundtrip"] = image_roundtrip_stats
     out["ag_join_orders_lineitem"] = ag_join_orders_lineitem
     out["ag_union_customer_supplier"] = ag_union_customer_supplier
@@ -124,7 +126,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         rollup_join_events,
     )
 
-    out["tj_asof_purchase_click"] = asof_join_events
     out["tj_hourly_rollup_join"] = rollup_join_events
 
     from datamart_ray.pipelines.scalars import json_extract_rollup
@@ -196,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # dd_minhash_survivors entries
     out["sp_coverage_boxes"] = spatial_coverage
     out["rg_overlap_scores"] = range_overlap_scores
+    out["tj_asof_purchase_click"] = asof_join_events
 
     from datamart_ray.pipelines.transforms import (
         expand_customer_names,
@@ -232,6 +234,7 @@ def oracle_sql() -> dict[str, str]:
     from datamart_ray.stages.textstats import (
         fingerprints_sql,
         langid_breakdown_sql,
+        repetition_scores_sql,
     )
 
     out: dict[str, str] = {}
@@ -247,6 +250,7 @@ def oracle_sql() -> dict[str, str]:
     out["sim_knn_lsh"] = knn_cosine_sql()
     out["sim_knn_ivf"] = knn_cosine_sql()
     out["ts_fingerprints"] = fingerprints_sql()
+    out["ts_repetition_scores"] = repetition_scores_sql()
     out["mm_image_roundtrip"] = IMAGE_ROUNDTRIP_SQL
     out["ag_join_orders_lineitem"] = AG_JOIN_SQL
     out["ag_union_customer_supplier"] = AG_UNION_SQL

@@ -263,3 +263,115 @@ def fingerprints_sql() -> str:
         FROM documents
         ORDER BY doc_id
     """
+
+
+# ----------------------------------------------------------------------
+# Repetition quality filter (Gopher-style n-gram repetition signals)
+# ----------------------------------------------------------------------
+
+def repetition_scores(sf_dir: str) -> pd.DataFrame:
+    """Per-document word-bigram repetition signals over `documents` — the
+    Gopher/RefinedWeb-style repetition quality filter (most-frequent-
+    n-gram fraction, duplicate-n-gram fraction) used to drop boilerplate
+    and degenerate generations from training corpora:
+
+    - ``n_bigrams``: number of bigram positions (n_tokens - 1)
+    - ``dup_bigram_frac``: 1 - distinct/total (mass in repeated bigrams)
+    - ``top_bigram_frac``: count of the most frequent bigram / total
+
+    Scale shape: one `map_batches` pass, no shuffle — tokenization via
+    the shared analyzer, bigram hashes from the dictionary-encoded token
+    hash stream, and all per-doc counts from ONE lexsort over the
+    batch's (doc, bigram) stream (run-length boundaries + reduceat).
+    Docs with fewer than two tokens have no bigram positions and are
+    absent, mirroring the SQL twin."""
+    from datamart_ray.stages.dedup import _hash_string_array
+    from datamart_ray.util import round_away
+
+    def batch(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_bigrams": pa.array([], type=pa.int64()),
+                "dup_bigram_frac": pa.array([], type=pa.float64()),
+                "top_bigram_frac": pa.array([], type=pa.float64()),
+            }
+        )
+        lists = _ANALYZER.token_lists(t["text"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        th = _hash_string_array(flat)
+        if th.size < 2:
+            return empty
+        valid = parents[:-1] == parents[1:]
+        if not valid.any():
+            return empty
+        # adjacent-hash combine, same odd-multiplier shape as shingling
+        bg = (
+            th[:-1] * np.uint64(0x9E3779B97F4A7C15)
+            + th[1:] * np.uint64(0xC2B2AE3D27D4EB4F)
+        )[valid]
+        bp = parents[:-1][valid]
+        order = np.lexsort((bg, bp))
+        bp, bg = bp[order], bg[order]
+        new = np.r_[True, (bp[1:] != bp[:-1]) | (bg[1:] != bg[:-1])]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.r_[starts, bp.size])
+        gdoc = bp[starts]
+        dnew = np.r_[True, gdoc[1:] != gdoc[:-1]]
+        dstarts = np.flatnonzero(dnew)
+        present = gdoc[dstarts]
+        n = np.add.reduceat(counts, dstarts).astype(np.int64)
+        nd = np.diff(np.r_[dstarts, gdoc.size]).astype(np.int64)
+        mx = np.maximum.reduceat(counts, dstarts).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[present]),
+                "n_bigrams": pa.array(n),
+                "dup_bigram_frac": pa.array(
+                    round_away(1.0 - nd / n, 4)
+                ),
+                "top_bigram_frac": pa.array(round_away(mx / n, 4)),
+            }
+        )
+
+    out = (
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def repetition_scores_sql() -> str:
+    """DuckDB twin of repetition_scores (same analyzer token stream,
+    string bigrams instead of 64-bit hashes — identical counts absent a
+    hash collision, the same contract as the shingle-Jaccard twins)."""
+    toks = _ANALYZER.sql_tokens_expr("text")
+    return """
+        WITH toks AS (SELECT doc_id, {toks} AS ts FROM documents),
+        big AS (
+            SELECT doc_id, unnest(
+                [ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))]
+            ) AS bg
+            FROM toks
+        ),
+        agg AS (
+            SELECT doc_id, bg, count(*) AS c
+            FROM big GROUP BY doc_id, bg
+        )
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_bigrams,
+               ROUND(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 4)
+                   AS dup_bigram_frac,
+               ROUND(max(c) / CAST(sum(c) AS DOUBLE), 4)
+                   AS top_bigram_frac
+        FROM agg
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """.replace("{toks}", toks)

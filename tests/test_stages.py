@@ -661,3 +661,35 @@ def test_minhash_dedup_survivors_planted(tmp_path, ray_session):
     assert got[43] == 42
     assert got[44] == 42  # transitive: kept is the component MINIMUM
     assert 40 not in got and 42 not in got
+
+
+def test_repetition_scores_degenerate_and_exact(tmp_path, ray_session):
+    """Degenerate docs (empty, one token) are absent; a fully repeated
+    doc scores dup=top=high; counts match a hand computation."""
+    import pyarrow.parquet as pq_
+
+    from datamart_ray.stages.textstats import repetition_scores
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "",                      # 0: no tokens
+                    "single",                # 1: one token, no bigrams
+                    "a b a b a b",           # 2: bigrams ab,ba,ab,ba,ab
+                    "x y z",                 # 3: bigrams xy,yz — all distinct
+                ]
+            ),
+        }
+    )
+    pq_.write_table(t, str(tmp_path / "documents.parquet"))
+    out = repetition_scores(str(tmp_path))
+    assert out["doc_id"].tolist() == [2, 3]
+    r2 = out[out["doc_id"] == 2].iloc[0]
+    # 5 bigram positions, 2 distinct, top count 3 ("a b")
+    assert r2["n_bigrams"] == 5
+    assert r2["dup_bigram_frac"] == 0.6
+    assert r2["top_bigram_frac"] == 0.6
+    r3 = out[out["doc_id"] == 3].iloc[0]
+    assert r3["n_bigrams"] == 2 and r3["dup_bigram_frac"] == 0.0
