@@ -450,7 +450,7 @@ _IVF_VERSION = 1
 
 
 def _centroid_artifact_path(
-    path: str, n_clusters: int, iters: int, stride: int
+    path: str, n_clusters: int, iters: int, stride: int, variant: str = ""
 ) -> str:
     import hashlib
 
@@ -465,9 +465,22 @@ def _centroid_artifact_path(
         ident = "0"
     key = hashlib.sha256(
         f"{path}|{ident}|k{n_clusters}|i{iters}|s{stride}|v{_IVF_VERSION}"
-        .encode()
+        f"|{variant}".encode()
     ).hexdigest()[:16]
     return f"/tmp/graft_ivf_centroids/{key}/centroids.parquet"
+
+
+def _persist_centroids(art: str, C: np.ndarray) -> None:
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(art), exist_ok=True)
+    tmp = art + f".tmp.{os.getpid()}"
+    pq.write_table(
+        pa.table({"c": pa.array([row for row in C.tolist()])}), tmp
+    )
+    os.replace(tmp, art)  # atomic commit, like the segment manifests
 
 
 def ivf_centroids(
@@ -532,12 +545,7 @@ def ivf_centroids(
                 n = np.linalg.norm(m)
                 if n > 0:
                     C[c] = m / n
-    os.makedirs(os.path.dirname(art), exist_ok=True)
-    tmp = art + f".tmp.{os.getpid()}"
-    pq.write_table(
-        pa.table({"c": pa.array([row for row in C.tolist()])}), tmp
-    )
-    os.replace(tmp, art)  # atomic commit, like the segment manifests
+    _persist_centroids(art, C)
     return C
 
 
@@ -566,12 +574,22 @@ def ivf_centroids_distributed(
     perturb the means (the same fixed-point trick as the profiler's
     moment sums). Init = the k lowest-id sample vectors (fetched by id),
     empty clusters keep their previous centroid."""
+    import os
+
     import pyarrow.parquet as pq
 
     path = f"{sf_dir}/embeddings.parquet"
     if sample_stride is None:
         n_rows = pq.ParquetFile(path).metadata.num_rows
         sample_stride = max(1, -(-n_rows // train_budget))
+    # persisted per-corpus artifact, like the driver trainer's — keyed
+    # separately ("dist"): fixed-point means are near- but not bit-equal
+    # to the float driver means, so the caches must never alias
+    art = _centroid_artifact_path(
+        path, n_clusters, iters, sample_stride, variant="dist"
+    )
+    if repartition_blocks is None and os.path.exists(art):
+        return _to_matrix(pq.read_table(art)["c"])
 
     ds = rd.read_parquet(path, columns=[id_col, vec_col])
 
@@ -637,7 +655,17 @@ def ivf_centroids_distributed(
                 nm = np.linalg.norm(m)
                 if nm > 0:
                     C[c] = m / nm
+    if repartition_blocks is None:  # test hook runs stay cache-free
+        _persist_centroids(art, C)
     return C
+
+
+# Above this many corpus rows knn_ivf trains with the fully distributed
+# fixed-point trainer by default: the driver-side trainer stays bounded
+# (its sample never exceeds IVF_TRAIN_BUDGET rows) but at that scale the
+# distributed trainer costs the same wall time and keeps the driver out
+# of the training path entirely.
+IVF_DISTRIBUTED_ROWS = 2_000_000
 
 
 def knn_ivf(
@@ -648,6 +676,7 @@ def knn_ivf(
     nprobe: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    trainer: str = "auto",
 ) -> pd.DataFrame:
     """IVF approximate nearest neighbors: assign every vector to its
     nearest coarse centroid (one matmul per batch), probe each query's
@@ -662,9 +691,23 @@ def knn_ivf(
     """
     ensure_fast_shuffle()
     path = f"{sf_dir}/embeddings.parquet"
-    C = ivf_centroids(
-        sf_dir, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col
-    )
+    if trainer == "auto":
+        import pyarrow.parquet as pq
+
+        n_rows = pq.ParquetFile(path).metadata.num_rows  # footer only
+        trainer = (
+            "distributed" if n_rows > IVF_DISTRIBUTED_ROWS else "driver"
+        )
+    if trainer == "distributed":
+        C = ivf_centroids_distributed(
+            sf_dir, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col
+        )
+    elif trainer == "driver":
+        C = ivf_centroids(
+            sf_dir, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        raise ValueError("trainer must be 'auto', 'driver' or 'distributed'")
     qt = fetch_rows_by_ids(path, id_col, list(query_ids), [id_col, vec_col])
     q_ids = qt[id_col].to_numpy(zero_copy_only=False)
     Q = _to_matrix(qt[vec_col])

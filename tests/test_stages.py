@@ -693,3 +693,33 @@ def test_repetition_scores_degenerate_and_exact(tmp_path, ray_session):
     assert r2["top_bigram_frac"] == 0.6
     r3 = out[out["doc_id"] == 3].iloc[0]
     assert r3["n_bigrams"] == 2 and r3["dup_bigram_frac"] == 0.0
+
+
+def test_knn_ivf_distributed_trainer_matches(ray_session):
+    """trainer='distributed' (fixed-point Lloyd + persisted artifact)
+    returns the same exact-rescored top-k as the driver trainer on the
+    recall-complete fixtures; a second call hits the centroid artifact."""
+    import os
+
+    from datamart_ray.stages.similarity import (
+        _centroid_artifact_path,
+        knn_ivf,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = knn_ivf(sf, query_ids=(0, 1), k=5, trainer="driver")
+    b = knn_ivf(sf, query_ids=(0, 1), k=5, trainer="distributed")
+    pd.testing.assert_frame_equal(a, b)
+    path = f"{sf}/embeddings.parquet"
+    import pyarrow.parquet as pq_
+
+    n = pq_.ParquetFile(path).metadata.num_rows
+    from datamart_ray.stages.similarity import IVF_TRAIN_BUDGET
+
+    stride = max(1, -(-n // IVF_TRAIN_BUDGET))
+    art = _centroid_artifact_path(path, 16, 10, stride, variant="dist")
+    assert os.path.exists(art)
+    c = knn_ivf(sf, query_ids=(0, 1), k=5, trainer="distributed")
+    pd.testing.assert_frame_equal(b, c)
+    with pytest.raises(ValueError, match="trainer"):
+        knn_ivf(sf, trainer="gpu")
