@@ -375,6 +375,28 @@ def _pair_jaccard_kernel(threshold: float):
     return kernel
 
 
+def verified_pairs_ds(
+    path: str,
+    pairs: rd.Dataset,
+    shingle_n: int,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer_kw: dict | None = None,
+) -> rd.Dataset | None:
+    """Exact-verified (doc_a, doc_b, jaccard) pairs as a DATASET — the
+    shared distributed-verification core behind both the pair-list
+    entries and survivor selection. None when the candidate set is
+    empty (same contract as attach_pair_payloads)."""
+    stage = _ShingleSetStage(id_col, text_col, shingle_n, analyzer_kw or {})
+    sh = rd.read_parquet(path, columns=[id_col, text_col]).map_batches(
+        stage, batch_format="pyarrow"
+    )
+    return attach_pair_payloads(
+        dedupe_pairs_ds(pairs), sh, _pair_jaccard_kernel(threshold)
+    )
+
+
 def verify_pairs_jaccard_ds(
     path: str,
     pairs: rd.Dataset,
@@ -397,12 +419,8 @@ def verify_pairs_jaccard_ds(
             "jaccard": pd.Series([], dtype="float64"),
         }
     )
-    stage = _ShingleSetStage(id_col, text_col, shingle_n, analyzer_kw or {})
-    sh = rd.read_parquet(path, columns=[id_col, text_col]).map_batches(
-        stage, batch_format="pyarrow"
-    )
-    out_ds = attach_pair_payloads(
-        dedupe_pairs_ds(pairs), sh, _pair_jaccard_kernel(threshold)
+    out_ds = verified_pairs_ds(
+        path, pairs, shingle_n, threshold, id_col, text_col, analyzer_kw
     )
     if out_ds is None:
         return empty
@@ -990,19 +1008,26 @@ def connected_components_ds(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_rounds: int = 32,
+    strict: bool = True,
 ) -> rd.Dataset:
     """(doc, root) for every node of the pair graph, root = component
-    minimum — DISTRIBUTED min-label propagation, the dedup "which copy do
-    we keep" step after near-dup verification.
+    minimum — DISTRIBUTED min-label propagation with pointer jumping,
+    the dedup "which copy do we keep" step after near-dup verification.
 
-    Each round: one partitioned hash join ships every node's current
-    label across the (bidirectional) edge set, one groupby-min folds the
-    incoming labels with the node's own. Labels only ever DECREASE, so
-    the global label sum is a monotone convergence witness: the loop
-    stops the first round the sum is unchanged (⇒ fixed point). Rounds
-    needed = max component diameter — near-dup clusters are shallow
-    (dozens of hops would mean a chain of pairwise-similar docs), and
-    `max_rounds` guards pathological chains with a logged warning.
+    Each round: (1) one partitioned hash join ships every node's current
+    label across the (bidirectional) edge set and a groupby-min folds
+    the incoming labels with the node's own; (2) a second join replaces
+    each label by its label-of-label (pointer jumping), which halves the
+    remaining distance to the root — convergence in O(log diameter)
+    rounds, so `max_rounds=32` covers diameters up to ~2^32. Labels only
+    ever DECREASE, so the global label sum is a monotone convergence
+    witness: the loop stops the first round the sum is unchanged (⇒
+    fixed point). If the sum is still moving after `max_rounds`,
+    `strict=True` (default) RAISES — a partially propagated labelling
+    would make a downstream removal manifest internally inconsistent
+    (a removed doc pointing at a keeper that is itself removed);
+    `strict=False` degrades to a warning for callers that only need a
+    coarsening.
 
     Scale shape: the driver holds one scalar per round; edges and labels
     stay Datasets throughout (pairs on dup-heavy crawl corpora are
@@ -1042,6 +1067,11 @@ def connected_components_ds(
     )
     if not labels.count():
         return labels
+    # Per-round block-count discipline: each join/groupby multiplies the
+    # (mostly tiny) block count, and iterating without a coalesce makes
+    # round cost grow ~6x per round (measured: 0.8s -> 148s by round 3).
+    # One bounded repartition per step keeps rounds O(1).
+    n_blocks = max(8, _num_shards() // 4)
     prev_sum = labels.aggregate(Sum("lab"))["sum(lab)"]
     for rnd in range(max_rounds):
         msgs = hash_join(
@@ -1050,11 +1080,28 @@ def connected_components_ds(
             lambda t: pa.table({"doc": t["dst"], "lab": t["lab"]}),
             batch_format="pyarrow",
         )
-        labels = (
+        folded = (
             labels.union(msgs)
             .groupby("doc")
             .aggregate(Min("lab", alias_name="lab"))
             .map_batches(as_arrow, batch_format="pyarrow")
+            .repartition(n_blocks)
+            .materialize()
+        )
+        # pointer jumping: lab(d) <- lab(lab(d)). Every label value is a
+        # node id present in the doc column (initially, and both steps
+        # preserve it), so the inner join is total.
+        lut = folded.map_batches(
+            lambda t: pa.table({"j": t["doc"], "lab2": t["lab"]}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            hash_join(folded, lut, left_on="lab", right_on="j")
+            .map_batches(
+                lambda t: pa.table({"doc": t["doc"], "lab": t["lab2"]}),
+                batch_format="pyarrow",
+            )
+            .repartition(n_blocks)
             .materialize()
         )
         cur_sum = labels.aggregate(Sum("lab"))["sum(lab)"]
@@ -1062,11 +1109,14 @@ def connected_components_ds(
             break
         prev_sum = cur_sum
     else:
-        logger.warning(
-            "connected_components_ds: no fixed point after %d rounds "
-            "(component diameter exceeds max_rounds); labels are a "
-            "valid coarsening but not fully converged", max_rounds,
+        msg = (
+            f"connected_components_ds: no fixed point after {max_rounds} "
+            "pointer-jumping rounds (component diameter ~> 2^"
+            f"{max_rounds})"
         )
+        if strict:
+            raise RuntimeError(msg)
+        logger.warning("%s; labels are a coarsening, not components", msg)
     return labels
 
 
@@ -1097,13 +1147,7 @@ def minhash_dedup_survivors(
         ds, n_perm=n_perm, bands=bands, shingle_n=shingle_n,
         pair_cap=pair_cap,
     )
-    stage = _ShingleSetStage("doc_id", "text", shingle_n, {})
-    sh = rd.read_parquet(path, columns=["doc_id", "text"]).map_batches(
-        stage, batch_format="pyarrow"
-    )
-    verified = attach_pair_payloads(
-        dedupe_pairs_ds(cand), sh, _pair_jaccard_kernel(threshold)
-    )
+    verified = verified_pairs_ds(path, cand, shingle_n, threshold)
     if verified is None:
         return empty
     comp = connected_components_ds(verified)

@@ -463,10 +463,10 @@ def _centroid_artifact_path(
         ident = f"{st.st_mtime_ns}:{st.st_size}"
     except OSError:
         ident = "0"
-    key = hashlib.sha256(
-        f"{path}|{ident}|k{n_clusters}|i{iters}|s{stride}|v{_IVF_VERSION}"
-        f"|{variant}".encode()
-    ).hexdigest()[:16]
+    base = f"{path}|{ident}|k{n_clusters}|i{iters}|s{stride}|v{_IVF_VERSION}"
+    if variant:  # default '' keeps pre-existing driver-trainer keys valid
+        base += f"|{variant}"
+    key = hashlib.sha256(base.encode()).hexdigest()[:16]
     return f"/tmp/graft_ivf_centroids/{key}/centroids.parquet"
 
 
