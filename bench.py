@@ -205,6 +205,15 @@ def run_bench() -> dict:
     minhash_near_dups(SF_DIR)
     timings["dedup_minhash_verified"] = round(time.time() - t0, 3)
 
+    # survivor selection (distributed connected components) — reported as
+    # an extra so the headline `value` stays comparable across rounds
+    from datamart_ray.stages.dedup import minhash_dedup_survivors
+
+    t0 = time.time()
+    surv = minhash_dedup_survivors(SF_DIR)
+    extra["dedup_survivors_sec"] = round(time.time() - t0, 3)
+    extra["dedup_survivors_removed"] = int(len(surv))
+
     ray.shutdown()
     value = round(sum(timings.values()), 3)
     return {

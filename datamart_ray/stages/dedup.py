@@ -1120,6 +1120,45 @@ def connected_components_ds(
     return labels
 
 
+def _union_find_min_removed(
+    a: np.ndarray, b: np.ndarray
+) -> pd.DataFrame:
+    """Driver union-find (path halving) over a BOUNDED pair list →
+    removal manifest (doc_id, kept_id = component minimum). Used only
+    below CC_DRIVER_PAIRS_CAP; above it the distributed propagation
+    runs (same split discipline as semi_filter_payload's broadcast cap)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = parent.get(x, x)
+        while parent.get(r, r) != r:
+            parent[r] = parent.get(parent[r], parent[r])  # halve
+            r = parent[r]
+        parent[x] = r
+        return r
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # union by min: the smaller id becomes the root, so the
+            # final root IS the component minimum
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo
+    docs = np.unique(np.concatenate([a, b]))
+    roots = np.fromiter((find(int(d)) for d in docs), dtype=np.int64,
+                        count=docs.size)
+    keep = roots < docs
+    return pd.DataFrame(
+        {"doc_id": docs[keep].astype(np.int64), "kept_id": roots[keep]}
+    )
+
+
+# Verified-pair count below which survivor selection runs a driver
+# union-find instead of the distributed label propagation: bounded
+# driver memory/CPU (~80 MB, seconds), zero per-round Ray executions.
+CC_DRIVER_PAIRS_CAP = 5_000_000
+
+
 def minhash_dedup_survivors(
     sf_dir: str,
     threshold: float = 0.5,
@@ -1127,6 +1166,7 @@ def minhash_dedup_survivors(
     bands: int = 16,
     shingle_n: int = 3,
     pair_cap: int = BUCKET_PAIR_CAP,
+    cc_driver_cap: int = CC_DRIVER_PAIRS_CAP,
 ) -> pd.DataFrame:
     """The actual DEDUP step over `documents`: MinHash-LSH candidates →
     distributed exact shingle-Jaccard verification → distributed
@@ -1150,6 +1190,15 @@ def minhash_dedup_survivors(
     verified = verified_pairs_ds(path, cand, shingle_n, threshold)
     if verified is None:
         return empty
+    verified = verified.materialize()
+    if verified.count() <= cc_driver_cap:
+        pdf = verified.select_columns(["doc_a", "doc_b"]).to_pandas()
+        if pdf.empty:
+            return empty
+        out = _union_find_min_removed(
+            pdf["doc_a"].to_numpy(np.int64), pdf["doc_b"].to_numpy(np.int64)
+        )
+        return out.sort_values("doc_id").reset_index(drop=True)
     comp = connected_components_ds(verified)
 
     def removed(t: pa.Table) -> pa.Table:

@@ -661,6 +661,12 @@ def test_minhash_dedup_survivors_planted(tmp_path, ray_session):
     assert got[43] == 42
     assert got[44] == 42  # transitive: kept is the component MINIMUM
     assert 40 not in got and 42 not in got
+    # the distributed label-propagation path (cc_driver_cap=0 forces it)
+    # must produce the identical manifest
+    out_dist = minhash_dedup_survivors(
+        str(tmp_path), threshold=0.5, bands=32, cc_driver_cap=0
+    )
+    pd.testing.assert_frame_equal(out, out_dist)
 
 
 def test_repetition_scores_degenerate_and_exact(tmp_path, ray_session):
