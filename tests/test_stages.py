@@ -729,3 +729,49 @@ def test_knn_ivf_distributed_trainer_matches(ray_session):
     pd.testing.assert_frame_equal(b, c)
     with pytest.raises(ValueError, match="trainer"):
         knn_ivf(sf, trainer="gpu")
+
+
+def test_union_find_min_removed_random_graphs():
+    """Driver union-find vs a BFS reference on random graphs: the
+    removal manifest must map every non-minimum node of each component
+    to that component's minimum."""
+    from collections import deque
+
+    from datamart_ray.stages.dedup import _union_find_min_removed
+
+    rng = np.random.default_rng(11)
+    for trial in range(25):
+        n_nodes = int(rng.integers(2, 60))
+        n_edges = int(rng.integers(1, 80))
+        a = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+        b = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        if not a.size:
+            continue
+        got = _union_find_min_removed(a, b)
+        # BFS reference
+        adj: dict[int, set[int]] = {}
+        for x, y in zip(a.tolist(), b.tolist()):
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        want = {}
+        seen: set[int] = set()
+        for start in sorted(adj):
+            if start in seen:
+                continue
+            comp = []
+            q = deque([start])
+            seen.add(start)
+            while q:
+                u = q.popleft()
+                comp.append(u)
+                for v in adj[u]:
+                    if v not in seen:
+                        seen.add(v)
+                        q.append(v)
+            m = min(comp)
+            for u in comp:
+                if u != m:
+                    want[u] = m
+        assert dict(zip(got["doc_id"], got["kept_id"])) == want, trial
