@@ -226,6 +226,7 @@ def attach_pair_payloads(
     kernel,
     id_col: str = "doc_id",
     pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
+    payload_stage=None,
 ) -> rd.Dataset | None:
     """Attach a per-doc binary payload to BOTH sides of a pair Dataset and
     run `kernel(pandas batch with pair_cols + pl_a + pl_b)` distributed.
@@ -236,7 +237,13 @@ def attach_pair_payloads(
     all — else one hash join), materialized candidate-bounded in the
     object store, then joined onto each pair side. The driver never sees
     a payload row. Returns None when the pair set is empty (callers
-    return their typed empty frame)."""
+    return their typed empty frame).
+
+    `payload_stage` (an Arrow batch callable) runs AFTER the semi-filter:
+    an expensive payload computation (tokenize + shingle, vector pack)
+    then touches only candidate docs — on typical corpora candidates are
+    a small fraction, so passing the RAW rows plus a stage here beats
+    pre-applying the stage to the full corpus dataset."""
     from ray.data.aggregate import Count
 
     from datamart_ray.pipelines.joins import hash_join
@@ -261,9 +268,12 @@ def attach_pair_payloads(
         .aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
     )
-    payload_needed = semi_filter_payload(
-        payload, need, id_col
-    ).materialize()
+    payload_needed = semi_filter_payload(payload, need, id_col)
+    if payload_stage is not None:
+        payload_needed = payload_needed.map_batches(
+            payload_stage, batch_format="pyarrow"
+        )
+    payload_needed = payload_needed.materialize()
 
     j1 = hash_join(pairs, payload_needed, left_on=a_col, right_on=id_col)
 
@@ -389,11 +399,15 @@ def verified_pairs_ds(
     entries and survivor selection. None when the candidate set is
     empty (same contract as attach_pair_payloads)."""
     stage = _ShingleSetStage(id_col, text_col, shingle_n, analyzer_kw or {})
-    sh = rd.read_parquet(path, columns=[id_col, text_col]).map_batches(
-        stage, batch_format="pyarrow"
-    )
+    raw = rd.read_parquet(path, columns=[id_col, text_col])
+    # raw rows + payload_stage: tokenize/shingle runs AFTER the candidate
+    # semi-filter, i.e. over candidate docs only — not the whole corpus
     return attach_pair_payloads(
-        dedupe_pairs_ds(pairs), sh, _pair_jaccard_kernel(threshold)
+        dedupe_pairs_ds(pairs),
+        raw,
+        _pair_jaccard_kernel(threshold),
+        id_col=id_col,
+        payload_stage=stage,
     )
 
 
