@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from datamart_ray.stages.multimodal import image_roundtrip_stats
     from datamart_ray.stages.similarity import (
+        embedding_dedup_survivors,
         embedding_near_dups,
         knn_cosine,
         knn_ivf,
@@ -95,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["dd_minhash_survivors"] = minhash_dedup_survivors
     out["dd_simhash_pairs"] = simhash_dup_pairs
     out["dd_embedding_near_dups"] = embedding_near_dups
+    out["dd_embedding_survivors"] = embedding_dedup_survivors
     out["sim_knn_cosine"] = knn_cosine
     out["sim_knn_lsh"] = knn_lsh
     out["sim_knn_ivf"] = knn_ivf
@@ -153,7 +155,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         spatial_overlap_scores,
     )
 
-    out["sp_overlap_scores"] = spatial_overlap_scores
     out["sp_search_candidates"] = search_spatial_candidates
 
     from datamart_ray.pipelines.ranges import (
@@ -196,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the tail slots freed for the new ft_bm25_lazy_topk and
     # dd_minhash_survivors entries
     out["sp_coverage_boxes"] = spatial_coverage
+    out["sp_overlap_scores"] = spatial_overlap_scores
     out["rg_overlap_scores"] = range_overlap_scores
     out["tj_asof_purchase_click"] = asof_join_events
 
@@ -229,6 +231,7 @@ def oracle_sql() -> dict[str, str]:
     from datamart_ray.stages.multimodal import IMAGE_ROUNDTRIP_SQL
     from datamart_ray.stages.similarity import (
         embedding_near_dups_sql,
+        embedding_survivors_sql,
         knn_cosine_sql,
     )
     from datamart_ray.stages.textstats import (
@@ -246,6 +249,7 @@ def oracle_sql() -> dict[str, str]:
     out["dd_minhash_survivors"] = minhash_survivors_sql(0.5)
     out["dd_simhash_pairs"] = shingle_jaccard_sql(0.5)
     out["dd_embedding_near_dups"] = embedding_near_dups_sql(0.45)
+    out["dd_embedding_survivors"] = embedding_survivors_sql(0.45)
     out["sim_knn_cosine"] = knn_cosine_sql()
     out["sim_knn_lsh"] = knn_cosine_sql()
     out["sim_knn_ivf"] = knn_cosine_sql()

@@ -292,23 +292,17 @@ def _distributed_rescore_ds(
     ).reset_index(drop=True)
 
 
-def embedding_near_dups(
+def _embedding_verified_ds(
     sf_dir: str,
     threshold: float = 0.45,
     n_bands: int = 96,
     band_bits: int = 4,
     seed: int = 42,
     pair_cap: int = 1024,
-) -> pd.DataFrame:
-    """Embedding-cosine near-duplicate pairs (training-data dedup op):
-    hyperplane-LSH band buckets → candidate pairs via (band, bucket)
-    groupby → exact cosine verification ≥ threshold.
-
-    End-to-end distributed (r3; VERDICT r2 "What's wrong" #3): candidate
-    pairs stay a Dataset, both sides' vectors attach via hash joins
-    (packed as fixed-width float64 bytes so they ride the exchange as
-    plain buffers), and the verifying einsum runs per batch — only
-    verified pairs reach the driver."""
+):
+    """Verified (vec_a, vec_b, cosine) pairs as a DATASET (or None when
+    the candidate set is empty) — the distributed core shared by the
+    pair-list entry and embedding survivor selection."""
     ensure_fast_shuffle()
     import pyarrow.parquet as pq
 
@@ -381,13 +375,135 @@ def embedding_near_dups(
         )
 
     payload = _packed_vectors(ds, "vec_id", "embedding")
-    out_ds = attach_pair_payloads(dedupe_pairs_ds(cand), payload, kernel)
+    return attach_pair_payloads(dedupe_pairs_ds(cand), payload, kernel)
+
+
+_EMB_PAIRS_EMPTY = {
+    "vec_a": "int64",
+    "vec_b": "int64",
+    "cosine": "float64",
+}
+
+
+def embedding_near_dups(
+    sf_dir: str,
+    threshold: float = 0.45,
+    n_bands: int = 96,
+    band_bits: int = 4,
+    seed: int = 42,
+    pair_cap: int = 1024,
+) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs (training-data dedup op):
+    hyperplane-LSH band buckets → candidate pairs via (band, bucket)
+    groupby → exact cosine verification ≥ threshold.
+
+    End-to-end distributed (r3; VERDICT r2 "What's wrong" #3): candidate
+    pairs stay a Dataset, both sides' vectors attach via hash joins
+    (packed as fixed-width float64 bytes so they ride the exchange as
+    plain buffers), and the verifying einsum runs per batch — only
+    verified pairs reach the driver."""
+    empty = pd.DataFrame(
+        {k: pd.Series([], dtype=v) for k, v in _EMB_PAIRS_EMPTY.items()}
+    )
+    out_ds = _embedding_verified_ds(
+        sf_dir, threshold, n_bands, band_bits, seed, pair_cap
+    )
     if out_ds is None:
         return empty
     out = out_ds.to_pandas()
     if out.empty:
         return empty
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def embedding_dedup_survivors(
+    sf_dir: str,
+    threshold: float = 0.45,
+    n_bands: int = 96,
+    band_bits: int = 4,
+    seed: int = 42,
+    pair_cap: int = 1024,
+    cc_driver_cap: int | None = None,
+) -> pd.DataFrame:
+    """Removal manifest over the embedding-cosine near-dup graph:
+    (vec_id, kept_id = component-minimum vec_id), one row per removed
+    vector — the embedding-modality twin of `minhash_dedup_survivors`,
+    sharing the same size-adaptive connected-components machinery
+    (driver union-find under CC_DRIVER_PAIRS_CAP verified pairs, the
+    distributed pointer-jumping propagation above)."""
+    from datamart_ray.stages.dedup import (
+        CC_DRIVER_PAIRS_CAP,
+        _union_find_min_removed,
+        connected_components_ds,
+    )
+
+    if cc_driver_cap is None:
+        cc_driver_cap = CC_DRIVER_PAIRS_CAP
+    empty = pd.DataFrame(
+        {
+            "vec_id": pd.Series([], dtype="int64"),
+            "kept_id": pd.Series([], dtype="int64"),
+        }
+    )
+    verified = _embedding_verified_ds(
+        sf_dir, threshold, n_bands, band_bits, seed, pair_cap
+    )
+    if verified is None:
+        return empty
+    verified = verified.materialize()
+    if verified.count() <= cc_driver_cap:
+        pdf = verified.select_columns(["vec_a", "vec_b"]).to_pandas()
+        if pdf.empty:
+            return empty
+        out = _union_find_min_removed(
+            pdf["vec_a"].to_numpy(np.int64), pdf["vec_b"].to_numpy(np.int64)
+        ).rename(columns={"doc_id": "vec_id"})
+        return out.sort_values("vec_id").reset_index(drop=True)
+    comp = connected_components_ds(verified, a_col="vec_a", b_col="vec_b")
+
+    def removed(t: pa.Table) -> pa.Table:
+        doc = t["doc"].to_numpy(zero_copy_only=False)
+        lab = t["lab"].to_numpy(zero_copy_only=False)
+        keep = lab < doc
+        return pa.table(
+            {
+                "vec_id": pa.array(doc[keep].astype(np.int64)),
+                "kept_id": pa.array(lab[keep].astype(np.int64)),
+            }
+        )
+
+    out = comp.map_batches(removed, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return empty
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def embedding_survivors_sql(threshold: float = 0.45) -> str:
+    """DuckDB twin: transitive closure by recursive reachability over
+    the exhaustive cosine pair list (same expression as the
+    dd_embedding oracle); a vector is removed iff a smaller vec_id is
+    reachable, kept by the component minimum."""
+    return f"""
+        WITH RECURSIVE vpairs AS (
+            SELECT vec_a, vec_b FROM ({embedding_near_dups_sql(threshold)})
+        ),
+        edges AS (
+            SELECT vec_a AS s, vec_b AS d FROM vpairs
+            UNION ALL
+            SELECT vec_b, vec_a FROM vpairs
+        ),
+        reach(v, r) AS (
+            SELECT s, d FROM edges
+            UNION
+            SELECT reach.v, edges.d
+            FROM reach JOIN edges ON reach.r = edges.s
+        )
+        SELECT v AS vec_id, MIN(r) AS kept_id
+        FROM reach
+        GROUP BY v
+        HAVING MIN(r) < v
+        ORDER BY vec_id
+    """
 
 
 def knn_cosine_sql(
