@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         exact_dedup_first,
         minhash_dedup_survivors,
         minhash_near_dups,
+        simhash_dedup_survivors,
         simhash_dup_pairs,
     )
     from datamart_ray.stages.multimodal import image_roundtrip_stats
@@ -95,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["dd_minhash_near_dups"] = minhash_near_dups
     out["dd_minhash_survivors"] = minhash_dedup_survivors
     out["dd_simhash_pairs"] = simhash_dup_pairs
+    out["dd_simhash_survivors"] = simhash_dedup_survivors
     out["dd_embedding_near_dups"] = embedding_near_dups
     out["dd_embedding_survivors"] = embedding_dedup_survivors
     out["sim_knn_cosine"] = knn_cosine
@@ -127,8 +129,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         asof_join_events,
         rollup_join_events,
     )
-
-    out["tj_hourly_rollup_join"] = rollup_join_events
 
     from datamart_ray.pipelines.scalars import json_extract_rollup
 
@@ -200,6 +200,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["sp_overlap_scores"] = spatial_overlap_scores
     out["rg_overlap_scores"] = range_overlap_scores
     out["tj_asof_purchase_click"] = asof_join_events
+    # tj_hourly_rollup_join: green in r1 AND r2, temporal.py unchanged
+    # this round — absorbs the slot freed for dd_simhash_survivors
+    out["tj_hourly_rollup_join"] = rollup_join_events
 
     from datamart_ray.pipelines.transforms import (
         expand_customer_names,
@@ -248,6 +251,9 @@ def oracle_sql() -> dict[str, str]:
     out["dd_minhash_near_dups"] = shingle_jaccard_sql(0.5)
     out["dd_minhash_survivors"] = minhash_survivors_sql(0.5)
     out["dd_simhash_pairs"] = shingle_jaccard_sql(0.5)
+    # identical twin to dd_minhash_survivors: both modalities produce the
+    # removal manifest of the SAME exact-verified (jaccard>=0.5) graph
+    out["dd_simhash_survivors"] = minhash_survivors_sql(0.5)
     out["dd_embedding_near_dups"] = embedding_near_dups_sql(0.45)
     out["dd_embedding_survivors"] = embedding_survivors_sql(0.45)
     out["sim_knn_cosine"] = knn_cosine_sql()

@@ -873,26 +873,18 @@ def popcount64(x: np.ndarray) -> np.ndarray:
     )
 
 
-def simhash_dup_pairs(
-    sf_dir: str,
-    threshold: float = 0.5,
+def simhash_candidate_pairs_ds(
+    path: str,
     max_hamming: int = 12,
     shingle_n: int = 3,
     pair_cap: int = BUCKET_PAIR_CAP,
-) -> pd.DataFrame:
-    """SimHash near-dup pairs, verified: shingle-set SimHash signatures →
-    pigeonhole banding (split 64 bits into (k+1) bands; any pair within
-    Hamming distance k shares at least one exact band) → band-bucket
-    groupby → Hamming filter → exact shingle-Jaccard ≥ threshold.
-
-    Output is the VERIFIED (doc_a, doc_b, jaccard) list, so the DuckDB
-    all-pairs twin (:func:`shingle_jaccard_sql`) gates it exactly:
-    measured across sf0.001/0.01/0.1 every true (j≥0.5) pair sits at
-    Hamming ≤ 12, so max_hamming=12 is recall-complete; false positives
-    above the band (closest false pair: Hamming 10) are removed by the
-    exact-Jaccard verification, which only needs recall from the bands."""
+) -> rd.Dataset:
+    """SimHash candidate pairs as a DATASET: shingle-set 64-bit
+    signatures → pigeonhole banding (split 64 bits into (k+1) bands; any
+    pair within Hamming distance k shares at least one exact band) →
+    sharded band-bucket pair expansion → vectorized Hamming filter.
+    Shared by the pair-list entry and survivor selection."""
     ensure_fast_shuffle()
-    path = f"{sf_dir}/documents.parquet"
     ds = rd.read_parquet(path, columns=["doc_id", "text"])
     stage = _SimHashStage("doc_id", "text", {}, shingle_n)
     sig = ds.map_batches(stage, batch_format="pyarrow")
@@ -932,14 +924,35 @@ def simhash_dup_pairs(
             }
         )
 
-    pairs = sharded_group_pairs(
+    return sharded_group_pairs(
         sig.map_batches(band_rows, batch_format="pyarrow"),
         ["band", "key"],
         pair_cap,
         carry_col="simhash",
     ).map_batches(hamming_filter, batch_format="pyarrow")
-    # candidates stay a Dataset through exact verification (r3; the r2
-    # version collected the raw pair list to the driver here)
+
+
+def simhash_dup_pairs(
+    sf_dir: str,
+    threshold: float = 0.5,
+    max_hamming: int = 12,
+    shingle_n: int = 3,
+    pair_cap: int = BUCKET_PAIR_CAP,
+) -> pd.DataFrame:
+    """SimHash near-dup pairs, verified: the candidate Dataset from
+    :func:`simhash_candidate_pairs_ds` → distributed exact
+    shingle-Jaccard ≥ threshold.
+
+    Output is the VERIFIED (doc_a, doc_b, jaccard) list, so the DuckDB
+    all-pairs twin (:func:`shingle_jaccard_sql`) gates it exactly:
+    measured across sf0.001/0.01/0.1 every true (j≥0.5) pair sits at
+    Hamming ≤ 12, so max_hamming=12 is recall-complete; false positives
+    above the band (closest false pair: Hamming 10) are removed by the
+    exact-Jaccard verification, which only needs recall from the bands.
+    Candidates stay a Dataset through exact verification (r3; the r2
+    version collected the raw pair list to the driver here)."""
+    path = f"{sf_dir}/documents.parquet"
+    pairs = simhash_candidate_pairs_ds(path, max_hamming, shingle_n, pair_cap)
     return verify_pairs_jaccard_ds(path, pairs, shingle_n, threshold)
 
 
@@ -1173,6 +1186,56 @@ def _union_find_min_removed(
 CC_DRIVER_PAIRS_CAP = 5_000_000
 
 
+def survivors_from_verified(
+    verified: rd.Dataset | None,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    id_out: str = "doc_id",
+    cc_driver_cap: int = CC_DRIVER_PAIRS_CAP,
+) -> pd.DataFrame:
+    """Shared survivor-selection core: a verified near-dup pair Dataset →
+    size-adaptive connected components → removal manifest
+    (id_out, kept_id = component minimum), sorted by id_out. Below
+    `cc_driver_cap` verified pairs a driver union-find runs (bounded
+    memory, zero per-round Ray executions); above it the distributed
+    pointer-jumping label propagation takes over. Used by the MinHash,
+    SimHash and embedding-cosine survivor entries."""
+    empty = pd.DataFrame(
+        {
+            id_out: pd.Series([], dtype="int64"),
+            "kept_id": pd.Series([], dtype="int64"),
+        }
+    )
+    if verified is None:
+        return empty
+    verified = verified.materialize()
+    if verified.count() <= cc_driver_cap:
+        pdf = verified.select_columns([a_col, b_col]).to_pandas()
+        if pdf.empty:
+            return empty
+        out = _union_find_min_removed(
+            pdf[a_col].to_numpy(np.int64), pdf[b_col].to_numpy(np.int64)
+        ).rename(columns={"doc_id": id_out})
+        return out.sort_values(id_out).reset_index(drop=True)
+    comp = connected_components_ds(verified, a_col=a_col, b_col=b_col)
+
+    def removed(t: pa.Table) -> pa.Table:
+        doc = t["doc"].to_numpy(zero_copy_only=False)
+        lab = t["lab"].to_numpy(zero_copy_only=False)
+        keep = lab < doc
+        return pa.table(
+            {
+                id_out: pa.array(doc[keep].astype(np.int64)),
+                "kept_id": pa.array(lab[keep].astype(np.int64)),
+            }
+        )
+
+    out = comp.map_batches(removed, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return empty
+    return out.sort_values(id_out).reset_index(drop=True)
+
+
 def minhash_dedup_survivors(
     sf_dir: str,
     threshold: float = 0.5,
@@ -1189,12 +1252,6 @@ def minhash_dedup_survivors(
     the removal manifest a training-data pipeline applies to drop
     near-duplicate copies (transitively: a~b and b~c removes both b and
     c in favor of a even when a~c was never a candidate pair)."""
-    empty = pd.DataFrame(
-        {
-            "doc_id": pd.Series([], dtype="int64"),
-            "kept_id": pd.Series([], dtype="int64"),
-        }
-    )
     path = f"{sf_dir}/documents.parquet"
     ds = rd.read_parquet(path, columns=["doc_id", "text"])
     cand = minhash_candidate_pairs_ds(
@@ -1202,34 +1259,29 @@ def minhash_dedup_survivors(
         pair_cap=pair_cap,
     )
     verified = verified_pairs_ds(path, cand, shingle_n, threshold)
-    if verified is None:
-        return empty
-    verified = verified.materialize()
-    if verified.count() <= cc_driver_cap:
-        pdf = verified.select_columns(["doc_a", "doc_b"]).to_pandas()
-        if pdf.empty:
-            return empty
-        out = _union_find_min_removed(
-            pdf["doc_a"].to_numpy(np.int64), pdf["doc_b"].to_numpy(np.int64)
-        )
-        return out.sort_values("doc_id").reset_index(drop=True)
-    comp = connected_components_ds(verified)
+    return survivors_from_verified(verified, cc_driver_cap=cc_driver_cap)
 
-    def removed(t: pa.Table) -> pa.Table:
-        doc = t["doc"].to_numpy(zero_copy_only=False)
-        lab = t["lab"].to_numpy(zero_copy_only=False)
-        keep = lab < doc
-        return pa.table(
-            {
-                "doc_id": pa.array(doc[keep].astype(np.int64)),
-                "kept_id": pa.array(lab[keep].astype(np.int64)),
-            }
-        )
 
-    out = comp.map_batches(removed, batch_format="pyarrow").to_pandas()
-    if out.empty:
-        return empty
-    return out.sort_values("doc_id").reset_index(drop=True)
+def simhash_dedup_survivors(
+    sf_dir: str,
+    threshold: float = 0.5,
+    max_hamming: int = 12,
+    shingle_n: int = 3,
+    pair_cap: int = BUCKET_PAIR_CAP,
+    cc_driver_cap: int = CC_DRIVER_PAIRS_CAP,
+) -> pd.DataFrame:
+    """SimHash-modality removal manifest: pigeonhole-banded SimHash
+    candidates (:func:`simhash_candidate_pairs_ds`) → distributed exact
+    shingle-Jaccard verification → size-adaptive connected components →
+    survivor rule "component-minimum doc_id is kept". Because the bands
+    are recall-complete at max_hamming=12 on these fixtures and the
+    output is the exact-VERIFIED graph's manifest, the same exhaustive
+    DuckDB transitive-closure twin as MinHash survivors
+    (:func:`minhash_survivors_sql`) gates it exactly."""
+    path = f"{sf_dir}/documents.parquet"
+    pairs = simhash_candidate_pairs_ds(path, max_hamming, shingle_n, pair_cap)
+    verified = verified_pairs_ds(path, pairs, shingle_n, threshold)
+    return survivors_from_verified(verified, cc_driver_cap=cc_driver_cap)
 
 
 def minhash_survivors_sql(threshold: float = 0.5, shingle_n: int = 3) -> str:

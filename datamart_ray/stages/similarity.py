@@ -433,49 +433,21 @@ def embedding_dedup_survivors(
     distributed pointer-jumping propagation above)."""
     from datamart_ray.stages.dedup import (
         CC_DRIVER_PAIRS_CAP,
-        _union_find_min_removed,
-        connected_components_ds,
+        survivors_from_verified,
     )
 
     if cc_driver_cap is None:
         cc_driver_cap = CC_DRIVER_PAIRS_CAP
-    empty = pd.DataFrame(
-        {
-            "vec_id": pd.Series([], dtype="int64"),
-            "kept_id": pd.Series([], dtype="int64"),
-        }
-    )
     verified = _embedding_verified_ds(
         sf_dir, threshold, n_bands, band_bits, seed, pair_cap
     )
-    if verified is None:
-        return empty
-    verified = verified.materialize()
-    if verified.count() <= cc_driver_cap:
-        pdf = verified.select_columns(["vec_a", "vec_b"]).to_pandas()
-        if pdf.empty:
-            return empty
-        out = _union_find_min_removed(
-            pdf["vec_a"].to_numpy(np.int64), pdf["vec_b"].to_numpy(np.int64)
-        ).rename(columns={"doc_id": "vec_id"})
-        return out.sort_values("vec_id").reset_index(drop=True)
-    comp = connected_components_ds(verified, a_col="vec_a", b_col="vec_b")
-
-    def removed(t: pa.Table) -> pa.Table:
-        doc = t["doc"].to_numpy(zero_copy_only=False)
-        lab = t["lab"].to_numpy(zero_copy_only=False)
-        keep = lab < doc
-        return pa.table(
-            {
-                "vec_id": pa.array(doc[keep].astype(np.int64)),
-                "kept_id": pa.array(lab[keep].astype(np.int64)),
-            }
-        )
-
-    out = comp.map_batches(removed, batch_format="pyarrow").to_pandas()
-    if out.empty:
-        return empty
-    return out.sort_values("vec_id").reset_index(drop=True)
+    return survivors_from_verified(
+        verified,
+        a_col="vec_a",
+        b_col="vec_b",
+        id_out="vec_id",
+        cc_driver_cap=cc_driver_cap,
+    )
 
 
 def embedding_survivors_sql(threshold: float = 0.45) -> str:

@@ -667,6 +667,12 @@ def test_minhash_dedup_survivors_planted(tmp_path, ray_session):
         str(tmp_path), threshold=0.5, bands=32, cc_driver_cap=0
     )
     pd.testing.assert_frame_equal(out, out_dist)
+    # the SimHash modality verifies the same exact (jaccard>=0.5) graph,
+    # so its removal manifest must be identical (recall-complete bands)
+    from datamart_ray.stages.dedup import simhash_dedup_survivors
+
+    out_sim = simhash_dedup_survivors(str(tmp_path), threshold=0.5)
+    pd.testing.assert_frame_equal(out, out_sim)
 
 
 def test_repetition_scores_degenerate_and_exact(tmp_path, ray_session):
