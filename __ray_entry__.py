@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         exact_dedup_first,
         minhash_dedup_survivors,
         minhash_near_dups,
+        ngram_dedup_survivors,
+        ngram_jaccard_near_dups,
         simhash_dedup_survivors,
         simhash_dup_pairs,
     )
@@ -97,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["dd_minhash_survivors"] = minhash_dedup_survivors
     out["dd_simhash_pairs"] = simhash_dup_pairs
     out["dd_simhash_survivors"] = simhash_dedup_survivors
+    out["dd_ngram_jaccard"] = ngram_jaccard_near_dups
+    out["dd_ngram_survivors"] = ngram_dedup_survivors
     out["dd_embedding_near_dups"] = embedding_near_dups
     out["dd_embedding_survivors"] = embedding_dedup_survivors
     out["sim_knn_cosine"] = knn_cosine
@@ -254,6 +258,10 @@ def oracle_sql() -> dict[str, str]:
     # identical twin to dd_minhash_survivors: both modalities produce the
     # removal manifest of the SAME exact-verified (jaccard>=0.5) graph
     out["dd_simhash_survivors"] = minhash_survivors_sql(0.5)
+    # n-gram modality: exact inverted-index candidates verify against the
+    # same exhaustive all-pairs Jaccard / transitive-closure twins
+    out["dd_ngram_jaccard"] = shingle_jaccard_sql(0.5)
+    out["dd_ngram_survivors"] = minhash_survivors_sql(0.5)
     out["dd_embedding_near_dups"] = embedding_near_dups_sql(0.45)
     out["dd_embedding_survivors"] = embedding_survivors_sql(0.45)
     out["sim_knn_cosine"] = knn_cosine_sql()

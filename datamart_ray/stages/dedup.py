@@ -755,6 +755,128 @@ def shingle_jaccard_sql(threshold: float, shingle_n: int = 3) -> str:
 
 
 # ----------------------------------------------------------------------
+# n-gram Jaccard (exact shingle inverted index)
+# ----------------------------------------------------------------------
+
+class _ShingleEmitStage:
+    """(doc_id, shingle) posting rows — one row per UNIQUE shingle per
+    doc. The exact inverted-index dedup modality: any pair sharing at
+    least one (sampled) shingle becomes a candidate, so candidate recall
+    is deterministic rather than probabilistic (contrast MinHash bands).
+    Optional `sample_rate` keeps a deterministic hash-subset of the
+    shingle space (keep iff mix64(shingle) below rate·2^64) — the
+    standard scale knob: a J≥t pair shares ≥ t/(1+t) of its union, so
+    even modest rates retain near-complete recall while shrinking the
+    posting exchange linearly."""
+
+    def __init__(self, id_col, text_col, shingle_n, analyzer_kw, sample_rate):
+        self.analyzer = Analyzer(**analyzer_kw)
+        self.id_col = id_col
+        self.text_col = text_col
+        self.shingle_n = shingle_n
+        self.keep_below = (
+            np.uint64(float(sample_rate) * float(2**64 - 1))
+            if sample_rate < 1.0
+            else None
+        )
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        lists = self.analyzer.token_lists(t[self.text_col])
+        ids = t[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, vparents = batch_shingle_values(lists, self.shingle_n)
+        if vals.size:
+            order = np.lexsort((vals, vparents))
+            v, p = vals[order], vparents[order]
+            keep = np.ones(v.size, dtype=bool)
+            keep[1:] = (v[1:] != v[:-1]) | (p[1:] != p[:-1])
+            v, p = v[keep], p[keep]
+            if self.keep_below is not None:
+                m = (
+                    _mix64(v * np.uint64(0xD6E8FEB86659FD93))
+                    <= self.keep_below
+                )
+                v, p = v[m], p[m]
+        else:
+            v, p = vals, vparents
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[p]),
+                "shingle": pa.array(v.view(np.int64)),
+            }
+        )
+
+
+def ngram_candidate_pairs_ds(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    sample_rate: float = 1.0,
+    analyzer: Analyzer | None = None,
+    pair_cap: int = BUCKET_PAIR_CAP,
+) -> rd.Dataset:
+    """Exact n-gram candidate pairs as a DATASET: docs sharing any
+    (sampled) shingle. Same single-shard-shuffle expansion as the LSH
+    modalities (`sharded_group_pairs`); mega-buckets (a shingle shared
+    corpus-wide — boilerplate) degrade to capped star pairs, which
+    preserves component CONNECTIVITY for the survivor rule while
+    bounding the pair exchange. May contain cross-shingle duplicates —
+    pipe through :func:`dedupe_pairs_ds` before verification."""
+    ensure_fast_shuffle()
+    kw = analyzer.to_kwargs() if analyzer else {}
+    stage = _ShingleEmitStage(id_col, text_col, shingle_n, kw, sample_rate)
+    postings = ds.map_batches(stage, batch_format="pyarrow")
+    return sharded_group_pairs(postings, ["shingle"], pair_cap)
+
+
+def ngram_jaccard_near_dups(
+    sf_dir: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    sample_rate: float = 1.0,
+    pair_cap: int = BUCKET_PAIR_CAP,
+) -> pd.DataFrame:
+    """n-gram-Jaccard near-duplicate pairs over `documents`: exact
+    shingle inverted index → shared-shingle candidates → distributed
+    exact shingle-Jaccard verification. Output (doc_a, doc_b,
+    jaccard≥threshold) — same exhaustive DuckDB twin as the MinHash
+    modality (the verified output of a recall-complete candidate stage
+    IS the exhaustive answer). At 100-TB scale, set `sample_rate` < 1
+    (deterministic shingle-space sampling) to shrink the posting
+    shuffle; verification cost stays candidate-bounded either way."""
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    cand = ngram_candidate_pairs_ds(
+        ds, shingle_n=shingle_n, sample_rate=sample_rate, pair_cap=pair_cap
+    )
+    return verify_pairs_jaccard_ds(path, cand, shingle_n, threshold)
+
+
+def ngram_dedup_survivors(
+    sf_dir: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    sample_rate: float = 1.0,
+    pair_cap: int = BUCKET_PAIR_CAP,
+    cc_driver_cap: int | None = None,
+) -> pd.DataFrame:
+    """n-gram-modality removal manifest: exact shingle-inverted-index
+    candidates → distributed exact Jaccard verification → size-adaptive
+    connected components → "component-minimum doc_id is kept". Gated by
+    the same exhaustive transitive-closure twin as the other modalities
+    (identical verified graph ⇒ identical manifest)."""
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    cand = ngram_candidate_pairs_ds(
+        ds, shingle_n=shingle_n, sample_rate=sample_rate, pair_cap=pair_cap
+    )
+    verified = verified_pairs_ds(path, cand, shingle_n, threshold)
+    if cc_driver_cap is None:
+        cc_driver_cap = CC_DRIVER_PAIRS_CAP
+    return survivors_from_verified(verified, cc_driver_cap=cc_driver_cap)
+
+
+# ----------------------------------------------------------------------
 # SimHash
 # ----------------------------------------------------------------------
 
