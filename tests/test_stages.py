@@ -238,6 +238,43 @@ def test_simhash_dup_pairs_verified(ray_session, tmp_path):
     assert (out["jaccard"] >= 0.5).all()
 
 
+def test_ngram_jaccard_matches_minhash_verified(ray_session, tmp_path):
+    """The n-gram inverted-index modality and MinHash-LSH verify against
+    the same exact-Jaccard definition, so on a recall-complete fixture
+    both produce the IDENTICAL verified pair list; sampling the shingle
+    space yields a subset (never new pairs)."""
+    import pyarrow.parquet as pq_
+
+    from datamart_ray.stages.dedup import (
+        minhash_near_dups,
+        ngram_dedup_survivors,
+        ngram_jaccard_near_dups,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    texts = [
+        f"doc {i} " + " ".join(f"w{i}{j}" for j in range(30))
+        for i in range(30)
+    ]
+    texts += [base + "lambda", base + "mu", base + "nu"]  # cluster 30-32
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq_.write_table(t, str(d / "documents.parquet"))
+
+    ng = ngram_jaccard_near_dups(str(d))
+    mh = minhash_near_dups(str(d))
+    assert ng.values.tolist() == mh.values.tolist()
+    got = set(zip(ng["doc_a"], ng["doc_b"]))
+    assert {(30, 31), (30, 32), (31, 32)} <= got
+
+    sampled = ngram_jaccard_near_dups(str(d), sample_rate=0.3)
+    assert set(zip(sampled["doc_a"], sampled["doc_b"])) <= got
+
+    surv = ngram_dedup_survivors(str(d))
+    assert surv.values.tolist() == [[31, 30], [32, 30]]
+
+
 def test_rolling_fingerprints_matches_scalar_chain():
     """Vectorized segmented FNV fingerprint == the sequential scalar
     definition (seg-token segment digests chained per doc), including
