@@ -108,6 +108,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["sim_knn_ivf"] = knn_ivf
     out["ts_fingerprints"] = document_fingerprints
     out["ts_repetition_scores"] = repetition_scores
+    # deterministic per-stratum sampling + sequence packing (NEW r3):
+    # training-data mixing and window-packing ops, both arithmetic-exact
+    # against their DuckDB twins
+    from datamart_ray.stages.packing import packed_windows
+    from datamart_ray.stages.sampling import stratified_sample
+
+    out["sa_stratified_sample"] = stratified_sample
+    out["pk_packed_windows"] = packed_windows
     out["mm_image_roundtrip"] = image_roundtrip_stats
     out["ag_join_orders_lineitem"] = ag_join_orders_lineitem
     out["ag_union_customer_supplier"] = ag_union_customer_supplier
@@ -269,6 +277,11 @@ def oracle_sql() -> dict[str, str]:
     out["sim_knn_ivf"] = knn_cosine_sql()
     out["ts_fingerprints"] = fingerprints_sql()
     out["ts_repetition_scores"] = repetition_scores_sql()
+    from datamart_ray.stages.packing import packed_windows_sql
+    from datamart_ray.stages.sampling import stratified_sample_sql
+
+    out["sa_stratified_sample"] = stratified_sample_sql()
+    out["pk_packed_windows"] = packed_windows_sql()
     out["mm_image_roundtrip"] = IMAGE_ROUNDTRIP_SQL
     out["ag_join_orders_lineitem"] = AG_JOIN_SQL
     out["ag_union_customer_supplier"] = AG_UNION_SQL

@@ -818,3 +818,68 @@ def test_union_find_min_removed_random_graphs():
                 if u != m:
                     want[u] = m
         assert dict(zip(got["doc_id"], got["kept_id"])) == want, trial
+
+
+def test_stratified_sample_rates_and_stability(ray_session, tmp_path):
+    """Per-stratum keep fraction tracks the configured rate, the sample
+    is deterministic, and it is IDENTICAL at different block layouts
+    (the property ds.random_sample cannot give)."""
+    from datamart_ray.stages.sampling import stratified_sample_ds
+
+    langs = ["en", "de", "fr"]
+    t = pa.table(
+        {
+            "doc_id": list(range(12000)),
+            "lang": [langs[i % 3] for i in range(12000)],
+        }
+    )
+    rates = {"en": 0.5, "de": 0.25}
+    got = {}
+    for blocks in (2, 37):
+        ds = rd.from_arrow(t).repartition(blocks)
+        out = (
+            stratified_sample_ds(ds, rates, default_rate=0.1)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        got[blocks] = out
+    assert got[2].values.tolist() == got[37].values.tolist()
+    frac = got[2].groupby("lang").size() / 4000.0
+    assert abs(frac["en"] - 0.5) < 0.03
+    assert abs(frac["de"] - 0.25) < 0.03
+    assert abs(frac["fr"] - 0.1) < 0.03
+
+
+def test_packed_windows_matches_scalar_prefix_sum(ray_session, tmp_path):
+    """Distributed prefix-scan packing == the sequential definition."""
+    import pyarrow.parquet as pq_
+
+    from datamart_ray.analyzer import Analyzer
+    from datamart_ray.stages.packing import packed_windows
+
+    rng = np.random.default_rng(7)
+    n = 400
+    texts = [
+        " ".join(f"tok{j}" for j in range(int(rng.integers(0, 40))))
+        for _ in range(n)
+    ]
+    t = pa.table({"doc_id": list(range(n)), "text": texts})
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq_.write_table(t, str(d / "documents.parquet"))
+
+    W = 64
+    out = packed_windows(str(d), window=W)
+
+    an = Analyzer()
+    cnts = [len(an.token_lists(pa.array([x]))[0]) for x in texts]
+    want: dict[int, list[int]] = {}
+    pos = 0
+    for c in cnts:
+        wid = pos // W
+        nd, nt = want.setdefault(wid, [0, 0])
+        want[wid] = [nd + 1, nt + c]
+        pos += c
+    want_rows = [[k, v[0], v[1]] for k, v in sorted(want.items())]
+    assert out.values.tolist() == want_rows
