@@ -116,6 +116,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     out["sa_stratified_sample"] = stratified_sample
     out["pk_packed_windows"] = packed_windows
+    # benchmark decontamination: broadcast shingle-set probe (NEW r3)
+    from datamart_ray.stages.decontaminate import contamination_counts
+
+    out["dc_contamination"] = contamination_counts
     out["mm_image_roundtrip"] = image_roundtrip_stats
     out["ag_join_orders_lineitem"] = ag_join_orders_lineitem
     out["ag_union_customer_supplier"] = ag_union_customer_supplier
@@ -282,6 +286,9 @@ def oracle_sql() -> dict[str, str]:
 
     out["sa_stratified_sample"] = stratified_sample_sql()
     out["pk_packed_windows"] = packed_windows_sql()
+    from datamart_ray.stages.decontaminate import contamination_sql
+
+    out["dc_contamination"] = contamination_sql()
     out["mm_image_roundtrip"] = IMAGE_ROUNDTRIP_SQL
     out["ag_join_orders_lineitem"] = AG_JOIN_SQL
     out["ag_union_customer_supplier"] = AG_UNION_SQL

@@ -883,3 +883,33 @@ def test_packed_windows_matches_scalar_prefix_sum(ray_session, tmp_path):
         pos += c
     want_rows = [[k, v[0], v[1]] for k, v in sorted(want.items())]
     assert out.values.tolist() == want_rows
+
+
+def test_contamination_planted_leak(ray_session, tmp_path):
+    """A verbatim copy of a benchmark doc reports n_shared == the
+    benchmark doc's full distinct-shingle count; disjoint docs are
+    absent from the flag list."""
+    import pyarrow.parquet as pq_
+
+    from datamart_ray.stages.decontaminate import (
+        _doc_shingles,
+        contamination_counts,
+    )
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    texts = [bench_text] + [
+        " ".join(f"only{i}x{j}" for j in range(20)) for i in range(1, 20)
+    ]
+    texts.append(bench_text)  # doc 20 leaks benchmark doc 0 verbatim
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq_.write_table(t, str(d / "documents.parquet"))
+
+    out = contamination_counts(str(d), benchmark_ids=(0,))
+    v, _ = _doc_shingles(pa.array([bench_text]), 3)
+    want_n = len(np.unique(v))
+    flagged = dict(zip(out["doc_id"], out["n_shared"]))
+    assert flagged[20] == want_n
+    assert flagged[0] == want_n  # the benchmark doc itself
+    assert set(flagged) == {0, 20}
