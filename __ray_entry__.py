@@ -120,6 +120,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from datamart_ray.stages.decontaminate import contamination_counts
 
     out["dc_contamination"] = contamination_counts
+    # gap-based sessionization (NEW r3) — registered here, inside the
+    # driver's 50-entry window, not with the older tw_* tail entries
+    from datamart_ray.pipelines.window import sessionize
+
+    out["tw_sessionize"] = sessionize
     out["mm_image_roundtrip"] = image_roundtrip_stats
     out["ag_join_orders_lineitem"] = ag_join_orders_lineitem
     out["ag_union_customer_supplier"] = ag_union_customer_supplier
@@ -289,6 +294,9 @@ def oracle_sql() -> dict[str, str]:
     from datamart_ray.stages.decontaminate import contamination_sql
 
     out["dc_contamination"] = contamination_sql()
+    from datamart_ray.pipelines.window import sessionize_sql
+
+    out["tw_sessionize"] = sessionize_sql()
     out["mm_image_roundtrip"] = IMAGE_ROUNDTRIP_SQL
     out["ag_join_orders_lineitem"] = AG_JOIN_SQL
     out["ag_union_customer_supplier"] = AG_UNION_SQL

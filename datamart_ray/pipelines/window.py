@@ -103,3 +103,113 @@ def sliding_window_sql(window_sec: int = 3600) -> str:
         FROM events
         ORDER BY event_id
     """
+
+
+def sessionize(sf_dir: str, gap_sec: int = 14400) -> pd.DataFrame:
+    """Gap-based sessionization of `events`: a user's events ordered by
+    (ts, event_id) start a NEW session whenever the gap from the previous
+    event exceeds `gap_sec` (strict). Output one row per session:
+    (user_id, session_id, n_events, start_ts, end_ts), session_id a
+    per-user 0-based ordinal.
+
+    Same scale shape as :func:`sliding_window_counts`: ONE user-hash
+    shard shuffle (never per-user dispatch), then each shard sorts once
+    and derives session ids with a single vectorized cumsum over
+    new-session flags; per-(user, session) aggregates are grouped inside
+    the shard, so the exchange carries events once and emits only
+    session rows. Integer-µs gap comparisons — no float round-off."""
+    ensure_fast_shuffle()
+    from datamart_ray.stages.dedup import _num_shards
+
+    n_shards = _num_shards()
+    gap_us = np.int64(gap_sec) * np.int64(1_000_000)
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        e = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        users = t["user_id"].to_numpy(zero_copy_only=False)
+        shard = (
+            pd.util.hash_array(users.astype(np.int64)) % n_shards
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts_us": e,
+                "shard": pa.array(shard),
+            }
+        )
+
+    def to_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort"
+        )
+        users = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        n = len(g)
+        new_sess = np.ones(n, dtype=np.int64)
+        if n > 1:
+            same_user = users[1:] == users[:-1]
+            new_sess[1:] = (~same_user) | (ts[1:] - ts[:-1] > gap_us)
+        cum = np.cumsum(new_sess)
+        # per-user ordinal: cumsum minus the cumsum entering the user
+        starts = np.r_[0, np.flatnonzero(users[1:] != users[:-1]) + 1]
+        base = np.zeros(n, dtype=np.int64)
+        base[starts] = cum[starts] - 1  # cum value just before the user
+        np.maximum.accumulate(base, out=base)
+        sid = cum - 1 - base
+        df = pd.DataFrame(
+            {"user_id": users, "session_id": sid, "ts_us": ts}
+        )
+        out = df.groupby(["user_id", "session_id"], as_index=False).agg(
+            n_events=("ts_us", "size"),
+            start_us=("ts_us", "min"),
+            end_us=("ts_us", "max"),
+        )
+        out["start_ts"] = out["start_us"].astype("datetime64[us]")
+        out["end_ts"] = out["end_us"].astype("datetime64[us]")
+        return out[
+            ["user_id", "session_id", "n_events", "start_ts", "end_ts"]
+        ]
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(to_sessions, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+
+
+def sessionize_sql(gap_sec: int = 14400) -> str:
+    """DuckDB twin: LAG gap flags → running SUM → per-session aggregate."""
+    return f"""
+        WITH o AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w
+                                > INTERVAL {gap_sec} SECOND
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) - 1 AS session_id
+            FROM o
+        )
+        SELECT user_id,
+               CAST(session_id AS BIGINT) AS session_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(ts) AS start_ts,
+               MAX(ts) AS end_ts
+        FROM s
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """

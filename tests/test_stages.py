@@ -515,6 +515,49 @@ def test_sliding_window_counts_small(ray_session, tmp_path):
     assert got == {0: 1, 1: 2, 2: 3, 3: 3, 4: 1, 5: 2, 6: 2}
 
 
+def test_sessionize_gap_semantics(ray_session, tmp_path):
+    """Strict-gap sessionization: gap == threshold stays in-session,
+    gap > threshold splits; per-user 0-based session ordinals."""
+    import pyarrow.parquet as pq_
+
+    from datamart_ray.pipelines.window import sessionize
+
+    base = np.datetime64("2020-01-01T00:00:00", "us")
+    mins = lambda m: base + np.timedelta64(m * 60, "s")
+    rows = [
+        # user 1: 0, 30 (gap == 30min stays), 90 (gap 60 > 30 splits)
+        (0, 1, mins(0)), (1, 1, mins(30)), (2, 1, mins(90)),
+        # user 2: single event
+        (3, 2, mins(5)),
+        # user 3: same-timestamp pair then far event
+        (4, 3, mins(10)), (5, 3, mins(10)), (6, 3, mins(500)),
+    ]
+    t = pa.table(
+        {
+            "event_id": [r[0] for r in rows],
+            "user_id": [r[1] for r in rows],
+            "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+        }
+    )
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq_.write_table(t, str(d / "events.parquet"))
+    out = sessionize(str(d), gap_sec=1800)
+    got = [
+        [r.user_id, r.session_id, r.n_events,
+         np.datetime64(r.start_ts, "m").astype(int) % (24 * 60),
+         np.datetime64(r.end_ts, "m").astype(int) % (24 * 60)]
+        for r in out.itertuples()
+    ]
+    assert got == [
+        [1, 0, 2, 0, 30],
+        [1, 1, 1, 90, 90],
+        [2, 0, 1, 5, 5],
+        [3, 0, 2, 10, 10],
+        [3, 1, 1, 500, 500],
+    ]
+
+
 def test_knn_ivf_matches_exact(ray_session):
     from datamart_ray.stages.similarity import knn_cosine, knn_ivf
 
