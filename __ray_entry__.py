@@ -125,6 +125,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from datamart_ray.pipelines.window import sessionize
 
     out["tw_sessionize"] = sessionize
+    # two-pass corpus-statistics quality filter (NEW r3)
+    from datamart_ray.stages.textstats import rare_token_ratio
+
+    out["ts_rare_token_ratio"] = rare_token_ratio
     out["mm_image_roundtrip"] = image_roundtrip_stats
     out["ag_join_orders_lineitem"] = ag_join_orders_lineitem
     out["ag_union_customer_supplier"] = ag_union_customer_supplier
@@ -297,6 +301,9 @@ def oracle_sql() -> dict[str, str]:
     from datamart_ray.pipelines.window import sessionize_sql
 
     out["tw_sessionize"] = sessionize_sql()
+    from datamart_ray.stages.textstats import rare_token_ratio_sql
+
+    out["ts_rare_token_ratio"] = rare_token_ratio_sql()
     out["mm_image_roundtrip"] = IMAGE_ROUNDTRIP_SQL
     out["ag_join_orders_lineitem"] = AG_JOIN_SQL
     out["ag_union_customer_supplier"] = AG_UNION_SQL

@@ -375,3 +375,135 @@ def repetition_scores_sql() -> str:
         GROUP BY doc_id
         ORDER BY doc_id
     """.replace("{toks}", toks)
+
+
+def rare_token_ratio(
+    sf_dir: str,
+    min_df_num: int = 1,
+    min_df_den: int = 10,
+    ndigits: int = 4,
+) -> pd.DataFrame:
+    """Rare-token (OOV-style) quality signal — the CCNet/Gopher-family
+    filter "how much of this document is vocabulary the corpus barely
+    uses", with integer-exact semantics (no transcendental float in the
+    oracle): a token is RARE iff its corpus document frequency is below
+    the fraction ``min_df_num/min_df_den`` of the corpus doc count
+    (compared by integer cross-multiplication — no float threshold).
+
+    Two-pass broadcast-model shape (the pattern every corpus-statistics
+    filter shares): pass 1 computes global term df with per-batch
+    partial counts + one small groupby; the COMMON vocabulary (the head
+    of the Zipf curve, vocabulary-bounded, never corpus-bounded) is
+    pulled to the driver and `ray.put` ONCE; pass 2
+    scores every doc with a single vectorized Arrow `is_in` per batch —
+    exact string membership, no hashing, no shuffle of the corpus.
+
+    Output (doc_id, n_tokens, n_rare, rare_ratio) for docs with ≥1
+    token, sorted by doc_id."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from datamart_ray.util import round_away
+
+    ensure_fast_shuffle()
+    an = Analyzer()
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+
+    def partial_df(t: pa.Table) -> pa.Table:
+        tf, _ = an.term_frequencies(t["text"])
+        part = tf.group_by("term").aggregate([("row_idx", "count")])
+        return part.rename_columns(["term", "pdf"])
+
+    df_pd = (
+        ds.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("pdf", alias_name="df"))
+        .to_pandas()
+    )
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(path).metadata.num_rows
+    common = pa.array(
+        sorted(
+            df_pd.loc[
+                df_pd["df"] * min_df_den >= n_docs * min_df_num, "term"
+            ].tolist()
+        ),
+        type=pa.string(),
+    )
+    cref = ray.put(common)
+
+    def score(t: pa.Table) -> pa.Table:
+        cset = ray.get(cref)
+        lists = an.token_lists(t["text"])
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists).to_numpy(
+            zero_copy_only=False
+        )
+        n_tok = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        hit = pc.is_in(flat, value_set=cset).to_numpy(
+            zero_copy_only=False
+        )
+        n_common = np.bincount(
+            parents[hit], minlength=t.num_rows
+        ).astype(np.int64)
+        n_rare = n_tok - n_common
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = n_tok > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep]),
+                "n_tokens": pa.array(n_tok[keep]),
+                "n_rare": pa.array(n_rare[keep]),
+                "rare_ratio": pa.array(
+                    round_away(
+                        n_rare[keep] / n_tok[keep].astype(np.float64),
+                        ndigits,
+                    )
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def rare_token_ratio_sql(
+    min_df_num: int = 1, min_df_den: int = 10, ndigits: int = 4
+) -> str:
+    """DuckDB twin: df by COUNT(DISTINCT doc_id), common = df ≥
+    N·num/den by integer cross-multiplication, rare count via LEFT JOIN
+    miss, identical integer division + ROUND."""
+    toks = Analyzer().sql_tokens_expr("text")
+    return f"""
+        WITH toks AS (SELECT doc_id, {toks} AS ts FROM documents),
+        ex AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+        dfs AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY 1
+        ),
+        common AS (
+            SELECT term FROM dfs
+            WHERE df * {min_df_den}
+                  >= (SELECT COUNT(*) FROM documents) * {min_df_num}
+        )
+        SELECT e.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) FILTER (WHERE c.term IS NULL) AS BIGINT)
+                   AS n_rare,
+               ROUND(
+                   COUNT(*) FILTER (WHERE c.term IS NULL) * 1.0
+                       / COUNT(*),
+                   {ndigits}
+               ) AS rare_ratio
+        FROM ex e LEFT JOIN common c USING (term)
+        GROUP BY 1
+        ORDER BY 1
+    """

@@ -956,3 +956,26 @@ def test_contamination_planted_leak(ray_session, tmp_path):
     assert flagged[20] == want_n
     assert flagged[0] == want_n  # the benchmark doc itself
     assert set(flagged) == {0, 20}
+
+
+def test_rare_token_ratio_planted(ray_session, tmp_path):
+    """A token appearing in <10% of docs counts as rare; common tokens
+    do not; empty docs are excluded."""
+    import pyarrow.parquet as pq_
+
+    from datamart_ray.stages.textstats import rare_token_ratio
+
+    texts = ["common words here"] * 18
+    texts.append("common words oddity")  # 'oddity' df=1 < 2 (10% of 20)
+    texts.append("")
+    t = pa.table({"doc_id": list(range(20)), "text": texts})
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq_.write_table(t, str(d / "documents.parquet"))
+
+    out = rare_token_ratio(str(d))
+    assert len(out) == 19  # empty doc dropped
+    flagged = out[out["n_rare"] > 0]
+    assert flagged["doc_id"].tolist() == [18]
+    assert flagged["n_rare"].tolist() == [1]
+    assert flagged["rare_ratio"].tolist() == [0.3333]
