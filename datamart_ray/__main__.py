@@ -80,9 +80,45 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument(
         "--method",
         default="minhash",
-        choices=["minhash", "simhash", "embedding", "exact"],
+        choices=["minhash", "simhash", "ngram", "embedding", "exact"],
     )
     dd.add_argument("--threshold", type=float, default=None)
+    dd.add_argument(
+        "--survivors",
+        action="store_true",
+        help="emit the removal manifest (doc_id → kept_id) instead of "
+        "the verified pair list",
+    )
+
+    sa = sub.add_parser(
+        "sample", help="deterministic stratified sample of documents"
+    )
+    sa.add_argument("--sf", required=True)
+    sa.add_argument(
+        "--rates",
+        default="en=0.5,de=0.25",
+        help="per-stratum rates, e.g. en=0.5,de=0.25",
+    )
+    sa.add_argument("--default-rate", type=float, default=0.1)
+
+    pk = sub.add_parser(
+        "pack", help="pack documents into fixed-size token windows"
+    )
+    pk.add_argument("--sf", required=True)
+    pk.add_argument("--window", type=int, default=256)
+
+    se = sub.add_parser(
+        "sessionize", help="gap-based sessionization of events"
+    )
+    se.add_argument("--sf", required=True)
+    se.add_argument("--gap-sec", type=int, default=14400)
+
+    dc = sub.add_parser(
+        "decontaminate",
+        help="flag documents sharing n-grams with benchmark docs",
+    )
+    dc.add_argument("--sf", required=True)
+    dc.add_argument("--benchmark-ids", default="0,1,2,3,4")
 
     kn = sub.add_parser("knn", help="cosine top-k over embeddings")
     kn.add_argument("--sf", required=True)
@@ -223,14 +259,75 @@ def _run(args) -> int:
                 default if args.threshold is None else args.threshold
             )
 
+        from datamart_ray.stages.similarity import (
+            embedding_dedup_survivors,
+        )
+
+        if args.survivors and args.method == "exact":
+            raise SystemExit(
+                "exact dedup already outputs its keep-first manifest"
+            )
         if args.method == "minhash":
-            out = dd.minhash_near_dups(args.sf, threshold=thr(0.5))
+            out = (
+                dd.minhash_dedup_survivors(args.sf, threshold=thr(0.5))
+                if args.survivors
+                else dd.minhash_near_dups(args.sf, threshold=thr(0.5))
+            )
         elif args.method == "simhash":
-            out = dd.simhash_dup_pairs(args.sf, threshold=thr(0.5))
+            out = (
+                dd.simhash_dedup_survivors(args.sf, threshold=thr(0.5))
+                if args.survivors
+                else dd.simhash_dup_pairs(args.sf, threshold=thr(0.5))
+            )
+        elif args.method == "ngram":
+            out = (
+                dd.ngram_dedup_survivors(args.sf, threshold=thr(0.5))
+                if args.survivors
+                else dd.ngram_jaccard_near_dups(args.sf, threshold=thr(0.5))
+            )
         elif args.method == "embedding":
-            out = embedding_near_dups(args.sf, threshold=thr(0.45))
+            out = (
+                embedding_dedup_survivors(args.sf, threshold=thr(0.45))
+                if args.survivors
+                else embedding_near_dups(args.sf, threshold=thr(0.45))
+            )
         else:
             out = dd.exact_dedup_first(args.sf)
+        print(out.to_json(orient="records"))
+        return 0
+    if args.cmd == "sample":
+        from datamart_ray.stages.sampling import stratified_sample
+
+        rates = {}
+        for part in args.rates.split(","):
+            k, _, v = part.partition("=")
+            if k:
+                rates[k] = float(v)
+        out = stratified_sample(
+            args.sf, rates=rates, default_rate=args.default_rate
+        )
+        print(out.to_json(orient="records"))
+        return 0
+    if args.cmd == "pack":
+        from datamart_ray.stages.packing import packed_windows
+
+        print(
+            packed_windows(args.sf, window=args.window).to_json(
+                orient="records"
+            )
+        )
+        return 0
+    if args.cmd == "sessionize":
+        from datamart_ray.pipelines.window import sessionize
+
+        out = sessionize(args.sf, gap_sec=args.gap_sec)
+        print(out.head(50).to_json(orient="records", date_format="iso"))
+        return 0
+    if args.cmd == "decontaminate":
+        from datamart_ray.stages.decontaminate import contamination_counts
+
+        ids = tuple(int(x) for x in args.benchmark_ids.split(","))
+        out = contamination_counts(args.sf, benchmark_ids=ids)
         print(out.to_json(orient="records"))
         return 0
     if args.cmd == "knn":

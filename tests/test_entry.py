@@ -137,3 +137,36 @@ def test_cli_dedup_knn_kwsearch(ray_session, capsys):
     assert {r["candidate_table"] for r in rows} == {
         "events", "documents", "embeddings"
     }
+
+
+def test_cli_sample_pack_sessionize_decontaminate(ray_session, capsys):
+    """The r3 training-data CLI additions run end-to-end and print
+    valid JSON."""
+    import json
+
+    from datamart_ray.__main__ import main
+
+    sf = "/root/testdata/sf0.001"
+    assert main(["sample", "--sf", sf, "--rates", "en=0.5"]) == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rows and set(rows[0]) == {"doc_id", "lang"}
+
+    assert main(["pack", "--sf", sf, "--window", "512"]) == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rows and rows[0]["window_id"] == 0
+
+    assert main(["sessionize", "--sf", sf, "--gap-sec", "3600"]) == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rows and set(rows[0]) >= {"user_id", "session_id", "n_events"}
+
+    assert main(
+        ["decontaminate", "--sf", sf, "--benchmark-ids", "0,1"]
+    ) == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rows and rows[0]["doc_id"] == 0
+
+    assert main(
+        ["dedup", "--sf", sf, "--method", "ngram", "--survivors"]
+    ) == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rows and set(rows[0]) == {"doc_id", "kept_id"}
