@@ -129,6 +129,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from datamart_ray.stages.textstats import rare_token_ratio
 
     out["ts_rare_token_ratio"] = rare_token_ratio
+    # composite dedup→quality→sample→pack pipeline (NEW r3): every stage
+    # already gated on its own; this gates the COMPOSITION
+    from datamart_ray.pipelines.cleanpack import clean_pack_pipeline
+
+    out["pl_clean_pack"] = clean_pack_pipeline
     out["mm_image_roundtrip"] = image_roundtrip_stats
     out["ag_join_orders_lineitem"] = ag_join_orders_lineitem
     out["ag_union_customer_supplier"] = ag_union_customer_supplier
@@ -304,6 +309,9 @@ def oracle_sql() -> dict[str, str]:
     from datamart_ray.stages.textstats import rare_token_ratio_sql
 
     out["ts_rare_token_ratio"] = rare_token_ratio_sql()
+    from datamart_ray.pipelines.cleanpack import clean_pack_sql
+
+    out["pl_clean_pack"] = clean_pack_sql()
     out["mm_image_roundtrip"] = IMAGE_ROUNDTRIP_SQL
     out["ag_join_orders_lineitem"] = AG_JOIN_SQL
     out["ag_union_customer_supplier"] = AG_UNION_SQL

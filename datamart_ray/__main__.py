@@ -120,6 +120,14 @@ def main(argv: list[str] | None = None) -> int:
     dc.add_argument("--sf", required=True)
     dc.add_argument("--benchmark-ids", default="0,1,2,3,4")
 
+    cp = sub.add_parser(
+        "cleanpack",
+        help="composite pipeline: dedup → quality → sample → pack",
+    )
+    cp.add_argument("--sf", required=True)
+    cp.add_argument("--window", type=int, default=256)
+    cp.add_argument("--rare-thr", type=float, default=0.05)
+
     kn = sub.add_parser("knn", help="cosine top-k over embeddings")
     kn.add_argument("--sf", required=True)
     kn.add_argument("--query-ids", default="0,1,2")
@@ -328,6 +336,14 @@ def _run(args) -> int:
 
         ids = tuple(int(x) for x in args.benchmark_ids.split(","))
         out = contamination_counts(args.sf, benchmark_ids=ids)
+        print(out.to_json(orient="records"))
+        return 0
+    if args.cmd == "cleanpack":
+        from datamart_ray.pipelines.cleanpack import clean_pack_pipeline
+
+        out = clean_pack_pipeline(
+            args.sf, window=args.window, rare_thr=args.rare_thr
+        )
         print(out.to_json(orient="records"))
         return 0
     if args.cmd == "knn":

@@ -83,14 +83,8 @@ def _pack_block(tbl: pa.Table, offset: int, window: int) -> pa.Table:
     )
 
 
-def packed_windows(sf_dir: str, window: int = 256) -> pd.DataFrame:
-    """Pack `documents` (analyzer tokens, doc_id order) into windows of
-    `window` tokens. Output one row per window: (window_id, n_docs,
-    n_tokens) where n_docs counts documents STARTING in the window and
-    n_tokens sums their full token counts."""
-    ds = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+def token_counts_ds(ds: rd.Dataset) -> rd.Dataset:
+    """(doc_id, text) Dataset → (doc_id, cnt) analyzer token counts."""
 
     def counts(t: pa.Table) -> pa.Table:
         lists = ANALYZER.token_lists(t["text"])
@@ -101,11 +95,16 @@ def packed_windows(sf_dir: str, window: int = 256) -> pd.DataFrame:
             }
         )
 
-    c = (
-        ds.map_batches(counts, batch_format="pyarrow")
-        .sort("doc_id")
-        .materialize()
-    )
+    return ds.map_batches(counts, batch_format="pyarrow")
+
+
+def packed_windows_from_counts(
+    counts: rd.Dataset, window: int
+) -> pd.DataFrame:
+    """Pack a (doc_id, cnt) Dataset into `window`-token windows — the
+    distributed prefix-scan core shared by the plain entry and the
+    composite clean→pack pipeline."""
+    c = counts.sort("doc_id").materialize()
     refs = c.to_arrow_refs()
     ranges = ray.get([_block_range_sum.remote(r) for r in refs])
     # the partitioning assumption: sort's blocks are in global key order
@@ -135,6 +134,17 @@ def packed_windows(sf_dir: str, window: int = 256) -> pd.DataFrame:
     for col in out.columns:
         out[col] = out[col].astype("int64")
     return out[["window_id", "n_docs", "n_tokens"]]
+
+
+def packed_windows(sf_dir: str, window: int = 256) -> pd.DataFrame:
+    """Pack `documents` (analyzer tokens, doc_id order) into windows of
+    `window` tokens. Output one row per window: (window_id, n_docs,
+    n_tokens) where n_docs counts documents STARTING in the window and
+    n_tokens sums their full token counts."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return packed_windows_from_counts(token_counts_ds(ds), window)
 
 
 def packed_windows_sql(window: int = 256) -> str:
