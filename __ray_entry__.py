@@ -134,6 +134,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from datamart_ray.pipelines.cleanpack import clean_pack_pipeline
 
     out["pl_clean_pack"] = clean_pack_pipeline
+    # BM25-scored keyword dataset search is ALSO new this round — keep it
+    # inside the driver's 50-entry window (its family block sits past 50)
+    from datamart_ray.pipelines.profindex import keyword_search_bm25
+
+    out["pi_keyword_bm25"] = keyword_search_bm25
     out["mm_image_roundtrip"] = image_roundtrip_stats
     out["ag_join_orders_lineitem"] = ag_join_orders_lineitem
     out["ag_union_customer_supplier"] = ag_union_customer_supplier
@@ -177,7 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["pi_union_candidates"] = search_union_candidates
     out["pi_augmentation"] = search_augmentation_candidates
     out["pi_keyword_search"] = search_datasets
-    out["pi_keyword_bm25"] = keyword_search_bm25
+    # (pi_keyword_bm25 registered EARLY, inside the 50-entry window)
 
     from datamart_ray.pipelines.spatial import (
         search_spatial_candidates,
