@@ -106,6 +106,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["sim_knn_cosine"] = knn_cosine
     out["sim_knn_lsh"] = knn_lsh
     out["sim_knn_ivf"] = knn_ivf
+    from datamart_ray.stages.similarity import knn_label_filtered
+
+    out["sim_knn_filtered"] = knn_label_filtered
     out["ts_fingerprints"] = document_fingerprints
     out["ts_repetition_scores"] = repetition_scores
     # deterministic per-stratum sampling + sequence packing (NEW r3):
@@ -298,6 +301,9 @@ def oracle_sql() -> dict[str, str]:
     out["sim_knn_cosine"] = knn_cosine_sql()
     out["sim_knn_lsh"] = knn_cosine_sql()
     out["sim_knn_ivf"] = knn_cosine_sql()
+    from datamart_ray.stages.similarity import knn_label_filtered_sql
+
+    out["sim_knn_filtered"] = knn_label_filtered_sql()
     out["ts_fingerprints"] = fingerprints_sql()
     out["ts_repetition_scores"] = repetition_scores_sql()
     from datamart_ray.stages.packing import packed_windows_sql

@@ -139,6 +139,92 @@ def _finish_topk(partial: pd.DataFrame, k: int) -> pd.DataFrame:
     )
 
 
+def knn_label_filtered(
+    sf_dir: str,
+    query_ids: tuple[int, ...] = (0, 1, 2),
+    k: int = 5,
+    label: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """FILTERED vector search — exact cosine top-k restricted to vectors
+    carrying a metadata predicate (`label == x`), the "filtered ANN"
+    every retrieval stack needs next to plain top-k.
+
+    The predicate is pushed down to the PARQUET SCAN (`read_parquet`
+    row filter): non-matching row groups are pruned by footer stats and
+    non-matching rows never enter a batch, so the matmul touches only
+    the filtered subset — at a 1%-selective predicate this is the
+    difference between scoring the corpus and scoring 1% of it."""
+    import pyarrow.dataset as pads
+
+    path = f"{sf_dir}/embeddings.parquet"
+    qt = fetch_rows_by_ids(path, id_col, list(query_ids), [id_col, vec_col])
+    q_ids = qt[id_col].to_numpy(zero_copy_only=False)
+    Q = _to_matrix(qt[vec_col])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    ref = ray.put((q_ids, Qn))
+
+    def _score(t: pa.Table) -> pa.Table:
+        q_ids_l, Qn = ray.get(ref)
+        X = _to_matrix(t[vec_col])
+        sims = (X @ Qn.T) / np.linalg.norm(X, axis=1, keepdims=True)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        out_q, out_n, out_s = [], [], []
+        for j, qid in enumerate(q_ids_l):
+            s = sims[:, j]
+            mask = ids != qid
+            cand_ids, cand_s = ids[mask], s[mask]
+            if cand_ids.size > k:
+                kth = np.partition(-cand_s, k - 1)[k - 1]
+                top = np.flatnonzero(-cand_s <= kth)
+                cand_ids, cand_s = cand_ids[top], cand_s[top]
+            out_q.append(np.full(cand_ids.size, qid, dtype=np.int64))
+            out_n.append(cand_ids.astype(np.int64))
+            out_s.append(cand_s)
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    ds = rd.read_parquet(
+        path,
+        columns=[id_col, vec_col],
+        filter=pads.field("label") == label,
+    )
+    partial = ds.map_batches(_score, batch_format="pyarrow")
+    out = _finish_topk(partial.to_pandas(), k)
+    out["sim"] = round_away(out["sim"], 4)
+    return out.reset_index(drop=True)
+
+
+def knn_label_filtered_sql(
+    query_ids: tuple[int, ...] = (0, 1, 2), k: int = 5, label: int = 3
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    sim = (
+        "list_cosine_similarity(CAST(qe AS DOUBLE[]), "
+        "CAST(e.embedding AS DOUBLE[]))"
+    )
+    return f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qe
+            FROM embeddings WHERE vec_id IN ({ids})
+        )
+        SELECT query_id, e.vec_id AS neighbor_id,
+               ROUND({sim}, 4) AS sim
+        FROM q, embeddings e
+        WHERE e.vec_id != query_id AND e.label = {label}
+        QUALIFY row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY {sim} DESC, e.vec_id
+        ) <= {k}
+    """
+
+
 def knn_lsh(
     sf_dir: str,
     query_ids: tuple[int, ...] = (0, 1, 2),

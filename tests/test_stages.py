@@ -979,3 +979,33 @@ def test_rare_token_ratio_planted(ray_session, tmp_path):
     assert flagged["doc_id"].tolist() == [18]
     assert flagged["n_rare"].tolist() == [1]
     assert flagged["rare_ratio"].tolist() == [0.3333]
+
+
+def test_knn_label_filtered_predicate(ray_session):
+    """Filtered ANN: every neighbor carries the predicate label, and the
+    result equals brute-force top-k over the filtered subset."""
+    import duckdb
+
+    from datamart_ray.stages.similarity import (
+        knn_label_filtered,
+        knn_label_filtered_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = knn_label_filtered(sf, query_ids=(0, 1), k=3, label=2)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    want = con.execute(
+        knn_label_filtered_sql(query_ids=(0, 1), k=3, label=2)
+    ).df()
+    want = want.sort_values(
+        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+    assert out.values.tolist() == want.values.tolist()
+    labels = dict(
+        con.execute("SELECT vec_id, label FROM embeddings").fetchall()
+    )
+    assert all(labels[n] == 2 for n in out["neighbor_id"])
