@@ -128,6 +128,11 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--window", type=int, default=256)
     cp.add_argument("--rare-thr", type=float, default=0.05)
 
+    pi = sub.add_parser(
+        "scrub", help="redact emails/URLs/IPs; per-doc counts"
+    )
+    pi.add_argument("--sf", required=True)
+
     kn = sub.add_parser("knn", help="cosine top-k over embeddings")
     kn.add_argument("--sf", required=True)
     kn.add_argument("--query-ids", default="0,1,2")
@@ -345,6 +350,12 @@ def _run(args) -> int:
             args.sf, window=args.window, rare_thr=args.rare_thr
         )
         print(out.to_json(orient="records"))
+        return 0
+    if args.cmd == "scrub":
+        from datamart_ray.stages.pii import scrub_pii
+
+        out = scrub_pii(args.sf)
+        print(out.head(50).to_json(orient="records"))
         return 0
     if args.cmd == "knn":
         from datamart_ray.stages.similarity import (

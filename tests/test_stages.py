@@ -1009,3 +1009,87 @@ def test_knn_label_filtered_predicate(ray_session):
         con.execute("SELECT vec_id, label FROM embeddings").fetchall()
     )
     assert all(labels[n] == 2 for n in out["neighbor_id"])
+
+
+def test_pii_scrub_planted(ray_session):
+    """Planted emails/URLs/IPs are counted and redacted in pinned order
+    (URL first: an email inside a URL redacts as part of the URL)."""
+    from datamart_ray.stages.pii import scrub_pii_ds
+
+    rows = [
+        {"doc_id": 0, "text": "mail me at jane.doe+x@example.co.uk now"},
+        {"doc_id": 1, "text": "see https://a.b/c?u=bob@x.com and more"},
+        {"doc_id": 2, "text": "host 192.168.0.1 and 10.0.0.255 up"},
+        {"doc_id": 3, "text": "clean document, nothing to scrub"},
+        {"doc_id": 4, "text": None},
+    ]
+    out = (
+        scrub_pii_ds(rd.from_items(rows))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["text"][0] == "mail me at [EMAIL] now"
+    # the email-shaped span inside the URL is consumed by [URL]
+    assert out["text"][1] == "see [URL] and more"
+    assert out["n_emails"][1] == 0 and out["n_urls"][1] == 1
+    assert out["text"][2] == "host [IP] and [IP] up"
+    assert out["n_ips"][2] == 2
+    assert out["text"][3] == rows[3]["text"]
+    assert (
+        out[["n_urls", "n_emails", "n_ips"]].to_numpy().sum(axis=1)
+        == [1, 1, 2, 0, 0]
+    ).all()
+
+
+def test_pii_scrub_matches_duckdb_regexp(ray_session, tmp_path):
+    """The Arrow kernels and DuckDB regexp_replace/'g' agree on planted
+    PII — the twin an operator over a PII-bearing corpus would use."""
+    import duckdb
+    import pyarrow.parquet as pq_
+
+    from datamart_ray.stages.pii import (
+        EMAIL_RE,
+        IPV4_RE,
+        URL_RE,
+        scrub_pii,
+    )
+
+    texts = [
+        "a@b.io writes to c.d@e.org daily",
+        "fetch http://x.y/z then https://q.r/s?t=u@v.wx",
+        "ping 1.2.3.4 from 255.255.255.0",
+        "plain",
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq_.write_table(t, str(d / "documents.parquet"))
+
+    got = scrub_pii(str(d))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    want = con.execute(f"""
+        WITH s1 AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{URL_RE}')) AS n_urls,
+                   regexp_replace(text, '{URL_RE}', '[URL]', 'g') AS t1
+            FROM documents
+        ),
+        s2 AS (
+            SELECT doc_id, n_urls,
+                   len(regexp_extract_all(t1, '{EMAIL_RE}')) AS n_emails,
+                   regexp_replace(t1, '{EMAIL_RE}', '[EMAIL]', 'g') AS t2
+            FROM s1
+        )
+        SELECT doc_id, n_urls, n_emails,
+               len(regexp_extract_all(t2, '{IPV4_RE}')) AS n_ips,
+               length(regexp_replace(t2, '{IPV4_RE}', '[IP]', 'g'))
+                   AS clean_len
+        FROM s2 ORDER BY doc_id
+    """).df()
+    assert got[["doc_id", "n_urls", "n_emails", "n_ips", "clean_len"]]\
+        .values.tolist() == want.values.tolist()
