@@ -3,9 +3,11 @@ from datamart_ray.sources.convert import (
     detect_and_convert,
     write_with_metadata,
 )
+from datamart_ray.sources.xlsx import convert_xlsx_to_parquet
 
 __all__ = [
     "convert_csv_to_parquet",
+    "convert_xlsx_to_parquet",
     "detect_and_convert",
     "write_with_metadata",
 ]

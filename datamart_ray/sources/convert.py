@@ -53,6 +53,10 @@ def detect_and_convert(src: str, out_dir: str) -> str:
     lower = src.lower()
     if lower.endswith(".parquet"):
         return src
+    if lower.endswith(".xlsx"):
+        from datamart_ray.sources.xlsx import convert_xlsx_to_parquet
+
+        return convert_xlsx_to_parquet(src, out_dir)
     if lower.endswith(".tsv"):
         return convert_csv_to_parquet(src, out_dir, delimiter="\t")
     if lower.endswith(".json") or lower.endswith(".jsonl"):

@@ -1093,3 +1093,58 @@ def test_pii_scrub_matches_duckdb_regexp(ray_session, tmp_path):
     """).df()
     assert got[["doc_id", "n_urls", "n_emails", "n_ips", "clean_len"]]\
         .values.tolist() == want.values.tolist()
+
+
+def _write_min_xlsx(path):
+    """A minimal hand-built OOXML workbook: shared strings, inline
+    strings, numbers, booleans, a skipped cell, and rich-text runs."""
+    import zipfile
+
+    ct = """<?xml version="1.0"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+ <Default Extension="xml" ContentType="application/xml"/>
+ <Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+</Types>"""
+    wb = """<?xml version="1.0"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheets><sheet name="Sheet1" sheetId="1"/></sheets></workbook>"""
+    ss = """<?xml version="1.0"?>
+<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">
+ <si><t>name</t></si><si><t>alpha</t></si>
+ <si><r><t>be</t></r><r><t>ta</t></r></si></sst>"""
+    sheet = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData>
+  <row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="inlineStr"><is><t>score</t></is></c><c r="C1" t="inlineStr"><is><t>ok</t></is></c></row>
+  <row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2"><v>1.5</v></c><c r="C2" t="b"><v>1</v></c></row>
+  <row r="3"><c r="A3" t="s"><v>2</v></c><c r="C3" t="b"><v>0</v></c></row>
+ </sheetData></worksheet>"""
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/sharedStrings.xml", ss)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def test_xlsx_reader_and_detect(tmp_path):
+    """S9: the dependency-free xlsx converter reads shared/inline
+    strings, numbers, bools, rich-text runs and sparse rows; the format
+    dispatcher routes .xlsx to it."""
+    import pyarrow.parquet as pq_
+
+    from datamart_ray.sources import detect_and_convert
+    from datamart_ray.sources.xlsx import convert_xlsx_to_parquet
+
+    x = tmp_path / "book.xlsx"
+    _write_min_xlsx(str(x))
+    out = convert_xlsx_to_parquet(str(x), str(tmp_path / "pq"))
+    t = pq_.read_table(f"{out}/data.parquet")
+    assert t.column_names == ["name", "score", "ok"]
+    assert t["name"].to_pylist() == ["alpha", "beta"]
+    assert t["score"].to_pylist() == [1.5, None]
+    assert t["ok"].to_pylist() == [True, False]
+    assert t.schema.field("score").type == "double"
+    assert str(t.schema.field("ok").type) == "bool"
+
+    out2 = detect_and_convert(str(x), str(tmp_path / "pq2"))
+    assert pq_.read_table(f"{out2}/data.parquet").num_rows == 2
