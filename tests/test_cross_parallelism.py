@@ -41,6 +41,14 @@ def test_entries_identical_across_cpu_counts(tmp_path):
         "rg_coverage_ranges",
         "tw_sliding_window",
         "sim_knn_cosine",
+        # r3 additions whose semantics depend on GLOBAL order/state:
+        # the prefix-scan packing (block-offset scan), the arithmetic
+        # sample (must be layout-stable by construction), sessionization
+        # (per-user shard grouping), and the composite pipeline
+        "pk_packed_windows",
+        "sa_stratified_sample",
+        "tw_sessionize",
+        "pl_clean_pack",
     ]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = SCRIPT.format(
