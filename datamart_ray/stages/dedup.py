@@ -220,6 +220,12 @@ def semi_filter_payload(
     return hash_join(payload, need, left_on=id_col)
 
 
+# Fast-path cap: a pair list of ≤ this many (int64, int64) rows is ~32 MB
+# on the driver — the same bounded-memory class as CC_DRIVER_PAIRS_CAP.
+# Above it, the fully distributed dedupe + double hash join runs instead.
+PAIR_DRIVER_CAP = 2_000_000
+
+
 def attach_pair_payloads(
     pairs: rd.Dataset,
     payload: rd.Dataset,
@@ -227,17 +233,23 @@ def attach_pair_payloads(
     id_col: str = "doc_id",
     pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
     payload_stage=None,
+    pair_driver_cap: int = PAIR_DRIVER_CAP,
 ) -> rd.Dataset | None:
     """Attach a per-doc binary payload to BOTH sides of a pair Dataset and
     run `kernel(pandas batch with pair_cols + pl_a + pl_b)` distributed.
 
-    Shape (the r2-verdict fix for driver-side exact verification): the
-    payload table is first SEMI-FILTERED to docs appearing in any pair
-    (broadcast id filter below BROADCAST_IDS_CAP — no payload shuffle at
-    all — else one hash join), materialized candidate-bounded in the
-    object store, then joined onto each pair side. The driver never sees
-    a payload row. Returns None when the pair set is empty (callers
-    return their typed empty frame).
+    Size-adaptive (r3, same principle as `survivors_from_verified`'s
+    capped union-find): below `pair_driver_cap` the deduped (a, b) id
+    list — two int64 columns, never text/vectors — is planned on the
+    driver and the payload broadcasts as shared-memory Arrow blocks
+    (`to_arrow_refs`; zero-copy within a node, one replica per node
+    across a cluster), so the whole verification is THREE dataset
+    executions with ZERO shuffles. Above the cap the fully distributed
+    shape runs: shard-key pair dedupe, payload SEMI-FILTERED to docs
+    appearing in any pair (broadcast id filter below BROADCAST_IDS_CAP,
+    else one hash join), then joined onto each pair side. In both paths
+    the driver never sees a payload row. Returns None when the pair set
+    is empty (callers return their typed empty frame).
 
     `payload_stage` (an Arrow batch callable) runs AFTER the semi-filter:
     an expensive payload computation (tokenize + shingle, vector pack)
@@ -250,8 +262,14 @@ def attach_pair_payloads(
 
     a_col, b_col = pair_cols
     pairs = pairs.materialize()  # feeds ids + join; bounded by pair_cap
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return None
+    if n_pairs <= pair_driver_cap:
+        return _attach_broadcast(
+            pairs, payload, kernel, id_col, a_col, b_col, payload_stage
+        )
+    pairs = dedupe_pairs_ds(pairs, cols=(a_col, b_col)).materialize()
 
     def pair_ids(t: pa.Table) -> pa.Table:
         ids = np.concatenate(
@@ -293,6 +311,92 @@ def attach_pair_payloads(
         return kernel(df.rename(columns={"pl": "pl_b"}))
 
     return j2.map_batches(run_kernel, batch_format="pandas")
+
+
+def _attach_broadcast(
+    pairs: rd.Dataset,
+    payload: rd.Dataset,
+    kernel,
+    id_col: str,
+    a_col: str,
+    b_col: str,
+    payload_stage,
+) -> rd.Dataset:
+    """attach_pair_payloads below the driver cap: pair IDS (never
+    payloads) dedupe on the driver, the candidate-filtered payload
+    blocks broadcast via object-store refs, and the kernel runs as an
+    actor-pool map over pair chunks — zero shuffles."""
+    from datamart_ray.util import isin_sorted
+
+    pdf = (
+        pairs.select_columns([a_col, b_col])
+        .to_pandas()
+        .drop_duplicates(subset=[a_col, b_col])
+        .sort_values([a_col, b_col], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    ids = np.unique(
+        np.concatenate(
+            [
+                pdf[a_col].to_numpy(np.int64),
+                pdf[b_col].to_numpy(np.int64),
+            ]
+        )
+    )
+    idref = ray.put(ids)  # sorted
+
+    def keep(t: pa.Table) -> pa.Table:
+        vals = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(isin_sorted(ray.get(idref), vals)))
+
+    pl = payload.map_batches(keep, batch_format="pyarrow")
+    if payload_stage is not None:
+        pl = pl.map_batches(payload_stage, batch_format="pyarrow")
+    pl_refs = pl.materialize().to_arrow_refs()
+
+    class _BroadcastKernel:
+        """Actor-pool stage: the payload lookup (sorted ids + object
+        array of payload buffers) builds ONCE per actor from the
+        shared-memory block refs."""
+
+        def __init__(self):
+            tables = [t for t in ray.get(list(pl_refs)) if t.num_rows]
+            if tables:
+                tab = pa.concat_tables(tables)
+                pids = tab[id_col].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+                order = np.argsort(pids, kind="mergesort")
+                self.ids = pids[order]
+                self.pl = np.array(
+                    tab["pl"].to_pylist(), dtype=object
+                )[order]
+            else:
+                self.ids = np.empty(0, dtype=np.int64)
+                self.pl = np.empty(0, dtype=object)
+
+        def _lookup(self, keys: np.ndarray) -> np.ndarray:
+            pos = np.searchsorted(self.ids, keys)
+            if pos.size and (
+                (pos >= self.ids.size).any()
+                or (self.ids[np.minimum(pos, self.ids.size - 1)] != keys).any()
+            ):
+                raise KeyError("pair id missing from payload table")
+            return self.pl[pos]
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["pl_a"] = self._lookup(df[a_col].to_numpy(np.int64))
+            df["pl_b"] = self._lookup(df[b_col].to_numpy(np.int64))
+            return kernel(df)
+
+    n_chunks = max(1, min(_num_shards() // 4, len(pdf) // 1024 + 1))
+    chunks = [c for c in np.array_split(pdf, n_chunks) if len(c)]
+    return rd.from_pandas(chunks).map_batches(
+        _BroadcastKernel,
+        batch_format="pandas",
+        concurrency=(1, max(1, n_chunks)),
+    )
 
 
 class _ShingleSetStage:
@@ -402,8 +506,10 @@ def verified_pairs_ds(
     raw = rd.read_parquet(path, columns=[id_col, text_col])
     # raw rows + payload_stage: tokenize/shingle runs AFTER the candidate
     # semi-filter, i.e. over candidate docs only — not the whole corpus
+    # dedupe happens INSIDE attach_pair_payloads (driver drop_duplicates
+    # under the cap, shard-key shuffle above it)
     return attach_pair_payloads(
-        dedupe_pairs_ds(pairs),
+        pairs,
         raw,
         _pair_jaccard_kernel(threshold),
         id_col=id_col,

@@ -461,7 +461,8 @@ def _embedding_verified_ds(
         )
 
     payload = _packed_vectors(ds, "vec_id", "embedding")
-    return attach_pair_payloads(dedupe_pairs_ds(cand), payload, kernel)
+    # dedupe happens inside attach_pair_payloads (size-adaptive)
+    return attach_pair_payloads(cand, payload, kernel)
 
 
 _EMB_PAIRS_EMPTY = {

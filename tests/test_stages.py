@@ -1148,3 +1148,49 @@ def test_xlsx_reader_and_detect(tmp_path):
 
     out2 = detect_and_convert(str(x), str(tmp_path / "pq2"))
     assert pq_.read_table(f"{out2}/data.parquet").num_rows == 2
+
+
+def test_attach_pair_payloads_slow_path_equals_fast(ray_session, tmp_path):
+    """The above-cap distributed path (shard dedupe + semi-filter +
+    double hash join) must produce the same verified pairs as the
+    broadcast fast path."""
+    import pyarrow.parquet as pq_
+
+    from datamart_ray.stages.dedup import (
+        _pair_jaccard_kernel,
+        _ShingleSetStage,
+        attach_pair_payloads,
+        minhash_candidate_pairs_ds,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    texts = [
+        f"doc {i} " + " ".join(f"w{i}{j}" for j in range(30))
+        for i in range(30)
+    ]
+    texts += [base + "lambda", base + "mu", base + "nu"]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    d = tmp_path / "docs"
+    d.mkdir()
+    path = str(d / "documents.parquet")
+    pq_.write_table(t, path)
+
+    outs = {}
+    for cap, label in ((2_000_000, "fast"), (0, "slow")):
+        cand = minhash_candidate_pairs_ds(
+            rd.read_parquet(path, columns=["doc_id", "text"])
+        )
+        res = attach_pair_payloads(
+            cand,
+            rd.read_parquet(path, columns=["doc_id", "text"]),
+            _pair_jaccard_kernel(0.5),
+            payload_stage=_ShingleSetStage("doc_id", "text", 3, {}),
+            pair_driver_cap=cap,
+        )
+        outs[label] = (
+            res.to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+    assert outs["fast"].values.tolist() == outs["slow"].values.tolist()
+    assert len(outs["fast"]) >= 3  # the planted 3-clique
