@@ -295,6 +295,14 @@ def _empty_knn() -> pd.DataFrame:
     )
 
 
+# Below this many candidate pairs the rescore is a single driver-side
+# matmul over a row-group-pruned vector fetch — distributing it would be
+# pure scheduling overhead. Above it, the fully distributed join-rescore
+# runs (bounded driver memory either way; same size-adaptive principle
+# as dedup.attach_pair_payloads / the survivor union-find cap).
+RESCORE_DRIVER_CAP = 500_000
+
+
 def _distributed_rescore_ds(
     path: str,
     id_col: str,
@@ -303,23 +311,63 @@ def _distributed_rescore_ds(
     q_ids: np.ndarray,
     Q: np.ndarray,
     k: int,
+    driver_cap: int = RESCORE_DRIVER_CAP,
 ) -> pd.DataFrame:
-    """Exact rescoring of a (query_id, cand_id) candidate-pair DATASET,
-    fully distributed — the pair list never touches the driver (r3;
-    the r2 version round-tripped it through ``.to_pandas()`` +
-    re-broadcast, VERDICT r2 "What's wrong" #4): cross-band/bucket
-    duplicate pairs are dropped by a shard-key shuffle, each pair picks
-    up its candidate vector via ONE hash join against the embedding
-    table (the exchange is candidate-bounded, not corpus-bounded), the
-    cosine runs vectorized per batch against the broadcast query matrix,
-    and per-batch partial top-k bounds what the driver merges to
-    (#blocks × #queries × k) rows. Shared by the LSH and IVF paths."""
+    """Exact rescoring of a (query_id, cand_id) candidate-pair DATASET.
+
+    Size-adaptive (late r3): below `driver_cap` pairs, the deduped pair
+    ID list (two int64 columns — never vectors or text) plans on the
+    driver, candidate vectors arrive via ONE row-group-pruned
+    `fetch_rows_by_ids`, and a single einsum scores everything — zero
+    shuffles. Above the cap the fully distributed shape runs:
+    cross-band/bucket duplicate pairs are dropped by a shard-key
+    shuffle, each pair picks up its candidate vector via ONE hash join
+    against the embedding table (the exchange is candidate-bounded, not
+    corpus-bounded), the cosine runs vectorized per batch against the
+    broadcast query matrix, and per-batch partial top-k bounds what the
+    driver merges to (#blocks × #queries × k) rows. Shared by the LSH
+    and IVF paths; a pytest pins fast == slow output."""
     from ray.data.aggregate import Count
 
     from datamart_ray.pipelines.joins import hash_join
     from datamart_ray.stages.dedup import dedupe_pairs_ds, semi_filter_payload
 
     empty = _empty_knn()
+    cand = cand.materialize()
+    n_cand = cand.count()
+    if n_cand == 0:
+        return empty
+    if n_cand <= driver_cap:
+        pdf = (
+            cand.select_columns(["query_id", "cand_id"])
+            .to_pandas()
+            .drop_duplicates()
+        )
+        cand_ids = np.unique(pdf["cand_id"].to_numpy(np.int64))
+        vt = fetch_rows_by_ids(path, id_col, cand_ids, [id_col, vec_col])
+        v_ids = vt[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        X = _to_matrix(vt[vec_col])
+        order = np.argsort(v_ids, kind="mergesort")
+        v_ids, X = v_ids[order], X[order]
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        Qn_l = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        q_index_l = {int(q): j for j, q in enumerate(q_ids)}
+        xpos = np.searchsorted(v_ids, pdf["cand_id"].to_numpy(np.int64))
+        qidx = pdf["query_id"].map(q_index_l).to_numpy(dtype=np.int64)
+        sims = np.einsum("ij,ij->i", Xn[xpos], Qn_l[qidx])
+        out = pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].to_numpy(np.int64),
+                "neighbor_id": pdf["cand_id"].to_numpy(np.int64),
+                "sim": sims,
+            }
+        )
+        out = _finish_topk(out, k)
+        out["sim"] = round_away(out["sim"], 4)
+        return out.sort_values(
+            ["query_id", "sim", "neighbor_id"],
+            ascending=[True, False, True],
+        ).reset_index(drop=True)
     pairs = dedupe_pairs_ds(
         cand, cols=("query_id", "cand_id")
     ).materialize()

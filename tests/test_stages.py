@@ -1194,3 +1194,37 @@ def test_attach_pair_payloads_slow_path_equals_fast(ray_session, tmp_path):
         )
     assert outs["fast"].values.tolist() == outs["slow"].values.tolist()
     assert len(outs["fast"]) >= 3  # the planted 3-clique
+
+
+def test_rescore_slow_path_equals_fast(ray_session):
+    """ANN rescore: the above-cap distributed join path must equal the
+    driver-planned fast path."""
+    import pyarrow.parquet as pq_
+
+    from datamart_ray.stages.similarity import (
+        _distributed_rescore_ds,
+        _to_matrix,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    path = f"{sf}/embeddings.parquet"
+    qt = pq_.read_table(path, columns=["vec_id", "embedding"]).slice(0, 2)
+    q_ids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    Q = _to_matrix(qt["embedding"])
+    # candidate pairs: queries x a fixed id range (with duplicates to
+    # exercise dedupe on both paths)
+    items = [
+        {"query_id": int(q), "cand_id": c}
+        for q in q_ids
+        for c in list(range(10, 40)) + list(range(10, 20))
+        if c != int(q)
+    ]
+    outs = {}
+    for cap, label in ((500_000, "fast"), (0, "slow")):
+        cand = rd.from_items(items)
+        outs[label] = _distributed_rescore_ds(
+            path, "vec_id", "embedding", cand, q_ids, Q, 5,
+            driver_cap=cap,
+        )
+    assert outs["fast"].values.tolist() == outs["slow"].values.tolist()
+    assert len(outs["fast"]) == 10  # 2 queries x k=5
