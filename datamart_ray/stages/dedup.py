@@ -949,7 +949,14 @@ def ngram_jaccard_near_dups(
     modality (the verified output of a recall-complete candidate stage
     IS the exhaustive answer). At 100-TB scale, set `sample_rate` < 1
     (deterministic shingle-space sampling) to shrink the posting
-    shuffle; verification cost stays candidate-bounded either way."""
+    shuffle; verification cost stays candidate-bounded either way.
+
+    Cost model vs MinHash: exact recall means the candidate set is
+    "pairs sharing ANY shingle" — on low-entropy corpora (tiny
+    vocabularies, heavy boilerplate) that degenerates toward all-pairs
+    (measured: 5k word-soup docs over a 31-term vocab → ~174 s where
+    MinHash takes ~5 s). This modality is the EXACT-RECALL option;
+    MinHash-LSH is the scale default."""
     path = f"{sf_dir}/documents.parquet"
     ds = rd.read_parquet(path, columns=["doc_id", "text"])
     cand = ngram_candidate_pairs_ds(
