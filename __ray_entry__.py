@@ -101,6 +101,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["dd_simhash_survivors"] = simhash_dedup_survivors
     out["dd_ngram_jaccard"] = ngram_jaccard_near_dups
     out["dd_ngram_survivors"] = ngram_dedup_survivors
+    from datamart_ray.stages.dedup import duplicated_window_stats
+
+    out["dd_dup_window_stats"] = duplicated_window_stats
     out["dd_embedding_near_dups"] = embedding_near_dups
     out["dd_embedding_survivors"] = embedding_dedup_survivors
     out["sim_knn_cosine"] = knn_cosine
@@ -296,6 +299,9 @@ def oracle_sql() -> dict[str, str]:
     # same exhaustive all-pairs Jaccard / transitive-closure twins
     out["dd_ngram_jaccard"] = shingle_jaccard_sql(0.5)
     out["dd_ngram_survivors"] = minhash_survivors_sql(0.5)
+    from datamart_ray.stages.dedup import duplicated_windows_sql
+
+    out["dd_dup_window_stats"] = duplicated_windows_sql()
     out["dd_embedding_near_dups"] = embedding_near_dups_sql(0.45)
     out["dd_embedding_survivors"] = embedding_survivors_sql(0.45)
     out["sim_knn_cosine"] = knn_cosine_sql()

@@ -1192,6 +1192,142 @@ def simhash_dup_pairs(
 
 
 # ----------------------------------------------------------------------
+# Duplicated-substring statistics (exact window duplication — the
+# Lee et al. "Deduplicating Training Data Makes Language Models Better"
+# substring-dedup signal, hashed-window approximation of the suffix
+# array)
+# ----------------------------------------------------------------------
+
+def _window_stream(
+    lists: pa.Array, W: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(window_hash multiset, doc_index) — one entry per token POSITION
+    (not per distinct window); docs shorter than W contribute nothing
+    (the short-doc token fallback of batch_shingle_values is masked
+    out)."""
+    vals, parents = batch_shingle_values(lists, W)
+    doclens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    if vals.size:
+        ok = doclens[parents] >= W
+        return vals[ok], parents[ok]
+    return vals, parents
+
+
+def duplicated_window_stats(
+    sf_dir: str,
+    window: int = 8,
+    cap: int = BROADCAST_IDS_CAP,
+) -> pd.DataFrame:
+    """Per-document exact-substring duplication: the fraction of
+    `window`-token windows whose exact content occurs ≥2 times in the
+    WHOLE corpus (within- or cross-document). Output (doc_id,
+    n_windows, n_dup_windows, dup_frac) for docs with ≥1 window.
+
+    Two passes, the broadcast-model shape: pass 1 pre-aggregates window
+    counts per batch and one small groupby yields the global counts;
+    only windows with count ≥ 2 — the DUPLICATED set, a small fraction
+    of a real corpus — come back to the driver (capped) and broadcast;
+    pass 2 re-streams the windows and scores each doc with one sorted
+    membership probe. No corpus row ever shuffles."""
+    from ray.data.aggregate import Sum
+
+    from datamart_ray.util import isin_sorted, round_away
+
+    ensure_fast_shuffle()
+    path = f"{sf_dir}/documents.parquet"
+    an = Analyzer()
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        vals, _ = _window_stream(an.token_lists(t["text"]), window)
+        u, c = np.unique(vals, return_counts=True)
+        return pa.table(
+            {
+                "win": pa.array(u.view(np.int64)),
+                "cnt": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    def only_dup(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["cnt"], 2))
+
+    dup_pd = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("win")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(only_dup, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(dup_pd) > cap:
+        raise NotImplementedError(
+            f"{len(dup_pd)} duplicated windows exceed the broadcast cap"
+            " — shuffle-join the window stream instead"
+        )
+    dup = np.sort(dup_pd["win"].to_numpy(np.int64).view(np.uint64))
+    dref = ray.put(dup)
+
+    def score(t: pa.Table) -> pa.Table:
+        vals, parents = _window_stream(an.token_lists(t["text"]), window)
+        n_win = np.bincount(parents, minlength=t.num_rows)
+        hit = isin_sorted(ray.get(dref), vals)
+        n_dup = np.bincount(parents[hit], minlength=t.num_rows)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = n_win > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep]),
+                "n_windows": pa.array(n_win[keep].astype(np.int64)),
+                "n_dup_windows": pa.array(n_dup[keep].astype(np.int64)),
+                "dup_frac": pa.array(
+                    round_away(
+                        n_dup[keep] / n_win[keep].astype(np.float64), 4
+                    )
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def duplicated_windows_sql(window: int = 8) -> str:
+    """DuckDB twin: the same window multiset as STRINGS (equal counts
+    absent 64-bit hash collisions — the standing shingle-twin
+    assumption), global count ≥ 2, per-doc coverage via LEFT JOIN."""
+    toks = Analyzer().sql_tokens_expr("text")
+    concat = " || ' ' || ".join(
+        f"ts[i+{j}]" if j else "ts[i]" for j in range(window)
+    )
+    return f"""
+        WITH toks AS (SELECT doc_id, {toks} AS ts FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   [{concat} FOR i IN range(1, len(ts) - {window - 2})]
+                       AS wins
+            FROM toks WHERE len(ts) >= {window}
+        ),
+        ex AS (SELECT doc_id, unnest(wins) AS win FROM sh),
+        dup AS (SELECT win FROM ex GROUP BY 1 HAVING COUNT(*) >= 2)
+        SELECT e.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(COUNT(*) FILTER (WHERE d.win IS NOT NULL) AS BIGINT)
+                   AS n_dup_windows,
+               ROUND(
+                   COUNT(*) FILTER (WHERE d.win IS NOT NULL) * 1.0
+                       / COUNT(*),
+                   4
+               ) AS dup_frac
+        FROM ex e LEFT JOIN dup d USING (win)
+        GROUP BY 1
+        ORDER BY 1
+    """
+
+
+# ----------------------------------------------------------------------
 # Exact dedup, keep-first (U2 with a deterministic survivor rule)
 # ----------------------------------------------------------------------
 

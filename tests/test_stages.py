@@ -1228,3 +1228,33 @@ def test_rescore_slow_path_equals_fast(ray_session):
         )
     assert outs["fast"].values.tolist() == outs["slow"].values.tolist()
     assert len(outs["fast"]) == 10  # 2 queries x k=5
+
+
+def test_duplicated_window_stats_planted(ray_session, tmp_path):
+    """Exact-substring duplication: a verbatim 2x repeat inside one doc
+    and a cross-doc copy both count; unique docs report dup_frac 0;
+    docs shorter than the window are excluded."""
+    import pyarrow.parquet as pq_
+
+    from datamart_ray.stages.dedup import duplicated_window_stats
+
+    rep = " ".join(f"s{j}" for j in range(8))
+    texts = [
+        rep + " " + rep,                       # self-repeat
+        "copya " + rep,                        # cross-doc with 0 and 1
+        " ".join(f"u{j}" for j in range(20)),  # unique
+        "short doc",                           # < window -> excluded
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq_.write_table(t, str(d / "documents.parquet"))
+    out = duplicated_window_stats(str(d), window=8)
+    assert out["doc_id"].tolist() == [0, 1, 2]
+    got = {r.doc_id: (r.n_windows, r.n_dup_windows) for r in out.itertuples()}
+    # doc 0: 9 windows; every window of the repeated 8-gram region that
+    # also appears elsewhere counts — the pure 's0..s7' window appears
+    # 2x in doc 0 and 1x in doc 1
+    assert got[2] == (13, 0)
+    assert got[0][1] > 0 and got[1][1] > 0
+    assert out.loc[out.doc_id == 2, "dup_frac"].iloc[0] == 0.0
