@@ -1607,6 +1607,36 @@ def survivors_from_verified(
     return out.sort_values(id_out).reset_index(drop=True)
 
 
+def removal_manifest_ds(
+    verified: rd.Dataset | None,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    id_out: str = "doc_id",
+) -> rd.Dataset | None:
+    """The removal manifest as a DATASET — the 100-TB consumption path:
+    on dup-heavy corpora the manifest is corpus-proportional, so a
+    downstream clean pass should hash-anti-join it (or `write_parquet`
+    it partitioned) rather than collect it. Always uses the distributed
+    connected-components path; `survivors_from_verified` remains the
+    driver-DataFrame convenience for the oracle entries."""
+    if verified is None:
+        return None
+    comp = connected_components_ds(verified, a_col=a_col, b_col=b_col)
+
+    def removed(t: pa.Table) -> pa.Table:
+        doc = t["doc"].to_numpy(zero_copy_only=False)
+        lab = t["lab"].to_numpy(zero_copy_only=False)
+        keep = lab < doc
+        return pa.table(
+            {
+                id_out: pa.array(doc[keep].astype(np.int64)),
+                "kept_id": pa.array(lab[keep].astype(np.int64)),
+            }
+        )
+
+    return comp.map_batches(removed, batch_format="pyarrow")
+
+
 def minhash_dedup_survivors(
     sf_dir: str,
     threshold: float = 0.5,

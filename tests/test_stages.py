@@ -1258,3 +1258,41 @@ def test_duplicated_window_stats_planted(ray_session, tmp_path):
     assert got[2] == (13, 0)
     assert got[0][1] > 0 and got[1][1] > 0
     assert out.loc[out.doc_id == 2, "dup_frac"].iloc[0] == 0.0
+
+
+def test_removal_manifest_ds_matches_driver_core(ray_session, tmp_path):
+    """The Dataset-shaped manifest equals the driver convenience output."""
+    import pyarrow.parquet as pq_
+
+    from datamart_ray.stages.dedup import (
+        minhash_candidate_pairs_ds,
+        removal_manifest_ds,
+        survivors_from_verified,
+        verified_pairs_ds,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    texts = [
+        f"doc {i} " + " ".join(f"w{i}{j}" for j in range(30))
+        for i in range(20)
+    ]
+    texts += [base + "x", base + "y", base + "z"]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    d = tmp_path / "docs"
+    d.mkdir()
+    path = str(d / "documents.parquet")
+    pq_.write_table(t, path)
+
+    cand = minhash_candidate_pairs_ds(
+        rd.read_parquet(path, columns=["doc_id", "text"])
+    )
+    verified = verified_pairs_ds(path, cand, 3, 0.5)
+    want = survivors_from_verified(verified, cc_driver_cap=0)  # dist path
+    got = (
+        removal_manifest_ds(verified)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == want.values.tolist()
+    assert len(got) == 2
