@@ -143,12 +143,24 @@ def sessionize(sf_dir: str, gap_sec: int = 14400) -> pd.DataFrame:
         )
 
     def to_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n == 0:
+            # empty shard block after the shuffle (same contract as
+            # count_windows above): base[starts] would index size-0
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "session_id": pd.Series([], dtype=np.int64),
+                    "n_events": pd.Series([], dtype=np.int64),
+                    "start_ts": pd.Series([], dtype="datetime64[us]"),
+                    "end_ts": pd.Series([], dtype="datetime64[us]"),
+                }
+            )
         g = g.sort_values(
             ["user_id", "ts_us", "event_id"], kind="mergesort"
         )
         users = g["user_id"].to_numpy()
         ts = g["ts_us"].to_numpy()
-        n = len(g)
         new_sess = np.ones(n, dtype=np.int64)
         if n > 1:
             same_user = users[1:] == users[:-1]

@@ -53,7 +53,34 @@ def _shared_strings(z: zipfile.ZipFile) -> list[str]:
     return out
 
 
+_REL_NS = (
+    "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+)
+_PKG_REL_NS = (
+    "{http://schemas.openxmlformats.org/package/2006/relationships}"
+)
+
+
 def _first_sheet_part(z: zipfile.ZipFile) -> str:
+    """Resolve the FIRST sheet in tab order: workbook.xml's first
+    <sheet r:id=…> → workbook.xml.rels Target. Part numbering does not
+    track tab order (deleting sheet1 leaves the first tab in
+    sheet2.xml), so the rels walk is authoritative; the lowest-numbered
+    part is only a fallback for malformed archives."""
+    try:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        first = next(iter(wb.iter(f"{_NS}sheet")))
+        rid = first.get(f"{_REL_NS}id")
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        for rel in rels.iter(f"{_PKG_REL_NS}Relationship"):
+            if rel.get("Id") == rid:
+                target = rel.get("Target", "").lstrip("/")
+                if not target.startswith("xl/"):
+                    target = "xl/" + target
+                z.getinfo(target)  # raises KeyError if absent
+                return target
+    except (KeyError, StopIteration, ET.ParseError):
+        pass
     names = [
         n
         for n in z.namelist()
@@ -111,6 +138,16 @@ def read_xlsx_rows(path: str) -> tuple[list[str], list[list]]:
         str(h) if h is not None else f"col{i}"
         for i, h in enumerate(rows[0])
     ]
+    # uniquify duplicate header names ('value', 'value' → 'value',
+    # 'value_2') — a dict keyed by name would silently drop columns
+    seen: set[str] = set()
+    for i, h in enumerate(header):
+        name, n = h, 1
+        while name in seen:
+            n += 1
+            name = f"{h}_{n}"
+        seen.add(name)
+        header[i] = name
     return header, rows[1:]
 
 

@@ -368,12 +368,16 @@ def _attach_broadcast(
                 )
                 order = np.argsort(pids, kind="mergesort")
                 self.ids = pids[order]
-                self.pl = np.array(
-                    tab["pl"].to_pylist(), dtype=object
-                )[order]
+                # keep payloads as the Arrow binary column (still backed
+                # by the shared-memory block buffers — a to_pylist() here
+                # would copy the whole payload into every actor's heap);
+                # `perm` maps sorted-id position → row in the column
+                self.perm = order
+                self.pl = tab["pl"]  # ChunkedArray; take() needs no concat
             else:
                 self.ids = np.empty(0, dtype=np.int64)
-                self.pl = np.empty(0, dtype=object)
+                self.perm = np.empty(0, dtype=np.int64)
+                self.pl = pa.array([], type=pa.binary())
 
         def _lookup(self, keys: np.ndarray) -> np.ndarray:
             pos = np.searchsorted(self.ids, keys)
@@ -382,7 +386,10 @@ def _attach_broadcast(
                 or (self.ids[np.minimum(pos, self.ids.size - 1)] != keys).any()
             ):
                 raise KeyError("pair id missing from payload table")
-            return self.pl[pos]
+            # per-batch copy only: take() materializes just this chunk's
+            # payloads out of the shared buffers
+            taken = self.pl.take(pa.array(self.perm[pos], pa.int64()))
+            return taken.to_numpy(zero_copy_only=False)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
@@ -1589,6 +1596,19 @@ def survivors_from_verified(
         ).rename(columns={"doc_id": id_out})
         return out.sort_values(id_out).reset_index(drop=True)
     comp = connected_components_ds(verified, a_col=a_col, b_col=b_col)
+    out = comp.map_batches(
+        _removed_mapper(id_out), batch_format="pyarrow"
+    ).to_pandas()
+    if out.empty:
+        return empty
+    return out.sort_values(id_out).reset_index(drop=True)
+
+
+def _removed_mapper(id_out: str):
+    """Batch mapper applying the survivor rule to a component labeling:
+    a doc is removed iff its component label (= component minimum) is a
+    SMALLER id; emit (id_out, kept_id=label). Single source of truth for
+    both the driver-DataFrame manifest and the Dataset-shaped one."""
 
     def removed(t: pa.Table) -> pa.Table:
         doc = t["doc"].to_numpy(zero_copy_only=False)
@@ -1601,10 +1621,7 @@ def survivors_from_verified(
             }
         )
 
-    out = comp.map_batches(removed, batch_format="pyarrow").to_pandas()
-    if out.empty:
-        return empty
-    return out.sort_values(id_out).reset_index(drop=True)
+    return removed
 
 
 def removal_manifest_ds(
@@ -1622,19 +1639,9 @@ def removal_manifest_ds(
     if verified is None:
         return None
     comp = connected_components_ds(verified, a_col=a_col, b_col=b_col)
-
-    def removed(t: pa.Table) -> pa.Table:
-        doc = t["doc"].to_numpy(zero_copy_only=False)
-        lab = t["lab"].to_numpy(zero_copy_only=False)
-        keep = lab < doc
-        return pa.table(
-            {
-                id_out: pa.array(doc[keep].astype(np.int64)),
-                "kept_id": pa.array(lab[keep].astype(np.int64)),
-            }
-        )
-
-    return comp.map_batches(removed, batch_format="pyarrow")
+    return comp.map_batches(
+        _removed_mapper(id_out), batch_format="pyarrow"
+    )
 
 
 def minhash_dedup_survivors(

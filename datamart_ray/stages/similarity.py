@@ -73,22 +73,36 @@ def _unpack_vectors(col: pd.Series) -> np.ndarray:
     return np.frombuffer(b"".join(col), dtype="<f8").reshape(len(col), -1)
 
 
-def knn_cosine(
-    sf_dir: str,
-    query_ids: tuple[int, ...] = (0, 1, 2),
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def _brute_topk(
+    path: str,
+    query_ids: tuple[int, ...],
+    k: int,
+    id_col: str,
+    vec_col: str,
+    row_filter=None,
 ) -> pd.DataFrame:
-    """Exact cosine top-k of each query vector vs the whole table."""
-    path = f"{sf_dir}/embeddings.parquet"
+    """Shared brute-force cosine top-k kernel: broadcast the normalized
+    query matrix once (`ray.put`), matmul per batch, partial top-k per
+    block, tiny driver-side merge. Optional `row_filter` is pushed down
+    to the parquet scan (footer-stats row-group pruning)."""
     qt = fetch_rows_by_ids(path, id_col, list(query_ids), [id_col, vec_col])
     q_ids = qt[id_col].to_numpy(zero_copy_only=False)
     Q = _to_matrix(qt[vec_col])
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     ref = ray.put((q_ids, Qn))
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64()),
+        }
+    )
 
     def _score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            # a pushed-down row filter can leave a fragment empty;
+            # reshape(0, -1) would raise inside _to_matrix
+            return empty
         q_ids_l, Qn = ray.get(ref)
         X = _to_matrix(t[vec_col])
         # dot / (|x| * |q|) — mirrors DuckDB list_cosine_similarity's
@@ -115,7 +129,8 @@ def knn_cosine(
             }
         )
 
-    ds = rd.read_parquet(path, columns=[id_col, vec_col])
+    kwargs = {} if row_filter is None else {"filter": row_filter}
+    ds = rd.read_parquet(path, columns=[id_col, vec_col], **kwargs)
     partial = ds.map_batches(_score, batch_format="pyarrow")
     # final merge on the driver: the partial top-k output is bounded by
     # (#blocks × #queries × k) rows, so a shuffle here would be pure
@@ -123,6 +138,18 @@ def knn_cosine(
     out = _finish_topk(partial.to_pandas(), k)
     out["sim"] = round_away(out["sim"], 4)
     return out.reset_index(drop=True)
+
+
+def knn_cosine(
+    sf_dir: str,
+    query_ids: tuple[int, ...] = (0, 1, 2),
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Exact cosine top-k of each query vector vs the whole table."""
+    path = f"{sf_dir}/embeddings.parquet"
+    return _brute_topk(path, query_ids, k, id_col, vec_col)
 
 
 def _finish_topk(partial: pd.DataFrame, k: int) -> pd.DataFrame:
@@ -159,46 +186,14 @@ def knn_label_filtered(
     import pyarrow.dataset as pads
 
     path = f"{sf_dir}/embeddings.parquet"
-    qt = fetch_rows_by_ids(path, id_col, list(query_ids), [id_col, vec_col])
-    q_ids = qt[id_col].to_numpy(zero_copy_only=False)
-    Q = _to_matrix(qt[vec_col])
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    ref = ray.put((q_ids, Qn))
-
-    def _score(t: pa.Table) -> pa.Table:
-        q_ids_l, Qn = ray.get(ref)
-        X = _to_matrix(t[vec_col])
-        sims = (X @ Qn.T) / np.linalg.norm(X, axis=1, keepdims=True)
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        out_q, out_n, out_s = [], [], []
-        for j, qid in enumerate(q_ids_l):
-            s = sims[:, j]
-            mask = ids != qid
-            cand_ids, cand_s = ids[mask], s[mask]
-            if cand_ids.size > k:
-                kth = np.partition(-cand_s, k - 1)[k - 1]
-                top = np.flatnonzero(-cand_s <= kth)
-                cand_ids, cand_s = cand_ids[top], cand_s[top]
-            out_q.append(np.full(cand_ids.size, qid, dtype=np.int64))
-            out_n.append(cand_ids.astype(np.int64))
-            out_s.append(cand_s)
-        return pa.table(
-            {
-                "query_id": pa.array(np.concatenate(out_q)),
-                "neighbor_id": pa.array(np.concatenate(out_n)),
-                "sim": pa.array(np.concatenate(out_s)),
-            }
-        )
-
-    ds = rd.read_parquet(
+    return _brute_topk(
         path,
-        columns=[id_col, vec_col],
-        filter=pads.field("label") == label,
+        query_ids,
+        k,
+        id_col,
+        vec_col,
+        row_filter=pads.field("label") == label,
     )
-    partial = ds.map_batches(_score, batch_format="pyarrow")
-    out = _finish_topk(partial.to_pandas(), k)
-    out["sim"] = round_away(out["sim"], 4)
-    return out.reset_index(drop=True)
 
 
 def knn_label_filtered_sql(
@@ -345,6 +340,8 @@ def _distributed_rescore_ds(
         )
         cand_ids = np.unique(pdf["cand_id"].to_numpy(np.int64))
         vt = fetch_rows_by_ids(path, id_col, cand_ids, [id_col, vec_col])
+        if vt.num_rows == 0:
+            return empty
         v_ids = vt[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         X = _to_matrix(vt[vec_col])
         order = np.argsort(v_ids, kind="mergesort")
@@ -352,13 +349,25 @@ def _distributed_rescore_ds(
         Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
         Qn_l = Q / np.linalg.norm(Q, axis=1, keepdims=True)
         q_index_l = {int(q): j for j, q in enumerate(q_ids)}
-        xpos = np.searchsorted(v_ids, pdf["cand_id"].to_numpy(np.int64))
+        want = pdf["cand_id"].to_numpy(np.int64)
+        xpos = np.searchsorted(v_ids, want)
+        # drop pairs whose cand_id has no embedding row — mirrors the
+        # above-cap path, where the hash join drops them (a clipped
+        # searchsorted hit would otherwise score a DIFFERENT vector)
+        found = (xpos < v_ids.size) & (
+            v_ids[np.minimum(xpos, v_ids.size - 1)] == want
+        )
+        if not found.all():
+            pdf = pdf.loc[found].reset_index(drop=True)
+            if pdf.empty:
+                return empty
+            want, xpos = want[found], xpos[found]
         qidx = pdf["query_id"].map(q_index_l).to_numpy(dtype=np.int64)
         sims = np.einsum("ij,ij->i", Xn[xpos], Qn_l[qidx])
         out = pd.DataFrame(
             {
                 "query_id": pdf["query_id"].to_numpy(np.int64),
-                "neighbor_id": pdf["cand_id"].to_numpy(np.int64),
+                "neighbor_id": want,
                 "sim": sims,
             }
         )
