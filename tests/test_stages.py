@@ -1296,3 +1296,110 @@ def test_removal_manifest_ds_matches_driver_core(ray_session, tmp_path):
     )
     assert got.values.tolist() == want.values.tolist()
     assert len(got) == 2
+
+
+def test_rescore_fast_path_drops_missing_cand(ray_session):
+    """A cand_id with no embedding row must be DROPPED by the fast
+    (driver-planned) rescore path, exactly as the slow path's hash join
+    drops it — not scored against a neighboring vector."""
+    import pyarrow.parquet as pq_
+
+    from datamart_ray.stages.similarity import (
+        _distributed_rescore_ds,
+        _to_matrix,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    path = f"{sf}/embeddings.parquet"
+    qt = pq_.read_table(path, columns=["vec_id", "embedding"]).slice(0, 1)
+    q_ids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    Q = _to_matrix(qt["embedding"])
+    n = pq_.read_metadata(path).num_rows
+    # real candidates + one id past the end (searchsorted insertion ==
+    # len) + one id inside the range but absent only if ids are sparse
+    items = [
+        {"query_id": int(q_ids[0]), "cand_id": c}
+        for c in list(range(5, 15)) + [n + 999, 10**12]
+    ]
+    outs = {}
+    for cap, label in ((500_000, "fast"), (0, "slow")):
+        cand = rd.from_items(items)
+        outs[label] = _distributed_rescore_ds(
+            path, "vec_id", "embedding", cand, q_ids, Q, 5,
+            driver_cap=cap,
+        )
+    assert outs["fast"].values.tolist() == outs["slow"].values.tolist()
+    assert (outs["fast"]["neighbor_id"] < n).all()
+    assert len(outs["fast"]) == 5
+
+
+def test_knn_filtered_empty_fragment(ray_session, tmp_path):
+    """A row group whose label stats straddle the predicate but contains
+    no matching row yields a 0-row batch after the pushed-down filter —
+    the score kernel must tolerate it (reshape(0,-1) used to raise)."""
+    import pyarrow.parquet as pq_
+
+    from datamart_ray.stages.similarity import knn_label_filtered
+
+    rng = np.random.default_rng(7)
+    d = 8
+    emb = [list(map(float, rng.standard_normal(d))) for _ in range(40)]
+    # row group 1: labels 1/5 only (stats straddle 3, no match);
+    # row group 2: labels 3 (matches)
+    labels = [1, 5] * 10 + [3] * 20
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array(emb, pa.list_(pa.float64())),
+            "label": pa.array(labels, pa.int64()),
+        }
+    )
+    path = str(tmp_path / "embeddings.parquet")
+    pq_.write_table(t, path, row_group_size=20)
+    out = knn_label_filtered(
+        str(tmp_path), query_ids=(0, 1), k=3, label=3
+    )
+    assert len(out) == 6
+    assert set(out["neighbor_id"]) <= set(range(20, 40))
+
+
+def test_xlsx_duplicate_headers_and_rels_sheet_order(tmp_path):
+    """Duplicate header names must be uniquified (not silently dropped),
+    and the first sheet resolves through workbook.xml rels even when its
+    part is numbered sheet2.xml."""
+    import zipfile
+
+    import pyarrow.parquet as pq_
+
+    from datamart_ray.sources.xlsx import convert_xlsx_to_parquet
+
+    wb = """<?xml version="1.0"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+ xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+ <sheets><sheet name="Main" sheetId="4" r:id="rId7"/></sheets></workbook>"""
+    rels = """<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+ <Relationship Id="rId7" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>
+</Relationships>"""
+    # decoy sheet1.xml (a deleted tab's leftover numbering) and the real
+    # first-tab data in sheet2.xml, with two columns both named "value"
+    decoy = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>WRONG</t></is></c></row></sheetData></worksheet>"""
+    real = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData>
+  <row r="1"><c r="A1" t="inlineStr"><is><t>value</t></is></c><c r="B1" t="inlineStr"><is><t>value</t></is></c></row>
+  <row r="2"><c r="A2"><v>1</v></c><c r="B2"><v>2</v></c></row>
+ </sheetData></worksheet>"""
+    x = tmp_path / "book.xlsx"
+    with zipfile.ZipFile(str(x), "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/worksheets/sheet1.xml", decoy)
+        z.writestr("xl/worksheets/sheet2.xml", real)
+    out = convert_xlsx_to_parquet(str(x), str(tmp_path / "pq"))
+    t = pq_.read_table(f"{out}/data.parquet")
+    assert t.column_names == ["value", "value_2"]
+    assert t["value"].to_pylist() == [1.0]
+    assert t["value_2"].to_pylist() == [2.0]
