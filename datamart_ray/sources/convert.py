@@ -57,6 +57,14 @@ def detect_and_convert(src: str, out_dir: str) -> str:
         from datamart_ray.sources.xlsx import convert_xlsx_to_parquet
 
         return convert_xlsx_to_parquet(src, out_dir)
+    if lower.endswith(".dta"):
+        from datamart_ray.sources.stata import convert_stata_to_parquet
+
+        return convert_stata_to_parquet(src, out_dir)
+    if lower.endswith(".sav"):
+        from datamart_ray.sources.stata import convert_spss_to_parquet
+
+        return convert_spss_to_parquet(src, out_dir)
     if lower.endswith(".tsv"):
         return convert_csv_to_parquet(src, out_dir, delimiter="\t")
     if lower.endswith(".json") or lower.endswith(".jsonl"):
@@ -65,6 +73,20 @@ def detect_and_convert(src: str, out_dir: str) -> str:
         return out_dir
     if lower.endswith(".csv"):
         return convert_csv_to_parquet(src, out_dir)
+    # suffix unknown: magic-byte sniff first (the reference's detection
+    # chain checks stata/spss magics before the CSV dialect sniff,
+    # materialize.py:191-214), then the delimiter sniff
+    from datamart_ray.sources.stata import (
+        convert_spss_to_parquet,
+        convert_stata_to_parquet,
+        sniff_magic,
+    )
+
+    kind = sniff_magic(src)
+    if kind == "stata":
+        return convert_stata_to_parquet(src, out_dir)
+    if kind == "spss":
+        return convert_spss_to_parquet(src, out_dir)
     with open(src, "r", errors="replace") as f:
         header = f.readline()
     delimiter = "\t" if header.count("\t") > header.count(",") else ","

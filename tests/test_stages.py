@@ -1403,3 +1403,47 @@ def test_xlsx_duplicate_headers_and_rels_sheet_order(tmp_path):
     assert t.column_names == ["value", "value_2"]
     assert t["value"].to_pylist() == [1.0]
     assert t["value_2"].to_pylist() == [2.0]
+
+
+def test_stata_converter_and_magic_sniff(tmp_path):
+    """S10: chunked .dta → parquet round-trip; the extensionless path
+    detects Stata by magic bytes (reference materialize.py:195-205);
+    SPSS raises the honest pyreadstat gate."""
+    import pyarrow.parquet as pq_
+    import pytest as _pytest
+
+    from datamart_ray.sources import detect_and_convert
+    from datamart_ray.sources.stata import (
+        convert_spss_to_parquet,
+        convert_stata_to_parquet,
+        sniff_magic,
+    )
+
+    df = pd.DataFrame(
+        {
+            "city": [f"c{i}" for i in range(250)],
+            "pop": np.arange(250, dtype=np.float64) * 1.5,
+            "flag": ([1, 0] * 125),
+        }
+    )
+    src = tmp_path / "table.dta"
+    df.to_stata(str(src), write_index=False)
+    out = convert_stata_to_parquet(str(src), str(tmp_path / "pq"),
+                                   chunksize=100)
+    t = pq_.read_table(out).to_pandas().sort_values("pop")
+    assert len(t) == 250
+    assert t["city"].tolist() == df["city"].tolist()
+    assert np.allclose(t["pop"].to_numpy(), df["pop"].to_numpy())
+
+    # extensionless: magic sniff routes to the stata converter
+    anon = tmp_path / "blob"
+    anon.write_bytes(src.read_bytes())
+    assert sniff_magic(str(anon)) == "stata"
+    out2 = detect_and_convert(str(anon), str(tmp_path / "pq2"))
+    assert pq_.read_table(out2).num_rows == 250
+
+    sav = tmp_path / "x.sav"
+    sav.write_bytes(b"$FL2" + b"\x00" * 32)
+    assert sniff_magic(str(sav)) == "spss"
+    with _pytest.raises(ImportError, match="pyreadstat"):
+        convert_spss_to_parquet(str(sav), str(tmp_path / "pq3"))
