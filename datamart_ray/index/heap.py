@@ -33,25 +33,38 @@ TARGET_BATCH_ROWS = 2048
 
 
 def build_posting_heap(
-    seg_dir: str, target_rows: int = TARGET_BATCH_ROWS
+    seg_dir: str,
+    target_rows: int = TARGET_BATCH_ROWS,
+    _postings: pa.Table | None = None,
 ) -> str:
     """Write (atomically) the heap + index sidecar for one segment.
-    Idempotent: returns immediately if the sidecar exists."""
+    Idempotent: returns immediately if the sidecar exists.
+    ``_postings`` is a test seam: a TERM-SORTED, possibly multi-chunk
+    posting table standing in for the segment's parquet — at real giant-
+    segment sizes ``take`` itself returns a chunked table (>2 GiB binary
+    columns), which small-scale tests cannot reproduce."""
     heap_path = os.path.join(seg_dir, HEAP_FILE)
     idx_path = os.path.join(seg_dir, HEAP_IDX_FILE)
     if os.path.exists(heap_path) and os.path.exists(idx_path):
         return heap_path
-    t = pq.read_table(os.path.join(seg_dir, "postings"))
-    terms = t["term"].to_numpy(zero_copy_only=False)
-    order = np.argsort(terms, kind="stable")
-    # NOTE: no combine_chunks — a giant segment's binary docs/tfs column
-    # can exceed Arrow's 2 GiB single-buffer cap; slices below work on
-    # the chunked result. The build still holds the table (+ its sorted
-    # copy) in memory once; for segments too big even for that, run the
-    # build at index-build time / via `python -m datamart_ray heap` on a
-    # large-memory worker — serving afterwards is mmap-only.
-    t = t.take(pa.array(order))
-    sorted_terms = terms[order]
+    if _postings is not None:
+        t = _postings
+        sorted_terms = t["term"].to_numpy(zero_copy_only=False)
+    else:
+        t = pq.read_table(os.path.join(seg_dir, "postings"))
+        terms = t["term"].to_numpy(zero_copy_only=False)
+        order = np.argsort(terms, kind="stable")
+        # NOTE: no combine_chunks — a giant segment's binary docs/tfs
+        # column can exceed Arrow's 2 GiB single-buffer cap; slices
+        # below work on the chunked result (per-group combine + batch
+        # counts keep the batch index aligned even when take() returns
+        # a chunked table). The build still holds the table (+ its
+        # sorted copy) in memory once; for segments too big even for
+        # that, run the build at index-build time / via `python -m
+        # datamart_ray heap` on a large-memory worker — serving
+        # afterwards is mmap-only.
+        t = t.take(pa.array(order))
+        sorted_terms = terms[order]
     n = len(sorted_terms)
     if n == 0:
         tmp_heap = heap_path + f".tmp.{os.getpid()}"
@@ -64,6 +77,7 @@ def build_posting_heap(
                 {
                     "term": pa.array([], type=pa.string()),
                     "batch": pa.array([], type=pa.int32()),
+                    "nb": pa.array([], type=pa.int32()),
                     "start": pa.array([], type=pa.int32()),
                     "n": pa.array([], type=pa.int32()),
                 }
@@ -89,20 +103,41 @@ def build_posting_heap(
         batch_cut.append(starts.size)
 
     term_batch = np.empty(starts.size, dtype=np.int32)
+    term_nb = np.empty(starts.size, dtype=np.int32)
     term_start = np.empty(starts.size, dtype=np.int32)
     term_n = (ends - starts).astype(np.int32)
     tmp_heap = heap_path + f".tmp.{os.getpid()}"
     with pa.OSFile(tmp_heap, "wb") as sink:
         with pa.ipc.new_file(sink, t.schema) as writer:
+            written = 0  # record batches emitted so far
             for bi in range(len(batch_cut) - 1):
                 lo_t, hi_t = batch_cut[bi], batch_cut[bi + 1]
                 row_lo = int(starts[lo_t])
                 row_hi = int(ends[hi_t - 1])
-                term_batch[lo_t:hi_t] = bi
+                sl = t.slice(row_lo, row_hi - row_lo)
+                # One IPC record batch is written PER CHUNK of the slice,
+                # so a slice spanning a chunk boundary of the (giant,
+                # un-combined) table would silently shift every later
+                # batch id. Combine the group's chunks (groups are
+                # ~target_rows, so this is cheap); if a pathological
+                # single-term run overflows Arrow's 2 GiB buffer cap,
+                # keep it chunked and record the batch COUNT so readers
+                # reassemble the group.
+                try:
+                    sl = sl.combine_chunks()
+                except (pa.ArrowCapacityError, pa.ArrowInvalid):
+                    pass
+                batches = sl.to_batches() or [
+                    pa.RecordBatch.from_pylist([], schema=t.schema)
+                ]
+                term_batch[lo_t:hi_t] = written
+                term_nb[lo_t:hi_t] = len(batches)
                 term_start[lo_t:hi_t] = (
                     starts[lo_t:hi_t] - row_lo
                 ).astype(np.int32)
-                writer.write_table(t.slice(row_lo, row_hi - row_lo))
+                for rb in batches:
+                    writer.write_batch(rb)
+                written += len(batches)
 
     # index rows aligned with the SORTED distinct term order (the same
     # order as terms.parquet, which is written term-sorted)
@@ -112,6 +147,7 @@ def build_posting_heap(
             {
                 "term": pa.array(sorted_terms[starts]),
                 "batch": pa.array(term_batch),
+                "nb": pa.array(term_nb),
                 "start": pa.array(term_start),
                 "n": pa.array(term_n),
             }
@@ -137,6 +173,12 @@ class PostingHeap:
         idx = pq.read_table(idx_path)
         self._terms = idx["term"].to_numpy(zero_copy_only=False)
         self._batch = idx["batch"].to_numpy()
+        # sidecars written before the multi-chunk fix lack "nb" (their
+        # groups were single-batch whenever they were correct at all)
+        if "nb" in idx.column_names:
+            self._nb = idx["nb"].to_numpy()
+        else:
+            self._nb = np.ones(len(self._batch), dtype=np.int32)
         self._start = idx["start"].to_numpy()
         self._n = idx["n"].to_numpy()
         self.schema = self._reader.schema
@@ -147,7 +189,11 @@ class PostingHeap:
         i = int(np.searchsorted(self._terms, term))
         if i >= self._terms.size or self._terms[i] != term:
             return self.schema.empty_table()
-        b = self._reader.get_batch(int(self._batch[i]))
-        return pa.Table.from_batches(
-            [b.slice(int(self._start[i]), int(self._n[i]))]
+        b0 = int(self._batch[i])
+        tbl = pa.Table.from_batches(
+            [
+                self._reader.get_batch(b0 + j)
+                for j in range(int(self._nb[i]))
+            ]
         )
+        return tbl.slice(int(self._start[i]), int(self._n[i]))

@@ -108,7 +108,12 @@ class SegmentReader:
                 from datamart_ray.index.heap import PostingHeap
 
                 self._heap = PostingHeap(seg_dir)
-            except (OSError, MemoryError, pa.ArrowInvalid):
+            except (
+                OSError,
+                MemoryError,
+                pa.ArrowInvalid,
+                pa.ArrowCapacityError,
+            ):
                 # read-only dir, or the one-time sidecar build does not
                 # fit this process (prebuild via `python -m datamart_ray
                 # heap` on a large-memory worker) → filtered-read path

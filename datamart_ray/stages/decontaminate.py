@@ -30,7 +30,7 @@ import ray
 import ray.data as rd
 
 from datamart_ray.analyzer import Analyzer
-from datamart_ray.stages.dedup import batch_shingle_values
+from datamart_ray.stages.dedup import batch_shingle_values, distinct_per_doc
 from datamart_ray.util import fetch_rows_by_ids, isin_sorted
 
 ANALYZER = Analyzer()
@@ -39,14 +39,7 @@ ANALYZER = Analyzer()
 def _doc_shingles(texts: pa.Array, shingle_n: int) -> tuple[np.ndarray, np.ndarray]:
     """(values, doc_index) with per-doc DISTINCT shingles, doc-sorted."""
     lists = ANALYZER.token_lists(texts)
-    vals, parents = batch_shingle_values(lists, shingle_n)
-    if vals.size:
-        order = np.lexsort((vals, parents))
-        v, p = vals[order], parents[order]
-        keep = np.ones(v.size, dtype=bool)
-        keep[1:] = (v[1:] != v[:-1]) | (p[1:] != p[:-1])
-        return v[keep], p[keep]
-    return vals, parents
+    return distinct_per_doc(*batch_shingle_values(lists, shingle_n))
 
 
 def contamination_counts(

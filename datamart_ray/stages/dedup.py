@@ -379,22 +379,37 @@ def _attach_broadcast(
                 self.perm = np.empty(0, dtype=np.int64)
                 self.pl = pa.array([], type=pa.binary())
 
-        def _lookup(self, keys: np.ndarray) -> np.ndarray:
+        def _lookup(
+            self, keys: np.ndarray
+        ) -> tuple[np.ndarray, np.ndarray]:
+            """(payloads, found-mask); positions for missing keys are
+            clamped and must be masked out by the caller."""
+            if not self.ids.size:
+                return (
+                    np.full(keys.size, b"", dtype=object),
+                    np.zeros(keys.size, dtype=bool),
+                )
             pos = np.searchsorted(self.ids, keys)
-            if pos.size and (
-                (pos >= self.ids.size).any()
-                or (self.ids[np.minimum(pos, self.ids.size - 1)] != keys).any()
-            ):
-                raise KeyError("pair id missing from payload table")
+            clamped = np.minimum(pos, self.ids.size - 1)
+            found = (pos < self.ids.size) & (self.ids[clamped] == keys)
             # per-batch copy only: take() materializes just this chunk's
             # payloads out of the shared buffers
-            taken = self.pl.take(pa.array(self.perm[pos], pa.int64()))
-            return taken.to_numpy(zero_copy_only=False)
+            taken = self.pl.take(pa.array(self.perm[clamped], pa.int64()))
+            return taken.to_numpy(zero_copy_only=False), found
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
-            df["pl_a"] = self._lookup(df[a_col].to_numpy(np.int64))
-            df["pl_b"] = self._lookup(df[b_col].to_numpy(np.int64))
+            pl_a, ok_a = self._lookup(df[a_col].to_numpy(np.int64))
+            pl_b, ok_b = self._lookup(df[b_col].to_numpy(np.int64))
+            df["pl_a"] = pl_a
+            df["pl_b"] = pl_b
+            # a pair id absent from the payload is DROPPED — identical
+            # to the above-cap path's inner hash join (and to
+            # similarity._distributed_rescore_ds), so behavior does not
+            # flip at pair_driver_cap
+            ok = ok_a & ok_b
+            if not ok.all():
+                df = df.loc[ok].reset_index(drop=True)
             return kernel(df)
 
     n_chunks = max(1, min(_num_shards() // 4, len(pdf) // 1024 + 1))
@@ -420,24 +435,26 @@ class _ShingleSetStage:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         lists = self.analyzer.token_lists(t[self.text_col])
-        vals, vparents = batch_shingle_values(lists, self.shingle_n)
-        if vals.size:
-            order = np.lexsort((vals, vparents))
-            v, p = vals[order], vparents[order]
-            keep = np.ones(v.size, dtype=bool)
-            keep[1:] = (v[1:] != v[:-1]) | (p[1:] != p[:-1])
-            v, p = v[keep], p[keep]
-        else:
-            v, p = vals, vparents
+        v, p = distinct_per_doc(
+            *batch_shingle_values(lists, self.shingle_n)
+        )
         counts = np.bincount(p, minlength=t.num_rows)
-        offsets = np.zeros(t.num_rows + 1, dtype=np.int32)
-        offsets[1:] = np.cumsum(counts * 8).astype(np.int32)
+        off64 = np.zeros(t.num_rows + 1, dtype=np.int64)
+        off64[1:] = np.cumsum(counts.astype(np.int64) * 8)
+        if off64[-1] > np.iinfo(np.int32).max:
+            # int32 offsets would silently WRAP past 2 GiB of packed
+            # shingles per batch, corrupting every downstream Jaccard —
+            # refuse loudly; the cure is a smaller verify batch_size
+            raise ValueError(
+                f"packed shingle payload {off64[-1]} B overflows binary "
+                "offsets; lower the payload-stage batch_size"
+            )
         sh = pa.Array.from_buffers(
             pa.binary(),
             t.num_rows,
             [
                 None,
-                pa.py_buffer(offsets.tobytes()),
+                pa.py_buffer(off64.astype(np.int32).tobytes()),
                 pa.py_buffer(v.astype("<u8").tobytes()),
             ],
         )
@@ -687,6 +704,22 @@ def batch_shingle_values(
     return vals, vparents
 
 
+def distinct_per_doc(
+    vals: np.ndarray, parents: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct (value, doc) pairs from a :func:`batch_shingle_values`
+    multiset stream, doc-sorted — the per-doc shingle SET every
+    set-semantics consumer (shingle payloads, posting emit, shingle
+    simhash, decontamination probe) needs."""
+    if not vals.size:
+        return vals, parents
+    order = np.lexsort((vals, parents))
+    v, p = vals[order], parents[order]
+    keep = np.ones(v.size, dtype=bool)
+    keep[1:] = (v[1:] != v[:-1]) | (p[1:] != p[:-1])
+    return v[keep], p[keep]
+
+
 def batch_minhash_signatures(
     lists: pa.Array, n_rows: int, seeds: np.ndarray, shingle_n: int
 ) -> np.ndarray:
@@ -896,21 +929,15 @@ class _ShingleEmitStage:
     def __call__(self, t: pa.Table) -> pa.Table:
         lists = self.analyzer.token_lists(t[self.text_col])
         ids = t[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        vals, vparents = batch_shingle_values(lists, self.shingle_n)
-        if vals.size:
-            order = np.lexsort((vals, vparents))
-            v, p = vals[order], vparents[order]
-            keep = np.ones(v.size, dtype=bool)
-            keep[1:] = (v[1:] != v[:-1]) | (p[1:] != p[:-1])
-            v, p = v[keep], p[keep]
-            if self.keep_below is not None:
-                m = (
-                    _mix64(v * np.uint64(0xD6E8FEB86659FD93))
-                    <= self.keep_below
-                )
-                v, p = v[m], p[m]
-        else:
-            v, p = vals, vparents
+        v, p = distinct_per_doc(
+            *batch_shingle_values(lists, self.shingle_n)
+        )
+        if v.size and self.keep_below is not None:
+            m = (
+                _mix64(v * np.uint64(0xD6E8FEB86659FD93))
+                <= self.keep_below
+            )
+            v, p = v[m], p[m]
         return pa.table(
             {
                 "doc_id": pa.array(ids[p]),
@@ -1047,15 +1074,7 @@ def batch_simhash_shingles(
     per bit) — the discriminative signature when the token vocabulary is
     small and word ORDER carries the similarity. Vectorized: one global
     shingle stream, per-doc dedupe via lexsort, one bincount per bit."""
-    vals, vparents = batch_shingle_values(lists, shingle_n)
-    if vals.size:
-        order = np.lexsort((vals, vparents))
-        v, p = vals[order], vparents[order]
-        keep = np.ones(v.size, dtype=bool)
-        keep[1:] = (v[1:] != v[:-1]) | (p[1:] != p[:-1])
-        v, p = v[keep], p[keep]
-    else:
-        v, p = vals, vparents
+    v, p = distinct_per_doc(*batch_shingle_values(lists, shingle_n))
     m = np.bincount(p, minlength=n_rows).astype(np.int64)
     h = np.zeros(n_rows, dtype=np.uint64)
     for b in range(64):

@@ -311,3 +311,52 @@ def test_auto_lazy_threshold(ray_session, tmp_path, monkeypatch):
     a = auto.search("qzcommonneedle", k=10, mode="or")
     b = big.search("qzcommonneedle", k=10, mode="or")
     assert a.to_pydict() == b.to_pydict()
+
+
+def test_posting_heap_multichunk_groups(tmp_path):
+    """Regression: a CHUNKED sorted posting table (the >2 GiB giant-
+    segment shape, where take() cannot recombine) must not shift heap
+    batch ids — write_table used to emit one record batch per CHUNK
+    while the index assumed one per group. Injected via the _postings
+    test seam with chunk boundaries straddling group cuts."""
+    import pyarrow as pa
+
+    from datamart_ray.index.heap import PostingHeap, build_posting_heap
+
+    rng = np.random.RandomState(7)
+    terms, payload = [], []
+    for ti in range(40):
+        for r in range(int(rng.randint(1, 9))):
+            terms.append(f"t{ti:03d}")
+            payload.append(f"{ti}:{r}".encode())
+    # chunk the TERM-SORTED stream at awkward boundaries (sizes 3,7,3,7…)
+    batches, i, k = [], 0, 0
+    while i < len(terms):
+        j = min(i + (3 if k % 2 == 0 else 7), len(terms))
+        batches.append(
+            pa.record_batch(
+                {
+                    "term": pa.array(terms[i:j]),
+                    "first_docid": pa.array(
+                        list(range(i, j)), type=pa.int64()
+                    ),
+                    "docs": pa.array(payload[i:j], type=pa.binary()),
+                }
+            )
+        )
+        i, k = j, k + 1
+    t = pa.Table.from_batches(batches)
+    assert t["term"].num_chunks > 1
+    seg = str(tmp_path / "seg")
+    os.makedirs(seg)
+    build_posting_heap(seg, target_rows=5, _postings=t)
+    heap = PostingHeap(seg, build=False)
+    # every term must round-trip its exact rows
+    want: dict[str, list[bytes]] = {}
+    for term, pl in zip(terms, payload):
+        want.setdefault(term, []).append(pl)
+    for term, pls in want.items():
+        got = heap.chunks(term)
+        assert got["term"].to_pylist() == [term] * len(pls), term
+        assert got["docs"].to_pylist() == pls, term
+    assert heap.chunks("zz_absent").num_rows == 0
