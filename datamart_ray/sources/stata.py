@@ -51,14 +51,14 @@ def convert_stata_to_parquet(
 ) -> str:
     """Stream a .dta file → parquet directory in bounded chunks."""
     os.makedirs(out_dir, exist_ok=True)
-    reader = pd.read_stata(src, iterator=True, chunksize=chunksize)
     n = 0
-    for i, chunk in enumerate(reader):
-        pq.write_table(
-            pa.Table.from_pandas(chunk, preserve_index=False),
-            os.path.join(out_dir, f"data-{i:05d}.parquet"),
-        )
-        n += 1
+    with pd.read_stata(src, iterator=True, chunksize=chunksize) as reader:
+        for i, chunk in enumerate(reader):
+            pq.write_table(
+                pa.Table.from_pandas(chunk, preserve_index=False),
+                os.path.join(out_dir, f"data-{i:05d}.parquet"),
+            )
+            n += 1
     if n == 0:  # zero-row file: still emit the schema
         empty = pd.read_stata(src)
         pq.write_table(
@@ -69,19 +69,22 @@ def convert_stata_to_parquet(
 
 
 def convert_spss_to_parquet(src: str, out_dir: str) -> str:
-    """SPSS → parquet; requires pyreadstat (absent in this container)."""
+    """SPSS → parquet via the NATIVE .sav parser (sources/spss.py);
+    falls back to pyreadstat only for files the native subset refuses
+    (very-long strings), matching the reference's dependency."""
+    from datamart_ray.sources import spss
+
     try:
-        import pyreadstat  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "SPSS conversion requires the optional 'pyreadstat' "
-            "dependency (not installed); the reference's spss_to_csv "
-            "has the same requirement"
-        ) from e
-    df = pd.read_spss(src)
-    os.makedirs(out_dir, exist_ok=True)
-    pq.write_table(
-        pa.Table.from_pandas(df, preserve_index=False),
-        os.path.join(out_dir, "data-00000.parquet"),
-    )
-    return out_dir
+        return spss.convert_spss_to_parquet(src, out_dir)
+    except ValueError:
+        try:
+            import pyreadstat  # noqa: F401
+        except ImportError:
+            raise
+        df = pd.read_spss(src)
+        os.makedirs(out_dir, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False),
+            os.path.join(out_dir, "data-00000.parquet"),
+        )
+        return out_dir

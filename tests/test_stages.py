@@ -1447,3 +1447,146 @@ def test_stata_converter_and_magic_sniff(tmp_path):
     assert sniff_magic(str(sav)) == "spss"
     with _pytest.raises(ImportError, match="pyreadstat"):
         convert_spss_to_parquet(str(sav), str(tmp_path / "pq3"))
+
+
+def _sav_header(endian, compression, nominal, ncases, magic=b"$FL2",
+                bias=100.0):
+    import struct as st
+
+    return (
+        magic
+        + b"@(#) test product".ljust(60)
+        + st.pack(endian + "i", 2)
+        + st.pack(endian + "4i", nominal, compression, 0, ncases)
+        + st.pack(endian + "d", bias)
+        + b"01 Jan 26" + b"00:00:00" + b" " * 64 + b"\x00" * 3
+    )
+
+
+def _sav_var(endian, vtype, name):
+    import struct as st
+
+    return (
+        st.pack(endian + "i", 2)
+        + st.pack(endian + "3i", vtype, 0, 0)
+        + st.pack(endian + "2i", 0, 0)
+        + name.ljust(8).encode()
+    )
+
+
+def _sav_dict_tail(endian, longnames=None):
+    import struct as st
+
+    out = b""
+    if longnames:
+        data = longnames.encode()
+        out += st.pack(endian + "i", 7) + st.pack(
+            endian + "3i", 13, 1, len(data)
+        ) + data
+    out += st.pack(endian + "i", 999) + st.pack(endian + "i", 0)
+    return out
+
+
+def test_spss_native_reader_uncompressed(tmp_path):
+    """S11: hand-crafted uncompressed .sav (numeric + 8B string + 12B
+    string w/ continuation record + sysmis + long names) round-trips
+    through the native parser."""
+    import struct as st
+
+    from datamart_ray.sources.spss import SYSMIS, read_sav
+
+    e = "<"
+    # vars: X (numeric), S8 (string 8), S12 (string 12 → 2 elements)
+    dic = (
+        _sav_var(e, 0, "X")
+        + _sav_var(e, 8, "S8")
+        + _sav_var(e, 12, "S12")
+        + _sav_var(e, -1, "S12_1")  # continuation
+        + _sav_dict_tail(e, "X=score\tS12=comment")
+    )
+    rows = [
+        (1.5, b"alpha   ", b"hello world " + b" " * 4),
+        (SYSMIS, b"beta    ", b"bye         " + b" " * 4),
+    ]
+    data = b"".join(
+        st.pack(e + "d", x) + s8 + s12 for x, s8, s12 in rows
+    )
+    p = tmp_path / "t.sav"
+    p.write_bytes(_sav_header(e, 0, 4, 2) + dic + data)
+    t = read_sav(str(p))
+    assert t.column_names == ["score", "S8", "comment"]
+    assert t["score"].to_pylist() == [1.5, None]
+    assert t["S8"].to_pylist() == ["alpha", "beta"]
+    assert t["comment"].to_pylist() == ["hello world", "bye"]
+
+
+def test_spss_native_reader_bytecode_and_zsav(tmp_path):
+    """Bytecode RLE (bias-centered smalls, literal, spaces, sysmis, EOF)
+    and the zlib-blocked $FL3 container decode identically."""
+    import struct as st
+    import zlib
+
+    from datamart_ray.sources.spss import read_sav
+
+    e = "<"
+    dic = (
+        _sav_var(e, 0, "N")
+        + _sav_var(e, 8, "S")
+        + _sav_dict_tail(e)
+    )
+    # case 1: N=5 (cmd 105), S=literal "abc     "; case 2: N=sysmis,
+    # S=8 spaces; then EOF. 6 commands + 2 pads in one group.
+    cmds = bytes([105, 253, 255, 254, 252, 0, 0, 0])
+    payload = cmds + b"abc     "
+    p1 = tmp_path / "bc.sav"
+    p1.write_bytes(_sav_header(e, 1, 2, 2) + dic + payload)
+    t = read_sav(str(p1))
+    assert t["N"].to_pylist() == [5.0, None]
+    assert t["S"].to_pylist() == ["abc", ""]
+
+    # same payload through the $FL3 zlib block container
+    comp = zlib.compress(payload)
+    header = _sav_header(e, 2, 2, 2, magic=b"$FL3")
+    pre = header + dic
+    zheader_ofs = len(pre)
+    blocks_start = zheader_ofs + 24
+    ztrailer_ofs = blocks_start + len(comp)
+    trailer = st.pack(e + "qqii", 100, 0, 0x3FF000, 1) + st.pack(
+        e + "qqii", 0, blocks_start, len(payload), len(comp)
+    )
+    p2 = tmp_path / "bc.zsav"
+    p2.write_bytes(
+        pre
+        + st.pack(e + "3q", zheader_ofs, ztrailer_ofs, len(trailer))
+        + comp
+        + trailer
+    )
+    t2 = read_sav(str(p2))
+    assert t2.to_pydict() == t.to_pydict()
+
+
+def test_spss_big_endian_and_detect_route(tmp_path):
+    """Byte-order is detected from layout_code; detect_and_convert
+    routes an extensionless $FL2 file to the SPSS converter."""
+    import struct as st
+
+    import pyarrow.parquet as pq
+
+    from datamart_ray.sources.convert import detect_and_convert
+    from datamart_ray.sources.spss import read_sav
+    from datamart_ray.sources.stata import sniff_magic
+
+    e = ">"
+    dic = _sav_var(e, 0, "V") + _sav_dict_tail(e)
+    data = st.pack(e + "d", 7.25) + st.pack(e + "d", -2.0)
+    p = tmp_path / "be.sav"
+    raw = _sav_header(e, 0, 1, 2) + dic + data
+    p.write_bytes(raw)
+    assert read_sav(str(p))["V"].to_pylist() == [7.25, -2.0]
+
+    anon = tmp_path / "mystery"
+    anon.write_bytes(raw)
+    assert sniff_magic(str(anon)) == "spss"
+    out = detect_and_convert(str(anon), str(tmp_path / "pq"))
+    got = pq.read_table(out)
+    assert got["V"].to_pylist() == [7.25, -2.0]
