@@ -360,3 +360,33 @@ def test_posting_heap_multichunk_groups(tmp_path):
         assert got["term"].to_pylist() == [term] * len(pls), term
         assert got["docs"].to_pylist() == pls, term
     assert heap.chunks("zz_absent").num_rows == 0
+
+
+def test_posting_heap_reads_pre_nb_sidecar(tmp_path):
+    """Sidecars written before the multi-chunk fix lack the 'nb' batch
+    count column; PostingHeap must default it to 1 per group."""
+    import pyarrow as pa
+
+    from datamart_ray.index.heap import (
+        HEAP_IDX_FILE,
+        PostingHeap,
+        build_posting_heap,
+    )
+
+    t = pa.table(
+        {
+            "term": pa.array(["a", "a", "b", "c", "c", "c"]),
+            "first_docid": pa.array(range(6), type=pa.int64()),
+            "docs": pa.array([f"p{i}".encode() for i in range(6)]),
+        }
+    )
+    seg = str(tmp_path / "seg")
+    os.makedirs(seg)
+    build_posting_heap(seg, target_rows=2, _postings=t)
+    idx_path = os.path.join(seg, HEAP_IDX_FILE)
+    idx = pq.read_table(idx_path)
+    assert idx["nb"].to_pylist() == [1, 1, 1]
+    pq.write_table(idx.drop_columns(["nb"]), idx_path)  # legacy shape
+    heap = PostingHeap(seg, build=False)
+    assert heap.chunks("a")["docs"].to_pylist() == [b"p0", b"p1"]
+    assert heap.chunks("c")["docs"].to_pylist() == [b"p3", b"p4", b"p5"]
