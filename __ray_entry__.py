@@ -155,6 +155,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from datamart_ray.pipelines.joins import rj_acctbal_windows
 
     out["rj_interval_join"] = rj_acctbal_windows
+    # per-group top-k + exact group quantiles (NEW r3): map-side combined
+    # ranking/histogram partials — the shuffle never carries raw rows
+    from datamart_ray.pipelines.groupstats import (
+        quantity_quantiles_by_flag,
+        topk_docs_per_lang,
+    )
+
+    out["gs_topk_per_lang"] = topk_docs_per_lang
+    out["gs_group_quantiles"] = quantity_quantiles_by_flag
     out["mm_image_roundtrip"] = image_roundtrip_stats
     out["ag_join_orders_lineitem"] = ag_join_orders_lineitem
     out["ag_union_customer_supplier"] = ag_union_customer_supplier
@@ -224,10 +233,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     out["prof_lineitem"] = profile_lineitem
     out["prof_customer"] = lambda sf: profile_table(sf, "customer")
-    # ft_token_counts: untouched this round (the BPE fix is a different
-    # entry) and twice driver-witnessed — re-insert here to free its
-    # window slot for rj_interval_join
+    # ft_token_counts / q05 / q07: untouched this round (the BPE fix and
+    # the q02 planner are different entries) and twice driver-witnessed —
+    # re-insert here to free window slots for rj_interval_join and the
+    # new gs_* entries
     out["ft_token_counts"] = out.pop("ft_token_counts")
+    out["q05_distinct_users"] = out.pop("q05_distinct_users")
+    out["q07_filter_parts"] = out.pop("q07_filter_parts")
 
     from datamart_ray.pipelines.matching import (
         nearest_point_join,
@@ -410,6 +422,14 @@ def oracle_sql() -> dict[str, str]:
     from datamart_ray.pipelines.joins import RJ_WINDOWS_SQL
 
     out["rj_interval_join"] = RJ_WINDOWS_SQL
+
+    from datamart_ray.pipelines.groupstats import (
+        quantiles_sql,
+        topk_per_lang_sql,
+    )
+
+    out["gs_topk_per_lang"] = topk_per_lang_sql()
+    out["gs_group_quantiles"] = quantiles_sql()
 
     # ---- tail (outside the driver's 50-entry window; see queries()) ----
     from datamart_ray.pipelines.matching import nearest_sql, union_matches_sql
