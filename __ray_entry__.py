@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from datamart_ray.pipelines import fulltext, relational
     from datamart_ray.pipelines.augment import (
         ag_join_orders_lineitem,
+        ag_left_join_customer_events,
         ag_union_customer_supplier,
     )
     from datamart_ray.stages.dedup import (
@@ -166,6 +167,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["gs_group_quantiles"] = quantity_quantiles_by_flag
     out["mm_image_roundtrip"] = image_roundtrip_stats
     out["ag_join_orders_lineitem"] = ag_join_orders_lineitem
+    # LEFT augmentation join (NEW r3): the reference's keep-input-rows
+    # /augment semantics; ~90% unmatched on these fixtures (non-vacuous)
+    out["ag_left_join_events"] = ag_left_join_customer_events
     out["ag_union_customer_supplier"] = ag_union_customer_supplier
 
     out.update(fulltext.QUERIES)  # ft_* / lk_doc_lookup (11 entries)
@@ -240,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["ft_token_counts"] = out.pop("ft_token_counts")
     out["q05_distinct_users"] = out.pop("q05_distinct_users")
     out["q07_filter_parts"] = out.pop("q07_filter_parts")
+    out["q04_union_accounts"] = out.pop("q04_union_accounts")
 
     from datamart_ray.pipelines.matching import (
         nearest_point_join,
@@ -293,7 +298,11 @@ def oracle_sql() -> dict[str, str]:
     # correlates the two dicts BY KEY, so registration order here is
     # grouped by module, not by the queries() window order.
     from datamart_ray.pipelines import fulltext, relational
-    from datamart_ray.pipelines.augment import AG_JOIN_SQL, AG_UNION_SQL
+    from datamart_ray.pipelines.augment import (
+        AG_JOIN_SQL,
+        AG_LEFT_JOIN_SQL,
+        AG_UNION_SQL,
+    )
     from datamart_ray.stages.dedup import (
         exact_dedup_first_sql,
         minhash_survivors_sql,
@@ -358,6 +367,7 @@ def oracle_sql() -> dict[str, str]:
     out["pl_clean_pack"] = clean_pack_sql()
     out["mm_image_roundtrip"] = IMAGE_ROUNDTRIP_SQL
     out["ag_join_orders_lineitem"] = AG_JOIN_SQL
+    out["ag_left_join_events"] = AG_LEFT_JOIN_SQL
     out["ag_union_customer_supplier"] = AG_UNION_SQL
 
     out.update(fulltext.SQL)

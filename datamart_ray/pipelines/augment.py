@@ -36,6 +36,7 @@ def augment_join(
     left_on: str,
     right_on: str,
     sum_cols: dict[str, int],
+    how: str = "inner",
 ) -> tuple[rd.Dataset, dict]:
     """Left dataset + per-key aggregated companion: for each companion
     value column, emit count and an exact fixed-point sum (scale from
@@ -64,7 +65,7 @@ def augment_join(
     aggs.append(Sum("n_rows", alias_name="n_rows"))
     agg_right = agg_right.groupby(right_on).aggregate(*aggs)
     joined = hash_join(
-        left, agg_right, left_on=left_on, right_on=right_on, how="inner"
+        left, agg_right, left_on=left_on, right_on=right_on, how=how
     )
     info = {
         "type": "join",
@@ -148,6 +149,55 @@ def ag_join_orders_lineitem(sf_dir: str) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def ag_left_join_customer_events(sf_dir: str) -> pd.DataFrame:
+    """LEFT augmentation join — the reference's actual /augment
+    semantics (augmentation.py's join keeps every INPUT row whether or
+    not companion data matched): customer rows augmented with per-user
+    event aggregates; ~90% of customers have no events on these
+    fixtures, so the null path is exercised non-vacuously. Unmatched
+    aggregates surface as count 0 / sum NULL, matching the SQL twin's
+    LEFT JOIN + COALESCE(count)."""
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+    joined, info = augment_join(
+        customer,
+        events,
+        left_on="c_custkey",
+        right_on="user_id",
+        sum_cols={"value": 100},
+        how="left",
+    )
+    assert info["type"] == "join"
+    out = joined.to_pandas()
+    out = out.rename(columns={"value_u": "sum_value_u"})
+    out["n_rows"] = out["n_rows"].fillna(0).astype("int64")
+    # sum stays NULL for unmatched customers (pandas nullable int)
+    out["sum_value_u"] = out["sum_value_u"].astype("Int64")
+    out = out[["c_custkey", "c_nationkey", "n_rows", "sum_value_u"]]
+    for c in ("c_custkey", "c_nationkey"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+AG_LEFT_JOIN_SQL = """
+    SELECT c_custkey, c_nationkey,
+           COALESCE(e.n_rows, 0) AS n_rows,
+           e.sum_value_u
+    FROM customer LEFT JOIN (
+        SELECT user_id,
+               count(*) AS n_rows,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_value_u
+        FROM events GROUP BY user_id
+    ) e ON e.user_id = c_custkey
+    ORDER BY c_custkey
+"""
 
 
 AG_JOIN_SQL = """
