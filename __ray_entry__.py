@@ -165,6 +165,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     out["gs_topk_per_lang"] = topk_docs_per_lang
     out["gs_group_quantiles"] = quantity_quantiles_by_flag
+    # HyperLogLog approximate distinct (NEW r3) — ROWS-ONLY entry: an
+    # HLL estimate is not SQL-matchable (DuckDB's approx_count_distinct
+    # is a different sketch); the error bound (<5% vs exact), merge
+    # associativity and distributed==scalar bit-determinism are gated
+    # in pytest (test_stages.py::test_hll_*)
+    from datamart_ray.stages.sketches import hll_distinct_users
+
+    out["sk_hll_distinct_users"] = hll_distinct_users
     out["mm_image_roundtrip"] = image_roundtrip_stats
     out["ag_join_orders_lineitem"] = ag_join_orders_lineitem
     # LEFT augmentation join (NEW r3): the reference's keep-input-rows
@@ -245,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["q05_distinct_users"] = out.pop("q05_distinct_users")
     out["q07_filter_parts"] = out.pop("q07_filter_parts")
     out["q04_union_accounts"] = out.pop("q04_union_accounts")
+    out["q06_daily_event_rollup"] = out.pop("q06_daily_event_rollup")
 
     from datamart_ray.pipelines.matching import (
         nearest_point_join,

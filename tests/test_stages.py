@@ -1590,3 +1590,58 @@ def test_spss_big_endian_and_detect_route(tmp_path):
     out = detect_and_convert(str(anon), str(tmp_path / "pq"))
     got = pq.read_table(out)
     assert got["V"].to_pylist() == [7.25, -2.0]
+
+
+def test_hll_error_bound_and_merge_invariance():
+    """HLL: estimate within 5% of truth at several cardinalities, and
+    register merge is associative/layout-independent (bit-identical
+    registers for any block split of the same values)."""
+    from datamart_ray.stages.sketches import (
+        hll_estimate,
+        hll_fold,
+    )
+
+    rng = np.random.RandomState(11)
+    for n in (100, 5_000, 200_000):
+        vals = rng.randint(0, 2**62, size=n).astype(np.uint64)
+        exact = len(np.unique(vals))
+        est = hll_estimate(hll_fold(vals))
+        assert abs(est - exact) / exact < 0.05, (n, est, exact)
+        whole = hll_fold(vals)
+        for cuts in (3, 7):
+            parts = np.array_split(vals, cuts)
+            merged = np.zeros_like(whole)
+            for part in parts:
+                merged = np.maximum(merged, hll_fold(part))
+            assert np.array_equal(merged, whole), cuts
+
+
+def test_hll_distinct_users_entry(ray_session):
+    """The distributed fold equals the scalar fold on the same values,
+    and the entry's estimate lands within 5% of the exact distinct."""
+    import duckdb
+
+    from datamart_ray.stages.sketches import (
+        hll_distinct_users,
+        hll_estimate,
+        hll_fold,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = hll_distinct_users(sf)
+    assert list(out.columns) == ["column", "hll_p", "estimate", "regs_sum"]
+    exact = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM "
+        f"read_parquet('{sf}/events.parquet')"
+    ).fetchone()[0]
+    est = int(out["estimate"].iloc[0])
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+    # scalar reference on the full column
+    import pyarrow.parquet as pq
+
+    vals = (
+        pq.read_table(f"{sf}/events.parquet", columns=["user_id"])
+        ["user_id"].to_numpy().astype(np.int64).view(np.uint64)
+    )
+    scalar_est = int(round(hll_estimate(hll_fold(vals))))
+    assert est == scalar_est  # distributed == scalar, bit-deterministic
