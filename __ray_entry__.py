@@ -159,12 +159,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # per-group top-k + exact group quantiles (NEW r3): map-side combined
     # ranking/histogram partials — the shuffle never carries raw rows
     from datamart_ray.pipelines.groupstats import (
+        histogram_quantiles_by_status,
         quantity_quantiles_by_flag,
         topk_docs_per_lang,
     )
 
     out["gs_topk_per_lang"] = topk_docs_per_lang
     out["gs_group_quantiles"] = quantity_quantiles_by_flag
+    out["gs_hist_quantiles"] = histogram_quantiles_by_status
     # HyperLogLog approximate distinct (NEW r3) — ROWS-ONLY entry: an
     # HLL estimate is not SQL-matchable (DuckDB's approx_count_distinct
     # is a different sketch); the error bound (<5% vs exact), merge
@@ -254,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["q07_filter_parts"] = out.pop("q07_filter_parts")
     out["q04_union_accounts"] = out.pop("q04_union_accounts")
     out["q06_daily_event_rollup"] = out.pop("q06_daily_event_rollup")
+    out["q03_topk_orders"] = out.pop("q03_topk_orders")
 
     from datamart_ray.pipelines.matching import (
         nearest_point_join,
@@ -443,12 +446,14 @@ def oracle_sql() -> dict[str, str]:
     out["rj_interval_join"] = RJ_WINDOWS_SQL
 
     from datamart_ray.pipelines.groupstats import (
+        hist_quantiles_sql,
         quantiles_sql,
         topk_per_lang_sql,
     )
 
     out["gs_topk_per_lang"] = topk_per_lang_sql()
     out["gs_group_quantiles"] = quantiles_sql()
+    out["gs_hist_quantiles"] = hist_quantiles_sql()
 
     # ---- tail (outside the driver's 50-entry window; see queries()) ----
     from datamart_ray.pipelines.matching import nearest_sql, union_matches_sql

@@ -153,3 +153,109 @@ def quantiles_sql(qs: tuple[float, ...] = QUANTS) -> str:
     SELECT l_returnflag, {cols}
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """
+
+
+HIST_BINS = 10_000
+HIST_QUANTS = (0.5, 0.99)
+
+
+def histogram_quantiles_by_status(
+    sf_dir: str,
+    nbins: int = HIST_BINS,
+    qs: tuple[float, ...] = HIST_QUANTS,
+) -> pd.DataFrame:
+    """ε-approximate group quantiles over an UNBOUNDED value domain
+    (l_extendedprice): pass 1 aggregates global min/max; pass 2 folds
+    each batch into per-group fixed-bin COUNT partials; the per-group
+    pick is a cumsum over ≤nbins rows. Error ≤ one bin width
+    ((max-min)/nbins) regardless of corpus size — the promised scale
+    path when per-group distinct counts are unbounded. The reported
+    value is the chosen bin's LOWER EDGE via the identical IEEE
+    sequence (min + bin·w) on both sides, so the DuckDB twin matches
+    bit-exactly."""
+    ensure_fast_shuffle()
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_linestatus", "l_extendedprice"],
+    )
+    import ray.data.aggregate as agg
+
+    stats = ds.aggregate(
+        agg.Min("l_extendedprice"), agg.Max("l_extendedprice")
+    )
+    mn = float(stats["min(l_extendedprice)"])
+    mx = float(stats["max(l_extendedprice)"])
+    w = (mx - mn) / float(nbins)
+
+    def counts(t: pa.Table) -> pd.DataFrame:
+        x = t["l_extendedprice"].to_numpy()
+        bins = np.minimum(
+            np.floor((x - mn) / w).astype(np.int64), nbins - 1
+        )
+        df = pd.DataFrame(
+            {
+                "l_linestatus": t["l_linestatus"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "bin": bins,
+            }
+        )
+        return (
+            df.groupby(["l_linestatus", "bin"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        by_bin = df.groupby("bin")["n"].sum().sort_index()
+        bins = by_bin.index.to_numpy()
+        cum = np.cumsum(by_bin.to_numpy())
+        tot = int(cum[-1])
+        out = {"l_linestatus": [df["l_linestatus"].iloc[0]]}
+        for q in qs:
+            target = int(np.ceil(q * tot))
+            b = int(bins[np.searchsorted(cum, max(target, 1))])
+            out[f"p{int(q * 100)}_lo"] = [mn + b * w]
+        return pd.DataFrame(out)
+
+    out = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby("l_linestatus")
+        .map_groups(finish, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("l_linestatus").reset_index(drop=True)
+
+
+def hist_quantiles_sql(
+    nbins: int = HIST_BINS, qs: tuple[float, ...] = HIST_QUANTS
+) -> str:
+    picks = ", ".join(
+        f"mn + MIN(CASE WHEN cum >= CAST(ceil({q} * tot) AS BIGINT) "
+        f"THEN bin END) * w AS p{int(q * 100)}_lo"
+        for q in qs
+    )
+    return f"""
+    WITH stats AS (
+        SELECT min(l_extendedprice) AS mn,
+               (max(l_extendedprice) - min(l_extendedprice))
+                   / CAST({nbins} AS DOUBLE) AS w
+        FROM lineitem
+    ),
+    binned AS (
+        SELECT l_linestatus,
+               LEAST(CAST(floor((l_extendedprice - mn) / w) AS BIGINT),
+                     {nbins - 1}) AS bin,
+               count(*) AS n
+        FROM lineitem, stats GROUP BY 1, 2
+    ),
+    cums AS (
+        SELECT l_linestatus, bin, mn, w,
+               sum(n) OVER (PARTITION BY l_linestatus ORDER BY bin)
+                   AS cum,
+               sum(n) OVER (PARTITION BY l_linestatus) AS tot
+        FROM binned, stats
+    )
+    SELECT l_linestatus, {picks}
+    FROM cums GROUP BY l_linestatus, mn, w ORDER BY l_linestatus
+    """
