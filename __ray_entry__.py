@@ -186,17 +186,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # heap-served (giant-segment lazy/mmap) BM25 — NEW this round, must
     # sit inside the 50-entry window; same DuckDB twin as ft_bm25_topk
     out["ft_bm25_lazy_topk"] = fulltext.ft_bm25_lazy_topk
-    out["ts_langid_breakdown"] = langid_breakdown
 
     # prof_untyped (manual-annotation hook) and sc_json_extract
     # (rounding fix) both CHANGED this round → inside the window;
-    # prof_lineitem/prof_customer are unchanged and driver-witnessed
-    # green in r1 AND r2 → demoted to the tail
+    # ft_phrase_topk (positional index + match_phrase, NEW) arrives via
+    # fulltext.QUERIES above. prof_lineitem/prof_customer and
+    # ts_langid_breakdown are unchanged and driver-witnessed green in
+    # r1 AND r2 → demoted to the tail
     from datamart_ray.pipelines.scalars import json_extract_rollup
     from datamart_ray.pipelines.untyped import profile_untyped
 
     out["prof_untyped"] = profile_untyped
     out["sc_json_extract"] = json_extract_rollup
+    out["ts_langid_breakdown"] = langid_breakdown
 
     # (tx_containment registered EARLY, inside the 50-entry window)
 

@@ -72,6 +72,12 @@ POSTINGS_SCHEMA = pa.schema(
     ]
 )
 
+# positional layout (IndexConfig.positions): one extra binary column per
+# chunk — the concatenation, in docID order, of each doc's varbyte
+# delta-encoded in-document token positions (per-doc boundaries = the tf
+# values, so no extra length column is needed)
+POSTINGS_SCHEMA_POS = POSTINGS_SCHEMA.append(pa.field("pos", pa.binary()))
+
 
 @dataclass(frozen=True)
 class IndexConfig:
@@ -100,6 +106,20 @@ class IndexConfig:
     # query time stays a concat (readers also re-sort defensively).
     # 0 disables salting (a term maps to exactly one bucket).
     salt_window: int = 0
+    # Positional postings (phrase queries): each chunk row carries a
+    # ``pos`` blob — varbyte delta-encoded in-doc token positions, one
+    # stream per doc, boundaries given by the tfs. ~1 extra byte per
+    # token occurrence; OFF by default so the headline build pays
+    # nothing. Incompatible with salt_window (a phrase match needs each
+    # term's postings in one docID-ordered run per segment bucket).
+    positions: bool = False
+
+    def __post_init__(self):
+        if self.positions and self.salt_window:
+            raise ValueError(
+                "positions=True is incompatible with salt_window>0 — use "
+                "shuffle='sort' for skewed positional builds"
+            )
 
     def to_json(self) -> dict:
         return {
@@ -115,6 +135,7 @@ class IndexConfig:
             "id_col": self.id_col,
             "meta_cols": list(self.meta_cols),
             "chunk_docs": self.chunk_docs,
+            "positions": self.positions,
         }
 
     @staticmethod
@@ -131,6 +152,7 @@ class IndexConfig:
             id_col=obj.get("id_col"),
             meta_cols=tuple(obj.get("meta_cols", ())),
             chunk_docs=int(obj.get("chunk_docs", 4096)),
+            positions=bool(obj.get("positions", False)),
         )
 
 
@@ -234,6 +256,7 @@ class _TokenizeSpec:
         self.content_col = config_json["content_col"]
         self.id_col = config_json["id_col"]
         self.meta_cols = config_json["meta_cols"]
+        self.positions = bool(config_json.get("positions", False))
         self.docmeta_dir = docmeta_dir
 
     def __call__(self, batch: pa.Table):
@@ -250,7 +273,12 @@ class _TokenizeSpec:
             for rg in range(spec["rg_start"], spec["rg_end"] + 1):
                 t = pf.read_row_group(rg, columns=want)
                 content = t[self.content_col]
-                tf_table, doclens = self.analyzer.term_frequencies(content)
+                if self.positions:
+                    tf_table, doclens = self.analyzer.term_positions(content)
+                else:
+                    tf_table, doclens = self.analyzer.term_frequencies(
+                        content
+                    )
                 if self.id_col:
                     ids = pc.cast(t[self.id_col], pa.int64()).combine_chunks()
                     ids_np = ids.to_numpy(zero_copy_only=False)
@@ -258,15 +286,14 @@ class _TokenizeSpec:
                     ids_np = rg_base + np.arange(t.num_rows, dtype=np.int64)
                     ids = pa.array(ids_np, type=pa.int64())
                 row_idx = tf_table["row_idx"].to_numpy(zero_copy_only=False)
-                triples = pa.table(
-                    {
-                        "term": tf_table["term"],
-                        "doc_id": pa.array(
-                            ids_np[row_idx], type=pa.int64()
-                        ),
-                        "tf": pc.cast(tf_table["tf"], pa.int32()),
-                    }
-                )
+                cols = {
+                    "term": tf_table["term"],
+                    "doc_id": pa.array(ids_np[row_idx], type=pa.int64()),
+                    "tf": pc.cast(tf_table["tf"], pa.int32()),
+                }
+                if self.positions:
+                    cols["pos"] = tf_table["pos"]
+                triples = pa.table(cols)
                 # docmeta partition rows
                 shas = [
                     hashlib.sha256(
@@ -299,16 +326,24 @@ class _TokenizeSpec:
 # ----------------------------------------------------------------------
 
 class _BuildChunks:
-    def __init__(self, chunk_docs: int):
+    def __init__(self, chunk_docs: int, positions: bool = False):
         self.chunk_docs = chunk_docs
+        self.positions = positions
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
-            return POSTINGS_SCHEMA.empty_table()
+            return (
+                POSTINGS_SCHEMA_POS if self.positions else POSTINGS_SCHEMA
+            ).empty_table()
         terms = batch["term"].combine_chunks()
         doc = batch["doc_id"].to_numpy()
         tf = batch["tf"].to_numpy()
+        pos_np = (
+            batch["pos"].to_numpy(zero_copy_only=False)
+            if self.positions
+            else None
+        )
         if n > 1:
             neq = pc.not_equal(terms.slice(1), terms.slice(0, n - 1))
             bounds = np.flatnonzero(
@@ -320,6 +355,7 @@ class _BuildChunks:
         ends = np.concatenate((bounds, [n]))
         out_term, out_first, out_last = [], [], []
         out_df, out_maxtf, out_docs, out_tfs = [], [], [], []
+        out_pos: list[bytes] = []
         C = self.chunk_docs
         for s, e in zip(starts, ends):
             t_val = terms[int(s)].as_py()
@@ -334,17 +370,20 @@ class _BuildChunks:
                 out_maxtf.append(int(f.max()))
                 out_docs.append(codec.encode_docids(d))
                 out_tfs.append(codec.pack_ints(f))
-        return pa.table(
-            {
-                "term": pa.array(out_term, type=pa.string()),
-                "first_docid": pa.array(out_first, type=pa.int64()),
-                "last_docid": pa.array(out_last, type=pa.int64()),
-                "df": pa.array(out_df, type=pa.int32()),
-                "max_tf": pa.array(out_maxtf, type=pa.int32()),
-                "docs": pa.array(out_docs, type=pa.binary()),
-                "tfs": pa.array(out_tfs, type=pa.binary()),
-            }
-        )
+                if pos_np is not None:
+                    out_pos.append(b"".join(pos_np[off:hi]))
+        cols = {
+            "term": pa.array(out_term, type=pa.string()),
+            "first_docid": pa.array(out_first, type=pa.int64()),
+            "last_docid": pa.array(out_last, type=pa.int64()),
+            "df": pa.array(out_df, type=pa.int32()),
+            "max_tf": pa.array(out_maxtf, type=pa.int32()),
+            "docs": pa.array(out_docs, type=pa.binary()),
+            "tfs": pa.array(out_tfs, type=pa.binary()),
+        }
+        if pos_np is not None:
+            cols["pos"] = pa.array(out_pos, type=pa.binary())
+        return pa.table(cols)
 
 
 # ----------------------------------------------------------------------
@@ -401,14 +440,14 @@ def build_segment(
     if config.shuffle == "sort":
         sorted_triples = triples.sort(["term", "doc_id"])
         chunks = sorted_triples.map_batches(
-            _BuildChunks(config.chunk_docs),
+            _BuildChunks(config.chunk_docs, positions=config.positions),
             batch_size=None,
             batch_format="pyarrow",
             num_cpus=1,
         )
     else:
         B = config.num_buckets or max(32, 4 * _cpus())
-        chunker = _BuildChunks(config.chunk_docs)
+        chunker = _BuildChunks(config.chunk_docs, positions=config.positions)
         salt_w = config.salt_window
 
         def add_bucket(t: pa.Table) -> pa.Table:

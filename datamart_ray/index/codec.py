@@ -88,6 +88,80 @@ def unpack_ints(buf: bytes) -> np.ndarray:
     return np.frombuffer(buf, dtype=_PACK_DTYPES[code], offset=1)
 
 
+def varbyte_encode_grouped(
+    values: np.ndarray, group_offsets: np.ndarray
+) -> "pa.BinaryArray":
+    """Varbyte-encode `values` once and slice the byte stream into one
+    binary cell per group (groups delimited by `group_offsets`, length
+    n_groups+1) — the vectorized builder for per-(term,doc) position
+    blobs. No per-group Python: one encode pass over all values, then the
+    group byte boundaries index straight into the shared buffer via
+    ``BinaryArray.from_buffers`` (zero-copy)."""
+    import pyarrow as pa
+
+    go = np.ascontiguousarray(group_offsets, dtype=np.int64)
+    n_groups = int(go.size - 1)
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return pa.array([b""] * n_groups, type=pa.binary())
+    nbytes = np.ones(a.size, dtype=np.int64)
+    for t in _VB_THRESHOLDS:
+        nbytes += a >= t
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    total = int(ends[-1])
+    if total >= (1 << 31):  # binary offsets are int32
+        raise ValueError(
+            f"grouped varbyte stream too large for one batch ({total} B);"
+            " reduce batch size"
+        )
+    out = np.zeros(total, dtype=np.uint8)
+    for j in range(int(nbytes.max())):
+        mask = nbytes > j
+        chunk = (a[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        more = (nbytes[mask] - 1) > j
+        out[starts[mask] + j] = chunk.astype(np.uint8) | (
+            more.astype(np.uint8) << 7
+        )
+    cum = np.concatenate(([0], ends))
+    byte_offsets = cum[go].astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(),
+        n_groups,
+        [
+            None,
+            pa.py_buffer(byte_offsets.tobytes()),
+            pa.py_buffer(out.tobytes()),
+        ],
+    )
+
+
+def decode_grouped_positions(buf: bytes, counts: np.ndarray) -> np.ndarray:
+    """Inverse of the per-group delta encoding used for position blobs:
+    `buf` is a concatenation of per-group varbyte delta streams, `counts`
+    gives the number of positions in each group (= tf per doc). Returns
+    the flat absolute positions (int64), groups back-to-back in order.
+
+    Each group's first delta is its absolute first position, so the
+    global cumsum minus the running total at each group start restores
+    absolutes without a per-group loop."""
+    deltas = varbyte_decode(buf).astype(np.int64)
+    c = np.ascontiguousarray(counts, dtype=np.int64)
+    if deltas.size != int(c.sum()):
+        raise ValueError(
+            f"position blob has {deltas.size} values, counts sum to "
+            f"{int(c.sum())}"
+        )
+    if deltas.size == 0:
+        return deltas
+    run = np.cumsum(deltas)
+    starts = np.concatenate(([0], np.cumsum(c)))[:-1]
+    adj = np.zeros(c.size, dtype=np.int64)
+    nz = starts > 0
+    adj[nz] = run[starts[nz] - 1]
+    return run - np.repeat(adj, c)
+
+
 def encode_docids(docids: np.ndarray) -> bytes:
     """Delta + varbyte encode a sorted array of docIDs."""
     a = np.ascontiguousarray(docids, dtype=np.int64)

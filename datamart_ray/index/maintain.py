@@ -145,7 +145,11 @@ def compact_segments(
     import ray.data as rd
 
     from datamart_ray.index import codec
-    from datamart_ray.index.build import POSTINGS_SCHEMA, _BuildChunks
+    from datamart_ray.index.build import (
+        POSTINGS_SCHEMA,
+        POSTINGS_SCHEMA_POS,
+        _BuildChunks,
+    )
     from datamart_ray.index.manifest import commit_segment_dir
     from datamart_ray.util import ensure_fast_shuffle
 
@@ -192,7 +196,9 @@ def compact_segments(
     # delete/compact cycles chunk sizes fragment below chunk_docs —
     # ``rechunk=True`` runs the full explode → groupby(term) → rebuild
     # instead (the Lucene-style merge).
-    chunker = _BuildChunks(config.chunk_docs)
+    chunker = _BuildChunks(config.chunk_docs, positions=config.positions)
+    has_pos = config.positions
+    schema = POSTINGS_SCHEMA_POS if has_pos else POSTINGS_SCHEMA
 
     def strip_chunks(t: pa.Table) -> pa.Table:
         tl = np.asarray(tombs_list, dtype=np.int64)
@@ -208,10 +214,11 @@ def compact_segments(
         if not dirty.any():
             return clean
         d = t.filter(pa.array(dirty))
-        rows = {c: [] for c in POSTINGS_SCHEMA.names}
+        rows = {c: [] for c in schema.names}
         terms = d["term"].to_pylist()
         docs_col = d["docs"].to_pylist()
         tfs_col = d["tfs"].to_pylist()
+        pos_col = d["pos"].to_pylist() if has_pos else None
         for i in range(d.num_rows):  # dirty chunks only
             docs = codec.decode_docids(docs_col[i])
             tfs = codec.unpack_ints(tfs_col[i]).astype(np.int64)
@@ -219,9 +226,23 @@ def compact_segments(
             ok = np.ones(docs.size, dtype=bool)
             inr = pos < tl.size
             ok[inr] = tl[pos[inr]] != docs[inr]
+            new_blob = b""
+            if has_pos and ok.any():
+                # split the chunk position blob by tf, drop deleted
+                # docs' streams, re-encode with per-doc delta resets
+                flat = codec.decode_grouped_positions(pos_col[i], tfs)
+                flat = flat[np.repeat(ok, tfs)]
+                new_tfs = tfs[ok]
+                deltas = flat.copy()
+                deltas[1:] -= flat[:-1]
+                gs = np.concatenate(([0], np.cumsum(new_tfs)))[:-1]
+                deltas[gs] = flat[gs]
+                new_blob = codec.varbyte_encode(deltas)
             docs, tfs = docs[ok], tfs[ok]
             if docs.size == 0:
                 continue
+            if has_pos:
+                rows["pos"].append(new_blob)
             rows["term"].append(terms[i])
             rows["first_docid"].append(int(docs[0]))
             rows["last_docid"].append(int(docs[-1]))
@@ -231,25 +252,38 @@ def compact_segments(
             rows["tfs"].append(codec.pack_ints(tfs))
         stripped = pa.table(
             {
-                name: pa.array(rows[name], type=POSTINGS_SCHEMA.field(name).type)
-                for name in POSTINGS_SCHEMA.names
+                name: pa.array(rows[name], type=schema.field(name).type)
+                for name in schema.names
             }
         )
         return pa.concat_tables([clean, stripped])
 
     def strip_and_explode(t: pa.Table) -> pa.Table:
-        """rechunk path: decode, drop deleted docs, re-emit triples."""
+        """rechunk path: decode, drop deleted docs, re-emit triples
+        (per-(term,doc) position cells ride along when positional)."""
         tl = np.asarray(tombs_list, dtype=np.int64)
-        terms_out, docs_out, tfs_out = [], [], []
+        terms_out, docs_out, tfs_out, pos_out = [], [], [], []
         for row in t.to_pylist():
             docs = codec.decode_docids(row["docs"])
             tfs = codec.unpack_ints(row["tfs"]).astype(np.int64)
+            ok = np.ones(docs.size, dtype=bool)
             if tl.size:
                 pos = np.searchsorted(tl, docs)
-                ok = np.ones(docs.size, dtype=bool)
                 inr = pos < tl.size
                 ok[inr] = tl[pos[inr]] != docs[inr]
-                docs, tfs = docs[ok], tfs[ok]
+            if has_pos:
+                flat = codec.decode_grouped_positions(row["pos"], tfs)
+                flat = flat[np.repeat(ok, tfs)]
+                new_tfs = tfs[ok]
+                if flat.size:
+                    deltas = flat.copy()
+                    deltas[1:] -= flat[:-1]
+                    offs = np.concatenate(([0], np.cumsum(new_tfs)))
+                    deltas[offs[:-1]] = flat[offs[:-1]]
+                    pos_out.append(
+                        codec.varbyte_encode_grouped(deltas, offs)
+                    )
+            docs, tfs = docs[ok], tfs[ok]
             if docs.size == 0:
                 continue
             terms_out.append(
@@ -258,24 +292,30 @@ def compact_segments(
             docs_out.append(docs)
             tfs_out.append(tfs)
         if not terms_out:
-            return pa.table(
-                {
-                    "term": pa.array([], type=pa.string()),
-                    "doc_id": pa.array([], type=pa.int64()),
-                    "tf": pa.array([], type=pa.int32()),
-                }
-            )
-        return pa.table(
-            {
-                "term": pa.array(
-                    np.concatenate(terms_out), type=pa.string()
-                ),
-                "doc_id": pa.array(np.concatenate(docs_out)),
-                "tf": pa.array(
-                    np.concatenate(tfs_out).astype(np.int32)
-                ),
+            cols = {
+                "term": pa.array([], type=pa.string()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "tf": pa.array([], type=pa.int32()),
             }
-        )
+            if has_pos:
+                cols["pos"] = pa.array([], type=pa.binary())
+            return pa.table(cols)
+        cols = {
+            "term": pa.array(
+                np.concatenate(terms_out), type=pa.string()
+            ),
+            "doc_id": pa.array(np.concatenate(docs_out)),
+            "tf": pa.array(
+                np.concatenate(tfs_out).astype(np.int32)
+            ),
+        }
+        if has_pos:
+            cols["pos"] = (
+                pa.concat_arrays(pos_out)
+                if len(pos_out) > 1
+                else pos_out[0]
+            )
+        return pa.table(cols)
 
     def rebuild(t: pa.Table) -> pa.Table:
         t = t.sort_by([("term", "ascending"), ("doc_id", "ascending")])

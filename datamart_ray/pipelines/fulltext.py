@@ -31,9 +31,11 @@ from datamart_ray.search.engine import SearchEngine
 ANALYZER = Analyzer()  # lowercase + [a-z0-9]+ — SQL-reproducible
 BM25_QUERY = "window hash join"
 BM25_FILTER_QUERY = "batch stream"
+PHRASE_QUERY = "window join"  # consecutive-token match, non-vacuous at all sf
 BM25_K = 10
 
 _ENGINES: dict[str, SearchEngine] = {}
+_POS_ENGINES: dict[str, SearchEngine] = {}
 
 
 def _docs_path(sf_dir: str) -> str:
@@ -62,6 +64,32 @@ def get_engine(sf_dir: str) -> SearchEngine:
     build_index(src, index_dir, cfg)
     eng = SearchEngine(index_dir)
     _ENGINES[sf_dir] = eng
+    return eng
+
+
+def get_pos_engine(sf_dir: str) -> SearchEngine:
+    """Positional-index engine for phrase queries — a SEPARATE on-disk
+    index (suffix ``-pos``) so the headline non-positional build keeps
+    its size and throughput; built once per corpus and cached like
+    :func:`get_engine`."""
+    sf_dir = os.path.abspath(sf_dir)
+    if sf_dir in _POS_ENGINES:
+        return _POS_ENGINES[sf_dir]
+    src = _docs_path(sf_dir)
+    key = hashlib.sha1(
+        f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}:pos".encode()
+    ).hexdigest()[:12]
+    index_dir = f"/tmp/datamart_ray_idx/{key}"
+    cfg = IndexConfig(
+        analyzer=ANALYZER,
+        content_col="text",
+        id_col="doc_id",
+        meta_cols=("lang", "source"),
+        positions=True,
+    )
+    build_index(src, index_dir, cfg)
+    eng = SearchEngine(index_dir, lazy=False)
+    _POS_ENGINES[sf_dir] = eng
     return eng
 
 
@@ -151,6 +179,56 @@ def ft_bm25_topk(sf_dir: str) -> pd.DataFrame:
     out = t.to_pandas()
     out["score"] = round_away(out["score"], 4)
     return out
+
+
+def ft_phrase_topk(sf_dir: str) -> pd.DataFrame:
+    """match_phrase BM25 top-k through the positional index: docs where
+    the query tokens appear CONSECUTIVELY, tf = phrase start positions
+    (overlapping count), idf from the phrase df — the ES ``match_phrase``
+    analog the reference's text search exposes (SURVEY §2.6 K1 family).
+    The DuckDB twin computes the identical positional intersection with
+    a lateral UNNEST over token indices."""
+    eng = get_pos_engine(sf_dir)
+    t = eng.phrase_search(PHRASE_QUERY, k=BM25_K)
+    out = t.to_pandas()
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
+def _phrase_sql(phrase: str, k: int) -> str:
+    terms = ANALYZER.tokenize(phrase)
+    m = len(terms)
+    conds = " AND ".join(
+        f"ts[i+{j + 1}] = '{t}'" for j, t in enumerate(terms)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {ANALYZER.sql_tokens_expr('text')} AS ts
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id, count(*)::DOUBLE AS ptf
+            FROM toks,
+                 UNNEST(range(0, greatest(len(ts) - {m - 1}, 0))) AS r(i)
+            WHERE {conds}
+            GROUP BY doc_id
+        ),
+        dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM toks),
+        stats AS (
+            SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                   (SELECT sum(dl) FROM dl)
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl,
+                   (SELECT count(*) FROM m)::DOUBLE AS df
+        )
+        SELECT m.doc_id,
+               ROUND(ln(1 + (s.n - s.df + 0.5) / (s.df + 0.5))
+                     * m.ptf * (1.2 + 1)
+                     / (m.ptf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)),
+                     4) AS score
+        FROM m JOIN dl USING (doc_id) CROSS JOIN stats s
+        ORDER BY score DESC, doc_id
+        LIMIT {k}
+    """
 
 
 def ft_bm25_lazy_topk(sf_dir: str) -> pd.DataFrame:
@@ -365,6 +443,7 @@ def build_sql() -> dict[str, str]:
             ORDER BY df DESC, term LIMIT 20
         """,
         "ft_bm25_topk": _bm25_sql(BM25_QUERY, BM25_K),
+        "ft_phrase_topk": _phrase_sql(PHRASE_QUERY, BM25_K),
         "ft_bm25_or_topk": _bm25_sql(BM25_QUERY, BM25_K, mode_or=True),
         "ft_bm25_dist_topk": _bm25_sql(BM25_QUERY, BM25_K),
         "ft_bm25_lang_filter": _bm25_sql(BM25_FILTER_QUERY, BM25_K, lang="en"),
@@ -473,6 +552,7 @@ QUERIES = {
     "ft_delta_df_top_terms": ft_delta_df_top_terms,
     "ft_df_top_terms": ft_df_top_terms,
     "ft_bm25_topk": ft_bm25_topk,
+    "ft_phrase_topk": ft_phrase_topk,
     "ft_bm25_or_topk": ft_bm25_or_topk,
     "ft_bm25_dist_topk": ft_bm25_dist_topk,
     "ft_bm25_lang_filter": ft_bm25_lang_filter,

@@ -357,6 +357,69 @@ def _score_segment(
     return all_docs[hit], scores[hit]
 
 
+def _phrase_match_segment(
+    reader: SegmentReader, terms: list[str]
+) -> tuple[np.ndarray, np.ndarray]:
+    """(docids, phrase_tf) of every doc in one segment containing the
+    token sequence `terms` consecutively (overlapping occurrences count,
+    matching the positional-intersection definition: position i matches
+    when term j sits at i+j for all j).
+
+    Requires a positional index (IndexConfig.positions). Works on
+    (docID, position) keys packed into uint64 — docID<<32 | pos — so the
+    m-way intersection is m-1 sorted searchsorted passes over arrays no
+    larger than the rarest term's occurrence count."""
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    per_slot: list[np.ndarray] = []
+    for j, term in enumerate(terms):
+        if reader.df(term) == 0:
+            return empty
+        tbl = reader.postings_chunks(term)
+        if "pos" not in tbl.column_names:
+            raise ValueError(
+                "phrase_search needs a positional index — rebuild with "
+                "IndexConfig(positions=True)"
+            )
+        order = np.argsort(tbl["first_docid"].to_numpy(), kind="stable")
+        docs_parts, pos_parts = [], []
+        docs_col = tbl["docs"].to_pylist()
+        tfs_col = tbl["tfs"].to_pylist()
+        pos_col = tbl["pos"].to_pylist()
+        for i in order:
+            docs = codec.decode_docids(docs_col[i])
+            tfs = codec.unpack_ints(tfs_col[i]).astype(np.int64)
+            pos = codec.decode_grouped_positions(pos_col[i], tfs)
+            docs_parts.append(np.repeat(docs, tfs))
+            pos_parts.append(pos)
+        d = np.concatenate(docs_parts) if docs_parts else np.empty(0, np.int64)
+        p = np.concatenate(pos_parts) if pos_parts else np.empty(0, np.int64)
+        if d.size == 0:
+            return empty
+        if d.max() >= (1 << 31) or p.max() >= (1 << 32):
+            raise ValueError(
+                "phrase keys need docID < 2^31 and positions < 2^32 "
+                "within a segment — split the corpus into more segments"
+            )
+        keep = p >= j
+        keys = (
+            (d[keep].astype(np.uint64) << np.uint64(32))
+            | p[keep].astype(np.uint64)
+        ) - np.uint64(j)
+        if keys.size > 1 and not np.all(keys[1:] > keys[:-1]):
+            keys = np.sort(keys)  # interleaved chunk ranges (delta mixes)
+        per_slot.append(keys)
+    cur = per_slot[0]
+    for keys in per_slot[1:]:
+        if cur.size == 0:
+            return empty
+        cur = cur[_isin_sorted(keys, cur)]
+    if cur.size == 0:
+        return empty
+    docs = (cur >> np.uint64(32)).astype(np.int64)
+    docids, ptf = np.unique(docs, return_counts=True)
+    return docids, ptf.astype(np.int64)
+
+
 class SearchEngine:
     """In-process engine over all committed segments of an index dir."""
 
@@ -430,6 +493,56 @@ class SearchEngine:
                 out_ids, out_scores = topk_select(
                     np.concatenate(parts_d), np.concatenate(parts_s), k
                 )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "score": pa.array(out_scores, type=pa.float64()),
+            }
+        )
+
+    def phrase_search(self, phrase: str, k: int = TOP_K_SIZE) -> pa.Table:
+        """match_phrase: BM25 top-k over docs containing the query tokens
+        CONSECUTIVELY (the ES ``match_phrase`` analog). tf = number of
+        phrase start positions (overlapping occurrences count); idf uses
+        the phrase df (docs with ≥1 occurrence, global across segments);
+        doclen/avgdl as in term scoring. Tie-break (score desc, docID asc).
+
+        Phrase matching is exact per segment (no global stats needed), so
+        segments match independently and only the matched (docID, tf, dl)
+        triples meet for global df + scoring — the same two-phase shape
+        the distributed engine uses for term df."""
+        terms = self.analyzer.tokenize(phrase)
+        if not terms:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
+        parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        for r in self.readers:
+            d, ptf = _phrase_match_segment(r, terms)
+            if r._tombstones.size and d.size:
+                keep = ~_isin_sorted(r._tombstones, d)
+                d, ptf = d[keep], ptf[keep]
+            if d.size:
+                parts.append((d, ptf, r.doclen_of(d)))
+        if not parts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
+        df = sum(p[0].size for p in parts)
+        idf = bm25_idf(df, self.n_docs, self.params)
+        all_d = np.concatenate([p[0] for p in parts])
+        all_tf = np.concatenate([p[1] for p in parts])
+        all_dl = np.concatenate([p[2] for p in parts])
+        scores = idf * bm25_tf_norm(
+            all_tf.astype(np.float64), all_dl, self.avgdl, self.params
+        )
+        out_ids, out_scores = topk_select(all_d, scores, k)
         return pa.table(
             {
                 "doc_id": pa.array(out_ids, type=pa.int64()),
