@@ -32,6 +32,9 @@ ANALYZER = Analyzer()  # lowercase + [a-z0-9]+ — SQL-reproducible
 BM25_QUERY = "window hash join"
 BM25_FILTER_QUERY = "batch stream"
 PHRASE_QUERY = "window join"  # consecutive-token match, non-vacuous at all sf
+# misspelled on purpose: "sow" expands to {row, slow}, "hach" to {hash}
+# at edit distance 1 over this corpus's vocabulary (multi-expansion)
+FUZZY_QUERY = "sow hach"
 BM25_K = 10
 
 _ENGINES: dict[str, SearchEngine] = {}
@@ -226,6 +229,64 @@ def _phrase_sql(phrase: str, k: int) -> str:
                      / (m.ptf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)),
                      4) AS score
         FROM m JOIN dl USING (doc_id) CROSS JOIN stats s
+        ORDER BY score DESC, doc_id
+        LIMIT {k}
+    """
+
+
+def ft_fuzzy_topk(sf_dir: str) -> pd.DataFrame:
+    """Fuzzy (edit-distance ≤ 1) BM25 top-k: each query token expands
+    over the index's term dictionary, the expansion union is scored as
+    an OR query — the ES ``fuzziness: 1`` analog. The DuckDB twin
+    expands with ``levenshtein()`` over the corpus vocabulary and sums
+    contributions in the same lexicographic term order."""
+    eng = get_engine(sf_dir)
+    t = eng.fuzzy_search(FUZZY_QUERY, k=BM25_K, max_edits=1)
+    out = t.to_pandas()
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
+def _fuzzy_sql(query: str, k: int, max_edits: int = 1) -> str:
+    qterms = list(dict.fromkeys(ANALYZER.tokenize(query)))
+    match = " OR ".join(
+        f"levenshtein(term, '{q}') <= {max_edits}" for q in qterms
+    )
+    return f"""
+        WITH {_tok_cte()},
+        tf AS (
+            SELECT doc_id, term, count(*)::DOUBLE AS tf
+            FROM tok GROUP BY doc_id, term
+        ),
+        dl AS (
+            SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id
+        ),
+        stats AS (
+            SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                   (SELECT sum(dl) FROM dl)
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        qterms AS (
+            SELECT DISTINCT term FROM df WHERE {match}
+        ),
+        contrib AS (
+            SELECT tf.doc_id, tf.term,
+                   ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+            FROM tf
+            JOIN qterms q USING (term)
+            JOIN df USING (term)
+            JOIN dl USING (doc_id)
+            CROSS JOIN stats s
+        ),
+        scored AS (
+            SELECT doc_id, sum(c ORDER BY term) AS score
+            FROM contrib GROUP BY doc_id
+        )
+        SELECT doc_id, ROUND(score, 4) AS score
+        FROM scored
         ORDER BY score DESC, doc_id
         LIMIT {k}
     """
@@ -444,6 +505,7 @@ def build_sql() -> dict[str, str]:
         """,
         "ft_bm25_topk": _bm25_sql(BM25_QUERY, BM25_K),
         "ft_phrase_topk": _phrase_sql(PHRASE_QUERY, BM25_K),
+        "ft_fuzzy_topk": _fuzzy_sql(FUZZY_QUERY, BM25_K),
         "ft_bm25_or_topk": _bm25_sql(BM25_QUERY, BM25_K, mode_or=True),
         "ft_bm25_dist_topk": _bm25_sql(BM25_QUERY, BM25_K),
         "ft_bm25_lang_filter": _bm25_sql(BM25_FILTER_QUERY, BM25_K, lang="en"),
@@ -553,6 +615,7 @@ QUERIES = {
     "ft_df_top_terms": ft_df_top_terms,
     "ft_bm25_topk": ft_bm25_topk,
     "ft_phrase_topk": ft_phrase_topk,
+    "ft_fuzzy_topk": ft_fuzzy_topk,
     "ft_bm25_or_topk": ft_bm25_or_topk,
     "ft_bm25_dist_topk": ft_bm25_dist_topk,
     "ft_bm25_lang_filter": ft_bm25_lang_filter,

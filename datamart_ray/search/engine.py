@@ -500,6 +500,83 @@ class SearchEngine:
             }
         )
 
+    def _fuzzy_candidates(self, qterm: str, max_edits: int) -> set:
+        """Dictionary terms within `max_edits` Levenshtein edits of
+        `qterm`, unioned over segments. Length prefilter is vectorized;
+        the DP only runs on the surviving band. At giant vocab sizes the
+        scale path is a SymSpell-style deletion index per segment
+        (precomputed next to terms.parquet) — the per-query scan here is
+        O(vocab in the ±max_edits length band)."""
+        from datamart_ray.pipelines.matching import levenshtein
+
+        out: set = set()
+        for r in self.readers:
+            vocab = r._dict_terms
+            lens = getattr(r, "_dict_lens", None)
+            if lens is None:
+                lens = np.fromiter(
+                    (len(t) for t in vocab), dtype=np.int64, count=vocab.size
+                )
+                r._dict_lens = lens
+            band = np.abs(lens - len(qterm)) <= max_edits
+            for t in vocab[band]:
+                if levenshtein(qterm, t) <= max_edits:
+                    out.add(str(t))
+        return out
+
+    def fuzzy_search(
+        self,
+        query: str,
+        k: int = TOP_K_SIZE,
+        max_edits: int = 1,
+        filters: dict[str, str] | None = None,
+    ) -> pa.Table:
+        """Fuzzy term matching (the ES ``fuzziness`` analog): each query
+        token expands to every dictionary term within `max_edits`
+        Levenshtein edits; the union of expansions is scored as an OR
+        query, each expanded term with its own df/idf, accumulation
+        pinned to lexicographic term order (the SQL twin's
+        ``ORDER BY term``). A term near two query tokens contributes
+        once (set union) — a pinned deviation from ES's per-clause
+        scoring, documented in the twin."""
+        qterms = list(dict.fromkeys(self.analyzer.tokenize(query)))
+        expanded = sorted(
+            {c for q in qterms for c in self._fuzzy_candidates(q, max_edits)}
+        )
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+        if not expanded:
+            return empty
+        idfs = {
+            t: bm25_idf(self.df(t), self.n_docs, self.params)
+            for t in expanded
+        }
+        parts_d, parts_s = [], []
+        for r in self.readers:
+            d, s = _score_segment(
+                r, expanded, idfs, self.avgdl, "or", filters, self.params,
+                k=k,
+            )
+            if d.size:
+                dk, sk = topk_select(d, s, k)
+                parts_d.append(dk)
+                parts_s.append(sk)
+        if not parts_d:
+            return empty
+        out_ids, out_scores = topk_select(
+            np.concatenate(parts_d), np.concatenate(parts_s), k
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "score": pa.array(out_scores, type=pa.float64()),
+            }
+        )
+
     def phrase_search(self, phrase: str, k: int = TOP_K_SIZE) -> pa.Table:
         """match_phrase: BM25 top-k over docs containing the query tokens
         CONSECUTIVELY (the ES ``match_phrase`` analog). tf = number of

@@ -255,3 +255,48 @@ def test_phrase_lifecycle_delta_delete_compact(
     compact_segments(idx, rechunk=True)
     eng3 = SearchEngine(idx, lazy=False)
     assert eng3.phrase_search("window hash", k=10).to_pandas().equals(res2)
+
+
+def test_fuzzy_search_matches_brute_force(ray_session, phrase_corpus, tmp_path):
+    """fuzzy_search (edit-distance expansion over the term dictionary)
+    equals a brute-force OR-BM25 over the same expansion set."""
+    from datamart_ray.pipelines.matching import levenshtein
+
+    path, docs = phrase_corpus
+    eng = _build(path, str(tmp_path / "fidx"), docs_per_spec=64)
+    an = Analyzer()
+    toks = [an.tokenize(d) for d in docs]
+    vocab = sorted({t for ts in toks for t in ts})
+    for query in ["alpa windoq", "hashh", "qqqqqq"]:
+        qts = list(dict.fromkeys(an.tokenize(query)))
+        exp_terms = sorted(
+            {v for q in qts for v in vocab if levenshtein(q, v) <= 1}
+        )
+        got = [
+            (int(r.doc_id), round(r.score, 6))
+            for r in eng.fuzzy_search(query, k=15, max_edits=1)
+            .to_pandas()
+            .itertuples()
+        ]
+        # brute force OR-BM25 over exp_terms
+        n = len(docs)
+        dl = np.array([len(x) for x in toks], float)
+        avgdl = dl.mean()
+        scores = {}
+        for t in exp_terms:
+            df = sum(t in ts for ts in toks)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            for i, ts in enumerate(toks):
+                c = ts.count(t)
+                if c:
+                    scores[i] = scores.get(i, 0.0) + idf * c * 2.2 / (
+                        c + 1.2 * (1 - 0.75 + 0.75 * dl[i] / avgdl)
+                    )
+        exp = [
+            (i, round(s, 6))
+            for s, i in sorted(
+                ((s, i) for i, s in scores.items()),
+                key=lambda x: (-x[0], x[1]),
+            )[:15]
+        ]
+        assert got == exp, query
