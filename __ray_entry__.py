@@ -254,11 +254,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # re-insert here to free window slots for rj_interval_join and the
     # new gs_* entries
     out["ft_token_counts"] = out.pop("ft_token_counts")
-    # q08 (0-row anti join) untouched since r1, twice driver-green —
-    # demoted to make window room for ft_phrase_topk / ft_fuzzy_topk
+    # q08 (0-row anti join), ft_exact_dedup (0-row), ft_quality_scores:
+    # untouched this round and twice driver-green — demoted to make
+    # window room for the NEW ft_phrase/ft_fuzzy/ft_prefix/ft_phrase_dist
     out["q08_customers_without_orders"] = out.pop(
         "q08_customers_without_orders"
     )
+    out["ft_exact_dedup"] = out.pop("ft_exact_dedup")
+    out["ft_quality_scores"] = out.pop("ft_quality_scores")
     out["q05_distinct_users"] = out.pop("q05_distinct_users")
     out["q07_filter_parts"] = out.pop("q07_filter_parts")
     out["q04_union_accounts"] = out.pop("q04_union_accounts")

@@ -35,6 +35,8 @@ PHRASE_QUERY = "window join"  # consecutive-token match, non-vacuous at all sf
 # misspelled on purpose: "sow" expands to {row, slow}, "hach" to {hash}
 # at edit distance 1 over this corpus's vocabulary (multi-expansion)
 FUZZY_QUERY = "sow hach"
+# expands to {scan, slow, small, sort, spark, stream} over this corpus
+PREFIX_QUERY = "s"
 BM25_K = 10
 
 _ENGINES: dict[str, SearchEngine] = {}
@@ -292,6 +294,79 @@ def _fuzzy_sql(query: str, k: int, max_edits: int = 1) -> str:
     """
 
 
+def ft_prefix_topk(sf_dir: str) -> pd.DataFrame:
+    """Prefix-match BM25 top-k: query tokens expand over the term
+    dictionary by binary-search range (O(log vocab)), expansion union
+    scored as OR — the ES ``prefix`` query analog. Twin expands with
+    ``LIKE 'p%'`` and sums in the same lexicographic order."""
+    eng = get_engine(sf_dir)
+    t = eng.prefix_search(PREFIX_QUERY, k=BM25_K)
+    out = t.to_pandas()
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
+def ft_phrase_dist_topk(sf_dir: str) -> pd.DataFrame:
+    """Distributed match_phrase through the scorer-actor pool (two-round
+    count→score protocol; rank-identical to the in-process path, which
+    the shared SQL twin gates)."""
+    from datamart_ray.search.engine import DistributedSearchEngine
+
+    eng = get_pos_engine(sf_dir)  # ensures the positional index exists
+    idx_dir = eng.readers[0].seg_dir.rsplit("/segments/", 1)[0]
+    deng = DistributedSearchEngine(idx_dir, lazy=False, max_actors=4)
+    try:
+        t = deng.phrase_search(PHRASE_QUERY, k=BM25_K)
+    finally:
+        deng.shutdown()
+    out = t.to_pandas()
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
+def _prefix_sql(query: str, k: int) -> str:
+    qterms = list(dict.fromkeys(ANALYZER.tokenize(query)))
+    match = " OR ".join(f"term LIKE '{q}%'" for q in qterms)
+    return f"""
+        WITH {_tok_cte()},
+        tf AS (
+            SELECT doc_id, term, count(*)::DOUBLE AS tf
+            FROM tok GROUP BY doc_id, term
+        ),
+        dl AS (
+            SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id
+        ),
+        stats AS (
+            SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                   (SELECT sum(dl) FROM dl)
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        qterms AS (
+            SELECT DISTINCT term FROM df WHERE {match}
+        ),
+        contrib AS (
+            SELECT tf.doc_id, tf.term,
+                   ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+            FROM tf
+            JOIN qterms q USING (term)
+            JOIN df USING (term)
+            JOIN dl USING (doc_id)
+            CROSS JOIN stats s
+        ),
+        scored AS (
+            SELECT doc_id, sum(c ORDER BY term) AS score
+            FROM contrib GROUP BY doc_id
+        )
+        SELECT doc_id, ROUND(score, 4) AS score
+        FROM scored
+        ORDER BY score DESC, doc_id
+        LIMIT {k}
+    """
+
+
 def ft_bm25_lazy_topk(sf_dir: str) -> pd.DataFrame:
     """BM25 top-k through the giant-segment serving path: a fresh
     SearchEngine with lazy=True reads every term from the mmap
@@ -506,6 +581,8 @@ def build_sql() -> dict[str, str]:
         "ft_bm25_topk": _bm25_sql(BM25_QUERY, BM25_K),
         "ft_phrase_topk": _phrase_sql(PHRASE_QUERY, BM25_K),
         "ft_fuzzy_topk": _fuzzy_sql(FUZZY_QUERY, BM25_K),
+        "ft_prefix_topk": _prefix_sql(PREFIX_QUERY, BM25_K),
+        "ft_phrase_dist_topk": _phrase_sql(PHRASE_QUERY, BM25_K),
         "ft_bm25_or_topk": _bm25_sql(BM25_QUERY, BM25_K, mode_or=True),
         "ft_bm25_dist_topk": _bm25_sql(BM25_QUERY, BM25_K),
         "ft_bm25_lang_filter": _bm25_sql(BM25_FILTER_QUERY, BM25_K, lang="en"),
@@ -616,6 +693,8 @@ QUERIES = {
     "ft_bm25_topk": ft_bm25_topk,
     "ft_phrase_topk": ft_phrase_topk,
     "ft_fuzzy_topk": ft_fuzzy_topk,
+    "ft_prefix_topk": ft_prefix_topk,
+    "ft_phrase_dist_topk": ft_phrase_dist_topk,
     "ft_bm25_or_topk": ft_bm25_or_topk,
     "ft_bm25_dist_topk": ft_bm25_dist_topk,
     "ft_bm25_lang_filter": ft_bm25_lang_filter,

@@ -543,6 +543,38 @@ class SearchEngine:
         expanded = sorted(
             {c for q in qterms for c in self._fuzzy_candidates(q, max_edits)}
         )
+        return self._score_expanded(expanded, k, filters)
+
+    def prefix_search(
+        self,
+        query: str,
+        k: int = TOP_K_SIZE,
+        filters: dict[str, str] | None = None,
+    ) -> pa.Table:
+        """Prefix matching (the ES ``prefix``/``match_phrase_prefix`` leaf
+        analog): every query token is treated as a term prefix and
+        expanded via binary search over the sorted per-segment term
+        dictionaries — O(log vocab) per segment, no scan. The expansion
+        union is scored exactly like :meth:`fuzzy_search`."""
+        qterms = list(dict.fromkeys(self.analyzer.tokenize(query)))
+        expanded: set = set()
+        for q in qterms:
+            for r in self.readers:
+                v = r._dict_terms
+                lo = int(np.searchsorted(v, q))
+                hi = int(np.searchsorted(v, q + "￿"))
+                expanded.update(str(t) for t in v[lo:hi])
+        return self._score_expanded(sorted(expanded), k, filters)
+
+    def _score_expanded(
+        self,
+        expanded: list[str],
+        k: int,
+        filters: dict[str, str] | None,
+    ) -> pa.Table:
+        """OR-BM25 over an expansion set, accumulation pinned to the
+        (lexicographically sorted) expansion order — shared by fuzzy and
+        prefix search; both SQL twins sum ``ORDER BY term``."""
         empty = pa.table(
             {
                 "doc_id": pa.array([], type=pa.int64()),
@@ -662,6 +694,9 @@ class SegmentScorer:
             SegmentReader(d, filter_cols, lazy=_resolve_lazy(d, lazy))
             for d in seg_dirs
         ]
+        # phrase two-round protocol: round 1 matches + caches, returns
+        # only the count; round 2 scores locally and ships top-k
+        self._phrase_cache: dict = {}
 
     def stats(self) -> tuple[int, int]:
         return (
@@ -677,6 +712,53 @@ class SegmentScorer:
         return {
             t: sum(r.df(t) for r in self.readers) for t in terms
         }
+
+    def phrase_match_count(self, terms: list[str]) -> int:
+        """Round 1: match the phrase in this actor's segments, cache the
+        (docids, ptf, dl) triple, return only the match count — the
+        driver sums counts into the global phrase df before any score is
+        computed, so ranks are identical at every cluster size."""
+        key = tuple(terms)
+        if key not in self._phrase_cache:
+            ds_, tf_, dl_ = [], [], []
+            for r in self.readers:
+                d, ptf = _phrase_match_segment(r, terms)
+                if r._tombstones.size and d.size:
+                    keep = ~_isin_sorted(r._tombstones, d)
+                    d, ptf = d[keep], ptf[keep]
+                if d.size:
+                    ds_.append(d)
+                    tf_.append(ptf)
+                    dl_.append(r.doclen_of(d))
+            if ds_:
+                self._phrase_cache[key] = (
+                    np.concatenate(ds_),
+                    np.concatenate(tf_),
+                    np.concatenate(dl_),
+                )
+            else:
+                e = np.empty(0, dtype=np.int64)
+                self._phrase_cache[key] = (e, e, e)
+        return int(self._phrase_cache[key][0].size)
+
+    def phrase_topk(
+        self,
+        terms: list[str],
+        idf: float,
+        avgdl: float,
+        k: int,
+        params: BM25Params,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Round 2: score the cached match with the GLOBAL idf/avgdl and
+        return only this actor's top-k — driver traffic is O(k·actors),
+        never the match volume."""
+        d, ptf, dl = self._phrase_cache.pop(tuple(terms))
+        if d.size == 0:
+            return d, np.empty(0, dtype=np.float64)
+        scores = idf * bm25_tf_norm(
+            ptf.astype(np.float64), dl, avgdl, params
+        )
+        return topk_select(d, scores, k)
 
     def top_k(
         self,
@@ -774,6 +856,44 @@ class DistributedSearchEngine:
                 [
                     a.top_k.remote(
                         terms, idfs, self.avgdl, k, mode, filters, self.params
+                    )
+                    for a in self.actors
+                ]
+            )
+            parts_d = [d for d, _ in results if d.size]
+            parts_s = [s for _, s in results if s.size]
+            if parts_d:
+                out_ids, out_scores = topk_select(
+                    np.concatenate(parts_d), np.concatenate(parts_s), k
+                )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "score": pa.array(out_scores, type=pa.float64()),
+            }
+        )
+
+    def phrase_search(self, phrase: str, k: int = TOP_K_SIZE) -> pa.Table:
+        """Distributed match_phrase over a positional index: round 1 fans
+        out matching (actors cache their match, ship only counts → global
+        phrase df), round 2 ships the global idf back and merges per-actor
+        top-k heaps — rank-identical to SearchEngine.phrase_search at any
+        actor count, driver traffic O(k·actors)."""
+        terms = self.analyzer.tokenize(phrase)
+        out_ids = np.empty(0, dtype=np.int64)
+        out_scores = np.empty(0, dtype=np.float64)
+        if terms:
+            counts = ray.get(
+                [a.phrase_match_count.remote(terms) for a in self.actors]
+            )
+            df = sum(counts)
+            idf = bm25_idf(df, self.n_docs, self.params) if df else 0.0
+            # round 2 always runs so every actor pops its cache entry;
+            # with df == 0 each per-actor result is empty anyway
+            results = ray.get(
+                [
+                    a.phrase_topk.remote(
+                        terms, idf, self.avgdl, k, self.params
                     )
                     for a in self.actors
                 ]

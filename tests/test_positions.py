@@ -300,3 +300,67 @@ def test_fuzzy_search_matches_brute_force(ray_session, phrase_corpus, tmp_path):
             )[:15]
         ]
         assert got == exp, query
+
+
+def test_prefix_search_matches_brute_force(ray_session, phrase_corpus, tmp_path):
+    path, docs = phrase_corpus
+    eng = _build(path, str(tmp_path / "pidx"), docs_per_spec=64)
+    an = Analyzer()
+    toks = [an.tokenize(d) for d in docs]
+    vocab = sorted({t for ts in toks for t in ts})
+    for query in ["ga", "z", "al be", "qq"]:
+        qts = list(dict.fromkeys(an.tokenize(query)))
+        exp_terms = sorted(
+            {v for q in qts for v in vocab if v.startswith(q)}
+        )
+        got = [
+            (int(r.doc_id), round(r.score, 6))
+            for r in eng.prefix_search(query, k=15)
+            .to_pandas()
+            .itertuples()
+        ]
+        n = len(docs)
+        dl = np.array([len(x) for x in toks], float)
+        avgdl = dl.mean()
+        scores = {}
+        for t in exp_terms:
+            df = sum(t in ts for ts in toks)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            for i, ts in enumerate(toks):
+                c = ts.count(t)
+                if c:
+                    scores[i] = scores.get(i, 0.0) + idf * c * 2.2 / (
+                        c + 1.2 * (1 - 0.75 + 0.75 * dl[i] / avgdl)
+                    )
+        exp = [
+            (i, round(s, 6))
+            for s, i in sorted(
+                ((s, i) for i, s in scores.items()),
+                key=lambda x: (-x[0], x[1]),
+            )[:15]
+        ]
+        assert got == exp, query
+
+
+def test_distributed_phrase_rank_identical(ray_session, phrase_corpus, tmp_path):
+    """Two-round distributed phrase == in-process phrase at several actor
+    counts (incl. a no-match phrase, which must drain the actor cache)."""
+    from datamart_ray.search.engine import DistributedSearchEngine
+
+    path, docs = phrase_corpus
+    idx = str(tmp_path / "didx")
+    _build(path, idx, docs_per_spec=64)
+    local = SearchEngine(idx, lazy=False)
+    for n_actors in (1, 3):
+        deng = DistributedSearchEngine(idx, lazy=False, max_actors=n_actors)
+        try:
+            for phrase in ["window hash", "beta gamma", "qq zz"]:
+                a = local.phrase_search(phrase, k=15).to_pandas()
+                b = deng.phrase_search(phrase, k=15).to_pandas()
+                assert a.equals(b), (n_actors, phrase)
+            # repeat query: cache must have been drained by round 2
+            a = local.phrase_search("window hash", k=15).to_pandas()
+            b = deng.phrase_search("window hash", k=15).to_pandas()
+            assert a.equals(b)
+        finally:
+            deng.shutdown()
