@@ -367,6 +367,37 @@ def _prefix_sql(query: str, k: int) -> str:
     """
 
 
+def ft_bm25_facet_lang(sf_dir: str) -> pd.DataFrame:
+    """Facet (ES terms-aggregation) over EVERY doc matching the AND
+    query — counts per `lang`, sorted (n desc, lang asc). Exercises the
+    full-match path (not top-k) plus the docmeta lookup."""
+    eng = get_engine(sf_dir)
+    t = eng.facet_counts(BM25_QUERY, "lang", mode="and")
+    out = t.to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def _facet_sql(query: str, col: str) -> str:
+    terms = list(dict.fromkeys(ANALYZER.tokenize(query)))
+    qvals = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+        WITH {_tok_cte()},
+        qterms(term) AS (VALUES {qvals}),
+        matched AS (
+            SELECT doc_id
+            FROM (SELECT DISTINCT doc_id, term FROM tok) x
+            JOIN qterms USING (term)
+            GROUP BY doc_id
+            HAVING count(*) = {len(terms)}
+        )
+        SELECT d.{col}, count(*)::BIGINT AS n
+        FROM matched m JOIN documents d USING (doc_id)
+        GROUP BY d.{col}
+        ORDER BY n DESC, d.{col}
+    """
+
+
 def ft_bm25_lazy_topk(sf_dir: str) -> pd.DataFrame:
     """BM25 top-k through the giant-segment serving path: a fresh
     SearchEngine with lazy=True reads every term from the mmap
@@ -583,6 +614,7 @@ def build_sql() -> dict[str, str]:
         "ft_fuzzy_topk": _fuzzy_sql(FUZZY_QUERY, BM25_K),
         "ft_prefix_topk": _prefix_sql(PREFIX_QUERY, BM25_K),
         "ft_phrase_dist_topk": _phrase_sql(PHRASE_QUERY, BM25_K),
+        "ft_bm25_facet_lang": _facet_sql(BM25_QUERY, "lang"),
         "ft_bm25_or_topk": _bm25_sql(BM25_QUERY, BM25_K, mode_or=True),
         "ft_bm25_dist_topk": _bm25_sql(BM25_QUERY, BM25_K),
         "ft_bm25_lang_filter": _bm25_sql(BM25_FILTER_QUERY, BM25_K, lang="en"),
@@ -695,6 +727,7 @@ QUERIES = {
     "ft_fuzzy_topk": ft_fuzzy_topk,
     "ft_prefix_topk": ft_prefix_topk,
     "ft_phrase_dist_topk": ft_phrase_dist_topk,
+    "ft_bm25_facet_lang": ft_bm25_facet_lang,
     "ft_bm25_or_topk": ft_bm25_or_topk,
     "ft_bm25_dist_topk": ft_bm25_dist_topk,
     "ft_bm25_lang_filter": ft_bm25_lang_filter,

@@ -659,6 +659,47 @@ class SearchEngine:
             }
         )
 
+    def facet_counts(
+        self,
+        query: str,
+        col: str,
+        mode: str = "and",
+        filters: dict[str, str] | None = None,
+    ) -> pa.Table:
+        """ES terms-aggregation analog: counts of docmeta column `col`
+        over EVERY doc matching `query` (not just the top-k) — the
+        facet panel next to a result list. Output sorted (n desc, value
+        asc). Tombstones and keyword filters apply as in search()."""
+        terms = list(dict.fromkeys(self.analyzer.tokenize(query)))
+        agg: dict = {}
+        if terms:
+            idfs = {
+                t: bm25_idf(self.df(t), self.n_docs, self.params)
+                for t in terms
+            }
+            for r in self.readers:
+                d, _ = _score_segment(
+                    r, terms, idfs, self.avgdl, mode, filters, self.params
+                )
+                if not d.size:
+                    continue
+                if col not in r._meta.column_names:
+                    raise KeyError(f"no facet column {col!r} in docmeta")
+                pos = np.searchsorted(r._doc_ids, d)
+                vals = r._meta[col].take(pa.array(pos))
+                vc = pc.value_counts(vals)
+                for item in vc.to_pylist():
+                    agg[item["values"]] = (
+                        agg.get(item["values"], 0) + item["counts"]
+                    )
+        items = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
+        return pa.table(
+            {
+                col: pa.array([k for k, _ in items], type=pa.string()),
+                "n": pa.array([v for _, v in items], type=pa.int64()),
+            }
+        )
+
     def search_many(self, queries: list[dict]) -> list[pa.Table]:
         """Batch API parity with DistributedSearchEngine.search_many —
         in-process there is nothing to pipeline, so this is sequential

@@ -364,3 +364,54 @@ def test_distributed_phrase_rank_identical(ray_session, phrase_corpus, tmp_path)
             assert a.equals(b)
         finally:
             deng.shutdown()
+
+
+def test_facet_counts_matches_brute_force(ray_session, tmp_path):
+    rng = np.random.default_rng(5)
+    vocab = ["red", "green", "blue", "cyan", "teal"]
+    langs = ["en", "fr", "de"]
+    docs = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(2, 15))))
+        for _ in range(400)
+    ]
+    doc_langs = [langs[int(rng.integers(0, 3))] for _ in range(400)]
+    path = str(tmp_path / "fc.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(400), type=pa.int64()),
+                "text": pa.array(docs),
+                "lang": pa.array(doc_langs),
+            }
+        ),
+        path,
+    )
+    idx = str(tmp_path / "fcidx")
+    cfg = IndexConfig(
+        analyzer=Analyzer(),
+        content_col="text",
+        id_col="doc_id",
+        meta_cols=("lang",),
+        docs_per_spec=64,
+    )
+    build_index(path, idx, cfg)
+    eng = SearchEngine(idx, lazy=False)
+    an = Analyzer()
+    toks = [set(an.tokenize(d)) for d in docs]
+    for query, mode in [("red blue", "and"), ("cyan teal", "or")]:
+        qts = set(an.tokenize(query))
+        if mode == "and":
+            matched = [i for i, ts in enumerate(toks) if qts <= ts]
+        else:
+            matched = [i for i, ts in enumerate(toks) if qts & ts]
+        want = {}
+        for i in matched:
+            want[doc_langs[i]] = want.get(doc_langs[i], 0) + 1
+        exp = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+        got = [
+            (r.lang, int(r.n))
+            for r in eng.facet_counts(query, "lang", mode=mode)
+            .to_pandas()
+            .itertuples()
+        ]
+        assert got == exp, (query, mode)
