@@ -167,6 +167,54 @@ def run_bench() -> dict:
     extra["bm25_dist_p50"] = round(statistics.median(dlat), 4)
     deng.shutdown()
 
+    # positional index + phrase/fuzzy/prefix serving (round 3): one
+    # fresh positional build (the delta vs code_index_build is the cost
+    # of carrying positions through the same shuffle), then latency on
+    # marker-based queries — hit counts don't matter for latency, the
+    # decode volume of the touched postings does, so the head/common
+    # markers are the stress case
+    from datamart_ray.corpus import (
+        MARKER_COMMON,
+        MARKER_HEAD,
+        MARKER_PAIR_A,
+        MARKER_PAIR_B,
+    )
+
+    pos_dir = f"/tmp/graft_bench_index_pos_{NUM_CPUS}"
+    shutil.rmtree(pos_dir, ignore_errors=True)
+    t0 = time.time()
+    build_index(corpus, pos_dir, IndexConfig(positions=True))
+    extra["pos_index_build_sec"] = round(time.time() - t0, 3)
+    peng = SearchEngine(pos_dir, lazy=False)
+    phrases = [
+        f"{MARKER_HEAD} {MARKER_COMMON}",
+        f"{MARKER_COMMON} {MARKER_COMMON}",
+        f"{MARKER_PAIR_A} {MARKER_PAIR_B}",
+    ]
+    plat = []
+    for _ in range(3):
+        for p in phrases:
+            t0 = time.time()
+            peng.phrase_search(p, k=50)
+            plat.append(time.time() - t0)
+    extra["phrase_p50"] = round(statistics.median(plat), 4)
+    flat_ = []
+    fuzzies = [MARKER_COMMON[:-1], MARKER_PAIR_A[:-1]]
+    for _ in range(3):
+        for q in fuzzies:
+            t0 = time.time()
+            eng.fuzzy_search(q, k=50, max_edits=1)
+            flat_.append(time.time() - t0)
+    extra["fuzzy_p50"] = round(statistics.median(flat_), 4)
+    prlat = []
+    for _ in range(3):
+        for q in ["qzcommon", "qzpair"]:
+            t0 = time.time()
+            eng.prefix_search(q, k=50)
+            prlat.append(time.time() - t0)
+    extra["prefix_p50"] = round(statistics.median(prlat), 4)
+    del peng
+
     from datamart_ray.pipelines.relational import (
         q01_pricing_summary,
         q02_revenue_by_nation,

@@ -502,26 +502,126 @@ class SearchEngine:
 
     def _fuzzy_candidates(self, qterm: str, max_edits: int) -> set:
         """Dictionary terms within `max_edits` Levenshtein edits of
-        `qterm`, unioned over segments. Length prefilter is vectorized;
-        the DP only runs on the surviving band. At giant vocab sizes the
-        scale path is a SymSpell-style deletion index per segment
-        (precomputed next to terms.parquet) — the per-query scan here is
-        O(vocab in the ±max_edits length band)."""
+        `qterm`, unioned over segments. For the common max_edits=1 /
+        ASCII case a fully vectorized byte-matrix path runs (edit
+        distance 1 ⇔ ≤1 substitution at equal length, or a single
+        insert/delete ⇔ longest-common-prefix + longest-common-suffix
+        covering the shorter string); otherwise a vectorized length-band
+        prefilter + Levenshtein DP. At giant vocab sizes the scale path
+        is a SymSpell-style deletion index per segment (precomputed next
+        to terms.parquet) — the per-query scan here is O(vocab in the
+        ±max_edits length band)."""
+        if max_edits == 1:
+            try:
+                return self._fuzzy1_candidates(qterm)
+            except UnicodeEncodeError:
+                pass  # non-ASCII analyzer → generic DP path
         from datamart_ray.pipelines.matching import levenshtein
 
         out: set = set()
         for r in self.readers:
             vocab = r._dict_terms
-            lens = getattr(r, "_dict_lens", None)
-            if lens is None:
-                lens = np.fromiter(
-                    (len(t) for t in vocab), dtype=np.int64, count=vocab.size
-                )
-                r._dict_lens = lens
+            lens = self._dict_lens(r)
             band = np.abs(lens - len(qterm)) <= max_edits
             for t in vocab[band]:
                 if levenshtein(qterm, t) <= max_edits:
                     out.add(str(t))
+        return out
+
+    @staticmethod
+    def _dict_lens(r: SegmentReader) -> np.ndarray:
+        lens = getattr(r, "_dict_lens_arr", None)
+        if lens is None:
+            lens = np.fromiter(
+                (len(t) for t in r._dict_terms),
+                dtype=np.int64,
+                count=r._dict_terms.size,
+            )
+            r._dict_lens_arr = lens
+        return lens
+
+    @staticmethod
+    def _dict_bylen(r: SegmentReader, length: int):
+        """(terms, uint8 byte matrix) of this segment's dictionary terms
+        with exactly `length` ASCII bytes — built lazily per length and
+        cached on the reader (non-ASCII terms are excluded; they can't be
+        within 1 ASCII-byte edit of an ASCII query anyway... they fall to
+        the DP path via the caller's encode check)."""
+        cache = getattr(r, "_dict_bylen_cache", None)
+        if cache is None:
+            cache = {}
+            r._dict_bylen_cache = cache
+        if length not in cache:
+            lens = SearchEngine._dict_lens(r)
+            terms = r._dict_terms[lens == length]
+            try:
+                m = (
+                    np.array([t.encode("ascii") for t in terms])
+                    .view(np.uint8)
+                    .reshape(-1, length)
+                    if terms.size
+                    else np.empty((0, length), dtype=np.uint8)
+                )
+            except UnicodeEncodeError:
+                keep, rows = [], []
+                for t in terms:
+                    try:
+                        rows.append(
+                            np.frombuffer(t.encode("ascii"), np.uint8)
+                        )
+                        keep.append(t)
+                    except UnicodeEncodeError:
+                        continue
+                terms = np.array(keep, dtype=object)
+                m = (
+                    np.stack(rows)
+                    if rows
+                    else np.empty((0, length), dtype=np.uint8)
+                )
+            cache[length] = (terms, m)
+        return cache[length]
+
+    @staticmethod
+    def _prefix_suffix_cover(eq_pref: np.ndarray, eq_suf: np.ndarray, need: int):
+        """Rows where longest all-True prefix of eq_pref plus longest
+        all-True suffix of eq_suf spans `need` — the vectorized single
+        insert/delete test."""
+        if eq_pref.shape[0] == 0:
+            return np.zeros(0, dtype=bool)
+        p = (~eq_pref).argmax(1)
+        p[eq_pref.all(1)] = eq_pref.shape[1]
+        rev = eq_suf[:, ::-1]
+        s = (~rev).argmax(1)
+        s[rev.all(1)] = rev.shape[1]
+        return p + s >= need
+
+    def _fuzzy1_candidates(self, qterm: str) -> set:
+        qb = np.frombuffer(qterm.encode("ascii"), np.uint8)
+        L = qb.size
+        out: set = set()
+        for r in self.readers:
+            # equal length: ≤1 substitution
+            terms, m = self._dict_bylen(r, L)
+            if terms.size:
+                out.update(
+                    str(t)
+                    for t in terms[(m != qb).sum(axis=1) <= 1]
+                )
+            # candidate one longer: one char deleted from it yields q
+            terms, m = self._dict_bylen(r, L + 1)
+            if terms.size:
+                mask = self._prefix_suffix_cover(
+                    m[:, :L] == qb, m[:, 1:] == qb, L
+                )
+                out.update(str(t) for t in terms[mask])
+            # candidate one shorter: one char inserted into it yields q
+            if L >= 2:
+                terms, m = self._dict_bylen(r, L - 1)
+                if terms.size:
+                    mask = self._prefix_suffix_cover(
+                        m == qb[: L - 1], m == qb[1:], L - 1
+                    )
+                    out.update(str(t) for t in terms[mask])
         return out
 
     def fuzzy_search(

@@ -415,3 +415,45 @@ def test_facet_counts_matches_brute_force(ray_session, tmp_path):
             .itertuples()
         ]
         assert got == exp, (query, mode)
+
+
+def test_fuzzy1_fast_path_differential(ray_session, tmp_path):
+    """Dense random vocab over a 3-letter alphabet (many terms within one
+    edit of each other): the vectorized edit-1 expansion must equal the
+    Levenshtein-DP definition for every probed query."""
+    from datamart_ray.pipelines.matching import levenshtein
+
+    rng = np.random.default_rng(9)
+    alpha = np.array(list("abc"))
+    terms = sorted(
+        {
+            "".join(rng.choice(alpha, size=int(rng.integers(1, 6))))
+            for _ in range(300)
+        }
+    )
+    docs = [" ".join(rng.choice(terms, size=8)) for _ in range(120)]
+    path = str(tmp_path / "dv.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                "text": pa.array(docs),
+            }
+        ),
+        path,
+    )
+    idx = str(tmp_path / "dvidx")
+    cfg = IndexConfig(
+        analyzer=Analyzer(), content_col="text", id_col="doc_id",
+        meta_cols=(), docs_per_spec=32,
+    )
+    build_index(path, idx, cfg)
+    eng = SearchEngine(idx, lazy=False)
+    vocab = sorted({t for d in docs for t in d.split()})
+    queries = ["a", "ab", "abc", "cba", "aabb", "ccccc", "bbbbbb", "x", "xa"]
+    queries += ["".join(rng.choice(alpha, size=int(rng.integers(1, 7))))
+                for _ in range(25)]
+    for q in queries:
+        fast = eng._fuzzy_candidates(q, 1)
+        slow = {v for v in vocab if levenshtein(q, v) <= 1}
+        assert fast == slow, (q, fast ^ slow)
