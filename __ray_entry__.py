@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["ft_exact_dedup"] = out.pop("ft_exact_dedup")
     out["ft_quality_scores"] = out.pop("ft_quality_scores")
     out["ft_df_top_terms"] = out.pop("ft_df_top_terms")
+    out["lk_doc_lookup"] = out.pop("lk_doc_lookup")
     out["q05_distinct_users"] = out.pop("q05_distinct_users")
     out["q07_filter_parts"] = out.pop("q07_filter_parts")
     out["q04_union_accounts"] = out.pop("q04_union_accounts")

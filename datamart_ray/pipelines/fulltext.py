@@ -324,6 +324,57 @@ def ft_phrase_dist_topk(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def ft_phrase_slop_topk(sf_dir: str) -> pd.DataFrame:
+    """Sloppy ordered phrase (slop=2): tf counts start positions of the
+    first token from which the second token follows within 1+slop
+    positions — the ordered-window variant of ES's match_phrase slop
+    (documented deviation: ES slop is a position edit distance). Twin
+    expands the window test as an OR over the next `slop+1` list
+    indices."""
+    eng = get_pos_engine(sf_dir)
+    t = eng.phrase_search(PHRASE_QUERY, k=BM25_K, slop=2)
+    out = t.to_pandas()
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
+def _phrase_slop_sql(phrase: str, k: int, slop: int) -> str:
+    t1, t2 = ANALYZER.tokenize(phrase)
+    # t1 sits at list index i+1, so the ordered window for t2 is the
+    # next slop+1 indices: i+2 .. i+2+slop
+    window = " OR ".join(
+        f"ts[i+{g}] = '{t2}'" for g in range(2, slop + 3)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {ANALYZER.sql_tokens_expr('text')} AS ts
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id, count(*)::DOUBLE AS ptf
+            FROM toks,
+                 UNNEST(range(0, greatest(len(ts) - 1, 0))) AS r(i)
+            WHERE ts[i+1] = '{t1}' AND ({window})
+            GROUP BY doc_id
+        ),
+        dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM toks),
+        stats AS (
+            SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                   (SELECT sum(dl) FROM dl)
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl,
+                   (SELECT count(*) FROM m)::DOUBLE AS df
+        )
+        SELECT m.doc_id,
+               ROUND(ln(1 + (s.n - s.df + 0.5) / (s.df + 0.5))
+                     * m.ptf * (1.2 + 1)
+                     / (m.ptf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)),
+                     4) AS score
+        FROM m JOIN dl USING (doc_id) CROSS JOIN stats s
+        ORDER BY score DESC, doc_id
+        LIMIT {k}
+    """
+
+
 def _prefix_sql(query: str, k: int) -> str:
     qterms = list(dict.fromkeys(ANALYZER.tokenize(query)))
     match = " OR ".join(f"term LIKE '{q}%'" for q in qterms)
@@ -615,6 +666,7 @@ def build_sql() -> dict[str, str]:
         "ft_prefix_topk": _prefix_sql(PREFIX_QUERY, BM25_K),
         "ft_phrase_dist_topk": _phrase_sql(PHRASE_QUERY, BM25_K),
         "ft_bm25_facet_lang": _facet_sql(BM25_QUERY, "lang"),
+        "ft_phrase_slop_topk": _phrase_slop_sql(PHRASE_QUERY, BM25_K, 2),
         "ft_bm25_or_topk": _bm25_sql(BM25_QUERY, BM25_K, mode_or=True),
         "ft_bm25_dist_topk": _bm25_sql(BM25_QUERY, BM25_K),
         "ft_bm25_lang_filter": _bm25_sql(BM25_FILTER_QUERY, BM25_K, lang="en"),
@@ -728,6 +780,7 @@ QUERIES = {
     "ft_prefix_topk": ft_prefix_topk,
     "ft_phrase_dist_topk": ft_phrase_dist_topk,
     "ft_bm25_facet_lang": ft_bm25_facet_lang,
+    "ft_phrase_slop_topk": ft_phrase_slop_topk,
     "ft_bm25_or_topk": ft_bm25_or_topk,
     "ft_bm25_dist_topk": ft_bm25_dist_topk,
     "ft_bm25_lang_filter": ft_bm25_lang_filter,

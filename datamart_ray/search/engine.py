@@ -357,6 +357,54 @@ def _score_segment(
     return all_docs[hit], scores[hit]
 
 
+def _term_position_keys(
+    reader: SegmentReader, term: str, slot: int | None = None
+) -> np.ndarray | None:
+    """uint64 (docID<<32 | position) keys of every occurrence of `term`
+    in one segment, sorted ascending; None when the term is absent.
+    With `slot` j, keys are shifted by -j after dropping positions < j
+    (the exact-phrase alignment trick)."""
+    if reader.df(term) == 0:
+        return None
+    tbl = reader.postings_chunks(term)
+    if "pos" not in tbl.column_names:
+        raise ValueError(
+            "phrase_search needs a positional index — rebuild with "
+            "IndexConfig(positions=True)"
+        )
+    order = np.argsort(tbl["first_docid"].to_numpy(), kind="stable")
+    docs_parts, pos_parts = [], []
+    docs_col = tbl["docs"].to_pylist()
+    tfs_col = tbl["tfs"].to_pylist()
+    pos_col = tbl["pos"].to_pylist()
+    for i in order:
+        docs = codec.decode_docids(docs_col[i])
+        tfs = codec.unpack_ints(tfs_col[i]).astype(np.int64)
+        pos = codec.decode_grouped_positions(pos_col[i], tfs)
+        docs_parts.append(np.repeat(docs, tfs))
+        pos_parts.append(pos)
+    if not docs_parts:
+        return None
+    d = np.concatenate(docs_parts)
+    p = np.concatenate(pos_parts)
+    if d.size == 0:
+        return None
+    if d.max() >= (1 << 31) or p.max() >= (1 << 32):
+        raise ValueError(
+            "phrase keys need docID < 2^31 and positions < 2^32 "
+            "within a segment — split the corpus into more segments"
+        )
+    if slot:
+        keep = p >= slot
+        d, p = d[keep], p[keep]
+    keys = (d.astype(np.uint64) << np.uint64(32)) | p.astype(np.uint64)
+    if slot:
+        keys = keys - np.uint64(slot)
+    if keys.size > 1 and not np.all(keys[1:] > keys[:-1]):
+        keys = np.sort(keys)  # interleaved chunk ranges (delta mixes)
+    return keys
+
+
 def _phrase_match_segment(
     reader: SegmentReader, terms: list[str]
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -370,52 +418,58 @@ def _phrase_match_segment(
     m-way intersection is m-1 sorted searchsorted passes over arrays no
     larger than the rarest term's occurrence count."""
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
-    per_slot: list[np.ndarray] = []
+    cur: np.ndarray | None = None
     for j, term in enumerate(terms):
-        if reader.df(term) == 0:
+        keys = _term_position_keys(reader, term, slot=j)
+        if keys is None or keys.size == 0:
             return empty
-        tbl = reader.postings_chunks(term)
-        if "pos" not in tbl.column_names:
-            raise ValueError(
-                "phrase_search needs a positional index — rebuild with "
-                "IndexConfig(positions=True)"
-            )
-        order = np.argsort(tbl["first_docid"].to_numpy(), kind="stable")
-        docs_parts, pos_parts = [], []
-        docs_col = tbl["docs"].to_pylist()
-        tfs_col = tbl["tfs"].to_pylist()
-        pos_col = tbl["pos"].to_pylist()
-        for i in order:
-            docs = codec.decode_docids(docs_col[i])
-            tfs = codec.unpack_ints(tfs_col[i]).astype(np.int64)
-            pos = codec.decode_grouped_positions(pos_col[i], tfs)
-            docs_parts.append(np.repeat(docs, tfs))
-            pos_parts.append(pos)
-        d = np.concatenate(docs_parts) if docs_parts else np.empty(0, np.int64)
-        p = np.concatenate(pos_parts) if pos_parts else np.empty(0, np.int64)
-        if d.size == 0:
-            return empty
-        if d.max() >= (1 << 31) or p.max() >= (1 << 32):
-            raise ValueError(
-                "phrase keys need docID < 2^31 and positions < 2^32 "
-                "within a segment — split the corpus into more segments"
-            )
-        keep = p >= j
-        keys = (
-            (d[keep].astype(np.uint64) << np.uint64(32))
-            | p[keep].astype(np.uint64)
-        ) - np.uint64(j)
-        if keys.size > 1 and not np.all(keys[1:] > keys[:-1]):
-            keys = np.sort(keys)  # interleaved chunk ranges (delta mixes)
-        per_slot.append(keys)
-    cur = per_slot[0]
-    for keys in per_slot[1:]:
-        if cur.size == 0:
-            return empty
-        cur = cur[_isin_sorted(keys, cur)]
-    if cur.size == 0:
-        return empty
+        if cur is None:
+            cur = keys
+        else:
+            cur = cur[_isin_sorted(keys, cur)]
+            if cur.size == 0:
+                return empty
     docs = (cur >> np.uint64(32)).astype(np.int64)
+    docids, ptf = np.unique(docs, return_counts=True)
+    return docids, ptf.astype(np.int64)
+
+
+def _phrase_slop_match_segment(
+    reader: SegmentReader, terms: list[str], slop: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sloppy ordered phrase match: (docids, tf) where tf counts the
+    start positions of term[0] from which a greedy IN-ORDER chain
+    reaches every later term with per-step gap ≤ slop+1 (slop=0 degrades
+    to the exact consecutive match). Greedy-smallest next position is
+    exchange-optimal, so greedy success ⇔ any chain exists.
+
+    Pinned deviation from ES: ES slop is a position edit-distance
+    (unordered moves allowed); this is the ordered-window variant, which
+    has an exact SQL twin."""
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    per_term: list[np.ndarray] = []
+    for term in terms:
+        keys = _term_position_keys(reader, term)
+        if keys is None or keys.size == 0:
+            return empty
+        per_term.append(keys)
+    chain = per_term[0]  # current chain head keys (doc<<32|pos)
+    starts = chain  # start key of each surviving chain
+    step = np.uint64(1 + slop)
+    doc_mask = np.uint64(0xFFFFFFFF00000000)
+    for keys in per_term[1:]:
+        if chain.size == 0:
+            return empty
+        lo = np.searchsorted(keys, chain + np.uint64(1))
+        ok = lo < keys.size
+        nxt = keys[np.minimum(lo, keys.size - 1)]
+        ok &= (nxt & doc_mask) == (chain & doc_mask)  # same doc
+        ok &= nxt <= chain + step  # gap ≤ slop+1
+        chain = nxt[ok]
+        starts = starts[ok]
+    if starts.size == 0:
+        return empty
+    docs = (starts >> np.uint64(32)).astype(np.int64)
     docids, ptf = np.unique(docs, return_counts=True)
     return docids, ptf.astype(np.int64)
 
@@ -709,12 +763,16 @@ class SearchEngine:
             }
         )
 
-    def phrase_search(self, phrase: str, k: int = TOP_K_SIZE) -> pa.Table:
+    def phrase_search(
+        self, phrase: str, k: int = TOP_K_SIZE, slop: int = 0
+    ) -> pa.Table:
         """match_phrase: BM25 top-k over docs containing the query tokens
         CONSECUTIVELY (the ES ``match_phrase`` analog). tf = number of
         phrase start positions (overlapping occurrences count); idf uses
         the phrase df (docs with ≥1 occurrence, global across segments);
         doclen/avgdl as in term scoring. Tie-break (score desc, docID asc).
+        ``slop > 0`` switches to the ordered-window match (greedy chain,
+        per-step gap ≤ slop+1 — see _phrase_slop_match_segment).
 
         Phrase matching is exact per segment (no global stats needed), so
         segments match independently and only the matched (docID, tf, dl)
@@ -730,7 +788,10 @@ class SearchEngine:
             )
         parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         for r in self.readers:
-            d, ptf = _phrase_match_segment(r, terms)
+            if slop > 0:
+                d, ptf = _phrase_slop_match_segment(r, terms, slop)
+            else:
+                d, ptf = _phrase_match_segment(r, terms)
             if r._tombstones.size and d.size:
                 keep = ~_isin_sorted(r._tombstones, d)
                 d, ptf = d[keep], ptf[keep]
