@@ -22,11 +22,11 @@ import numpy as np
 _VB_THRESHOLDS = [np.uint64(1) << np.uint64(7 * k) for k in range(1, 10)]
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Encode a 1-D array of non-negative ints to variable-byte bytes."""
-    a = np.ascontiguousarray(values, dtype=np.uint64)
-    if a.size == 0:
-        return b""
+def _varbyte_emit(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Shared varbyte kernel: encode a non-empty uint64 array into a flat
+    byte buffer. Returns (uint8 byte buffer, per-value END offsets) so
+    callers can slice the stream per value/group. The only Python loop
+    runs once per BYTE POSITION (≤10 iterations), never per value."""
     nbytes = np.ones(a.size, dtype=np.int64)
     for t in _VB_THRESHOLDS:
         nbytes += a >= t
@@ -40,6 +40,15 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         out[starts[mask] + j] = chunk.astype(np.uint8) | (
             more.astype(np.uint8) << 7
         )
+    return out, ends
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a 1-D array of non-negative ints to variable-byte bytes."""
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return b""
+    out, _ = _varbyte_emit(a)
     return out.tobytes()
 
 
@@ -104,24 +113,12 @@ def varbyte_encode_grouped(
     a = np.ascontiguousarray(values, dtype=np.uint64)
     if a.size == 0:
         return pa.array([b""] * n_groups, type=pa.binary())
-    nbytes = np.ones(a.size, dtype=np.int64)
-    for t in _VB_THRESHOLDS:
-        nbytes += a >= t
-    ends = np.cumsum(nbytes)
-    starts = ends - nbytes
+    out, ends = _varbyte_emit(a)
     total = int(ends[-1])
     if total >= (1 << 31):  # binary offsets are int32
         raise ValueError(
             f"grouped varbyte stream too large for one batch ({total} B);"
             " reduce batch size"
-        )
-    out = np.zeros(total, dtype=np.uint8)
-    for j in range(int(nbytes.max())):
-        mask = nbytes > j
-        chunk = (a[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
-        more = (nbytes[mask] - 1) > j
-        out[starts[mask] + j] = chunk.astype(np.uint8) | (
-            more.astype(np.uint8) << 7
         )
     cum = np.concatenate(([0], ends))
     byte_offsets = cum[go].astype(np.int32)

@@ -357,13 +357,55 @@ def _score_segment(
     return all_docs[hit], scores[hit]
 
 
+def _prefix_successor(q: str) -> str | None:
+    """Smallest string greater than EVERY string with prefix `q` (the
+    exclusive upper bound for a sorted-dictionary prefix range). A plain
+    ``q + '\\uffff'`` bound drops terms whose next codepoint is
+    supplementary-plane (> U+FFFF) and terms exactly equal to the bound;
+    instead increment the last incrementable codepoint. None = no upper
+    bound (q is all U+10FFFF)."""
+    for i in range(len(q) - 1, -1, -1):
+        cp = ord(q[i])
+        if cp < 0x10FFFF:
+            return q[:i] + chr(cp + 1)
+    return None
+
+
+def _phrase_candidate_docs(
+    reader: SegmentReader, terms: list[str]
+) -> np.ndarray | None:
+    """Sorted docIDs containing EVERY phrase term (the doc-level AND) —
+    the candidate prefilter for positional matching. Uses the ordinary
+    doc postings (term_chunks decode memo, shared with BM25 scoring), so
+    the expensive positional decode below only touches docs that can
+    possibly match. Intersection runs rarest-term-first so intermediate
+    arrays stay near the rarest term's df. None ⇔ some term is absent."""
+    by_rarity = sorted(set(terms), key=reader.df)
+    cand: np.ndarray | None = None
+    for t in by_rarity:
+        if reader.df(t) == 0:
+            return None
+        docs, _ = reader.postings(t)
+        cand = docs if cand is None else cand[_isin_sorted(docs, cand)]
+        if cand.size == 0:
+            return None
+    return cand
+
+
 def _term_position_keys(
-    reader: SegmentReader, term: str, slot: int | None = None
+    reader: SegmentReader,
+    term: str,
+    slot: int | None = None,
+    docs_filter: np.ndarray | None = None,
 ) -> np.ndarray | None:
     """uint64 (docID<<32 | position) keys of every occurrence of `term`
     in one segment, sorted ascending; None when the term is absent.
     With `slot` j, keys are shifted by -j after dropping positions < j
-    (the exact-phrase alignment trick)."""
+    (the exact-phrase alignment trick). With `docs_filter` (sorted
+    docIDs), chunks outside the filter's range are skipped undecoded and
+    occurrences of other docs are dropped before the sort — so the key
+    arrays scale with the CANDIDATE set, not the term's corpus-wide
+    occurrence count."""
     if reader.df(term) == 0:
         return None
     tbl = reader.postings_chunks(term)
@@ -372,7 +414,15 @@ def _term_position_keys(
             "phrase_search needs a positional index — rebuild with "
             "IndexConfig(positions=True)"
         )
-    order = np.argsort(tbl["first_docid"].to_numpy(), kind="stable")
+    first = tbl["first_docid"].to_numpy()
+    order = np.argsort(first, kind="stable")
+    if docs_filter is not None:
+        last = tbl["last_docid"].to_numpy()
+        # a chunk can overlap the filter only if some candidate lies in
+        # [first, last]: searchsorted(left) < searchsorted(right)
+        lo = np.searchsorted(docs_filter, first)
+        hi = np.searchsorted(docs_filter, last, side="right")
+        order = order[(hi > lo)[order]]
     docs_parts, pos_parts = [], []
     docs_col = tbl["docs"].to_pylist()
     tfs_col = tbl["tfs"].to_pylist()
@@ -380,19 +430,29 @@ def _term_position_keys(
     for i in order:
         docs = codec.decode_docids(docs_col[i])
         tfs = codec.unpack_ints(tfs_col[i]).astype(np.int64)
-        pos = codec.decode_grouped_positions(pos_col[i], tfs)
-        docs_parts.append(np.repeat(docs, tfs))
-        pos_parts.append(pos)
+        if docs_filter is not None:
+            keep = _isin_sorted(docs_filter, docs)
+            if not keep.any():
+                continue
+            pos = codec.decode_grouped_positions(pos_col[i], tfs)
+            docs_parts.append(np.repeat(docs[keep], tfs[keep]))
+            pos_parts.append(pos[np.repeat(keep, tfs)])
+        else:
+            pos = codec.decode_grouped_positions(pos_col[i], tfs)
+            docs_parts.append(np.repeat(docs, tfs))
+            pos_parts.append(pos)
     if not docs_parts:
         return None
     d = np.concatenate(docs_parts)
     p = np.concatenate(pos_parts)
     if d.size == 0:
         return None
-    if d.max() >= (1 << 31) or p.max() >= (1 << 32):
+    if d.min() < 0 or d.max() >= (1 << 31) or p.max() >= (1 << 32):
         raise ValueError(
-            "phrase keys need docID < 2^31 and positions < 2^32 "
-            "within a segment — split the corpus into more segments"
+            "positional keys need 0 <= docID < 2^31 and position < 2^32 "
+            "— remap id_col into a non-negative 31-bit doc space before "
+            "building a positional index (negative/oversized ids would "
+            "silently wrap in the packed uint64 keys)"
         )
     if slot:
         keep = p >= slot
@@ -416,11 +476,15 @@ def _phrase_match_segment(
     Requires a positional index (IndexConfig.positions). Works on
     (docID, position) keys packed into uint64 — docID<<32 | pos — so the
     m-way intersection is m-1 sorted searchsorted passes over arrays no
-    larger than the rarest term's occurrence count."""
+    larger than the rarest term's occurrence count (a doc-level AND
+    prefilter keeps common terms' position decodes candidate-bounded)."""
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    cand = _phrase_candidate_docs(reader, terms)
+    if cand is None or cand.size == 0:
+        return empty
     cur: np.ndarray | None = None
     for j, term in enumerate(terms):
-        keys = _term_position_keys(reader, term, slot=j)
+        keys = _term_position_keys(reader, term, slot=j, docs_filter=cand)
         if keys is None or keys.size == 0:
             return empty
         if cur is None:
@@ -438,38 +502,45 @@ def _phrase_slop_match_segment(
     reader: SegmentReader, terms: list[str], slop: int
 ) -> tuple[np.ndarray, np.ndarray]:
     """Sloppy ordered phrase match: (docids, tf) where tf counts the
-    start positions of term[0] from which a greedy IN-ORDER chain
-    reaches every later term with per-step gap ≤ slop+1 (slop=0 degrades
-    to the exact consecutive match). Greedy-smallest next position is
-    exchange-optimal, so greedy success ⇔ any chain exists.
+    start positions of term[0] from which SOME in-order chain reaches
+    every later term with per-step gap ≤ slop+1 (slop=0 degrades to the
+    exact consecutive match). Exists-any-chain semantics via a backward
+    feasibility sweep: feas(i) = keys of term i with a feasible
+    successor of term i+1 in (p, p+slop+1] within the same doc.
+    Checking only the SMALLEST feasible key > p is exact — every member
+    of the feasible set qualifies equally, so if any lies in the window
+    the smallest one does. (A forward greedy walk is NOT exact for 3+
+    terms: taking the earliest next occurrence can strand the chain when
+    a later occurrence of a middle term would have reached the tail.)
 
     Pinned deviation from ES: ES slop is a position edit-distance
     (unordered moves allowed); this is the ordered-window variant, which
     has an exact SQL twin."""
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    cand = _phrase_candidate_docs(reader, terms)
+    if cand is None or cand.size == 0:
+        return empty
     per_term: list[np.ndarray] = []
     for term in terms:
-        keys = _term_position_keys(reader, term)
+        keys = _term_position_keys(reader, term, docs_filter=cand)
         if keys is None or keys.size == 0:
             return empty
         per_term.append(keys)
-    chain = per_term[0]  # current chain head keys (doc<<32|pos)
-    starts = chain  # start key of each surviving chain
     step = np.uint64(1 + slop)
     doc_mask = np.uint64(0xFFFFFFFF00000000)
-    for keys in per_term[1:]:
-        if chain.size == 0:
+    feas = per_term[-1]  # feasible keys of the current suffix head
+    for keys in per_term[-2::-1]:
+        if feas.size == 0:
             return empty
-        lo = np.searchsorted(keys, chain + np.uint64(1))
-        ok = lo < keys.size
-        nxt = keys[np.minimum(lo, keys.size - 1)]
-        ok &= (nxt & doc_mask) == (chain & doc_mask)  # same doc
-        ok &= nxt <= chain + step  # gap ≤ slop+1
-        chain = nxt[ok]
-        starts = starts[ok]
-    if starts.size == 0:
+        lo = np.searchsorted(feas, keys + np.uint64(1))
+        ok = lo < feas.size
+        nxt = feas[np.minimum(lo, feas.size - 1)]
+        ok &= (nxt & doc_mask) == (keys & doc_mask)  # same doc
+        ok &= nxt <= keys + step  # gap ≤ slop+1
+        feas = keys[ok]
+    if feas.size == 0:
         return empty
-    docs = (starts >> np.uint64(32)).astype(np.int64)
+    docs = (feas >> np.uint64(32)).astype(np.int64)
     docids, ptf = np.unique(docs, return_counts=True)
     return docids, ptf.astype(np.int64)
 
@@ -598,9 +669,10 @@ class SearchEngine:
     def _dict_bylen(r: SegmentReader, length: int):
         """(terms, uint8 byte matrix) of this segment's dictionary terms
         with exactly `length` ASCII bytes — built lazily per length and
-        cached on the reader (non-ASCII terms are excluded; they can't be
-        within 1 ASCII-byte edit of an ASCII query anyway... they fall to
-        the DP path via the caller's encode check)."""
+        cached on the reader. Non-ASCII terms are excluded here; the
+        caller covers them with a separate DP pass over
+        :meth:`_dict_nonascii` (a single character substitution CAN relate
+        a non-ASCII term to an ASCII query)."""
         cache = getattr(r, "_dict_bylen_cache", None)
         if cache is None:
             cache = {}
@@ -649,11 +721,44 @@ class SearchEngine:
         s[rev.all(1)] = rev.shape[1]
         return p + s >= need
 
+    @staticmethod
+    def _dict_nonascii(r: SegmentReader):
+        """(terms, char lengths) of this segment's NON-ASCII dictionary
+        terms, cached on the reader — the fuzzy fast path's byte matrices
+        exclude them, but a non-ASCII term CAN be within one character
+        edit of an ASCII query (single substitution, e.g. café ~ cafe),
+        so they get a separate DP check over the ±1 length band."""
+        cached = getattr(r, "_dict_nonascii_cache", None)
+        if cached is None:
+            mask = np.fromiter(
+                (not str(t).isascii() for t in r._dict_terms),
+                dtype=bool,
+                count=r._dict_terms.size,
+            )
+            terms = r._dict_terms[mask]
+            lens = SearchEngine._dict_lens(r)[mask]
+            cached = (terms, lens)
+            r._dict_nonascii_cache = cached
+        return cached
+
     def _fuzzy1_candidates(self, qterm: str) -> set:
+        from datamart_ray.pipelines.matching import levenshtein
+
         qb = np.frombuffer(qterm.encode("ascii"), np.uint8)
         L = qb.size
         out: set = set()
         for r in self.readers:
+            # non-ASCII terms never enter the byte matrices below, but a
+            # single CHARACTER substitution/insert/delete can still relate
+            # them to an ASCII query — DP over the ±1 char-length band
+            na_terms, na_lens = self._dict_nonascii(r)
+            if na_terms.size:
+                band = np.abs(na_lens - L) <= 1
+                out.update(
+                    str(t)
+                    for t in na_terms[band]
+                    if levenshtein(qterm, str(t)) <= 1
+                )
             # equal length: ≤1 substitution
             terms, m = self._dict_bylen(r, L)
             if terms.size:
@@ -713,10 +818,15 @@ class SearchEngine:
         qterms = list(dict.fromkeys(self.analyzer.tokenize(query)))
         expanded: set = set()
         for q in qterms:
+            ub = _prefix_successor(q)
             for r in self.readers:
                 v = r._dict_terms
                 lo = int(np.searchsorted(v, q))
-                hi = int(np.searchsorted(v, q + "￿"))
+                hi = (
+                    v.size
+                    if ub is None
+                    else int(np.searchsorted(v, ub))
+                )
                 expanded.update(str(t) for t in v[lo:hi])
         return self._score_expanded(sorted(expanded), k, filters)
 
@@ -771,8 +881,9 @@ class SearchEngine:
         phrase start positions (overlapping occurrences count); idf uses
         the phrase df (docs with ≥1 occurrence, global across segments);
         doclen/avgdl as in term scoring. Tie-break (score desc, docID asc).
-        ``slop > 0`` switches to the ordered-window match (greedy chain,
-        per-step gap ≤ slop+1 — see _phrase_slop_match_segment).
+        ``slop > 0`` switches to the ordered-window match (exists-any
+        chain with per-step gap ≤ slop+1 — see
+        _phrase_slop_match_segment).
 
         Phrase matching is exact per segment (no global stats needed), so
         segments match independently and only the matched (docID, tf, dl)
@@ -853,7 +964,12 @@ class SearchEngine:
                     agg[item["values"]] = (
                         agg.get(item["values"], 0) + item["counts"]
                     )
-        items = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
+        # NULL facet values sort after equal-count strings (DuckDB's
+        # NULLS-LAST default) — None can't compare against str directly
+        items = sorted(
+            agg.items(),
+            key=lambda kv: (-kv[1], kv[0] is None, kv[0] or ""),
+        )
         return pa.table(
             {
                 col: pa.array([k for k, _ in items], type=pa.string()),
@@ -922,26 +1038,34 @@ class SegmentScorer:
         computed, so ranks are identical at every cluster size."""
         key = tuple(terms)
         if key not in self._phrase_cache:
-            ds_, tf_, dl_ = [], [], []
-            for r in self.readers:
-                d, ptf = _phrase_match_segment(r, terms)
-                if r._tombstones.size and d.size:
-                    keep = ~_isin_sorted(r._tombstones, d)
-                    d, ptf = d[keep], ptf[keep]
-                if d.size:
-                    ds_.append(d)
-                    tf_.append(ptf)
-                    dl_.append(r.doclen_of(d))
-            if ds_:
-                self._phrase_cache[key] = (
-                    np.concatenate(ds_),
-                    np.concatenate(tf_),
-                    np.concatenate(dl_),
-                )
-            else:
-                e = np.empty(0, dtype=np.int64)
-                self._phrase_cache[key] = (e, e, e)
+            # bound the cache: entries normally die in round 2, but a
+            # driver failure between rounds would strand them forever
+            while len(self._phrase_cache) >= 8:
+                self._phrase_cache.pop(next(iter(self._phrase_cache)))
+            self._phrase_cache[key] = self._phrase_match_all(terms)
         return int(self._phrase_cache[key][0].size)
+
+    def _phrase_match_all(
+        self, terms: list[str]
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        ds_, tf_, dl_ = [], [], []
+        for r in self.readers:
+            d, ptf = _phrase_match_segment(r, terms)
+            if r._tombstones.size and d.size:
+                keep = ~_isin_sorted(r._tombstones, d)
+                d, ptf = d[keep], ptf[keep]
+            if d.size:
+                ds_.append(d)
+                tf_.append(ptf)
+                dl_.append(r.doclen_of(d))
+        if ds_:
+            return (
+                np.concatenate(ds_),
+                np.concatenate(tf_),
+                np.concatenate(dl_),
+            )
+        e = np.empty(0, dtype=np.int64)
+        return (e, e, e)
 
     def phrase_topk(
         self,
@@ -954,7 +1078,13 @@ class SegmentScorer:
         """Round 2: score the cached match with the GLOBAL idf/avgdl and
         return only this actor's top-k — driver traffic is O(k·actors),
         never the match volume."""
-        d, ptf, dl = self._phrase_cache.pop(tuple(terms))
+        # pop-with-recompute: concurrent identical phrases interleave the
+        # two rounds on one actor, so a second round-2 call may find the
+        # entry already consumed — rematch instead of KeyError
+        cached = self._phrase_cache.pop(tuple(terms), None)
+        d, ptf, dl = (
+            cached if cached is not None else self._phrase_match_all(terms)
+        )
         if d.size == 0:
             return d, np.empty(0, dtype=np.float64)
         scores = idf * bm25_tf_norm(

@@ -76,11 +76,14 @@ def convert_spss_to_parquet(src: str, out_dir: str) -> str:
 
     try:
         return spss.convert_spss_to_parquet(src, out_dir)
-    except ValueError:
+    except ValueError as native_err:
         try:
             import pyreadstat  # noqa: F401
         except ImportError:
-            raise
+            # no fallback available: surface the native parser's
+            # diagnosis (bad file / unsupported subset), not the
+            # missing optional dependency
+            raise native_err from None
         df = pd.read_spss(src)
         os.makedirs(out_dir, exist_ok=True)
         pq.write_table(

@@ -417,6 +417,82 @@ def test_facet_counts_matches_brute_force(ray_session, tmp_path):
         assert got == exp, (query, mode)
 
 
+def test_facet_counts_null_bucket_ties(ray_session, tmp_path):
+    """A NULL facet value whose count ties a string value's count must
+    sort after it (DuckDB NULLS LAST), not raise TypeError."""
+    docs = ["red blue", "red blue", "red blue", "red blue"]
+    path = str(tmp_path / "fn.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), type=pa.int64()),
+                "text": pa.array(docs),
+                "lang": pa.array(["en", "en", None, None]),
+            }
+        ),
+        path,
+    )
+    idx = str(tmp_path / "fnidx")
+    cfg = IndexConfig(
+        analyzer=Analyzer(), content_col="text", id_col="doc_id",
+        meta_cols=("lang",), docs_per_spec=8,
+    )
+    build_index(path, idx, cfg)
+    eng = SearchEngine(idx, lazy=False)
+    got = eng.facet_counts("red", "lang").to_pandas()
+    assert got["lang"].tolist() == ["en", None]
+    assert got["n"].tolist() == [2, 2]
+
+
+def test_fuzzy1_includes_nonascii_terms(ray_session, tmp_path):
+    """An ASCII query must still expand to non-ASCII dictionary terms one
+    CHARACTER edit away (cafe ~ café): the byte-matrix fast path excludes
+    them, so a DP side-band must cover them."""
+    from datamart_ray.pipelines.matching import levenshtein
+
+    an = Analyzer(token_chars="a-zé")
+    docs = ["cafe menu", "café menu", "cart menu", "cafés here"]
+    path = str(tmp_path / "na.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                "text": pa.array(docs),
+            }
+        ),
+        path,
+    )
+    idx = str(tmp_path / "naidx")
+    cfg = IndexConfig(
+        analyzer=an, content_col="text", id_col="doc_id",
+        meta_cols=(), docs_per_spec=8,
+    )
+    build_index(path, idx, cfg)
+    eng = SearchEngine(idx, lazy=False)
+    vocab = sorted({t for d in docs for t in an.tokenize(d)})
+    for q in ["cafe", "menu", "cart"]:
+        fast = eng._fuzzy_candidates(q, 1)
+        slow = {v for v in vocab if levenshtein(q, v) <= 1}
+        assert fast == slow, (q, fast ^ slow)
+    assert "café" in eng._fuzzy_candidates("cafe", 1)
+
+
+def test_prefix_successor_bounds():
+    from datamart_ray.search.engine import _prefix_successor
+
+    assert _prefix_successor("s") == "t"
+    assert _prefix_successor("ab") == "ac"
+    # last char at the codepoint ceiling: carry into the previous char
+    assert _prefix_successor("a" + chr(0x10FFFF)) == "b"
+    assert _prefix_successor(chr(0x10FFFF)) is None
+    # the bound must sort ABOVE a term whose next char is non-BMP and
+    # above the literal q+'￿' string (both dropped by the old bound)
+    vocab = np.array(sorted(["s", "s\U0001F600x", "s￿", "szzz", "t"]))
+    lo = int(np.searchsorted(vocab, "s"))
+    hi = int(np.searchsorted(vocab, _prefix_successor("s")))
+    assert set(vocab[lo:hi]) == {"s", "s\U0001F600x", "s￿", "szzz"}
+
+
 def test_fuzzy1_fast_path_differential(ray_session, tmp_path):
     """Dense random vocab over a 3-letter alphabet (many terms within one
     edit of each other): the vectorized edit-1 expansion must equal the
@@ -459,66 +535,70 @@ def test_fuzzy1_fast_path_differential(ray_session, tmp_path):
         assert fast == slow, (q, fast ^ slow)
 
 
+def _slop_chain_exists(ts, terms, start, slop):
+    """True when SOME in-order chain from `start` (ts[start]==terms[0])
+    places terms[i+1] within slop+1 positions after terms[i] — full
+    backtracking, the specification the engine must match."""
+
+    def rec(cur, ti):
+        if ti == len(terms):
+            return True
+        for q in range(cur + 1, cur + 2 + slop):
+            if q < len(ts) and ts[q] == terms[ti] and rec(q, ti + 1):
+                return True
+        return False
+
+    return rec(start, 1)
+
+
+def _brute_slop(docs, toks, terms, slop, k):
+    n = len(docs)
+    dl = np.array([len(x) for x in toks], float)
+    avgdl = dl.mean()
+    ptfs = {}
+    for i, ts in enumerate(toks):
+        cnt = sum(
+            1
+            for p in range(len(ts))
+            if ts[p] == terms[0]
+            and _slop_chain_exists(ts, terms, p, slop)
+        )
+        if cnt:
+            ptfs[i] = cnt
+    df = len(ptfs)
+    if not df:
+        return []
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    scored = sorted(
+        (
+            (
+                idf * c * 2.2
+                / (c + 1.2 * (1 - 0.75 + 0.75 * dl[i] / avgdl)),
+                i,
+            )
+            for i, c in ptfs.items()
+        ),
+        key=lambda x: (-x[0], x[1]),
+    )[:k]
+    return [(i, round(s, 6)) for s, i in scored]
+
+
 def test_phrase_slop_matches_brute_force(ray_session, phrase_corpus, tmp_path):
-    """Sloppy ordered phrase == brute-force greedy-chain definition
-    (m=2: identical to the EXISTS-window definition; m=3 checks the
-    greedy chain)."""
+    """Sloppy ordered phrase == brute-force EXISTS-any-chain definition
+    (full backtracking oracle — a greedy-walk oracle would mask the
+    3-term stranded-chain false negative)."""
     path, docs = phrase_corpus
     eng = _build(path, str(tmp_path / "sidx"), docs_per_spec=64)
     an = Analyzer()
     toks = [an.tokenize(d) for d in docs]
 
-    def brute(terms, slop, k):
-        n = len(docs)
-        dl = np.array([len(x) for x in toks], float)
-        avgdl = dl.mean()
-        ptfs = {}
-        for i, ts in enumerate(toks):
-            cnt = 0
-            for p in range(len(ts)):
-                if ts[p] != terms[0]:
-                    continue
-                cur = p
-                ok = True
-                for t in terms[1:]:
-                    nxt = next(
-                        (
-                            q
-                            for q in range(cur + 1, cur + 2 + slop)
-                            if q < len(ts) and ts[q] == t
-                        ),
-                        None,
-                    )
-                    if nxt is None:
-                        ok = False
-                        break
-                    cur = nxt
-                if ok:
-                    cnt += 1
-            if cnt:
-                ptfs[i] = cnt
-        df = len(ptfs)
-        if not df:
-            return []
-        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
-        scored = sorted(
-            (
-                (
-                    idf * c * 2.2
-                    / (c + 1.2 * (1 - 0.75 + 0.75 * dl[i] / avgdl)),
-                    i,
-                )
-                for i, c in ptfs.items()
-            ),
-            key=lambda x: (-x[0], x[1]),
-        )[:k]
-        return [(i, round(s, 6)) for s, i in scored]
-
     for phrase, slop in [
         ("window hash", 2),
         ("window hash", 0),
         ("alpha beta gamma", 1),
+        ("alpha beta gamma", 2),
         ("zeta join", 3),
+        ("window hash join", 2),
     ]:
         got = [
             (int(r.doc_id), round(r.score, 6))
@@ -526,9 +606,31 @@ def test_phrase_slop_matches_brute_force(ray_session, phrase_corpus, tmp_path):
             .to_pandas()
             .itertuples()
         ]
-        exp = brute(Analyzer().tokenize(phrase), slop, 12)
+        exp = _brute_slop(
+            docs, toks, Analyzer().tokenize(phrase), slop, 12
+        )
         assert got == exp, (phrase, slop)
-    # slop=0 through the slop path is exercised via the greedy brute
-    # force above; the engine's slop=0 uses the exact-intersection path,
-    # whose equality with the greedy chain at slop=0 the first two cases
-    # witness jointly
+
+
+def test_phrase_slop_backtracking_chain(ray_session, tmp_path):
+    """Regression: doc 'a b b x c' with phrase 'a b c' slop=1 matches
+    only via the SECOND b (a@0→b@2→c@4, both gaps 2 ≤ slop+1); a greedy
+    forward walk takes b@1, overshoots, and wrongly drops the doc."""
+    docs = [
+        "aa bb bb xx cc",  # matches only by backtracking to the 2nd bb
+        "aa bb cc",  # consecutive chain (sanity)
+        "aa bb xx xx cc",  # no chain at slop=1 (cc is 3 past bb)
+    ]
+    path = str(tmp_path / "bt.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                "text": pa.array(docs),
+            }
+        ),
+        path,
+    )
+    eng = _build(path, str(tmp_path / "btidx"), docs_per_spec=8)
+    got = eng.phrase_search("aa bb cc", k=10, slop=1).to_pandas()
+    assert sorted(got["doc_id"].tolist()) == [0, 1]
