@@ -262,6 +262,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     out["ft_exact_dedup"] = out.pop("ft_exact_dedup")
     out["ft_quality_scores"] = out.pop("ft_quality_scores")
+    # ft_bm25_or_topk / ft_bm25_dist_topk (WAND + scorer-actor paths,
+    # untouched since their r2 green rows) and q01 (twice driver-green;
+    # its groupby path is also exercised by q02, which stays in-window)
+    # absorb the slots freed for the NEW ft_bool_topk /
+    # ft_bm25_range_filter / ft_phrase_prefix_topk entries
+    out["ft_bm25_or_topk"] = out.pop("ft_bm25_or_topk")
+    out["ft_bm25_dist_topk"] = out.pop("ft_bm25_dist_topk")
+    out["q01_pricing_summary"] = out.pop("q01_pricing_summary")
     out["ft_df_top_terms"] = out.pop("ft_df_top_terms")
     out["lk_doc_lookup"] = out.pop("lk_doc_lookup")
     out["q05_distinct_users"] = out.pop("q05_distinct_users")

@@ -37,6 +37,14 @@ PHRASE_QUERY = "window join"  # consecutive-token match, non-vacuous at all sf
 FUZZY_QUERY = "sow hach"
 # expands to {scan, slow, small, sort, spark, stream} over this corpus
 PREFIX_QUERY = "s"
+# bool query: must match "window", "hash"/"join" boost, "stream" excluded
+BOOL_MUST = "window"
+BOOL_SHOULD = "hash join"
+BOOL_NOT = "stream"
+# inclusive n_chars range filter (both sf fixtures span ~47..558 chars)
+NCHARS_LO, NCHARS_HI = 150, 350
+# "window" exact + "jo" prefix (expands over {join, ...}) — non-vacuous
+PHRASE_PREFIX_QUERY = "window jo"
 BM25_K = 10
 
 _ENGINES: dict[str, SearchEngine] = {}
@@ -56,18 +64,20 @@ def get_engine(sf_dir: str) -> SearchEngine:
     if sf_dir in _ENGINES:
         return _ENGINES[sf_dir]
     src = _docs_path(sf_dir)
+    # ":m2" = config fingerprint — n_chars joined docmeta (range
+    # filters); a stale cached index without it must not be resumed
     key = hashlib.sha1(
-        f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}".encode()
+        f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}:m2".encode()
     ).hexdigest()[:12]
     index_dir = f"/tmp/datamart_ray_idx/{key}"
     cfg = IndexConfig(
         analyzer=ANALYZER,
         content_col="text",
         id_col="doc_id",
-        meta_cols=("lang", "source"),
+        meta_cols=("lang", "source", "n_chars"),
     )
     build_index(src, index_dir, cfg)
-    eng = SearchEngine(index_dir)
+    eng = SearchEngine(index_dir, filter_cols=("lang", "source", "n_chars"))
     _ENGINES[sf_dir] = eng
     return eng
 
@@ -301,6 +311,55 @@ def ft_prefix_topk(sf_dir: str) -> pd.DataFrame:
     ``LIKE 'p%'`` and sums in the same lexicographic order."""
     eng = get_engine(sf_dir)
     t = eng.prefix_search(PREFIX_QUERY, k=BM25_K)
+    out = t.to_pandas()
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
+def ft_bool_topk(sf_dir: str) -> pd.DataFrame:
+    """ES ``bool`` query analog (must/should/must_not) through the real
+    engine: docs containing every must token and none of the must_not
+    tokens, scored over must ∪ should contributions (lexicographic
+    accumulation — the twin's ``sum(c ORDER BY term)``). Reference
+    analog: the keyword+filter search body the apiserver builds
+    (apiserver/apiserver/search/__init__.py:55-107 combines must/
+    must_not/filter clauses in its ES query DSL)."""
+    eng = get_engine(sf_dir)
+    t = eng.bool_search(
+        must=BOOL_MUST, should=BOOL_SHOULD, must_not=BOOL_NOT, k=BM25_K
+    )
+    out = t.to_pandas()
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
+def ft_bm25_range_filter(sf_dir: str) -> pd.DataFrame:
+    """BM25 AND query with a numeric range filter on docmeta
+    (``n_chars`` BETWEEN lo AND hi) — the ES ``range`` filter analog the
+    reference's variable constraints compile to
+    (apiserver/apiserver/search/__init__.py range clauses). The filter
+    runs inside the segment scorer on docmeta columns; postings of
+    filtered-out docs are skipped before scoring."""
+    eng = get_engine(sf_dir)
+    t = eng.search(
+        BM25_FILTER_QUERY,
+        k=BM25_K,
+        mode="and",
+        filters={"n_chars": (NCHARS_LO, NCHARS_HI)},
+    )
+    out = t.to_pandas()
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
+def ft_phrase_prefix_topk(sf_dir: str) -> pd.DataFrame:
+    """match_phrase_prefix: leading tokens exact-consecutive, final
+    token a dictionary-prefix expansion — the ES autocomplete query.
+    tf = matching start positions, idf from the match df (same scoring
+    as ft_phrase_topk). Twin: positional UNNEST with LIKE on the last
+    slot."""
+    eng = get_pos_engine(sf_dir)
+    t = eng.phrase_prefix_search(PHRASE_PREFIX_QUERY, k=BM25_K)
     out = t.to_pandas()
     out["score"] = round_away(out["score"], 4)
     return out
@@ -586,7 +645,11 @@ def _tok_cte() -> str:
 
 
 def _bm25_sql(
-    query: str, k: int, lang: str | None = None, mode_or: bool = False
+    query: str,
+    k: int,
+    lang: str | None = None,
+    mode_or: bool = False,
+    nrange: tuple | None = None,
 ) -> str:
     terms = list(dict.fromkeys(ANALYZER.tokenize(query)))
     qvals = ", ".join(f"('{t}', {i})" for i, t in enumerate(terms))
@@ -595,6 +658,11 @@ def _bm25_sql(
         if lang
         else ""
     )
+    if nrange:
+        lang_join += (
+            f" JOIN documents d2 ON tf.doc_id = d2.doc_id"
+            f" AND d2.n_chars BETWEEN {nrange[0]} AND {nrange[1]}"
+        )
     return f"""
         WITH {_tok_cte()},
         tf AS (
@@ -629,6 +697,124 @@ def _bm25_sql(
         )
         SELECT doc_id, ROUND(score, 4) AS score
         FROM scored WHERE {'TRUE' if mode_or else f'nt = {len(terms)}'}
+        ORDER BY score DESC, doc_id
+        LIMIT {k}
+    """
+
+
+def _bool_sql(must: str, should: str, must_not: str, k: int) -> str:
+    """DuckDB twin of SearchEngine.bool_search: must-AND candidates,
+    must_not exclusion, score summed over must ∪ should contributions
+    ORDER BY term (the engine's pinned lexicographic accumulation)."""
+    must_t = list(dict.fromkeys(ANALYZER.tokenize(must)))
+    should_t = [
+        t
+        for t in dict.fromkeys(ANALYZER.tokenize(should))
+        if t not in must_t
+    ]
+    not_t = list(dict.fromkeys(ANALYZER.tokenize(must_not)))
+    score_terms = sorted(set(must_t) | set(should_t))
+    svals = ", ".join(f"('{t}')" for t in score_terms)
+    if must_t:
+        mvals = ", ".join(f"('{t}')" for t in must_t)
+        cand_ctes = f"""
+        mterms(term) AS (VALUES {mvals}),
+        cand0 AS (
+            SELECT doc_id FROM tf JOIN mterms USING (term)
+            GROUP BY doc_id HAVING count(DISTINCT term) = {len(must_t)}
+        )"""
+    else:
+        cand_ctes = """
+        cand0 AS (
+            SELECT DISTINCT doc_id FROM tf JOIN sterms USING (term)
+        )"""
+    if not_t:
+        nvals = ", ".join(f"('{t}')" for t in not_t)
+        cand_ctes += f""",
+        nterms(term) AS (VALUES {nvals}),
+        cand AS (
+            SELECT doc_id FROM cand0
+            WHERE doc_id NOT IN (
+                SELECT tf.doc_id FROM tf JOIN nterms USING (term)
+            )
+        )"""
+    else:
+        cand_ctes += ",\n        cand AS (SELECT doc_id FROM cand0)"
+    return f"""
+        WITH {_tok_cte()},
+        tf AS (
+            SELECT doc_id, term, count(*)::DOUBLE AS tf
+            FROM tok GROUP BY doc_id, term
+        ),
+        dl AS (
+            SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id
+        ),
+        stats AS (
+            SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                   (SELECT sum(dl) FROM dl)
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        sterms(term) AS (VALUES {svals}),
+        {cand_ctes},
+        contrib AS (
+            SELECT tf.doc_id, tf.term,
+                   ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+            FROM tf
+            JOIN sterms q USING (term)
+            JOIN cand USING (doc_id)
+            JOIN df USING (term)
+            JOIN dl USING (doc_id)
+            CROSS JOIN stats s
+        ),
+        scored AS (
+            SELECT doc_id, sum(c ORDER BY term) AS score
+            FROM contrib GROUP BY doc_id
+        )
+        SELECT doc_id, ROUND(score, 4) AS score
+        FROM scored
+        ORDER BY score DESC, doc_id
+        LIMIT {k}
+    """
+
+
+def _phrase_prefix_sql(phrase: str, k: int) -> str:
+    """DuckDB twin of phrase_prefix_search: same positional UNNEST as
+    _phrase_sql, with the last slot a LIKE-prefix condition."""
+    terms = ANALYZER.tokenize(phrase)
+    m = len(terms)
+    conds = " AND ".join(
+        f"ts[i+{j + 1}] = '{t}'" for j, t in enumerate(terms[:-1])
+    )
+    last = f"ts[i+{m}] LIKE '{terms[-1]}%'"
+    conds = f"{conds} AND {last}" if conds else last
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {ANALYZER.sql_tokens_expr('text')} AS ts
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id, count(*)::DOUBLE AS ptf
+            FROM toks,
+                 UNNEST(range(0, greatest(len(ts) - {m - 1}, 0))) AS r(i)
+            WHERE {conds}
+            GROUP BY doc_id
+        ),
+        dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM toks),
+        stats AS (
+            SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                   (SELECT sum(dl) FROM dl)
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl,
+                   (SELECT count(*) FROM m)::DOUBLE AS df
+        )
+        SELECT m.doc_id,
+               ROUND(ln(1 + (s.n - s.df + 0.5) / (s.df + 0.5))
+                     * m.ptf * (1.2 + 1)
+                     / (m.ptf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)),
+                     4) AS score
+        FROM m JOIN dl USING (doc_id) CROSS JOIN stats s
         ORDER BY score DESC, doc_id
         LIMIT {k}
     """
@@ -670,6 +856,13 @@ def build_sql() -> dict[str, str]:
         "ft_bm25_or_topk": _bm25_sql(BM25_QUERY, BM25_K, mode_or=True),
         "ft_bm25_dist_topk": _bm25_sql(BM25_QUERY, BM25_K),
         "ft_bm25_lang_filter": _bm25_sql(BM25_FILTER_QUERY, BM25_K, lang="en"),
+        "ft_bool_topk": _bool_sql(BOOL_MUST, BOOL_SHOULD, BOOL_NOT, BM25_K),
+        "ft_bm25_range_filter": _bm25_sql(
+            BM25_FILTER_QUERY, BM25_K, nrange=(NCHARS_LO, NCHARS_HI)
+        ),
+        "ft_phrase_prefix_topk": _phrase_prefix_sql(
+            PHRASE_PREFIX_QUERY, BM25_K
+        ),
         "ft_exact_dedup": """
             SELECT min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n
             FROM documents GROUP BY text HAVING count(*) > 1
@@ -784,6 +977,9 @@ QUERIES = {
     "ft_bm25_or_topk": ft_bm25_or_topk,
     "ft_bm25_dist_topk": ft_bm25_dist_topk,
     "ft_bm25_lang_filter": ft_bm25_lang_filter,
+    "ft_bool_topk": ft_bool_topk,
+    "ft_bm25_range_filter": ft_bm25_range_filter,
+    "ft_phrase_prefix_topk": ft_phrase_prefix_topk,
     "ft_exact_dedup": ft_exact_dedup,
     "ft_quality_scores": ft_quality_scores,
 }

@@ -240,16 +240,32 @@ class SegmentReader:
         pos = np.searchsorted(self._doc_ids, docids)
         return self._doclens[pos]
 
-    def filter_positions(self, filters: dict[str, str]) -> np.ndarray | None:
-        """Sorted docID array passing all equality filters and tombstones
-        (None = everything allowed)."""
+    def filter_positions(self, filters: dict[str, object]) -> np.ndarray | None:
+        """Sorted docID array passing all filters and tombstones
+        (None = everything allowed). A scalar value is an equality
+        filter; a 2-tuple ``(lo, hi)`` is an inclusive numeric range
+        (the ES ``range`` query analog; either bound may be None for
+        a half-open range)."""
         if not filters and self._tombstones.size == 0:
             return None
         mask = np.ones(self._doc_ids.size, dtype=bool)
         for col, val in (filters or {}).items():
             if col not in self._meta.column_names:
                 raise KeyError(f"no filter column {col!r} in docmeta")
-            arr = pc.equal(self._meta[col], val)
+            if isinstance(val, tuple):
+                lo, hi = val
+                arr = pa.array(np.ones(self._meta.num_rows, dtype=bool))
+                if lo is not None:
+                    arr = pc.and_kleene(
+                        arr, pc.greater_equal(self._meta[col], lo)
+                    )
+                if hi is not None:
+                    arr = pc.and_kleene(
+                        arr, pc.less_equal(self._meta[col], hi)
+                    )
+                arr = pc.fill_null(arr, False)
+            else:
+                arr = pc.equal(self._meta[col], val)
             mask &= arr.to_numpy(zero_copy_only=False)
         if self._tombstones.size:
             mask &= ~_isin_sorted(self._tombstones, self._doc_ids)
@@ -545,6 +561,157 @@ def _phrase_slop_match_segment(
     return docids, ptf.astype(np.int64)
 
 
+def _bool_score_segment(
+    reader: SegmentReader,
+    must: list[str],
+    should: list[str],
+    must_not: list[str],
+    idfs: dict[str, float],
+    avgdl: float,
+    filters: dict | None,
+    params: BM25Params,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(docids, scores) for one segment under ES ``bool`` semantics:
+    candidates contain ALL `must` terms (or, with no must clause, at
+    least one `should` term), none of the `must_not` terms, and pass the
+    keyword/range filters; the score sums BM25 contributions of every
+    must/should term present, accumulation pinned to lexicographic term
+    order (the SQL twin's ``sum(c ORDER BY term)``). Pinned deviation
+    from ES: terms are deduplicated across clauses (set semantics), and
+    there is no ``minimum_should_match`` beyond the no-must ≥1 rule."""
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    allowed = reader.filter_positions(filters or {})
+    post: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    if must:
+        if any(reader.df(t) == 0 for t in must):
+            return empty
+        # rarest-first intersection with chunk skipping (see
+        # _score_segment's AND branch — same shape, candidates only)
+        tcs = {t: reader.term_chunks(t) for t in must}
+        order = sorted(must, key=reader.df)
+        docids, tf0 = tcs[order[0]].decode_all()
+        post[order[0]] = (docids, tf0)
+        if allowed is not None:
+            docids = docids[_isin_sorted(allowed, docids)]
+        for t in order[1:]:
+            if docids.size == 0:
+                return empty
+            tc = tcs[t]
+            lo = np.searchsorted(docids, tc.first)
+            keep = (lo < docids.size) & (
+                docids[np.minimum(lo, docids.size - 1)] <= tc.last
+            )
+            p_doc, p_tf = tc.decode(keep)
+            post[t] = (p_doc, p_tf)
+            docids = docids[_isin_sorted(p_doc, docids)]
+    else:
+        parts = [
+            reader.postings(t)[0] for t in should if reader.df(t) > 0
+        ]
+        if not parts:
+            return empty
+        docids = np.unique(np.concatenate(parts))
+        if allowed is not None:
+            docids = docids[_isin_sorted(allowed, docids)]
+    for t in must_not:
+        if docids.size == 0:
+            return empty
+        if reader.df(t) == 0:
+            continue
+        nd, _ = reader.postings(t)
+        docids = docids[~_isin_sorted(nd, docids)]
+    if docids.size == 0:
+        return empty
+    dl = reader.doclen_of(docids)
+    scores = np.zeros(docids.size, dtype=np.float64)
+    for t in sorted(set(must) | set(should)):
+        if reader.df(t) == 0:
+            continue
+        p_doc, p_tf = post.get(t) or reader.postings(t)
+        keep = _isin_sorted(docids, p_doc)
+        pos = np.searchsorted(docids, p_doc[keep])
+        scores[pos] += idfs[t] * bm25_tf_norm(
+            p_tf[keep].astype(np.float64), dl[pos], avgdl, params
+        )
+    return docids, scores
+
+
+def _segment_prefix_terms(reader: SegmentReader, prefix: str) -> list[str]:
+    """Dictionary terms of one segment starting with `prefix`, via the
+    sorted-dictionary binary-search range (O(log vocab), no scan)."""
+    ub = _prefix_successor(prefix)
+    v = reader._dict_terms
+    lo = int(np.searchsorted(v, prefix))
+    hi = v.size if ub is None else int(np.searchsorted(v, ub))
+    return [str(t) for t in v[lo:hi]]
+
+
+def _phrase_prefix_match_segment(
+    reader: SegmentReader, exact: list[str], prefix: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """(docids, tf) of docs where the `exact` tokens appear consecutively
+    immediately followed by ANY dictionary term starting with `prefix` —
+    the ES ``match_phrase_prefix`` analog. tf counts matching start
+    positions (overlapping occurrences count). Pinned deviation from ES:
+    the prefix expands over the ENTIRE dictionary range (ES caps at
+    ``max_expansions=50`` in index order). With no exact tokens this
+    degrades to positional prefix matching (tf = total occurrences of
+    all expansions). Expansion decodes are bounded by the exact-term
+    candidate set via the docs_filter chunk skip."""
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    expansions = _segment_prefix_terms(reader, prefix)
+    if not expansions:
+        return empty
+    cand: np.ndarray | None = None
+    if exact:
+        cand = _phrase_candidate_docs(reader, exact)
+        if cand is None or cand.size == 0:
+            return empty
+    # candidates must also contain ≥1 expansion term
+    exp_parts = []
+    for t in expansions:
+        docs, _ = reader.postings(t)
+        exp_parts.append(
+            docs if cand is None else docs[_isin_sorted(cand, docs)]
+        )
+    exp_docs = (
+        np.unique(np.concatenate(exp_parts)) if exp_parts else
+        np.empty(0, dtype=np.int64)
+    )
+    if exp_docs.size == 0:
+        return empty
+    cand = exp_docs  # ⊆ exact-candidates already
+    m = len(exact) + 1
+    cur: np.ndarray | None = None
+    for j, term in enumerate(exact):
+        keys = _term_position_keys(reader, term, slot=j, docs_filter=cand)
+        if keys is None or keys.size == 0:
+            return empty
+        cur = keys if cur is None else cur[_isin_sorted(keys, cur)]
+        if cur is not None and cur.size == 0:
+            return empty
+    last_parts = []
+    for t in expansions:
+        keys = _term_position_keys(
+            reader, t, slot=m - 1, docs_filter=cand
+        )
+        if keys is not None and keys.size:
+            last_parts.append(keys)
+    if not last_parts:
+        return empty
+    last = (
+        np.sort(np.concatenate(last_parts))
+        if len(last_parts) > 1
+        else last_parts[0]
+    )  # disjoint across terms (one term per position) — no dedupe needed
+    cur = last if cur is None else cur[_isin_sorted(last, cur)]
+    if cur.size == 0:
+        return empty
+    docs = (cur >> np.uint64(32)).astype(np.int64)
+    docids, ptf = np.unique(docs, return_counts=True)
+    return docids, ptf.astype(np.int64)
+
+
 class SearchEngine:
     """In-process engine over all committed segments of an index dir."""
 
@@ -618,6 +785,62 @@ class SearchEngine:
                 out_ids, out_scores = topk_select(
                     np.concatenate(parts_d), np.concatenate(parts_s), k
                 )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "score": pa.array(out_scores, type=pa.float64()),
+            }
+        )
+
+    def bool_search(
+        self,
+        must: str = "",
+        should: str = "",
+        must_not: str = "",
+        k: int = TOP_K_SIZE,
+        filters: dict | None = None,
+    ) -> pa.Table:
+        """ES ``bool`` query analog: docs matching every `must` token
+        (or ≥1 `should` token when no must clause), excluding docs with
+        any `must_not` token; score = BM25 sum over the present
+        must/should terms (see _bool_score_segment for the pinned
+        semantics). `filters` passes keyword equality and numeric
+        ``(lo, hi)`` range filters through to docmeta."""
+        must_t = list(dict.fromkeys(self.analyzer.tokenize(must)))
+        should_t = [
+            t
+            for t in dict.fromkeys(self.analyzer.tokenize(should))
+            if t not in must_t
+        ]
+        not_t = list(dict.fromkeys(self.analyzer.tokenize(must_not)))
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+        score_terms = sorted(set(must_t) | set(should_t))
+        if not score_terms:
+            return empty
+        idfs = {
+            t: bm25_idf(self.df(t), self.n_docs, self.params)
+            for t in score_terms
+        }
+        parts_d, parts_s = [], []
+        for r in self.readers:
+            d, s = _bool_score_segment(
+                r, must_t, should_t, not_t, idfs, self.avgdl, filters,
+                self.params,
+            )
+            if d.size:
+                dk, sk = topk_select(d, s, k)
+                parts_d.append(dk)
+                parts_s.append(sk)
+        if not parts_d:
+            return empty
+        out_ids, out_scores = topk_select(
+            np.concatenate(parts_d), np.concatenate(parts_s), k
+        )
         return pa.table(
             {
                 "doc_id": pa.array(out_ids, type=pa.int64()),
@@ -818,16 +1041,8 @@ class SearchEngine:
         qterms = list(dict.fromkeys(self.analyzer.tokenize(query)))
         expanded: set = set()
         for q in qterms:
-            ub = _prefix_successor(q)
             for r in self.readers:
-                v = r._dict_terms
-                lo = int(np.searchsorted(v, q))
-                hi = (
-                    v.size
-                    if ub is None
-                    else int(np.searchsorted(v, ub))
-                )
-                expanded.update(str(t) for t in v[lo:hi])
+                expanded.update(_segment_prefix_terms(r, q))
         return self._score_expanded(sorted(expanded), k, filters)
 
     def _score_expanded(
@@ -908,6 +1123,37 @@ class SearchEngine:
                 d, ptf = d[keep], ptf[keep]
             if d.size:
                 parts.append((d, ptf, r.doclen_of(d)))
+        return self._score_phrase_parts(parts, k)
+
+    def phrase_prefix_search(self, phrase: str, k: int = TOP_K_SIZE) -> pa.Table:
+        """match_phrase_prefix: the leading query tokens must appear
+        consecutively, immediately followed by ANY term starting with the
+        final token (treated as a prefix). Scoring mirrors
+        :meth:`phrase_search` — tf = matching start positions, idf from
+        the match df. See _phrase_prefix_match_segment for the pinned
+        expansion deviation from ES."""
+        terms = self.analyzer.tokenize(phrase)
+        if not terms:
+            return self._score_phrase_parts([], k)
+        exact, prefix = terms[:-1], terms[-1]
+        parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        for r in self.readers:
+            d, ptf = _phrase_prefix_match_segment(r, exact, prefix)
+            if r._tombstones.size and d.size:
+                keep = ~_isin_sorted(r._tombstones, d)
+                d, ptf = d[keep], ptf[keep]
+            if d.size:
+                parts.append((d, ptf, r.doclen_of(d)))
+        return self._score_phrase_parts(parts, k)
+
+    def _score_phrase_parts(
+        self,
+        parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
+        k: int,
+    ) -> pa.Table:
+        """Global df → idf → BM25 → top-k over per-segment
+        (docids, match_tf, doclen) triples — shared by the exact, slop
+        and phrase-prefix match paths."""
         if not parts:
             return pa.table(
                 {

@@ -634,3 +634,175 @@ def test_phrase_slop_backtracking_chain(ray_session, tmp_path):
     eng = _build(path, str(tmp_path / "btidx"), docs_per_spec=8)
     got = eng.phrase_search("aa bb cc", k=10, slop=1).to_pandas()
     assert sorted(got["doc_id"].tolist()) == [0, 1]
+
+
+# ---------------------------------------------------------------------------
+# match_phrase_prefix / bool query / numeric range filters (round 3)
+# ---------------------------------------------------------------------------
+
+def _brute_phrase_prefix(docs, exact, prefix, k):
+    """Brute-force match_phrase_prefix: tf = start positions where the
+    exact tokens run consecutively and the next token startswith(prefix)."""
+    an = Analyzer()
+    toks = [an.tokenize(d) for d in docs]
+    dl = np.array([len(x) for x in toks], float)
+    n = len(docs)
+    avgdl = dl.sum() / n if n else 0.0
+    m = len(exact) + 1
+    ptfs = {}
+    for i, ts in enumerate(toks):
+        c = sum(
+            1
+            for j in range(len(ts) - m + 1)
+            if all(ts[j + s] == exact[s] for s in range(m - 1))
+            and ts[j + m - 1].startswith(prefix)
+        )
+        if c:
+            ptfs[i] = c
+    df = len(ptfs)
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    scored = sorted(
+        (
+            (
+                idf * c * 2.2
+                / (c + 1.2 * (1 - 0.75 + 0.75 * dl[i] / avgdl)),
+                i,
+            )
+            for i, c in ptfs.items()
+        ),
+        key=lambda x: (-x[0], x[1]),
+    )[:k]
+    return [(i, round(s, 6)) for s, i in scored]
+
+
+def test_phrase_prefix_matches_brute_force(
+    ray_session, phrase_corpus, tmp_path
+):
+    path, docs = phrase_corpus
+    eng = _build(path, str(tmp_path / "ppidx"), docs_per_spec=64)
+    cases = [
+        ("window ha", ["window"], "ha"),     # exact + expanding prefix
+        ("alpha b", ["alpha"], "b"),         # beta expansion
+        ("gam", [], "gam"),                  # pure prefix (m == 1)
+        ("window hash jo", ["window", "hash"], "jo"),  # 3-slot
+    ]
+    for phrase, exact, prefix in cases:
+        got = [
+            (int(r.doc_id), round(r.score, 6))
+            for r in eng.phrase_prefix_search(phrase, k=12)
+            .to_pandas()
+            .itertuples()
+        ]
+        assert got == _brute_phrase_prefix(docs, exact, prefix, 12), phrase
+    # prefix with no dictionary expansion → empty
+    assert eng.phrase_prefix_search("window qz", k=5).num_rows == 0
+
+
+def _brute_bool(docs, must, should, must_not, k):
+    an = Analyzer()
+    toks = [an.tokenize(d) for d in docs]
+    dl = np.array([len(x) for x in toks], float)
+    n = len(docs)
+    avgdl = dl.sum() / n if n else 0.0
+    dfs = {}
+    for ts in toks:
+        for t in set(ts):
+            dfs[t] = dfs.get(t, 0) + 1
+    score_terms = sorted(set(must) | set(should))
+    out = []
+    for i, ts in enumerate(toks):
+        s = set(ts)
+        if must and not all(t in s for t in must):
+            continue
+        if not must and not any(t in s for t in should):
+            continue
+        if any(t in s for t in must_not):
+            continue
+        sc = 0.0
+        for t in score_terms:
+            tf = ts.count(t)
+            if not tf:
+                continue
+            idf = math.log(1 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            sc += idf * tf * 2.2 / (
+                tf + 1.2 * (1 - 0.75 + 0.75 * dl[i] / avgdl)
+            )
+        out.append((sc, i))
+    out.sort(key=lambda x: (-x[0], x[1]))
+    return [(i, round(s, 6)) for s, i in out[:k]]
+
+
+def test_bool_search_matches_brute_force(
+    ray_session, phrase_corpus, tmp_path
+):
+    path, docs = phrase_corpus
+    eng = _build(path, str(tmp_path / "blidx"), docs_per_spec=64)
+    cases = [
+        ("window", "hash join", "zeta"),
+        ("window hash", "", "eps"),     # must-only + exclusion
+        ("", "alpha beta", "gamma"),    # no must → ≥1 should
+        ("delta", "delta eps", ""),     # clause-duplicated term
+        ("window", "", ""),             # plain must
+    ]
+    for must, should, must_not in cases:
+        got = [
+            (int(r.doc_id), round(r.score, 6))
+            for r in eng.bool_search(
+                must=must, should=should, must_not=must_not, k=15
+            )
+            .to_pandas()
+            .itertuples()
+        ]
+        an = Analyzer()
+        exp = _brute_bool(
+            docs,
+            list(dict.fromkeys(an.tokenize(must))),
+            list(dict.fromkeys(an.tokenize(should))),
+            list(dict.fromkeys(an.tokenize(must_not))),
+            15,
+        )
+        assert got == exp, (must, should, must_not)
+    # all-excluded and empty-clause edge cases
+    assert eng.bool_search(must="window", must_not="window").num_rows == 0
+    assert eng.bool_search().num_rows == 0
+
+
+def test_numeric_range_filter(ray_session, tmp_path):
+    docs = [f"needle common{i % 3}" for i in range(40)]
+    sizes = list(range(40))
+    path = str(tmp_path / "rng.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(40), type=pa.int64()),
+                "text": pa.array(docs),
+                "size": pa.array(sizes, type=pa.int64()),
+            }
+        ),
+        path,
+    )
+    idx = str(tmp_path / "rngidx")
+    cfg = IndexConfig(
+        analyzer=Analyzer(),
+        content_col="text",
+        id_col="doc_id",
+        meta_cols=("size",),
+        docs_per_spec=16,
+    )
+    build_index(path, idx, cfg)
+    eng = SearchEngine(idx, filter_cols=("size",), lazy=False)
+    hits = eng.search("needle", k=50, filters={"size": (10, 19)})
+    assert sorted(hits["doc_id"].to_pylist()) == list(range(10, 20))
+    # half-open bounds
+    lo = eng.search("needle", k=50, filters={"size": (35, None)})
+    assert sorted(lo["doc_id"].to_pylist()) == list(range(35, 40))
+    hi = eng.search("needle", k=50, filters={"size": (None, 4)})
+    assert sorted(hi["doc_id"].to_pylist()) == list(range(5))
+    # range + bool compose
+    b = eng.bool_search(
+        must="needle", must_not="common0", k=50,
+        filters={"size": (0, 10)},
+    )
+    assert sorted(b["doc_id"].to_pylist()) == [
+        i for i in range(11) if i % 3 != 0
+    ]

@@ -1445,7 +1445,9 @@ def test_stata_converter_and_magic_sniff(tmp_path):
     sav = tmp_path / "x.sav"
     sav.write_bytes(b"$FL2" + b"\x00" * 32)
     assert sniff_magic(str(sav)) == "spss"
-    with _pytest.raises(ImportError, match="pyreadstat"):
+    # with pyreadstat absent, the NATIVE parser's diagnosis surfaces
+    # (not a masking ImportError) — here: truncated header
+    with _pytest.raises(ValueError, match="truncated"):
         convert_spss_to_parquet(str(sav), str(tmp_path / "pq3"))
 
 
