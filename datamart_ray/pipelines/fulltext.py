@@ -299,7 +299,7 @@ def _fuzzy_sql(query: str, k: int, max_edits: int = 1) -> str:
         )
         SELECT doc_id, ROUND(score, 4) AS score
         FROM scored
-        ORDER BY score DESC, doc_id
+        ORDER BY scored.score DESC, doc_id
         LIMIT {k}
     """
 
@@ -363,6 +363,68 @@ def ft_phrase_prefix_topk(sf_dir: str) -> pd.DataFrame:
     out = t.to_pandas()
     out["score"] = round_away(out["score"], 4)
     return out
+
+
+MLT_SEED_DOC = 42  # more_like_this seed document
+MLT_MAX_TERMS = 10
+NCHARS_BIN = 50  # numeric facet histogram bin width
+
+
+def ft_search_after_page2(sf_dir: str) -> pd.DataFrame:
+    """ES search_after pagination: page 2 (ranks 11-20) of the BM25 AND
+    query, fetched with the cursor = last row of page 1. The strict
+    (score desc, doc_id asc) total order makes cursor pages equal
+    OFFSET pages, which is what the twin computes."""
+    eng = get_engine(sf_dir)
+    p1 = eng.search(BM25_QUERY, k=BM25_K, mode="and")
+    assert p1.num_rows == BM25_K, "page 1 underfull — fixture too small"
+    cursor = (
+        p1["score"][BM25_K - 1].as_py(),
+        p1["doc_id"][BM25_K - 1].as_py(),
+    )
+    t = eng.search(BM25_QUERY, k=BM25_K, mode="and", search_after=cursor)
+    out = t.to_pandas()
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
+def ft_more_like_this(sf_dir: str) -> pd.DataFrame:
+    """ES more_like_this: seed doc 42's top tf×idf terms (max 10, ties
+    by term) scored as an OR query, seed excluded. The seed text rides
+    the distributed lookup path (fetch_rows_by_ids), term selection and
+    df come from the index."""
+    from datamart_ray.util import fetch_rows_by_ids
+
+    eng = get_engine(sf_dir)
+    seed = fetch_rows_by_ids(
+        _docs_path(sf_dir), "doc_id", (MLT_SEED_DOC,), columns=["text"]
+    )
+    text = seed["text"][0].as_py()
+    t = eng.more_like_this(
+        text, k=BM25_K, max_query_terms=MLT_MAX_TERMS, exclude=MLT_SEED_DOC
+    )
+    out = t.to_pandas()
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
+def ft_match_positions(sf_dir: str) -> pd.DataFrame:
+    """Highlight-offsets analog: token positions of every query-term
+    occurrence within the BM25 top-k docs, via the positional index
+    (decodes bounded by the 10-doc filter)."""
+    eng = get_engine(sf_dir)
+    top = eng.search(BM25_QUERY, k=BM25_K, mode="and")
+    pos_eng = get_pos_engine(sf_dir)
+    t = pos_eng.match_positions(BM25_QUERY, top["doc_id"].to_numpy())
+    return t.to_pandas()
+
+
+def ft_facet_nchars_hist(sf_dir: str) -> pd.DataFrame:
+    """ES histogram aggregation: fixed-width n_chars bins over every
+    doc matching the BM25 AND query."""
+    eng = get_engine(sf_dir)
+    t = eng.numeric_facet(BM25_QUERY, "n_chars", NCHARS_BIN, mode="and")
+    return t.to_pandas()
 
 
 def ft_phrase_dist_topk(sf_dir: str) -> pd.DataFrame:
@@ -472,7 +534,7 @@ def _prefix_sql(query: str, k: int) -> str:
         )
         SELECT doc_id, ROUND(score, 4) AS score
         FROM scored
-        ORDER BY score DESC, doc_id
+        ORDER BY scored.score DESC, doc_id
         LIMIT {k}
     """
 
@@ -650,6 +712,7 @@ def _bm25_sql(
     lang: str | None = None,
     mode_or: bool = False,
     nrange: tuple | None = None,
+    offset: int = 0,
 ) -> str:
     terms = list(dict.fromkeys(ANALYZER.tokenize(query)))
     qvals = ", ".join(f"('{t}', {i})" for i, t in enumerate(terms))
@@ -697,8 +760,8 @@ def _bm25_sql(
         )
         SELECT doc_id, ROUND(score, 4) AS score
         FROM scored WHERE {'TRUE' if mode_or else f'nt = {len(terms)}'}
-        ORDER BY score DESC, doc_id
-        LIMIT {k}
+        ORDER BY scored.score DESC, doc_id
+        LIMIT {k}{f' OFFSET {offset}' if offset else ''}
     """
 
 
@@ -775,7 +838,7 @@ def _bool_sql(must: str, should: str, must_not: str, k: int) -> str:
         )
         SELECT doc_id, ROUND(score, 4) AS score
         FROM scored
-        ORDER BY score DESC, doc_id
+        ORDER BY scored.score DESC, doc_id
         LIMIT {k}
     """
 
@@ -820,6 +883,96 @@ def _phrase_prefix_sql(phrase: str, k: int) -> str:
     """
 
 
+def _mlt_sql(seed: int, k: int, max_terms: int) -> str:
+    """DuckDB twin of more_like_this: seed term selection by
+    (tf×idf desc, term) over the corpus df, OR-scored union with the
+    engine's pinned lexicographic accumulation, seed excluded."""
+    return f"""
+        WITH {_tok_cte()},
+        tf AS (
+            SELECT doc_id, term, count(*)::DOUBLE AS tf
+            FROM tok GROUP BY doc_id, term
+        ),
+        dl AS (
+            SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id
+        ),
+        stats AS (
+            SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                   (SELECT sum(dl) FROM dl)
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        seed_w AS (
+            SELECT tf.term,
+                   tf.tf * ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) AS w
+            FROM tf JOIN df USING (term) CROSS JOIN stats s
+            WHERE tf.doc_id = {seed}
+        ),
+        qterms AS (
+            SELECT term FROM seed_w ORDER BY w DESC, term LIMIT {max_terms}
+        ),
+        contrib AS (
+            SELECT tf.doc_id, tf.term,
+                   ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+            FROM tf
+            JOIN qterms q USING (term)
+            JOIN df USING (term)
+            JOIN dl USING (doc_id)
+            CROSS JOIN stats s
+            WHERE tf.doc_id != {seed}
+        ),
+        scored AS (
+            SELECT doc_id, sum(c ORDER BY term) AS score
+            FROM contrib GROUP BY doc_id
+        )
+        SELECT doc_id, ROUND(score, 4) AS score
+        FROM scored
+        ORDER BY scored.score DESC, doc_id
+        LIMIT {k}
+    """
+
+
+def _match_positions_sql(query: str, k: int) -> str:
+    """DuckDB twin of match_positions over the BM25 AND top-k: 0-based
+    token positions of each query term inside those docs."""
+    terms = sorted(set(ANALYZER.tokenize(query)))
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+        WITH topk AS ({_bm25_sql(query, k)}),
+        toks AS (
+            SELECT doc_id, {ANALYZER.sql_tokens_expr('text')} AS ts
+            FROM documents
+            WHERE doc_id IN (SELECT doc_id FROM topk)
+        )
+        SELECT doc_id, ts[i + 1] AS term, i::BIGINT AS pos
+        FROM toks, UNNEST(range(0, len(ts))) AS r(i)
+        WHERE ts[i + 1] IN ({tlist})
+        ORDER BY doc_id, term, pos
+    """
+
+
+def _nchars_hist_sql(query: str, width: int) -> str:
+    """DuckDB twin of numeric_facet: fixed-width n_chars histogram over
+    every doc matching the AND query."""
+    terms = list(dict.fromkeys(ANALYZER.tokenize(query)))
+    tvals = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+        WITH {_tok_cte()},
+        qterms(term) AS (VALUES {tvals}),
+        matched AS (
+            SELECT doc_id FROM (
+                SELECT DISTINCT doc_id, term FROM tok JOIN qterms USING (term)
+            ) GROUP BY doc_id HAVING count(*) = {len(terms)}
+        )
+        SELECT (d.n_chars // {width} * {width})::BIGINT AS bin_lo,
+               count(*)::BIGINT AS n
+        FROM matched m JOIN documents d USING (doc_id)
+        GROUP BY bin_lo ORDER BY bin_lo
+    """
+
+
 def build_sql() -> dict[str, str]:
     return {
         "lk_doc_lookup": LK_LOOKUP_SQL,
@@ -857,6 +1010,12 @@ def build_sql() -> dict[str, str]:
         "ft_bm25_dist_topk": _bm25_sql(BM25_QUERY, BM25_K),
         "ft_bm25_lang_filter": _bm25_sql(BM25_FILTER_QUERY, BM25_K, lang="en"),
         "ft_bool_topk": _bool_sql(BOOL_MUST, BOOL_SHOULD, BOOL_NOT, BM25_K),
+        "ft_search_after_page2": _bm25_sql(
+            BM25_QUERY, BM25_K, offset=BM25_K
+        ),
+        "ft_more_like_this": _mlt_sql(MLT_SEED_DOC, BM25_K, MLT_MAX_TERMS),
+        "ft_match_positions": _match_positions_sql(BM25_QUERY, BM25_K),
+        "ft_facet_nchars_hist": _nchars_hist_sql(BM25_QUERY, NCHARS_BIN),
         "ft_bm25_range_filter": _bm25_sql(
             BM25_FILTER_QUERY, BM25_K, nrange=(NCHARS_LO, NCHARS_HI)
         ),
@@ -980,6 +1139,10 @@ QUERIES = {
     "ft_bool_topk": ft_bool_topk,
     "ft_bm25_range_filter": ft_bm25_range_filter,
     "ft_phrase_prefix_topk": ft_phrase_prefix_topk,
+    "ft_search_after_page2": ft_search_after_page2,
+    "ft_more_like_this": ft_more_like_this,
+    "ft_match_positions": ft_match_positions,
+    "ft_facet_nchars_hist": ft_facet_nchars_hist,
     "ft_exact_dedup": ft_exact_dedup,
     "ft_quality_scores": ft_quality_scores,
 }

@@ -762,7 +762,17 @@ class SearchEngine:
         k: int = TOP_K_SIZE,
         mode: str = "and",
         filters: dict[str, str] | None = None,
+        search_after: tuple[float, int] | None = None,
     ) -> pa.Table:
+        """BM25 top-k. `search_after` = an ES-style pagination cursor
+        ``(score, doc_id)`` — returns the k results strictly AFTER that
+        point in the (score desc, doc_id asc) total order, i.e. the next
+        page when passed the last row of the previous one. The total
+        order is strict (doc_id breaks ties), so cursor pages equal
+        OFFSET pages exactly; cursor floats come from a prior engine
+        result, so the equality comparison is exact. With a cursor the
+        OR path scores exhaustively — block-max pruning keeps only each
+        segment's top k, which may exclude deeper pages."""
         terms = list(dict.fromkeys(self.analyzer.tokenize(query)))
         out_ids = np.empty(0, dtype=np.int64)
         out_scores = np.empty(0, dtype=np.float64)
@@ -775,8 +785,12 @@ class SearchEngine:
             for r in self.readers:
                 d, s = _score_segment(
                     r, terms, idfs, self.avgdl, mode, filters, self.params,
-                    k=k,
+                    k=None if search_after is not None else k,
                 )
+                if search_after is not None and d.size:
+                    c_s, c_d = search_after
+                    keep = (s < c_s) | ((s == c_s) & (d > c_d))
+                    d, s = d[keep], s[keep]
                 if d.size:
                     dk, sk = topk_select(d, s, k)
                     parts_d.append(dk)
@@ -1220,6 +1234,130 @@ class SearchEngine:
             {
                 col: pa.array([k for k, _ in items], type=pa.string()),
                 "n": pa.array([v for _, v in items], type=pa.int64()),
+            }
+        )
+
+    def more_like_this(
+        self,
+        text: str,
+        k: int = TOP_K_SIZE,
+        max_query_terms: int = 10,
+        exclude: int | None = None,
+        filters: dict | None = None,
+    ) -> pa.Table:
+        """ES ``more_like_this`` analog: select the seed text's
+        `max_query_terms` highest tf×idf terms (ties broken by term,
+        terms absent from the index dropped), score their union as an OR
+        query, optionally excluding the seed doc itself. Like ES, the
+        seed terms come from the provided text (the stored ``_source``),
+        not a forward index — the inverted index only supplies df."""
+        toks = self.analyzer.tokenize(text)
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        weighted = []
+        for t, f in tf.items():
+            df = self.df(t)
+            if df > 0:
+                weighted.append(
+                    (-f * bm25_idf(df, self.n_docs, self.params), t)
+                )
+        weighted.sort()
+        terms = sorted(t for _, t in weighted[:max_query_terms])
+        fetch = k if exclude is None else k + 1
+        res = self._score_expanded(terms, fetch, filters)
+        if exclude is not None and res.num_rows:
+            res = res.filter(pc.not_equal(res["doc_id"], exclude)).slice(
+                0, k
+            )
+        return res
+
+    def match_positions(self, query: str, doc_ids) -> pa.Table:
+        """Token positions of every query-term occurrence within the
+        given docs — the ES highlight-offsets analog at token
+        granularity (char offsets would need stored text; the caller
+        maps token index → span with the analyzer). Requires a
+        positional index. Rows sorted (doc_id, term, pos); position
+        decodes are bounded by the requested doc set via the chunk-skip
+        filter."""
+        terms = sorted(set(self.analyzer.tokenize(query)))
+        filt = np.sort(np.asarray(doc_ids, dtype=np.int64))
+        d_parts, t_parts, p_parts = [], [], []
+        for term in terms:
+            for r in self.readers:
+                keys = _term_position_keys(r, term, docs_filter=filt)
+                if keys is None or keys.size == 0:
+                    continue
+                d = (keys >> np.uint64(32)).astype(np.int64)
+                p = (keys & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                if r._tombstones.size:
+                    keep = ~_isin_sorted(r._tombstones, d)
+                    d, p = d[keep], p[keep]
+                d_parts.append(d)
+                p_parts.append(p)
+                t_parts.append(np.full(d.size, term, dtype=object))
+        if not d_parts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "term": pa.array([], type=pa.string()),
+                    "pos": pa.array([], type=pa.int64()),
+                }
+            )
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(d_parts)),
+                "term": pa.array(
+                    np.concatenate(t_parts), type=pa.string()
+                ),
+                "pos": pa.array(np.concatenate(p_parts)),
+            }
+        )
+        return tbl.sort_by(
+            [("doc_id", "ascending"), ("term", "ascending"),
+             ("pos", "ascending")]
+        )
+
+    def numeric_facet(
+        self,
+        query: str,
+        col: str,
+        width: int,
+        mode: str = "and",
+        filters: dict | None = None,
+    ) -> pa.Table:
+        """ES histogram-aggregation analog: fixed-width bins of a
+        numeric docmeta column over EVERY doc matching `query`. Output
+        (bin_lo, n) sorted by bin_lo."""
+        terms = list(dict.fromkeys(self.analyzer.tokenize(query)))
+        agg: dict[int, int] = {}
+        if terms:
+            idfs = {
+                t: bm25_idf(self.df(t), self.n_docs, self.params)
+                for t in terms
+            }
+            for r in self.readers:
+                d, _ = _score_segment(
+                    r, terms, idfs, self.avgdl, mode, filters, self.params
+                )
+                if not d.size:
+                    continue
+                if col not in r._meta.column_names:
+                    raise KeyError(f"no facet column {col!r} in docmeta")
+                pos = np.searchsorted(r._doc_ids, d)
+                vals = r._meta[col].take(pa.array(pos)).to_numpy(
+                    zero_copy_only=False
+                )
+                bins = (
+                    np.floor_divide(vals.astype(np.int64), width) * width
+                )
+                for b, c in zip(*np.unique(bins, return_counts=True)):
+                    agg[int(b)] = agg.get(int(b), 0) + int(c)
+        items = sorted(agg.items())
+        return pa.table(
+            {
+                "bin_lo": pa.array([b for b, _ in items], type=pa.int64()),
+                "n": pa.array([c for _, c in items], type=pa.int64()),
             }
         )
 

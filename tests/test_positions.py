@@ -12,6 +12,7 @@ import os
 import shutil
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -806,3 +807,131 @@ def test_numeric_range_filter(ray_session, tmp_path):
     assert sorted(b["doc_id"].to_pylist()) == [
         i for i in range(11) if i % 3 != 0
     ]
+
+
+def test_search_after_equals_offset_pages(ray_session, phrase_corpus, tmp_path):
+    """Cursor pagination == offset pagination under the strict
+    (score desc, doc_id asc) total order, across segments and pages,
+    in both AND and OR modes."""
+    path, docs = phrase_corpus
+    eng = _build(path, str(tmp_path / "saidx"), docs_per_spec=64)
+    for mode in ("and", "or"):
+        full = eng.search("window hash", k=10_000, mode=mode).to_pandas()
+        cursor = None
+        got = []
+        while True:
+            page = eng.search(
+                "window hash", k=7, mode=mode, search_after=cursor
+            ).to_pandas()
+            if not len(page):
+                break
+            got.append(page)
+            cursor = (
+                float(page["score"].iloc[-1]),
+                int(page["doc_id"].iloc[-1]),
+            )
+        paged = pd.concat(got, ignore_index=True)
+        assert paged["doc_id"].tolist() == full["doc_id"].tolist(), mode
+        assert np.allclose(paged["score"], full["score"]), mode
+
+
+def test_more_like_this_matches_brute_force(
+    ray_session, phrase_corpus, tmp_path
+):
+    path, docs = phrase_corpus
+    eng = _build(path, str(tmp_path / "mltidx"), docs_per_spec=64)
+    an = Analyzer()
+    toks = [an.tokenize(d) for d in docs]
+    dl = np.array([len(x) for x in toks], float)
+    n = len(docs)
+    avgdl = dl.sum() / n
+    dfs = {}
+    for ts in toks:
+        for t in set(ts):
+            dfs[t] = dfs.get(t, 0) + 1
+    seed = 7
+    # brute: top max_query_terms by (tf*idf desc, term), OR-score, excl seed
+    stf = {}
+    for t in toks[seed]:
+        stf[t] = stf.get(t, 0) + 1
+    w = sorted(
+        (
+            (-f * math.log(1 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5)), t)
+            for t, f in stf.items()
+        )
+    )
+    qterms = sorted(t for _, t in w[:5])
+    exp = []
+    for i, ts in enumerate(toks):
+        if i == seed:
+            continue
+        sc = 0.0
+        for t in qterms:
+            tf = ts.count(t)
+            if tf:
+                idf = math.log(1 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+                sc += idf * tf * 2.2 / (
+                    tf + 1.2 * (1 - 0.75 + 0.75 * dl[i] / avgdl)
+                )
+        if sc > 0:
+            exp.append((sc, i))
+    exp.sort(key=lambda x: (-x[0], x[1]))
+    exp = [(i, round(s, 6)) for s, i in exp[:12]]
+    got = [
+        (int(r.doc_id), round(r.score, 6))
+        for r in eng.more_like_this(
+            docs[seed], k=12, max_query_terms=5, exclude=seed
+        )
+        .to_pandas()
+        .itertuples()
+    ]
+    assert got == exp
+
+
+def test_match_positions_matches_brute_force(
+    ray_session, phrase_corpus, tmp_path
+):
+    path, docs = phrase_corpus
+    eng = _build(path, str(tmp_path / "mpidx"), docs_per_spec=64)
+    an = Analyzer()
+    doc_ids = [3, 11, 42, 77]
+    got = eng.match_positions("window hash", doc_ids).to_pandas()
+    exp = []
+    for d in sorted(doc_ids):
+        ts = an.tokenize(docs[d])
+        for term in ["hash", "window"]:
+            exp += [
+                (d, term, i) for i, t in enumerate(ts) if t == term
+            ]
+    exp.sort()
+    assert list(map(tuple, got.itertuples(index=False))) == exp
+
+
+def test_numeric_facet_matches_brute_force(ray_session, tmp_path):
+    docs = ["needle"] * 30 + ["haystack"] * 10
+    sizes = list(range(0, 400, 10))
+    path = str(tmp_path / "nf.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(40), type=pa.int64()),
+                "text": pa.array(docs),
+                "size": pa.array(sizes, type=pa.int64()),
+            }
+        ),
+        path,
+    )
+    idx = str(tmp_path / "nfidx")
+    cfg = IndexConfig(
+        analyzer=Analyzer(),
+        content_col="text",
+        id_col="doc_id",
+        meta_cols=("size",),
+        docs_per_spec=16,
+    )
+    build_index(path, idx, cfg)
+    eng = SearchEngine(idx, filter_cols=("size",), lazy=False)
+    got = eng.numeric_facet("needle", "size", 100).to_pandas()
+    # docs 0..29 have sizes 0,10,...,290 → bins 0:10, 100:10, 200:10
+    assert got["bin_lo"].tolist() == [0, 100, 200]
+    assert got["n"].tolist() == [10, 10, 10]
