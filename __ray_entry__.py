@@ -278,6 +278,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["sim_knn_cosine"] = out.pop("sim_knn_cosine")
     out["ft_match_positions"] = out.pop("ft_match_positions")
     out["ft_facet_nchars_hist"] = out.pop("ft_facet_nchars_hist")
+    # rank-identical to the in-window ft_bool_topk (shared twin) → tail
+    out["ft_bool_dist_topk"] = out.pop("ft_bool_dist_topk")
     out["ft_df_top_terms"] = out.pop("ft_df_top_terms")
     out["lk_doc_lookup"] = out.pop("lk_doc_lookup")
     out["q05_distinct_users"] = out.pop("q05_distinct_users")

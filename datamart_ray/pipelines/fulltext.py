@@ -365,6 +365,26 @@ def ft_phrase_prefix_topk(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def ft_bool_dist_topk(sf_dir: str) -> pd.DataFrame:
+    """Distributed bool query through the scorer-actor pool (global-df
+    round + per-actor bool scoring); rank-identical to ft_bool_topk,
+    which the shared SQL twin gates."""
+    from datamart_ray.search.engine import DistributedSearchEngine
+
+    eng = get_engine(sf_dir)  # ensures the index exists
+    idx_dir = eng.readers[0].seg_dir.rsplit("/segments/", 1)[0]
+    deng = DistributedSearchEngine(idx_dir, lazy=False, max_actors=4)
+    try:
+        t = deng.bool_search(
+            must=BOOL_MUST, should=BOOL_SHOULD, must_not=BOOL_NOT, k=BM25_K
+        )
+    finally:
+        deng.shutdown()
+    out = t.to_pandas()
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
 MLT_SEED_DOC = 42  # more_like_this seed document
 MLT_MAX_TERMS = 10
 NCHARS_BIN = 50  # numeric facet histogram bin width
@@ -1010,6 +1030,9 @@ def build_sql() -> dict[str, str]:
         "ft_bm25_dist_topk": _bm25_sql(BM25_QUERY, BM25_K),
         "ft_bm25_lang_filter": _bm25_sql(BM25_FILTER_QUERY, BM25_K, lang="en"),
         "ft_bool_topk": _bool_sql(BOOL_MUST, BOOL_SHOULD, BOOL_NOT, BM25_K),
+        "ft_bool_dist_topk": _bool_sql(
+            BOOL_MUST, BOOL_SHOULD, BOOL_NOT, BM25_K
+        ),
         "ft_search_after_page2": _bm25_sql(
             BM25_QUERY, BM25_K, offset=BM25_K
         ),
@@ -1139,6 +1162,7 @@ QUERIES = {
     "ft_bool_topk": ft_bool_topk,
     "ft_bm25_range_filter": ft_bm25_range_filter,
     "ft_phrase_prefix_topk": ft_phrase_prefix_topk,
+    "ft_bool_dist_topk": ft_bool_dist_topk,
     "ft_search_after_page2": ft_search_after_page2,
     "ft_more_like_this": ft_more_like_this,
     "ft_match_positions": ft_match_positions,

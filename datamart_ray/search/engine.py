@@ -1476,6 +1476,38 @@ class SegmentScorer:
         )
         return topk_select(d, scores, k)
 
+    def bool_topk(
+        self,
+        must: list[str],
+        should: list[str],
+        must_not: list[str],
+        idfs: dict[str, float],
+        avgdl: float,
+        k: int,
+        filters: dict | None,
+        params: BM25Params,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Bool-query scoring over this actor's segments with GLOBAL
+        idfs/avgdl from the driver — per-segment semantics identical to
+        the in-process _bool_score_segment, so ranks are invariant to
+        actor count."""
+        parts_d, parts_s = [], []
+        for reader in self.readers:
+            d, s = _bool_score_segment(
+                reader, must, should, must_not, idfs, avgdl, filters,
+                params,
+            )
+            if d.size:
+                dk, sk = topk_select(d, s, k)
+                parts_d.append(dk)
+                parts_s.append(sk)
+        if not parts_d:
+            e = np.empty(0, dtype=np.int64)
+            return e, np.empty(0, dtype=np.float64)
+        return topk_select(
+            np.concatenate(parts_d), np.concatenate(parts_s), k
+        )
+
     def top_k(
         self,
         terms: list[str],
@@ -1572,6 +1604,61 @@ class DistributedSearchEngine:
                 [
                     a.top_k.remote(
                         terms, idfs, self.avgdl, k, mode, filters, self.params
+                    )
+                    for a in self.actors
+                ]
+            )
+            parts_d = [d for d, _ in results if d.size]
+            parts_s = [s for _, s in results if s.size]
+            if parts_d:
+                out_ids, out_scores = topk_select(
+                    np.concatenate(parts_d), np.concatenate(parts_s), k
+                )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "score": pa.array(out_scores, type=pa.float64()),
+            }
+        )
+
+    def bool_search(
+        self,
+        must: str = "",
+        should: str = "",
+        must_not: str = "",
+        k: int = TOP_K_SIZE,
+        filters: dict | None = None,
+    ) -> pa.Table:
+        """Distributed bool query: one df round over the scoring terms
+        (must ∪ should — must_not needs only per-segment postings), then
+        per-actor bool scoring with global idfs and a driver top-k
+        merge. Rank-identical to SearchEngine.bool_search at any actor
+        count; driver traffic O(k·actors)."""
+        must_t = list(dict.fromkeys(self.analyzer.tokenize(must)))
+        should_t = [
+            t
+            for t in dict.fromkeys(self.analyzer.tokenize(should))
+            if t not in must_t
+        ]
+        not_t = list(dict.fromkeys(self.analyzer.tokenize(must_not)))
+        score_terms = sorted(set(must_t) | set(should_t))
+        out_ids = np.empty(0, dtype=np.int64)
+        out_scores = np.empty(0, dtype=np.float64)
+        if score_terms:
+            df_maps = ray.get(
+                [a.dfs.remote(score_terms) for a in self.actors]
+            )
+            idfs = {
+                t: bm25_idf(
+                    sum(m[t] for m in df_maps), self.n_docs, self.params
+                )
+                for t in score_terms
+            }
+            results = ray.get(
+                [
+                    a.bool_topk.remote(
+                        must_t, should_t, not_t, idfs, self.avgdl, k,
+                        filters, self.params,
                     )
                     for a in self.actors
                 ]

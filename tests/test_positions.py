@@ -935,3 +935,26 @@ def test_numeric_facet_matches_brute_force(ray_session, tmp_path):
     # docs 0..29 have sizes 0,10,...,290 → bins 0:10, 100:10, 200:10
     assert got["bin_lo"].tolist() == [0, 100, 200]
     assert got["n"].tolist() == [10, 10, 10]
+
+
+def test_distributed_bool_rank_identical(ray_session, phrase_corpus, tmp_path):
+    """DistributedSearchEngine.bool_search == SearchEngine.bool_search
+    at multiple actor counts (global-df protocol)."""
+    from datamart_ray.search.engine import DistributedSearchEngine
+
+    path, docs = phrase_corpus
+    idx = str(tmp_path / "dbidx")
+    eng = _build(path, idx, docs_per_spec=48)  # several segments
+    ref = eng.bool_search(
+        must="window", should="hash join", must_not="zeta", k=15
+    ).to_pandas()
+    for max_actors in (1, 3):
+        deng = DistributedSearchEngine(idx, lazy=False, max_actors=max_actors)
+        try:
+            got = deng.bool_search(
+                must="window", should="hash join", must_not="zeta", k=15
+            ).to_pandas()
+        finally:
+            deng.shutdown()
+        assert got["doc_id"].tolist() == ref["doc_id"].tolist(), max_actors
+        assert np.allclose(got["score"], ref["score"]), max_actors
