@@ -215,6 +215,26 @@ def run_bench() -> dict:
     extra["prefix_p50"] = round(statistics.median(prlat), 4)
     del peng
 
+    # bool / more_like_this serving (round 3 late): bool rides the same
+    # postings as AND+OR; MLT pays a tokenize + df lookup + OR scoring
+    blat = []
+    for _ in range(3):
+        for must, should, mnot in [
+            (MARKER_COMMON, MARKER_HEAD, MARKER_PAIR_A),
+            (MARKER_HEAD, "", MARKER_COMMON),
+        ]:
+            t0 = time.time()
+            eng.bool_search(must=must, should=should, must_not=mnot, k=50)
+            blat.append(time.time() - t0)
+    extra["bool_p50"] = round(statistics.median(blat), 4)
+    mlat = []
+    seed_text = f"{MARKER_COMMON} {MARKER_HEAD} {MARKER_PAIR_A} alpha beta"
+    for _ in range(6):
+        t0 = time.time()
+        eng.more_like_this(seed_text, k=50, max_query_terms=10)
+        mlat.append(time.time() - t0)
+    extra["mlt_p50"] = round(statistics.median(mlat), 4)
+
     from datamart_ray.pipelines.relational import (
         q01_pricing_summary,
         q02_revenue_by_nation,
