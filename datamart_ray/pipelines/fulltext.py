@@ -43,6 +43,9 @@ BOOL_SHOULD = "hash join"
 BOOL_NOT = "stream"
 # inclusive n_chars range filter (both sf fixtures span ~47..558 chars)
 NCHARS_LO, NCHARS_HI = 150, 350
+WILDCARD_PATTERN = "s?a*"  # expands to spark/scan/small on this corpus
+BOOL_MSM_SHOULD = "hash join stream scan"
+BOOL_MSM_N = 2  # minimum_should_match
 # "window" exact + "jo" prefix (expands over {join, ...}) — non-vacuous
 PHRASE_PREFIX_QUERY = "window jo"
 BM25_K = 10
@@ -311,6 +314,77 @@ def ft_prefix_topk(sf_dir: str) -> pd.DataFrame:
     ``LIKE 'p%'`` and sums in the same lexicographic order."""
     eng = get_engine(sf_dir)
     t = eng.prefix_search(PREFIX_QUERY, k=BM25_K)
+    out = t.to_pandas()
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
+def ft_wildcard_topk(sf_dir: str) -> pd.DataFrame:
+    """Wildcard BM25 top-k (the ES ``wildcard`` query analog): the
+    pattern expands over the term dictionary (literal-prefix binary
+    search + one vectorized LIKE kernel per segment), the expansion
+    union scored as OR. The DuckDB twin expands with the same SQL LIKE
+    pattern over the corpus vocabulary."""
+    eng = get_engine(sf_dir)
+    t = eng.wildcard_search(WILDCARD_PATTERN, k=BM25_K)
+    out = t.to_pandas()
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
+def _wildcard_sql(pattern: str, k: int) -> str:
+    like = pattern.replace("*", "%").replace("?", "_")
+    return f"""
+        WITH {_tok_cte()},
+        tf AS (
+            SELECT doc_id, term, count(*)::DOUBLE AS tf
+            FROM tok GROUP BY doc_id, term
+        ),
+        dl AS (
+            SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id
+        ),
+        stats AS (
+            SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                   (SELECT sum(dl) FROM dl)
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        qterms AS (
+            SELECT DISTINCT term FROM df WHERE term LIKE '{like}'
+        ),
+        contrib AS (
+            SELECT tf.doc_id, tf.term,
+                   ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+            FROM tf
+            JOIN qterms q USING (term)
+            JOIN df USING (term)
+            JOIN dl USING (doc_id)
+            CROSS JOIN stats s
+        ),
+        scored AS (
+            SELECT doc_id, sum(c ORDER BY term) AS score
+            FROM contrib GROUP BY doc_id
+        )
+        SELECT doc_id, ROUND(score, 4) AS score
+        FROM scored
+        ORDER BY scored.score DESC, doc_id
+        LIMIT {k}
+    """
+
+
+def ft_bool_msm_topk(sf_dir: str) -> pd.DataFrame:
+    """``bool`` query with ``minimum_should_match``: no must clause,
+    candidates must match ≥ BOOL_MSM_N distinct should tokens; score
+    sums BM25 contributions of the present should terms. The ES knob
+    the reference's multi-term keyword search relies on for precision
+    (apiserver builds should-lists from query keywords)."""
+    eng = get_engine(sf_dir)
+    t = eng.bool_search(
+        should=BOOL_MSM_SHOULD, k=BM25_K,
+        minimum_should_match=BOOL_MSM_N,
+    )
     out = t.to_pandas()
     out["score"] = round_away(out["score"], 4)
     return out
@@ -785,10 +859,14 @@ def _bm25_sql(
     """
 
 
-def _bool_sql(must: str, should: str, must_not: str, k: int) -> str:
+def _bool_sql(
+    must: str, should: str, must_not: str, k: int, min_should: int = 0
+) -> str:
     """DuckDB twin of SearchEngine.bool_search: must-AND candidates,
     must_not exclusion, score summed over must ∪ should contributions
-    ORDER BY term (the engine's pinned lexicographic accumulation)."""
+    ORDER BY term (the engine's pinned lexicographic accumulation).
+    `min_should` > 0 adds the minimum_should_match candidate gate
+    (≥ n distinct should terms per doc)."""
     must_t = list(dict.fromkeys(ANALYZER.tokenize(must)))
     should_t = [
         t
@@ -815,14 +893,27 @@ def _bool_sql(must: str, should: str, must_not: str, k: int) -> str:
         nvals = ", ".join(f"('{t}')" for t in not_t)
         cand_ctes += f""",
         nterms(term) AS (VALUES {nvals}),
-        cand AS (
+        cand1 AS (
             SELECT doc_id FROM cand0
             WHERE doc_id NOT IN (
                 SELECT tf.doc_id FROM tf JOIN nterms USING (term)
             )
         )"""
     else:
-        cand_ctes += ",\n        cand AS (SELECT doc_id FROM cand0)"
+        cand_ctes += ",\n        cand1 AS (SELECT doc_id FROM cand0)"
+    if min_should > 0 and should_t:
+        shvals = ", ".join(f"('{t}')" for t in should_t)
+        cand_ctes += f""",
+        shterms(term) AS (VALUES {shvals}),
+        cand AS (
+            SELECT c.doc_id FROM cand1 c
+            JOIN tf USING (doc_id)
+            JOIN shterms USING (term)
+            GROUP BY c.doc_id
+            HAVING count(DISTINCT term) >= {min_should}
+        )"""
+    else:
+        cand_ctes += ",\n        cand AS (SELECT doc_id FROM cand1)"
     return f"""
         WITH {_tok_cte()},
         tf AS (
@@ -1030,6 +1121,10 @@ def build_sql() -> dict[str, str]:
         "ft_bm25_dist_topk": _bm25_sql(BM25_QUERY, BM25_K),
         "ft_bm25_lang_filter": _bm25_sql(BM25_FILTER_QUERY, BM25_K, lang="en"),
         "ft_bool_topk": _bool_sql(BOOL_MUST, BOOL_SHOULD, BOOL_NOT, BM25_K),
+        "ft_wildcard_topk": _wildcard_sql(WILDCARD_PATTERN, BM25_K),
+        "ft_bool_msm_topk": _bool_sql(
+            "", BOOL_MSM_SHOULD, "", BM25_K, min_should=BOOL_MSM_N
+        ),
         "ft_bool_dist_topk": _bool_sql(
             BOOL_MUST, BOOL_SHOULD, BOOL_NOT, BM25_K
         ),
@@ -1160,6 +1255,8 @@ QUERIES = {
     "ft_bm25_dist_topk": ft_bm25_dist_topk,
     "ft_bm25_lang_filter": ft_bm25_lang_filter,
     "ft_bool_topk": ft_bool_topk,
+    "ft_wildcard_topk": ft_wildcard_topk,
+    "ft_bool_msm_topk": ft_bool_msm_topk,
     "ft_bm25_range_filter": ft_bm25_range_filter,
     "ft_phrase_prefix_topk": ft_phrase_prefix_topk,
     "ft_bool_dist_topk": ft_bool_dist_topk,

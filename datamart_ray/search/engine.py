@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -570,15 +571,18 @@ def _bool_score_segment(
     avgdl: float,
     filters: dict | None,
     params: BM25Params,
+    min_should: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(docids, scores) for one segment under ES ``bool`` semantics:
     candidates contain ALL `must` terms (or, with no must clause, at
     least one `should` term), none of the `must_not` terms, and pass the
     keyword/range filters; the score sums BM25 contributions of every
     must/should term present, accumulation pinned to lexicographic term
-    order (the SQL twin's ``sum(c ORDER BY term)``). Pinned deviation
-    from ES: terms are deduplicated across clauses (set semantics), and
-    there is no ``minimum_should_match`` beyond the no-must ≥1 rule."""
+    order (the SQL twin's ``sum(c ORDER BY term)``). `min_should` > 0 is
+    the ES ``minimum_should_match`` analog: candidates must additionally
+    match at least that many DISTINCT `should` terms (counted per term,
+    not per occurrence). Pinned deviation from ES: terms are
+    deduplicated across clauses (set semantics)."""
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
     allowed = reader.filter_positions(filters or {})
     post: dict[str, tuple[np.ndarray, np.ndarray]] = {}
@@ -605,12 +609,12 @@ def _bool_score_segment(
             post[t] = (p_doc, p_tf)
             docids = docids[_isin_sorted(p_doc, docids)]
     else:
-        parts = [
-            reader.postings(t)[0] for t in should if reader.df(t) > 0
-        ]
-        if not parts:
+        for t in should:
+            if reader.df(t) > 0:
+                post[t] = reader.postings(t)
+        if not post:
             return empty
-        docids = np.unique(np.concatenate(parts))
+        docids = np.unique(np.concatenate([p[0] for p in post.values()]))
         if allowed is not None:
             docids = docids[_isin_sorted(allowed, docids)]
     for t in must_not:
@@ -622,6 +626,21 @@ def _bool_score_segment(
         docids = docids[~_isin_sorted(nd, docids)]
     if docids.size == 0:
         return empty
+    if min_should > 0 and should:
+        # count DISTINCT matched should-terms per candidate; postings are
+        # cached in `post` so the scoring loop below never re-decodes
+        counts = np.zeros(docids.size, dtype=np.int64)
+        for t in should:
+            if reader.df(t) == 0:
+                continue
+            p = post.get(t)
+            if p is None:
+                p = reader.postings(t)
+                post[t] = p
+            counts += _isin_sorted(p[0], docids)
+        docids = docids[counts >= min_should]
+        if docids.size == 0:
+            return empty
     dl = reader.doclen_of(docids)
     scores = np.zeros(docids.size, dtype=np.float64)
     for t in sorted(set(must) | set(should)):
@@ -644,6 +663,41 @@ def _segment_prefix_terms(reader: SegmentReader, prefix: str) -> list[str]:
     lo = int(np.searchsorted(v, prefix))
     hi = v.size if ub is None else int(np.searchsorted(v, ub))
     return [str(t) for t in v[lo:hi]]
+
+
+def _wildcard_parts(pattern: str) -> tuple[str, str]:
+    """(literal_prefix, like_pattern) for an ES ``wildcard`` pattern.
+    ``*`` = any run, ``?`` = one char. Analyzer terms are ``[a-z0-9]+``
+    runs, so the SQL-LIKE translation needs no escaping; any other
+    character in the pattern is rejected (it can never match a term)."""
+    if not re.fullmatch(r"[a-z0-9*?]+", pattern):
+        raise ValueError(
+            f"wildcard pattern {pattern!r} must be [a-z0-9*?]+"
+        )
+    lit = re.split(r"[*?]", pattern, maxsplit=1)[0]
+    like = pattern.replace("*", "%").replace("?", "_")
+    return lit, like
+
+
+def _segment_wildcard_terms(reader: SegmentReader, pattern: str) -> list[str]:
+    """Dictionary terms of one segment matching an ES ``wildcard``
+    pattern. The longest literal prefix bounds a binary-search range over
+    the sorted dictionary (O(log vocab) + range size); the residual
+    pattern match runs as one vectorized Arrow ``match_like`` kernel over
+    that slice. A leading-wildcard pattern degrades to a full-dictionary
+    kernel scan — the same cost ES pays (its docs warn identically)."""
+    lit, like = _wildcard_parts(pattern.lower())
+    v = reader._dict_terms
+    if lit == pattern:  # no wildcards → exact term membership probe
+        return [pattern] if reader.df(pattern) > 0 else []
+    ub = _prefix_successor(lit) if lit else None
+    lo = int(np.searchsorted(v, lit)) if lit else 0
+    hi = v.size if ub is None else int(np.searchsorted(v, ub))
+    if lo >= hi:
+        return []
+    sl = pa.array(v[lo:hi], type=pa.string())
+    mask = pc.match_like(sl, like).to_numpy(zero_copy_only=False)
+    return [str(t) for t in v[lo:hi][mask]]
 
 
 def _phrase_prefix_match_segment(
@@ -813,13 +867,16 @@ class SearchEngine:
         must_not: str = "",
         k: int = TOP_K_SIZE,
         filters: dict | None = None,
+        minimum_should_match: int = 0,
     ) -> pa.Table:
         """ES ``bool`` query analog: docs matching every `must` token
         (or ≥1 `should` token when no must clause), excluding docs with
         any `must_not` token; score = BM25 sum over the present
         must/should terms (see _bool_score_segment for the pinned
         semantics). `filters` passes keyword equality and numeric
-        ``(lo, hi)`` range filters through to docmeta."""
+        ``(lo, hi)`` range filters through to docmeta.
+        `minimum_should_match` > 0 additionally requires that many
+        distinct `should` tokens per candidate (the ES knob)."""
         must_t = list(dict.fromkeys(self.analyzer.tokenize(must)))
         should_t = [
             t
@@ -844,7 +901,7 @@ class SearchEngine:
         for r in self.readers:
             d, s = _bool_score_segment(
                 r, must_t, should_t, not_t, idfs, self.avgdl, filters,
-                self.params,
+                self.params, min_should=minimum_should_match,
             )
             if d.size:
                 dk, sk = topk_select(d, s, k)
@@ -1057,6 +1114,24 @@ class SearchEngine:
         for q in qterms:
             for r in self.readers:
                 expanded.update(_segment_prefix_terms(r, q))
+        return self._score_expanded(sorted(expanded), k, filters)
+
+    def wildcard_search(
+        self,
+        pattern: str,
+        k: int = TOP_K_SIZE,
+        filters: dict[str, str] | None = None,
+    ) -> pa.Table:
+        """Wildcard term matching (the ES ``wildcard`` query analog):
+        the pattern (``*`` = any run, ``?`` = one char, applied to the
+        lowercased un-analyzed pattern, as ES does) expands over each
+        segment's sorted term dictionary — literal-prefix binary-search
+        bound + one vectorized LIKE kernel per segment — and the
+        expansion union is scored as an OR query exactly like
+        :meth:`prefix_search` / :meth:`fuzzy_search`."""
+        expanded: set = set()
+        for r in self.readers:
+            expanded.update(_segment_wildcard_terms(r, pattern.lower()))
         return self._score_expanded(sorted(expanded), k, filters)
 
     def _score_expanded(

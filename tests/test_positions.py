@@ -768,6 +768,84 @@ def test_bool_search_matches_brute_force(
     assert eng.bool_search().num_rows == 0
 
 
+def test_bool_minimum_should_match(ray_session, phrase_corpus, tmp_path):
+    """minimum_should_match gates candidates on ≥n distinct should
+    terms, in both the no-must and the must+should paths; scores of
+    survivors are unchanged vs the plain bool query."""
+    path, docs = phrase_corpus
+    eng = _build(path, str(tmp_path / "msmidx"), docs_per_spec=64)
+    an = Analyzer()
+    toks = [set(an.tokenize(d)) for d in docs]
+    for must, should, n in [
+        ("", "alpha beta gamma", 2),
+        ("", "alpha beta gamma", 3),
+        ("window", "alpha beta eps", 2),
+    ]:
+        must_t = an.tokenize(must)
+        should_t = an.tokenize(should)
+        got = eng.bool_search(
+            must=must, should=should, k=10_000, minimum_should_match=n
+        ).to_pandas()
+        want_ids = sorted(
+            i
+            for i, s in enumerate(toks)
+            if all(t in s for t in must_t)
+            and sum(t in s for t in should_t) >= n
+        )
+        assert sorted(got["doc_id"].tolist()) == want_ids, (must, should, n)
+        # survivors score identically to the un-gated bool query
+        base = eng.bool_search(must=must, should=should, k=10_000)
+        base_scores = dict(
+            zip(base["doc_id"].to_pylist(), base["score"].to_pylist())
+        )
+        for r in got.itertuples():
+            assert abs(base_scores[r.doc_id] - r.score) < 1e-12
+    # n greater than the clause count → empty
+    assert eng.bool_search(
+        should="alpha beta", k=10, minimum_should_match=3
+    ).num_rows == 0
+
+
+def test_wildcard_search_matches_expansion(
+    ray_session, phrase_corpus, tmp_path
+):
+    """wildcard_search == OR-scored union of the dictionary terms the
+    pattern matches (verified against Python fnmatch over the corpus
+    vocabulary), including leading-wildcard, ?-only, exact-term (no
+    wildcard) and no-match patterns."""
+    import fnmatch
+
+    from datamart_ray.search.engine import _segment_wildcard_terms
+
+    path, docs = phrase_corpus
+    eng = _build(path, str(tmp_path / "wcidx"), docs_per_spec=64)
+    an = Analyzer()
+    vocab = sorted({t for d in docs for t in an.tokenize(d)})
+    for pat in ["*a", "?eta", "w*ow", "z?ta", "alpha", "q*", "*e*a*"]:
+        want_terms = sorted(
+            t for t in vocab if fnmatch.fnmatchcase(t, pat)
+        )
+        got_terms = sorted(
+            {
+                t
+                for r in eng.readers
+                for t in _segment_wildcard_terms(r, pat)
+            }
+        )
+        assert got_terms == want_terms, pat
+        got = eng.wildcard_search(pat, k=10_000).to_pandas()
+        if not want_terms:
+            assert got.empty
+            continue
+        exp = eng._score_expanded(want_terms, 10_000, None).to_pandas()
+        assert got.equals(exp), pat
+    # invalid characters are rejected, not silently unmatched
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        eng.wildcard_search("bad%pattern")
+
+
 def test_numeric_range_filter(ray_session, tmp_path):
     docs = [f"needle common{i % 3}" for i in range(40)]
     sizes = list(range(40))
