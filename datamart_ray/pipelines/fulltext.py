@@ -464,6 +464,24 @@ MLT_MAX_TERMS = 10
 NCHARS_BIN = 50  # numeric facet histogram bin width
 
 
+def ft_fuzzy_dist_topk(sf_dir: str) -> pd.DataFrame:
+    """Distributed fuzzy query through the scorer-actor pool (expansion
+    round → global-df round → per-actor OR scoring); rank-identical to
+    ft_fuzzy_topk, which the shared SQL twin gates."""
+    from datamart_ray.search.engine import DistributedSearchEngine
+
+    eng = get_engine(sf_dir)  # ensures the index exists
+    idx_dir = eng.readers[0].seg_dir.rsplit("/segments/", 1)[0]
+    deng = DistributedSearchEngine(idx_dir, lazy=False, max_actors=4)
+    try:
+        t = deng.fuzzy_search(FUZZY_QUERY, k=BM25_K, max_edits=1)
+    finally:
+        deng.shutdown()
+    out = t.to_pandas()
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
 def ft_search_after_page2(sf_dir: str) -> pd.DataFrame:
     """ES search_after pagination: page 2 (ranks 11-20) of the BM25 AND
     query, fetched with the cursor = last row of page 1. The strict
@@ -1122,6 +1140,7 @@ def build_sql() -> dict[str, str]:
         "ft_bm25_lang_filter": _bm25_sql(BM25_FILTER_QUERY, BM25_K, lang="en"),
         "ft_bool_topk": _bool_sql(BOOL_MUST, BOOL_SHOULD, BOOL_NOT, BM25_K),
         "ft_wildcard_topk": _wildcard_sql(WILDCARD_PATTERN, BM25_K),
+        "ft_fuzzy_dist_topk": _fuzzy_sql(FUZZY_QUERY, BM25_K),
         "ft_bool_msm_topk": _bool_sql(
             "", BOOL_MSM_SHOULD, "", BM25_K, min_should=BOOL_MSM_N
         ),
@@ -1256,6 +1275,7 @@ QUERIES = {
     "ft_bm25_lang_filter": ft_bm25_lang_filter,
     "ft_bool_topk": ft_bool_topk,
     "ft_wildcard_topk": ft_wildcard_topk,
+    "ft_fuzzy_dist_topk": ft_fuzzy_dist_topk,
     "ft_bool_msm_topk": ft_bool_msm_topk,
     "ft_bm25_range_filter": ft_bm25_range_filter,
     "ft_phrase_prefix_topk": ft_phrase_prefix_topk,

@@ -700,6 +700,72 @@ def _segment_wildcard_terms(reader: SegmentReader, pattern: str) -> list[str]:
     return [str(t) for t in v[lo:hi][mask]]
 
 
+def _segment_fuzzy_terms(
+    r: SegmentReader, qterm: str, max_edits: int
+) -> set:
+    """Dictionary terms of ONE segment within `max_edits` Levenshtein
+    edits of `qterm` — the per-reader core shared by the in-process
+    engine and the scorer actors (see SearchEngine._fuzzy_candidates'
+    docstring for the algorithm and its scale path)."""
+    if max_edits == 1:
+        try:
+            return _segment_fuzzy1_terms(r, qterm)
+        except UnicodeEncodeError:
+            pass  # non-ASCII query → generic DP path
+    from datamart_ray.pipelines.matching import levenshtein
+
+    vocab = r._dict_terms
+    lens = SearchEngine._dict_lens(r)
+    band = np.abs(lens - len(qterm)) <= max_edits
+    return {
+        str(t) for t in vocab[band] if levenshtein(qterm, t) <= max_edits
+    }
+
+
+def _segment_fuzzy1_terms(r: SegmentReader, qterm: str) -> set:
+    """Vectorized edit-distance-≤1 expansion over one segment's
+    dictionary: ≤1 substitution at equal byte length, or a single
+    insert/delete ⇔ longest-common-prefix + longest-common-suffix
+    covering the shorter string; non-ASCII dictionary terms get a DP
+    pass over the ±1 char-length band."""
+    from datamart_ray.pipelines.matching import levenshtein
+
+    qb = np.frombuffer(qterm.encode("ascii"), np.uint8)
+    L = qb.size
+    out: set = set()
+    # non-ASCII terms never enter the byte matrices below, but a
+    # single CHARACTER substitution/insert/delete can still relate
+    # them to an ASCII query — DP over the ±1 char-length band
+    na_terms, na_lens = SearchEngine._dict_nonascii(r)
+    if na_terms.size:
+        band = np.abs(na_lens - L) <= 1
+        out.update(
+            str(t)
+            for t in na_terms[band]
+            if levenshtein(qterm, str(t)) <= 1
+        )
+    # equal length: ≤1 substitution
+    terms, m = SearchEngine._dict_bylen(r, L)
+    if terms.size:
+        out.update(str(t) for t in terms[(m != qb).sum(axis=1) <= 1])
+    # candidate one longer: one char deleted from it yields q
+    terms, m = SearchEngine._dict_bylen(r, L + 1)
+    if terms.size:
+        mask = SearchEngine._prefix_suffix_cover(
+            m[:, :L] == qb, m[:, 1:] == qb, L
+        )
+        out.update(str(t) for t in terms[mask])
+    # candidate one shorter: one char inserted into it yields q
+    if L >= 2:
+        terms, m = SearchEngine._dict_bylen(r, L - 1)
+        if terms.size:
+            mask = SearchEngine._prefix_suffix_cover(
+                m == qb[: L - 1], m == qb[1:], L - 1
+            )
+            out.update(str(t) for t in terms[mask])
+    return out
+
+
 def _phrase_prefix_match_segment(
     reader: SegmentReader, exact: list[str], prefix: str
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -930,21 +996,9 @@ class SearchEngine:
         is a SymSpell-style deletion index per segment (precomputed next
         to terms.parquet) — the per-query scan here is O(vocab in the
         ±max_edits length band)."""
-        if max_edits == 1:
-            try:
-                return self._fuzzy1_candidates(qterm)
-            except UnicodeEncodeError:
-                pass  # non-ASCII analyzer → generic DP path
-        from datamart_ray.pipelines.matching import levenshtein
-
         out: set = set()
         for r in self.readers:
-            vocab = r._dict_terms
-            lens = self._dict_lens(r)
-            band = np.abs(lens - len(qterm)) <= max_edits
-            for t in vocab[band]:
-                if levenshtein(qterm, t) <= max_edits:
-                    out.add(str(t))
+            out.update(_segment_fuzzy_terms(r, qterm, max_edits))
         return out
 
     @staticmethod
@@ -1036,45 +1090,9 @@ class SearchEngine:
         return cached
 
     def _fuzzy1_candidates(self, qterm: str) -> set:
-        from datamart_ray.pipelines.matching import levenshtein
-
-        qb = np.frombuffer(qterm.encode("ascii"), np.uint8)
-        L = qb.size
         out: set = set()
         for r in self.readers:
-            # non-ASCII terms never enter the byte matrices below, but a
-            # single CHARACTER substitution/insert/delete can still relate
-            # them to an ASCII query — DP over the ±1 char-length band
-            na_terms, na_lens = self._dict_nonascii(r)
-            if na_terms.size:
-                band = np.abs(na_lens - L) <= 1
-                out.update(
-                    str(t)
-                    for t in na_terms[band]
-                    if levenshtein(qterm, str(t)) <= 1
-                )
-            # equal length: ≤1 substitution
-            terms, m = self._dict_bylen(r, L)
-            if terms.size:
-                out.update(
-                    str(t)
-                    for t in terms[(m != qb).sum(axis=1) <= 1]
-                )
-            # candidate one longer: one char deleted from it yields q
-            terms, m = self._dict_bylen(r, L + 1)
-            if terms.size:
-                mask = self._prefix_suffix_cover(
-                    m[:, :L] == qb, m[:, 1:] == qb, L
-                )
-                out.update(str(t) for t in terms[mask])
-            # candidate one shorter: one char inserted into it yields q
-            if L >= 2:
-                terms, m = self._dict_bylen(r, L - 1)
-                if terms.size:
-                    mask = self._prefix_suffix_cover(
-                        m == qb[: L - 1], m == qb[1:], L - 1
-                    )
-                    out.update(str(t) for t in terms[mask])
+            out.update(_segment_fuzzy1_terms(r, qterm))
         return out
 
     def fuzzy_search(
@@ -1490,6 +1508,28 @@ class SegmentScorer:
             t: sum(r.df(t) for r in self.readers) for t in terms
         }
 
+    def expand_terms(
+        self, kind: str, args: list[str], max_edits: int = 1
+    ) -> list[str]:
+        """Expansion round for wildcard/prefix/fuzzy queries: match each
+        arg against THIS actor's segment dictionaries and return the
+        local expansion term set — the driver unions actors' sets, runs
+        one global-df round over the union, and fans out OR scoring, so
+        ranks are identical to the in-process engine at any actor
+        count."""
+        out: set = set()
+        for r in self.readers:
+            for a in args:
+                if kind == "wildcard":
+                    out.update(_segment_wildcard_terms(r, a))
+                elif kind == "prefix":
+                    out.update(_segment_prefix_terms(r, a))
+                elif kind == "fuzzy":
+                    out.update(_segment_fuzzy_terms(r, a, max_edits))
+                else:
+                    raise ValueError(f"unknown expansion kind {kind!r}")
+        return sorted(out)
+
     def phrase_match_count(self, terms: list[str]) -> int:
         """Round 1: match the phrase in this actor's segments, cache the
         (docids, ptf, dl) triple, return only the match count — the
@@ -1561,6 +1601,7 @@ class SegmentScorer:
         k: int,
         filters: dict | None,
         params: BM25Params,
+        min_should: int = 0,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Bool-query scoring over this actor's segments with GLOBAL
         idfs/avgdl from the driver — per-segment semantics identical to
@@ -1570,7 +1611,7 @@ class SegmentScorer:
         for reader in self.readers:
             d, s = _bool_score_segment(
                 reader, must, should, must_not, idfs, avgdl, filters,
-                params,
+                params, min_should=min_should,
             )
             if d.size:
                 dk, sk = topk_select(d, s, k)
@@ -1703,6 +1744,7 @@ class DistributedSearchEngine:
         must_not: str = "",
         k: int = TOP_K_SIZE,
         filters: dict | None = None,
+        minimum_should_match: int = 0,
     ) -> pa.Table:
         """Distributed bool query: one df round over the scoring terms
         (must ∪ should — must_not needs only per-segment postings), then
@@ -1734,6 +1776,7 @@ class DistributedSearchEngine:
                     a.bool_topk.remote(
                         must_t, should_t, not_t, idfs, self.avgdl, k,
                         filters, self.params,
+                        min_should=minimum_should_match,
                     )
                     for a in self.actors
                 ]
@@ -1749,6 +1792,99 @@ class DistributedSearchEngine:
                 "doc_id": pa.array(out_ids, type=pa.int64()),
                 "score": pa.array(out_scores, type=pa.float64()),
             }
+        )
+
+    def _expanded_search(
+        self,
+        kind: str,
+        args: list[str],
+        k: int,
+        filters: dict | None = None,
+        max_edits: int = 1,
+    ) -> pa.Table:
+        """Shared distributed path for wildcard/prefix/fuzzy: round 1a
+        unions per-actor dictionary expansions, round 1b computes global
+        dfs over the union, round 2 fans out OR scoring — the same
+        global-stats protocol as :meth:`search`, so ranks are identical
+        to the in-process engine at any actor count. Driver traffic is
+        O(|expansion| + k·actors)."""
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+        if not args:
+            return empty
+        exp_sets = ray.get(
+            [
+                a.expand_terms.remote(kind, args, max_edits)
+                for a in self.actors
+            ]
+        )
+        expanded = sorted({t for s in exp_sets for t in s})
+        if not expanded:
+            return empty
+        df_maps = ray.get([a.dfs.remote(expanded) for a in self.actors])
+        idfs = {
+            t: bm25_idf(
+                sum(m[t] for m in df_maps), self.n_docs, self.params
+            )
+            for t in expanded
+        }
+        results = ray.get(
+            [
+                a.top_k.remote(
+                    expanded, idfs, self.avgdl, k, "or", filters,
+                    self.params,
+                )
+                for a in self.actors
+            ]
+        )
+        parts_d = [d for d, _ in results if d.size]
+        parts_s = [s for _, s in results if s.size]
+        if not parts_d:
+            return empty
+        out_ids, out_scores = topk_select(
+            np.concatenate(parts_d), np.concatenate(parts_s), k
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "score": pa.array(out_scores, type=pa.float64()),
+            }
+        )
+
+    def wildcard_search(
+        self,
+        pattern: str,
+        k: int = TOP_K_SIZE,
+        filters: dict | None = None,
+    ) -> pa.Table:
+        """Distributed ES ``wildcard`` query — see :meth:`_expanded_search`."""
+        return self._expanded_search("wildcard", [pattern.lower()], k, filters)
+
+    def prefix_search(
+        self,
+        query: str,
+        k: int = TOP_K_SIZE,
+        filters: dict | None = None,
+    ) -> pa.Table:
+        """Distributed ES ``prefix`` query — see :meth:`_expanded_search`."""
+        qterms = list(dict.fromkeys(self.analyzer.tokenize(query)))
+        return self._expanded_search("prefix", qterms, k, filters)
+
+    def fuzzy_search(
+        self,
+        query: str,
+        k: int = TOP_K_SIZE,
+        max_edits: int = 1,
+        filters: dict | None = None,
+    ) -> pa.Table:
+        """Distributed ES ``fuzziness`` query — see :meth:`_expanded_search`."""
+        qterms = list(dict.fromkeys(self.analyzer.tokenize(query)))
+        return self._expanded_search(
+            "fuzzy", qterms, k, filters, max_edits=max_edits
         )
 
     def phrase_search(self, phrase: str, k: int = TOP_K_SIZE) -> pa.Table:

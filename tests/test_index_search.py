@@ -251,6 +251,53 @@ def test_distributed_engine_actor_packing(ray_session, tmp_path):
     packed.shutdown()
 
 
+def test_distributed_expanded_search_parity(ray_session, tmp_path):
+    """Distributed wildcard/prefix/fuzzy (expansion round → global-df
+    round → per-actor OR scoring) and minimum_should_match bool are
+    rank-identical to the in-process engine at every actor count."""
+    from datamart_ray.corpus import generate_corpus
+    from datamart_ray.index.build import IndexConfig, build_index
+    from datamart_ray.search.engine import (
+        DistributedSearchEngine,
+        SearchEngine,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, n_files=120, vocab_size=800, n_output_files=4)
+    idx = str(tmp_path / "idx")
+    build_index(
+        corpus, idx, IndexConfig(docs_per_spec=30, segment_docs=30)
+    )
+    local = SearchEngine(idx, lazy=False)
+    for n_act in (1, 2, 4):
+        deng = DistributedSearchEngine(idx, max_actors=n_act, lazy=False)
+        cases = [
+            ("wildcard", lambda e: e.wildcard_search("qz*needle", k=25)),
+            ("prefix", lambda e: e.prefix_search("qz", k=25)),
+            # one deletion from qzcommonneedle → edit distance 1
+            ("fuzzy", lambda e: e.fuzzy_search("qzcommonneedl", k=25)),
+            (
+                "msm",
+                lambda e: e.bool_search(
+                    should="qzcommonneedle qzfilterneedle qzuniqueneedle",
+                    k=100,
+                    minimum_should_match=2,
+                ),
+            ),
+        ]
+        for name, run in cases:
+            a = run(local)
+            b = run(deng)
+            assert a.num_rows > 0, (name, "vacuous case")
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), (
+                name, n_act,
+            )
+            assert a["score"].to_pylist() == b["score"].to_pylist(), (
+                name, n_act,
+            )
+        deng.shutdown()
+
+
 def test_search_many_matches_serial(ray_session, tmp_path):
     from datamart_ray.corpus import generate_corpus, reference_queries
     from datamart_ray.index.build import IndexConfig, build_index
