@@ -136,6 +136,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from datamart_ray.stages.textstats import rare_token_ratio
 
     out["ts_rare_token_ratio"] = rare_token_ratio
+    # PII redaction (NEW late-r3): vectorized RE2 scrub stage; the entry
+    # plants deterministic doc_id-derived PII identically on both sides
+    from datamart_ray.stages.redact import pii_redaction_stats
+
+    out["rd_pii_redaction"] = pii_redaction_stats
     # composite dedup→quality→sample→pack pipeline (NEW r3): every stage
     # already gated on its own; this gates the COMPOSITION
     from datamart_ray.pipelines.cleanpack import clean_pack_pipeline
@@ -404,6 +409,9 @@ def oracle_sql() -> dict[str, str]:
     from datamart_ray.stages.textstats import rare_token_ratio_sql
 
     out["ts_rare_token_ratio"] = rare_token_ratio_sql()
+    from datamart_ray.stages.redact import pii_redaction_sql
+
+    out["rd_pii_redaction"] = pii_redaction_sql()
     from datamart_ray.pipelines.cleanpack import clean_pack_sql
 
     out["pl_clean_pack"] = clean_pack_sql()

@@ -44,6 +44,7 @@ BOOL_NOT = "stream"
 # inclusive n_chars range filter (both sf fixtures span ~47..558 chars)
 NCHARS_LO, NCHARS_HI = 150, 350
 WILDCARD_PATTERN = "s?a*"  # expands to spark/scan/small on this corpus
+REGEXP_PATTERN = "s(can|mall)|jo.n"  # expands to scan/small/join
 BOOL_MSM_SHOULD = "hash join stream scan"
 BOOL_MSM_N = 2  # minimum_should_match
 # "window" exact + "jo" prefix (expands over {join, ...}) — non-vacuous
@@ -371,6 +372,108 @@ def _wildcard_sql(pattern: str, k: int) -> str:
         FROM scored
         ORDER BY scored.score DESC, doc_id
         LIMIT {k}
+    """
+
+
+def ft_regexp_topk(sf_dir: str) -> pd.DataFrame:
+    """Regexp BM25 top-k (the ES ``regexp`` query analog): the RE2
+    pattern — anchored at both ends, as ES anchors it — expands over the
+    term dictionary (leading-literal binary-search bound + one
+    vectorized RE2 kernel per segment), the expansion union scored as
+    OR. The DuckDB twin expands with ``regexp_full_match`` (the same
+    RE2 dialect) over the corpus vocabulary."""
+    eng = get_engine(sf_dir)
+    t = eng.regexp_search(REGEXP_PATTERN, k=BM25_K)
+    out = t.to_pandas()
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
+def _regexp_sql(pattern: str, k: int) -> str:
+    return f"""
+        WITH {_tok_cte()},
+        tf AS (
+            SELECT doc_id, term, count(*)::DOUBLE AS tf
+            FROM tok GROUP BY doc_id, term
+        ),
+        dl AS (
+            SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id
+        ),
+        stats AS (
+            SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                   (SELECT sum(dl) FROM dl)
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        qterms AS (
+            SELECT DISTINCT term FROM df
+            WHERE regexp_full_match(term, '{pattern}')
+        ),
+        contrib AS (
+            SELECT tf.doc_id, tf.term,
+                   ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+            FROM tf
+            JOIN qterms q USING (term)
+            JOIN df USING (term)
+            JOIN dl USING (doc_id)
+            CROSS JOIN stats s
+        ),
+        scored AS (
+            SELECT doc_id, sum(c ORDER BY term) AS score
+            FROM contrib GROUP BY doc_id
+        )
+        SELECT doc_id, ROUND(score, 4) AS score
+        FROM scored
+        ORDER BY scored.score DESC, doc_id
+        LIMIT {k}
+    """
+
+
+def ft_highlight_topk(sf_dir: str) -> pd.DataFrame:
+    """ES ``highlight`` analog: BM25 AND top-k, then each hit's text
+    with every query-term occurrence wrapped in ``[...]`` markers.
+    Matching is pinned to RE2 ``(?i)\\b(t1|t2|...)\\b`` — identical in
+    Arrow's replace_substring_regex and DuckDB's regexp_replace — a
+    documented deviation from the analyzer's ``[a-z0-9]+`` boundaries
+    (``\\b`` treats ``_`` as a word char). Only the k hit texts are
+    fetched (broadcast id filter), never the corpus."""
+    from datamart_ray.util import fetch_rows_by_ids
+
+    eng = get_engine(sf_dir)
+    t = eng.search(BM25_QUERY, k=BM25_K, mode="and")
+    ids = t["doc_id"].to_pylist()
+    scores = dict(zip(ids, round_away(t["score"].to_numpy(), 4)))
+    rows = fetch_rows_by_ids(
+        _docs_path(sf_dir), "doc_id", ids, ["doc_id", "text"]
+    )
+    terms = sorted(set(ANALYZER.tokenize(BM25_QUERY)))
+    pat = r"(?i)\b(" + "|".join(terms) + r")\b"
+    snip = pc.replace_substring_regex(
+        rows["text"], pattern=pat, replacement=r"[\0]"
+    )
+    out = pd.DataFrame(
+        {
+            "doc_id": rows["doc_id"].to_pylist(),
+            "snippet": snip.to_pylist(),
+        }
+    )
+    out["score"] = out["doc_id"].map(scores)
+    return out.sort_values(
+        ["score", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)[["doc_id", "score", "snippet"]]
+
+
+def _highlight_sql(query: str, k: int) -> str:
+    terms = sorted(set(ANALYZER.tokenize(query)))
+    pat = r"(?i)\b(" + "|".join(terms) + r")\b"
+    return f"""
+        SELECT t.doc_id, t.score,
+               regexp_replace(d.text, '{pat}', '[\\0]', 'g') AS snippet
+        FROM ({_bm25_sql(query, k)}) t
+        JOIN documents d USING (doc_id)
+        ORDER BY t.score DESC, t.doc_id
     """
 
 
@@ -1141,6 +1244,8 @@ def build_sql() -> dict[str, str]:
         "ft_bool_topk": _bool_sql(BOOL_MUST, BOOL_SHOULD, BOOL_NOT, BM25_K),
         "ft_wildcard_topk": _wildcard_sql(WILDCARD_PATTERN, BM25_K),
         "ft_fuzzy_dist_topk": _fuzzy_sql(FUZZY_QUERY, BM25_K),
+        "ft_regexp_topk": _regexp_sql(REGEXP_PATTERN, BM25_K),
+        "ft_highlight_topk": _highlight_sql(BM25_QUERY, BM25_K),
         "ft_bool_msm_topk": _bool_sql(
             "", BOOL_MSM_SHOULD, "", BM25_K, min_should=BOOL_MSM_N
         ),
@@ -1276,6 +1381,8 @@ QUERIES = {
     "ft_bool_topk": ft_bool_topk,
     "ft_wildcard_topk": ft_wildcard_topk,
     "ft_fuzzy_dist_topk": ft_fuzzy_dist_topk,
+    "ft_regexp_topk": ft_regexp_topk,
+    "ft_highlight_topk": ft_highlight_topk,
     "ft_bool_msm_topk": ft_bool_msm_topk,
     "ft_bm25_range_filter": ft_bm25_range_filter,
     "ft_phrase_prefix_topk": ft_phrase_prefix_topk,

@@ -700,6 +700,66 @@ def _segment_wildcard_terms(reader: SegmentReader, pattern: str) -> list[str]:
     return [str(t) for t in v[lo:hi][mask]]
 
 
+_REGEX_METACHARS = set(".*+?()[]{}|\\^$")
+
+
+def _regex_literal_prefix(pattern: str) -> str:
+    """Longest prefix every match of `pattern` is guaranteed to start
+    with. A top-level alternation voids any guarantee (either branch may
+    match), and a quantifier makes its preceding char optional — both
+    conservatively shrink the prefix to keep the dictionary-range bound
+    sound."""
+    depth = 0
+    in_cls = False
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_cls:
+            if c == "]":
+                in_cls = False
+        elif c == "[":
+            in_cls = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "|" and depth == 0:
+            return ""
+        i += 1
+    lit: list[str] = []
+    for ch in pattern:
+        if ch in _REGEX_METACHARS:
+            if ch in "*?{" and lit:
+                lit.pop()
+            break
+        lit.append(ch)
+    return "".join(lit)
+
+
+def _segment_regexp_terms(reader: SegmentReader, pattern: str) -> list[str]:
+    """Dictionary terms of one segment fully matching an ES ``regexp``
+    query pattern (RE2 syntax, anchored at both ends as ES does). The
+    leading literal run of the pattern bounds a binary-search range over
+    the sorted dictionary; the match itself is one vectorized RE2 kernel
+    over that slice. Patterns starting with a metacharacter degrade to a
+    full-dictionary kernel scan (the cost ES's docs warn about)."""
+    lit = _regex_literal_prefix(pattern)
+    v = reader._dict_terms
+    ub = _prefix_successor(lit) if lit else None
+    lo = int(np.searchsorted(v, lit)) if lit else 0
+    hi = v.size if ub is None else int(np.searchsorted(v, ub))
+    if lo >= hi:
+        return []
+    sl = pa.array(v[lo:hi], type=pa.string())
+    mask = pc.match_substring_regex(
+        sl, f"^(?:{pattern})$"
+    ).to_numpy(zero_copy_only=False)
+    return [str(t) for t in v[lo:hi][mask]]
+
+
 def _segment_fuzzy_terms(
     r: SegmentReader, qterm: str, max_edits: int
 ) -> set:
@@ -1152,6 +1212,23 @@ class SearchEngine:
             expanded.update(_segment_wildcard_terms(r, pattern.lower()))
         return self._score_expanded(sorted(expanded), k, filters)
 
+    def regexp_search(
+        self,
+        pattern: str,
+        k: int = TOP_K_SIZE,
+        filters: dict[str, str] | None = None,
+    ) -> pa.Table:
+        """Regexp term matching (the ES ``regexp`` query analog): the
+        RE2 pattern — implicitly anchored at both ends, as ES anchors
+        it — expands over each segment's sorted term dictionary
+        (leading-literal binary-search bound + one vectorized RE2
+        kernel) and the expansion union is scored as an OR query exactly
+        like :meth:`wildcard_search`."""
+        expanded: set = set()
+        for r in self.readers:
+            expanded.update(_segment_regexp_terms(r, pattern))
+        return self._score_expanded(sorted(expanded), k, filters)
+
     def _score_expanded(
         self,
         expanded: list[str],
@@ -1526,6 +1603,8 @@ class SegmentScorer:
                     out.update(_segment_prefix_terms(r, a))
                 elif kind == "fuzzy":
                     out.update(_segment_fuzzy_terms(r, a, max_edits))
+                elif kind == "regexp":
+                    out.update(_segment_regexp_terms(r, a))
                 else:
                     raise ValueError(f"unknown expansion kind {kind!r}")
         return sorted(out)
@@ -1873,6 +1952,15 @@ class DistributedSearchEngine:
         """Distributed ES ``prefix`` query — see :meth:`_expanded_search`."""
         qterms = list(dict.fromkeys(self.analyzer.tokenize(query)))
         return self._expanded_search("prefix", qterms, k, filters)
+
+    def regexp_search(
+        self,
+        pattern: str,
+        k: int = TOP_K_SIZE,
+        filters: dict | None = None,
+    ) -> pa.Table:
+        """Distributed ES ``regexp`` query — see :meth:`_expanded_search`."""
+        return self._expanded_search("regexp", [pattern], k, filters)
 
     def fuzzy_search(
         self,

@@ -846,6 +846,56 @@ def test_wildcard_search_matches_expansion(
         eng.wildcard_search("bad%pattern")
 
 
+def test_regexp_search_matches_expansion(
+    ray_session, phrase_corpus, tmp_path
+):
+    """regexp_search == OR-scored union of the dictionary terms the
+    anchored RE2 pattern matches (verified against Python re over the
+    corpus vocabulary), including top-level alternation (which voids
+    the literal-prefix dictionary bound), quantified literals, char
+    classes and no-match patterns."""
+    import re as _re
+
+    from datamart_ray.search.engine import (
+        _regex_literal_prefix,
+        _segment_regexp_terms,
+    )
+
+    # prefix soundness: every match of the pattern starts with the lit
+    assert _regex_literal_prefix("al(pha|so)") == "al"
+    assert _regex_literal_prefix("alpha|beta") == ""
+    assert _regex_literal_prefix("alp?ha") == "al"
+    assert _regex_literal_prefix("a[lb]pha") == "a"
+    assert _regex_literal_prefix("ab{2,3}c") == "a"
+    assert _regex_literal_prefix(r"a\|b") == "a"  # escaped pipe
+    assert _regex_literal_prefix("(a|b)c") == ""
+
+    path, docs = phrase_corpus
+    eng = _build(path, str(tmp_path / "rxidx"), docs_per_spec=64)
+    an = Analyzer()
+    vocab = sorted({t for d in docs for t in an.tokenize(d)})
+    for pat in [
+        "al(pha|so)", "alpha|beta", ".e.a", "w.*w", "[gd]...a",
+        "zz+", "gamma",
+    ]:
+        rx = _re.compile(f"^(?:{pat})$")
+        want_terms = sorted(t for t in vocab if rx.match(t))
+        got_terms = sorted(
+            {
+                t
+                for r in eng.readers
+                for t in _segment_regexp_terms(r, pat)
+            }
+        )
+        assert got_terms == want_terms, pat
+        got = eng.regexp_search(pat, k=10_000).to_pandas()
+        if not want_terms:
+            assert got.empty
+            continue
+        exp = eng._score_expanded(want_terms, 10_000, None).to_pandas()
+        assert got.equals(exp), pat
+
+
 def test_numeric_range_filter(ray_session, tmp_path):
     docs = [f"needle common{i % 3}" for i in range(40)]
     sizes = list(range(40))

@@ -981,6 +981,43 @@ def test_rare_token_ratio_planted(ray_session, tmp_path):
     assert flagged["rare_ratio"].tolist() == [0.3333]
 
 
+def test_pii_redaction_planted(ray_session, tmp_path):
+    """Emails/IPs/phones are counted and replaced class-by-class;
+    PII-free text passes through byte-identical with zero counts."""
+    import pyarrow.parquet as pq_
+
+    from datamart_ray.stages.redact import redact_dataset
+
+    import ray.data as rd_
+
+    texts = [
+        "mail me at jane.doe+x@sub.example.org or bob@ex.io today",
+        "server 192.168.0.1 and 10.255.3.99 timed out",
+        "call 555-867-5309 re: 123-456-7890",
+        "nothing sensitive here at all",
+        "mix a@b.co 1.2.3.4 999-111-2222 end",
+    ]
+    t = pa.table({"doc_id": list(range(5)), "text": texts})
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq_.write_table(t, str(d / "documents.parquet"))
+    ds = rd_.read_parquet(str(d / "documents.parquet"))
+    out = (
+        redact_dataset(ds, "text")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_email"].tolist() == [2, 0, 0, 0, 1]
+    assert out["n_ip"].tolist() == [0, 2, 0, 0, 1]
+    assert out["n_phone"].tolist() == [0, 0, 2, 0, 1]
+    assert out["text"][0] == "mail me at <EMAIL> or <EMAIL> today"
+    assert out["text"][1] == "server <IP> and <IP> timed out"
+    assert out["text"][2] == "call <PHONE> re: <PHONE>"
+    assert out["text"][3] == texts[3]
+    assert out["text"][4] == "mix <EMAIL> <IP> <PHONE> end"
+
+
 def test_knn_label_filtered_predicate(ray_session):
     """Filtered ANN: every neighbor carries the predicate label, and the
     result equals brute-force top-k over the filtered subset."""
