@@ -477,6 +477,163 @@ def _highlight_sql(query: str, k: int) -> str:
     """
 
 
+def ft_explain_topk(sf_dir: str) -> pd.DataFrame:
+    """ES ``explain=true`` analog: the per-(doc, term) BM25 breakdown
+    (tf, global df, idf, contribution) for the query's top-k docs; the
+    contribs sum to the doc's search score. The DuckDB twin exposes the
+    same columns from its contrib CTE restricted to the top-k set."""
+    eng = get_engine(sf_dir)
+    ids = eng.search(BM25_QUERY, k=BM25_K, mode="and")["doc_id"].to_pylist()
+    t = eng.explain(BM25_QUERY, ids)
+    out = t.to_pandas()
+    out["idf"] = round_away(out["idf"], 4)
+    out["contrib"] = round_away(out["contrib"], 4)
+    return out
+
+
+def _explain_sql(query: str, k: int) -> str:
+    terms = sorted(set(ANALYZER.tokenize(query)))
+    qvals = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+        WITH {_tok_cte()},
+        tf AS (
+            SELECT doc_id, term, count(*)::DOUBLE AS tf
+            FROM tok GROUP BY doc_id, term
+        ),
+        dl AS (
+            SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id
+        ),
+        stats AS (
+            SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                   (SELECT sum(dl) FROM dl)
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        qterms(term) AS (VALUES {qvals}),
+        topk AS ({_bm25_sql(query, k)})
+        SELECT tf.doc_id, tf.term,
+               tf.tf::BIGINT AS tf,
+               df.df::BIGINT AS df,
+               ROUND(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)), 4)
+                   AS idf,
+               ROUND(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * (1.2 + 1)
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)),
+                     4) AS contrib
+        FROM tf
+        JOIN qterms USING (term)
+        JOIN df USING (term)
+        JOIN dl USING (doc_id)
+        JOIN topk ON tf.doc_id = topk.doc_id
+        CROSS JOIN stats s
+        ORDER BY tf.doc_id, tf.term
+    """
+
+
+def ft_facet_lang_stats(sf_dir: str) -> pd.DataFrame:
+    """ES terms-aggregation with a metric sub-aggregation: per language,
+    match count AND mean BM25 score over EVERY doc matching the query —
+    the bucket+metric shape ES's aggs compose."""
+    eng = get_engine(sf_dir)
+    t = eng.facet_stats(BM25_QUERY, "lang", mode="and")
+    out = t.to_pandas()
+    out["avg_score"] = round_away(out["avg_score"], 4)
+    return out
+
+
+def _facet_stats_sql(query: str, col: str) -> str:
+    terms = list(dict.fromkeys(ANALYZER.tokenize(query)))
+    qvals = ", ".join(f"('{t}', {i})" for i, t in enumerate(terms))
+    return f"""
+        WITH {_tok_cte()},
+        tf AS (
+            SELECT doc_id, term, count(*)::DOUBLE AS tf
+            FROM tok GROUP BY doc_id, term
+        ),
+        dl AS (
+            SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id
+        ),
+        stats AS (
+            SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                   (SELECT sum(dl) FROM dl)
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        qterms(term, qord) AS (VALUES {qvals}),
+        contrib AS (
+            SELECT tf.doc_id, q.qord,
+                   ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+            FROM tf
+            JOIN qterms q USING (term)
+            JOIN df USING (term)
+            JOIN dl USING (doc_id)
+            CROSS JOIN stats s
+        ),
+        scored AS (
+            SELECT doc_id, sum(c ORDER BY qord) AS score, count(*) AS nt
+            FROM contrib GROUP BY doc_id
+        )
+        SELECT d.{col},
+               count(*)::BIGINT AS n,
+               ROUND(sum(s.score) / count(*), 4) AS avg_score
+        FROM scored s JOIN documents d USING (doc_id)
+        WHERE s.nt = {len(terms)}
+        GROUP BY d.{col}
+        ORDER BY n DESC, d.{col} NULLS LAST
+    """
+
+
+SUGGEST_SIZE = 3
+SUGGEST_EDITS = 2
+
+
+def ft_term_suggest(sf_dir: str) -> pd.DataFrame:
+    """ES term-suggester analog: for each (misspelled) query token, the
+    top dictionary corrections within 2 edits, ranked distance asc →
+    df desc → term. The DuckDB twin ranks with ``levenshtein`` +
+    ``row_number`` over the corpus vocabulary."""
+    eng = get_engine(sf_dir)
+    parts = []
+    for tok in list(dict.fromkeys(ANALYZER.tokenize(FUZZY_QUERY))):
+        t = eng.suggest(tok, size=SUGGEST_SIZE, max_edits=SUGGEST_EDITS)
+        p = t.to_pandas()
+        p.insert(0, "input_term", tok)
+        parts.append(p)
+    return pd.concat(parts, ignore_index=True)
+
+
+def _suggest_sql(query: str, size: int, max_edits: int) -> str:
+    toks = list(dict.fromkeys(ANALYZER.tokenize(query)))
+    qvals = ", ".join(f"('{t}')" for t in toks)
+    return f"""
+        WITH {_tok_cte()},
+        tf AS (
+            SELECT doc_id, term FROM tok GROUP BY doc_id, term
+        ),
+        df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        q(input_term) AS (VALUES {qvals}),
+        cand AS (
+            SELECT q.input_term, df.term AS suggestion,
+                   levenshtein(q.input_term, df.term)::BIGINT AS distance,
+                   df.df
+            FROM q JOIN df
+              ON levenshtein(q.input_term, df.term) <= {max_edits}
+             AND df.term <> q.input_term
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY input_term
+                ORDER BY distance, df DESC, suggestion
+            ) AS rn FROM cand
+        )
+        SELECT input_term, suggestion, distance, df
+        FROM ranked WHERE rn <= {size}
+        ORDER BY input_term, distance, df DESC, suggestion
+    """
+
+
 def ft_bool_msm_topk(sf_dir: str) -> pd.DataFrame:
     """``bool`` query with ``minimum_should_match``: no must clause,
     candidates must match ≥ BOOL_MSM_N distinct should tokens; score
@@ -1246,6 +1403,11 @@ def build_sql() -> dict[str, str]:
         "ft_fuzzy_dist_topk": _fuzzy_sql(FUZZY_QUERY, BM25_K),
         "ft_regexp_topk": _regexp_sql(REGEXP_PATTERN, BM25_K),
         "ft_highlight_topk": _highlight_sql(BM25_QUERY, BM25_K),
+        "ft_explain_topk": _explain_sql(BM25_QUERY, BM25_K),
+        "ft_facet_lang_stats": _facet_stats_sql(BM25_QUERY, "lang"),
+        "ft_term_suggest": _suggest_sql(
+            FUZZY_QUERY, SUGGEST_SIZE, SUGGEST_EDITS
+        ),
         "ft_bool_msm_topk": _bool_sql(
             "", BOOL_MSM_SHOULD, "", BM25_K, min_should=BOOL_MSM_N
         ),
@@ -1383,6 +1545,9 @@ QUERIES = {
     "ft_fuzzy_dist_topk": ft_fuzzy_dist_topk,
     "ft_regexp_topk": ft_regexp_topk,
     "ft_highlight_topk": ft_highlight_topk,
+    "ft_explain_topk": ft_explain_topk,
+    "ft_facet_lang_stats": ft_facet_lang_stats,
+    "ft_term_suggest": ft_term_suggest,
     "ft_bool_msm_topk": ft_bool_msm_topk,
     "ft_bm25_range_filter": ft_bm25_range_filter,
     "ft_phrase_prefix_topk": ft_phrase_prefix_topk,

@@ -1407,6 +1407,143 @@ class SearchEngine:
             }
         )
 
+    def explain(self, query: str, doc_ids) -> pa.Table:
+        """ES ``explain=true`` analog: the per-(doc, term) BM25 score
+        breakdown for the given docs — tf, global df, idf and the final
+        contribution (idf × saturated-tf × length norm). Rows sorted
+        (doc_id, term); the sum of `contrib` per doc equals the doc's
+        :meth:`search` score exactly (same accumulation order as the
+        engine's lexicographic pinning)."""
+        terms = sorted(set(self.analyzer.tokenize(query)))
+        filt = np.sort(np.unique(np.asarray(doc_ids, dtype=np.int64)))
+        d_p, t_p, tf_p, df_p, idf_p, c_p = [], [], [], [], [], []
+        for term in terms:
+            df = self.df(term)
+            if df == 0:
+                continue
+            idf = bm25_idf(df, self.n_docs, self.params)
+            for r in self.readers:
+                p_doc, p_tf = r.postings(term)
+                keep = _isin_sorted(filt, p_doc)
+                d, tf = p_doc[keep], p_tf[keep]
+                if r._tombstones.size and d.size:
+                    alive = ~_isin_sorted(r._tombstones, d)
+                    d, tf = d[alive], tf[alive]
+                if not d.size:
+                    continue
+                dl = r.doclen_of(d)
+                contrib = idf * bm25_tf_norm(
+                    tf.astype(np.float64), dl, self.avgdl, self.params
+                )
+                d_p.append(d)
+                tf_p.append(tf.astype(np.int64))
+                df_p.append(np.full(d.size, df, dtype=np.int64))
+                idf_p.append(np.full(d.size, idf, dtype=np.float64))
+                c_p.append(contrib)
+                t_p.append(np.full(d.size, term, dtype=object))
+        if not d_p:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "term": pa.array([], type=pa.string()),
+                    "tf": pa.array([], type=pa.int64()),
+                    "df": pa.array([], type=pa.int64()),
+                    "idf": pa.array([], type=pa.float64()),
+                    "contrib": pa.array([], type=pa.float64()),
+                }
+            )
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(d_p)),
+                "term": pa.array(np.concatenate(t_p), type=pa.string()),
+                "tf": pa.array(np.concatenate(tf_p)),
+                "df": pa.array(np.concatenate(df_p)),
+                "idf": pa.array(np.concatenate(idf_p)),
+                "contrib": pa.array(np.concatenate(c_p)),
+            }
+        )
+        return tbl.sort_by(
+            [("doc_id", "ascending"), ("term", "ascending")]
+        )
+
+    def facet_stats(
+        self,
+        query: str,
+        col: str,
+        mode: str = "and",
+        filters: dict | None = None,
+    ) -> pa.Table:
+        """ES terms-aggregation with a metric sub-aggregation: per facet
+        value of docmeta column `col`, the match count AND the mean BM25
+        score over EVERY doc matching `query` (not just the top k).
+        Output (col, n, avg_score) sorted (n desc, value asc, NULLs
+        last) — the DuckDB twin groups the exhaustive scored set."""
+        terms = list(dict.fromkeys(self.analyzer.tokenize(query)))
+        cnt: dict = {}
+        tot: dict = {}
+        if terms:
+            idfs = {
+                t: bm25_idf(self.df(t), self.n_docs, self.params)
+                for t in terms
+            }
+            for r in self.readers:
+                d, s = _score_segment(
+                    r, terms, idfs, self.avgdl, mode, filters, self.params
+                )
+                if not d.size:
+                    continue
+                if col not in r._meta.column_names:
+                    raise KeyError(f"no facet column {col!r} in docmeta")
+                pos = np.searchsorted(r._doc_ids, d)
+                vals = r._meta[col].take(pa.array(pos)).to_pylist()
+                for v, sc in zip(vals, s):
+                    cnt[v] = cnt.get(v, 0) + 1
+                    tot[v] = tot.get(v, 0.0) + float(sc)
+        items = sorted(
+            cnt.items(),
+            key=lambda kv: (-kv[1], kv[0] is None, kv[0] or ""),
+        )
+        return pa.table(
+            {
+                col: pa.array([k for k, _ in items], type=pa.string()),
+                "n": pa.array([v for _, v in items], type=pa.int64()),
+                "avg_score": pa.array(
+                    [tot[k] / v for k, v in items], type=pa.float64()
+                ),
+            }
+        )
+
+    def suggest(
+        self, term: str, size: int = 3, max_edits: int = 2
+    ) -> pa.Table:
+        """ES term-suggester analog: dictionary terms within `max_edits`
+        Levenshtein edits of `term` (the exact term itself excluded, as
+        ES does with suggest_mode=missing-for-misspellings), ranked the
+        ES way — edit distance ascending, then document frequency
+        descending, then term — truncated to `size`."""
+        from datamart_ray.pipelines.matching import levenshtein
+
+        cands: set = set()
+        for r in self.readers:
+            cands.update(_segment_fuzzy_terms(r, term, max_edits))
+        cands.discard(term)
+        rows = [
+            (levenshtein(term, c), -self.df(c), c) for c in cands
+        ]
+        rows.sort()
+        rows = rows[:size]
+        return pa.table(
+            {
+                "suggestion": pa.array(
+                    [c for _, _, c in rows], type=pa.string()
+                ),
+                "distance": pa.array(
+                    [d for d, _, _ in rows], type=pa.int64()
+                ),
+                "df": pa.array([-f for _, f, _ in rows], type=pa.int64()),
+            }
+        )
+
     def more_like_this(
         self,
         text: str,

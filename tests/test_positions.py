@@ -896,6 +896,95 @@ def test_regexp_search_matches_expansion(
         assert got.equals(exp), pat
 
 
+def test_explain_contribs_sum_to_score(
+    ray_session, phrase_corpus, tmp_path
+):
+    """explain()'s per-(doc, term) contribs reproduce tf exactly and sum
+    to the doc's search score; docs outside the requested set are
+    absent."""
+    path, docs = phrase_corpus
+    eng = _build(path, str(tmp_path / "exidx"), docs_per_spec=64)
+    q = "window hash join"
+    top = eng.search(q, k=8, mode="or").to_pandas()
+    ids = top["doc_id"].tolist()
+    ex = eng.explain(q, ids).to_pandas()
+    assert set(ex["doc_id"]) == set(ids)
+    an = Analyzer()
+    for r in ex.itertuples():
+        assert r.tf == an.tokenize(docs[r.doc_id]).count(r.term)
+    sums = ex.groupby("doc_id")["contrib"].sum()
+    for r in top.itertuples():
+        assert abs(sums[r.doc_id] - r.score) < 1e-9
+    # empty doc set and unknown-term query
+    assert eng.explain(q, []).num_rows == 0
+    assert eng.explain("zzzznothere", ids).num_rows == 0
+
+
+def test_facet_stats_counts_and_means(
+    ray_session, phrase_corpus, tmp_path
+):
+    """facet_stats bucket counts match facet_counts; avg_score equals
+    the brute mean of the exhaustive match scores per bucket."""
+    path, docs = phrase_corpus
+    idx = str(tmp_path / "fsidx")
+    shutil.rmtree(idx, ignore_errors=True)
+    # index with a lang meta column derived from doc_id parity
+    import pyarrow.parquet as pq_
+
+    src = pq_.read_table(path)
+    langs = ["even" if i % 2 == 0 else "odd" for i in range(len(docs))]
+    p2 = str(tmp_path / "docs2.parquet")
+    pq_.write_table(src.append_column("lang", pa.array(langs)), p2)
+    cfg = IndexConfig(
+        analyzer=Analyzer(), content_col="text", id_col="doc_id",
+        meta_cols=("lang",), docs_per_spec=64,
+    )
+    build_index(p2, idx, cfg)
+    eng = SearchEngine(idx, filter_cols=("lang",), lazy=False)
+    q = "window hash"
+    st = eng.facet_stats(q, "lang", mode="or").to_pandas()
+    fc = eng.facet_counts(q, "lang", mode="or").to_pandas()
+    assert dict(zip(st["lang"], st["n"])) == dict(zip(fc["lang"], fc["n"]))
+    full = eng.search(q, k=10_000, mode="or").to_pandas()
+    full["lang"] = ["even" if i % 2 == 0 else "odd" for i in full["doc_id"]]
+    want = full.groupby("lang")["score"].mean()
+    for r in st.itertuples():
+        assert abs(want[r.lang] - r.avg_score) < 1e-9
+
+
+def test_term_suggest_ranking(ray_session, tmp_path):
+    """Suggestions rank distance asc → df desc → term, exclude the
+    exact input term, and respect size."""
+    import pyarrow.parquet as pq_
+
+    docs = (
+        ["windom common"] * 5      # dist 1 from 'window', df 5
+        + ["window common"] * 9    # dist 0 — excluded
+        + ["windox common"] * 7    # dist 1, df 7 → ranks before windom
+        + ["winded common"] * 8    # dist 2, df 8 → after any dist-1
+    )
+    path = str(tmp_path / "sg.parquet")
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                "text": pa.array(docs),
+            }
+        ),
+        path,
+    )
+    eng = _build(path, str(tmp_path / "sgidx"), docs_per_spec=16)
+    out = eng.suggest("window", size=3, max_edits=2).to_pandas()
+    assert out["suggestion"].tolist() == ["windox", "windom", "winded"]
+    assert out["distance"].tolist() == [1, 1, 2]
+    assert out["df"].tolist() == [7, 5, 8]
+    assert eng.suggest("window", size=1)["suggestion"].to_pylist() == [
+        "windox"
+    ]
+    # no candidates within the edit budget
+    assert eng.suggest("qqqqqqqq", size=3).num_rows == 0
+
+
 def test_numeric_range_filter(ray_session, tmp_path):
     docs = [f"needle common{i % 3}" for i in range(40)]
     sizes = list(range(40))
