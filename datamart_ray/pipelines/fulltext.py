@@ -86,6 +86,34 @@ def get_engine(sf_dir: str) -> SearchEngine:
     return eng
 
 
+_FIELD_ENGINES: dict[tuple[str, str], SearchEngine] = {}
+
+
+def get_field_engine(sf_dir: str, col: str) -> SearchEngine:
+    """Per-field engine for multi-field queries: a separate index whose
+    postings come from `col` (each field owns its df/avgdl statistics,
+    exactly as ES keeps per-field stats). Built once per (corpus, field)
+    and cached like :func:`get_engine`."""
+    sf_dir = os.path.abspath(sf_dir)
+    ck = (sf_dir, col)
+    if ck in _FIELD_ENGINES:
+        return _FIELD_ENGINES[ck]
+    src = _docs_path(sf_dir)
+    key = hashlib.sha1(
+        f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}:f-{col}".encode()
+    ).hexdigest()[:12]
+    index_dir = f"/tmp/datamart_ray_idx/{key}"
+    cfg = IndexConfig(
+        analyzer=ANALYZER,
+        content_col=col,
+        id_col="doc_id",
+    )
+    build_index(src, index_dir, cfg)
+    eng = SearchEngine(index_dir, lazy=False)
+    _FIELD_ENGINES[ck] = eng
+    return eng
+
+
 def get_pos_engine(sf_dir: str) -> SearchEngine:
     """Positional-index engine for phrase queries — a SEPARATE on-disk
     index (suffix ``-pos``) so the headline non-positional build keeps
@@ -631,6 +659,96 @@ def _suggest_sql(query: str, size: int, max_edits: int) -> str:
         SELECT input_term, suggestion, distance, df
         FROM ranked WHERE rn <= {size}
         ORDER BY input_term, distance, df DESC, suggestion
+    """
+
+
+MULTI_QUERY = "window src13"  # text terms + a source-field term
+MULTI_BOOST = 3.0  # source field boost (the reference boosts id^10)
+
+
+def ft_multimatch_topk(sf_dir: str) -> pd.DataFrame:
+    """ES ``multi_match`` (most_fields) analog — the reference's main
+    dataset-search scores keyword queries over several fields with
+    per-field boosts (apiserver/apiserver/search/__init__.py:55-107:
+    multi_match over ``id^10, description, name, attribute_keywords``).
+    Here: score = BM25(text) + MULTI_BOOST × BM25(source), each field
+    with its OWN df/avgdl statistics (separate per-field index, as ES
+    keeps per-field stats). Exactness note: both fields are scored over
+    their FULL OR match sets before combining (k = n_docs) — the
+    doc-at-a-time merged traversal is the serving-scale path; this
+    two-pass form is the exact semantics the twin can mirror."""
+    eng_t = get_engine(sf_dir)
+    eng_s = get_field_engine(sf_dir, "source")
+    st = eng_t.search(MULTI_QUERY, k=eng_t.n_docs, mode="or").to_pandas()
+    ss = eng_s.search(MULTI_QUERY, k=eng_s.n_docs, mode="or").to_pandas()
+    m = st.merge(ss, on="doc_id", how="outer", suffixes=("_t", "_s"))
+    m = m.fillna({"score_t": 0.0, "score_s": 0.0})
+    m["score"] = m["score_t"] + MULTI_BOOST * m["score_s"]
+    m = m.sort_values(
+        ["score", "doc_id"], ascending=[False, True]
+    ).head(BM25_K)
+    out = m[["doc_id", "score"]].reset_index(drop=True)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
+def _field_scored_cte(name: str, col: str, terms: list[str]) -> str:
+    """One field's exhaustive OR-scored CTE chain (own tf/dl/stats/df),
+    accumulation pinned to lexicographic term order."""
+    qvals = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    return f"""
+        tok_{name} AS (
+            SELECT doc_id, unnest({ANALYZER.sql_tokens_expr(col)}) AS term
+            FROM documents
+        ),
+        tf_{name} AS (
+            SELECT doc_id, term, count(*)::DOUBLE AS tf
+            FROM tok_{name} GROUP BY doc_id, term
+        ),
+        dl_{name} AS (
+            SELECT doc_id, count(*)::DOUBLE AS dl
+            FROM tok_{name} GROUP BY doc_id
+        ),
+        stats_{name} AS (
+            SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                   (SELECT sum(dl) FROM dl_{name})
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+        ),
+        df_{name} AS (
+            SELECT term, count(*)::DOUBLE AS df
+            FROM tf_{name} GROUP BY term
+        ),
+        qterms_{name}(term) AS (VALUES {qvals}),
+        contrib_{name} AS (
+            SELECT tf.doc_id, tf.term,
+                   ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+            FROM tf_{name} tf
+            JOIN qterms_{name} q USING (term)
+            JOIN df_{name} df USING (term)
+            JOIN dl_{name} dl USING (doc_id)
+            CROSS JOIN stats_{name} s
+        ),
+        scored_{name} AS (
+            SELECT doc_id, sum(c ORDER BY term) AS score
+            FROM contrib_{name} GROUP BY doc_id
+        )"""
+
+
+def _multimatch_sql(query: str, k: int, boost: float) -> str:
+    terms = list(dict.fromkeys(ANALYZER.tokenize(query)))
+    return f"""
+        WITH {_field_scored_cte("t", "text", terms)},
+        {_field_scored_cte("s", "source", terms)}
+        SELECT coalesce(t.doc_id, s.doc_id)::BIGINT AS doc_id,
+               ROUND(coalesce(t.score, 0) + {boost} * coalesce(s.score, 0),
+                     4) AS score
+        FROM scored_t t FULL OUTER JOIN scored_s s
+          ON t.doc_id = s.doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT {k}
     """
 
 
@@ -1404,6 +1522,9 @@ def build_sql() -> dict[str, str]:
         "ft_regexp_topk": _regexp_sql(REGEXP_PATTERN, BM25_K),
         "ft_highlight_topk": _highlight_sql(BM25_QUERY, BM25_K),
         "ft_explain_topk": _explain_sql(BM25_QUERY, BM25_K),
+        "ft_multimatch_topk": _multimatch_sql(
+            MULTI_QUERY, BM25_K, MULTI_BOOST
+        ),
         "ft_facet_lang_stats": _facet_stats_sql(BM25_QUERY, "lang"),
         "ft_term_suggest": _suggest_sql(
             FUZZY_QUERY, SUGGEST_SIZE, SUGGEST_EDITS
@@ -1546,6 +1667,7 @@ QUERIES = {
     "ft_regexp_topk": ft_regexp_topk,
     "ft_highlight_topk": ft_highlight_topk,
     "ft_explain_topk": ft_explain_topk,
+    "ft_multimatch_topk": ft_multimatch_topk,
     "ft_facet_lang_stats": ft_facet_lang_stats,
     "ft_term_suggest": ft_term_suggest,
     "ft_bool_msm_topk": ft_bool_msm_topk,
