@@ -235,6 +235,31 @@ def run_bench() -> dict:
         mlat.append(time.time() - t0)
     extra["mlt_p50"] = round(statistics.median(mlat), 4)
 
+    # wildcard / regexp / suggest serving (round 3 final): dictionary
+    # expansion cost (binary-search bound + one vectorized kernel) plus
+    # the shared OR scoring of the expansion union
+    wlat = []
+    for _ in range(3):
+        for pat in ["qzcommon*", "qz*needle"]:
+            t0 = time.time()
+            eng.wildcard_search(pat, k=50)
+            wlat.append(time.time() - t0)
+    extra["wildcard_p50"] = round(statistics.median(wlat), 4)
+    rlat = []
+    for _ in range(3):
+        for pat in ["qzcommon.*", "qz(common|pair).*"]:
+            t0 = time.time()
+            eng.regexp_search(pat, k=50)
+            rlat.append(time.time() - t0)
+    extra["regexp_p50"] = round(statistics.median(rlat), 4)
+    slat = []
+    for _ in range(3):
+        for term in [MARKER_COMMON[:-1] + "x", MARKER_PAIR_A[:-1] + "q"]:
+            t0 = time.time()
+            eng.suggest(term, size=3, max_edits=2)
+            slat.append(time.time() - t0)
+    extra["suggest_p50"] = round(statistics.median(slat), 4)
+
     from datamart_ray.pipelines.relational import (
         q01_pricing_summary,
         q02_revenue_by_nation,

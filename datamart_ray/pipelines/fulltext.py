@@ -693,6 +693,48 @@ def ft_multimatch_topk(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+TIE_BREAKER = 0.3
+
+
+def ft_multimatch_best_topk(sf_dir: str) -> pd.DataFrame:
+    """ES ``multi_match`` (best_fields + tie_breaker) analog: score =
+    max(field scores) + tie_breaker × sum(other field scores) — ES's
+    dis_max composition. Same per-field statistics as
+    :func:`ft_multimatch_topk`; only the combination differs."""
+    eng_t = get_engine(sf_dir)
+    eng_s = get_field_engine(sf_dir, "source")
+    st = eng_t.search(MULTI_QUERY, k=eng_t.n_docs, mode="or").to_pandas()
+    ss = eng_s.search(MULTI_QUERY, k=eng_s.n_docs, mode="or").to_pandas()
+    m = st.merge(ss, on="doc_id", how="outer", suffixes=("_t", "_s"))
+    m = m.fillna({"score_t": 0.0, "score_s": 0.0})
+    hi = m[["score_t", "score_s"]].max(axis=1)
+    lo = m[["score_t", "score_s"]].min(axis=1)
+    m["score"] = hi + TIE_BREAKER * lo
+    m = m.sort_values(
+        ["score", "doc_id"], ascending=[False, True]
+    ).head(BM25_K)
+    out = m[["doc_id", "score"]].reset_index(drop=True)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
+def _multimatch_best_sql(query: str, k: int, tb: float) -> str:
+    terms = list(dict.fromkeys(ANALYZER.tokenize(query)))
+    return f"""
+        WITH {_field_scored_cte("t", "text", terms)},
+        {_field_scored_cte("s", "source", terms)}
+        SELECT coalesce(t.doc_id, s.doc_id)::BIGINT AS doc_id,
+               ROUND(greatest(coalesce(t.score, 0), coalesce(s.score, 0))
+                     + {tb} * least(coalesce(t.score, 0),
+                                    coalesce(s.score, 0)), 4) AS score
+        FROM scored_t t FULL OUTER JOIN scored_s s
+          ON t.doc_id = s.doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT {k}
+    """
+
+
 def _field_scored_cte(name: str, col: str, terms: list[str]) -> str:
     """One field's exhaustive OR-scored CTE chain (own tf/dl/stats/df),
     accumulation pinned to lexicographic term order."""
@@ -1525,6 +1567,9 @@ def build_sql() -> dict[str, str]:
         "ft_multimatch_topk": _multimatch_sql(
             MULTI_QUERY, BM25_K, MULTI_BOOST
         ),
+        "ft_multimatch_best_topk": _multimatch_best_sql(
+            MULTI_QUERY, BM25_K, TIE_BREAKER
+        ),
         "ft_facet_lang_stats": _facet_stats_sql(BM25_QUERY, "lang"),
         "ft_term_suggest": _suggest_sql(
             FUZZY_QUERY, SUGGEST_SIZE, SUGGEST_EDITS
@@ -1668,6 +1713,7 @@ QUERIES = {
     "ft_highlight_topk": ft_highlight_topk,
     "ft_explain_topk": ft_explain_topk,
     "ft_multimatch_topk": ft_multimatch_topk,
+    "ft_multimatch_best_topk": ft_multimatch_best_topk,
     "ft_facet_lang_stats": ft_facet_lang_stats,
     "ft_term_suggest": ft_term_suggest,
     "ft_bool_msm_topk": ft_bool_msm_topk,
