@@ -177,8 +177,10 @@ def ag_left_join_customer_events(sf_dir: str) -> pd.DataFrame:
     out = joined.to_pandas()
     out = out.rename(columns={"value_u": "sum_value_u"})
     out["n_rows"] = out["n_rows"].fillna(0).astype("int64")
-    # sum stays NULL for unmatched customers (pandas nullable int)
-    out["sum_value_u"] = out["sum_value_u"].astype("Int64")
+    # sum stays NULL (NaN) for unmatched customers — float64, because
+    # the twin's nullable-BIGINT sum arrives as float64 via fetchdf and
+    # the driver's value hash is dtype-sensitive
+    out["sum_value_u"] = out["sum_value_u"].astype("float64")
     out = out[["c_custkey", "c_nationkey", "n_rows", "sum_value_u"]]
     for c in ("c_custkey", "c_nationkey"):
         out[c] = out[c].astype("int64")
