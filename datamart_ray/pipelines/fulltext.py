@@ -662,6 +662,161 @@ def _suggest_sql(query: str, size: int, max_edits: int) -> str:
     """
 
 
+CARD_COLS = ("lang", "source")  # cardinality-agg fields
+AUTO_PREFIX = "s"  # completion-suggester prefix (6 terms on this corpus)
+AUTO_SIZE = 5
+BOOSTING_NEG = "stream"  # boosting-query negative clause
+NEG_BOOST = 0.5
+FS_FACTOR = 0.01  # field_value_factor over n_chars, log1p modifier
+
+
+def ft_facet_cardinality(sf_dir: str) -> pd.DataFrame:
+    """ES cardinality-aggregation analog (exact distinct — the pinned
+    deviation from ES's HLL++): distinct lang/source values over EVERY
+    doc matching the AND query."""
+    eng = get_engine(sf_dir)
+    return eng.facet_cardinality(
+        BM25_QUERY, CARD_COLS, mode="and"
+    ).to_pandas()
+
+
+def _cardinality_sql(query: str, cols: tuple[str, ...]) -> str:
+    terms = list(dict.fromkeys(ANALYZER.tokenize(query)))
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    arms = "\n            UNION ALL\n".join(
+        f"""            SELECT '{c}' AS field,
+                   count(DISTINCT d.{c})::BIGINT AS cardinality
+            FROM cand JOIN documents d USING (doc_id)"""
+        for c in sorted(cols)
+    )
+    return f"""
+        WITH {_tok_cte()},
+        tf AS (
+            SELECT doc_id, term FROM tok
+            WHERE term IN ({tlist}) GROUP BY doc_id, term
+        ),
+        cand AS (
+            SELECT doc_id FROM tf GROUP BY doc_id
+            HAVING count(*) = {len(terms)}
+        )
+        SELECT * FROM (
+{arms}
+        ) ORDER BY field
+    """
+
+
+def ft_autocomplete(sf_dir: str) -> pd.DataFrame:
+    """ES completion-suggester analog: dictionary terms under a prefix
+    ranked by global df desc, term asc — the search-box type-ahead."""
+    eng = get_engine(sf_dir)
+    return eng.autocomplete(AUTO_PREFIX, size=AUTO_SIZE).to_pandas()
+
+
+def _autocomplete_sql(prefix: str, size: int) -> str:
+    return f"""
+        WITH {_tok_cte()},
+        tf AS (SELECT doc_id, term FROM tok GROUP BY doc_id, term),
+        df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+        SELECT term, df FROM df WHERE term LIKE '{prefix}%'
+        ORDER BY df DESC, term LIMIT {size}
+    """
+
+
+def _scored_or_cte(terms: list[str]) -> str:
+    """The shared exhaustive OR-scored CTE chain (tok → … → scored) with
+    the engine's pinned query-order accumulation — the base for the
+    rank-changing score-rewrite twins (boosting, function_score)."""
+    qvals = ", ".join(f"('{t}', {i})" for i, t in enumerate(terms))
+    return f"""{_tok_cte()},
+        tf AS (
+            SELECT doc_id, term, count(*)::DOUBLE AS tf
+            FROM tok GROUP BY doc_id, term
+        ),
+        dl AS (
+            SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id
+        ),
+        stats AS (
+            SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                   (SELECT sum(dl) FROM dl)
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        qterms(term, qord) AS (VALUES {qvals}),
+        contrib AS (
+            SELECT tf.doc_id, q.qord,
+                   ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+            FROM tf
+            JOIN qterms q USING (term)
+            JOIN df USING (term)
+            JOIN dl USING (doc_id)
+            CROSS JOIN stats s
+        ),
+        scored AS (
+            SELECT doc_id, sum(c ORDER BY qord) AS score
+            FROM contrib GROUP BY doc_id
+        )"""
+
+
+def ft_boosting_topk(sf_dir: str) -> pd.DataFrame:
+    """ES ``boosting`` query analog: positive OR-scored, docs matching
+    the negative clause demoted by ×NEG_BOOST (kept, not excluded)."""
+    eng = get_engine(sf_dir)
+    out = eng.boosting_search(
+        BM25_QUERY, BOOSTING_NEG, NEG_BOOST, k=BM25_K, mode="or"
+    ).to_pandas()
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
+def _boosting_sql(pos: str, neg: str, nb: float, k: int) -> str:
+    terms = list(dict.fromkeys(ANALYZER.tokenize(pos)))
+    neg_terms = list(dict.fromkeys(ANALYZER.tokenize(neg)))
+    nlist = ", ".join(f"'{t}'" for t in neg_terms)
+    return f"""
+        WITH {_scored_or_cte(terms)},
+        neg AS (
+            SELECT DISTINCT doc_id FROM tok WHERE term IN ({nlist})
+        ),
+        boosted AS (
+            SELECT s.doc_id,
+                   CASE WHEN n.doc_id IS NULL THEN s.score
+                        ELSE s.score * {nb} END AS fscore
+            FROM scored s LEFT JOIN neg n USING (doc_id)
+        )
+        SELECT doc_id, ROUND(fscore, 4) AS score
+        FROM boosted ORDER BY fscore DESC, doc_id LIMIT {k}
+    """
+
+
+def ft_function_score_topk(sf_dir: str) -> pd.DataFrame:
+    """ES ``function_score`` + ``field_value_factor`` analog (log1p
+    modifier, multiply boost mode — the reference folds dataset priors
+    into keyword ranking exactly this way): BM25 × ln(1 + factor ×
+    n_chars)."""
+    eng = get_engine(sf_dir)
+    out = eng.function_score_search(
+        BM25_QUERY, "n_chars", FS_FACTOR, k=BM25_K, mode="or"
+    ).to_pandas()
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
+def _function_score_sql(query: str, factor: float, k: int) -> str:
+    terms = list(dict.fromkeys(ANALYZER.tokenize(query)))
+    return f"""
+        WITH {_scored_or_cte(terms)},
+        boosted AS (
+            SELECT s.doc_id,
+                   s.score * ln(1 + {factor} * d.n_chars) AS fscore
+            FROM scored s JOIN documents d USING (doc_id)
+        )
+        SELECT doc_id, ROUND(fscore, 4) AS score
+        FROM boosted ORDER BY fscore DESC, doc_id LIMIT {k}
+    """
+
+
 MULTI_QUERY = "window src13"  # text terms + a source-field term
 MULTI_BOOST = 3.0  # source field boost (the reference boosts id^10)
 
@@ -1570,6 +1725,14 @@ def build_sql() -> dict[str, str]:
         "ft_multimatch_best_topk": _multimatch_best_sql(
             MULTI_QUERY, BM25_K, TIE_BREAKER
         ),
+        "ft_facet_cardinality": _cardinality_sql(BM25_QUERY, CARD_COLS),
+        "ft_autocomplete": _autocomplete_sql(AUTO_PREFIX, AUTO_SIZE),
+        "ft_boosting_topk": _boosting_sql(
+            BM25_QUERY, BOOSTING_NEG, NEG_BOOST, BM25_K
+        ),
+        "ft_function_score_topk": _function_score_sql(
+            BM25_QUERY, FS_FACTOR, BM25_K
+        ),
         "ft_facet_lang_stats": _facet_stats_sql(BM25_QUERY, "lang"),
         "ft_term_suggest": _suggest_sql(
             FUZZY_QUERY, SUGGEST_SIZE, SUGGEST_EDITS
@@ -1714,6 +1877,10 @@ QUERIES = {
     "ft_explain_topk": ft_explain_topk,
     "ft_multimatch_topk": ft_multimatch_topk,
     "ft_multimatch_best_topk": ft_multimatch_best_topk,
+    "ft_facet_cardinality": ft_facet_cardinality,
+    "ft_autocomplete": ft_autocomplete,
+    "ft_boosting_topk": ft_boosting_topk,
+    "ft_function_score_topk": ft_function_score_topk,
     "ft_facet_lang_stats": ft_facet_lang_stats,
     "ft_term_suggest": ft_term_suggest,
     "ft_bool_msm_topk": ft_bool_msm_topk,

@@ -1668,6 +1668,192 @@ class SearchEngine:
             }
         )
 
+    def facet_cardinality(
+        self,
+        query: str,
+        cols: tuple[str, ...],
+        mode: str = "and",
+        filters: dict | None = None,
+    ) -> pa.Table:
+        """ES cardinality-aggregation analog (exact): the number of
+        DISTINCT values of each docmeta column over EVERY doc matching
+        `query`. ES approximates with HLL++; our exact distinct is the
+        pinned deviation (the repo's HLL sketch lives in stages/sketch —
+        swap it in per-column when a field's cardinality outgrows a set).
+        Output (field, cardinality) sorted by field name."""
+        terms = list(dict.fromkeys(self.analyzer.tokenize(query)))
+        seen: dict[str, set] = {c: set() for c in cols}
+        if terms:
+            idfs = {
+                t: bm25_idf(self.df(t), self.n_docs, self.params)
+                for t in terms
+            }
+            for r in self.readers:
+                d, _ = _score_segment(
+                    r, terms, idfs, self.avgdl, mode, filters, self.params
+                )
+                if not d.size:
+                    continue
+                pos = np.searchsorted(r._doc_ids, d)
+                for c in cols:
+                    if c not in r._meta.column_names:
+                        raise KeyError(f"no facet column {c!r} in docmeta")
+                    vals = r._meta[c].take(pa.array(pos))
+                    seen[c].update(
+                        v for v in vals.to_pylist() if v is not None
+                    )
+        fields = sorted(cols)
+        return pa.table(
+            {
+                "field": pa.array(fields, type=pa.string()),
+                "cardinality": pa.array(
+                    [len(seen[c]) for c in fields], type=pa.int64()
+                ),
+            }
+        )
+
+    def autocomplete(self, prefix: str, size: int = 5) -> pa.Table:
+        """ES completion-suggester analog over the term dictionary:
+        terms starting with `prefix`, ranked by global document
+        frequency descending then term ascending, truncated to `size`.
+        The prefix slice is a binary-search dictionary range per segment
+        (no scan); global df sums the per-segment dfs of the sliced
+        terms only."""
+        df_by_term: dict[str, int] = {}
+        for r in self.readers:
+            for t in _segment_prefix_terms(r, prefix):
+                df_by_term[t] = df_by_term.get(t, 0) + r.df(t)
+        rows = sorted(df_by_term.items(), key=lambda kv: (-kv[1], kv[0]))
+        rows = rows[:size]
+        return pa.table(
+            {
+                "term": pa.array([t for t, _ in rows], type=pa.string()),
+                "df": pa.array([d for _, d in rows], type=pa.int64()),
+            }
+        )
+
+    def boosting_search(
+        self,
+        positive: str,
+        negative: str,
+        negative_boost: float = 0.5,
+        k: int = TOP_K_SIZE,
+        mode: str = "or",
+        filters: dict | None = None,
+    ) -> pa.Table:
+        """ES ``boosting`` query analog: docs are scored by the
+        `positive` query; any doc also matching a `negative` term keeps
+        its rank slot but its score is multiplied by `negative_boost`
+        (< 1 demotes, never excludes — the difference from bool
+        must_not). Demotion reorders, so segments score exhaustively
+        (k=None disables block-max pruning) and top-k selection happens
+        only after the multiply."""
+        terms = list(dict.fromkeys(self.analyzer.tokenize(positive)))
+        neg_t = list(dict.fromkeys(self.analyzer.tokenize(negative)))
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+        if not terms:
+            return empty
+        idfs = {
+            t: bm25_idf(self.df(t), self.n_docs, self.params)
+            for t in terms
+        }
+        parts_d, parts_s = [], []
+        for r in self.readers:
+            d, s = _score_segment(
+                r, terms, idfs, self.avgdl, mode, filters, self.params,
+                k=None,
+            )
+            if not d.size:
+                continue
+            neg_docs = [
+                r.postings(t)[0] for t in neg_t if r.df(t) > 0
+            ]
+            if neg_docs:
+                nd = (
+                    neg_docs[0]
+                    if len(neg_docs) == 1
+                    else np.unique(np.concatenate(neg_docs))
+                )
+                demote = _isin_sorted(nd, d)
+                s = np.where(demote, s * negative_boost, s)
+            dk, sk = topk_select(d, s, k)
+            parts_d.append(dk)
+            parts_s.append(sk)
+        if not parts_d:
+            return empty
+        out_ids, out_scores = topk_select(
+            np.concatenate(parts_d), np.concatenate(parts_s), k
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "score": pa.array(out_scores, type=pa.float64()),
+            }
+        )
+
+    def function_score_search(
+        self,
+        query: str,
+        col: str,
+        factor: float,
+        k: int = TOP_K_SIZE,
+        mode: str = "or",
+        filters: dict | None = None,
+    ) -> pa.Table:
+        """ES ``function_score`` + ``field_value_factor`` analog
+        (modifier ``log1p``, boost_mode ``multiply`` — the combination
+        the reference uses to fold dataset priors into keyword ranking):
+        score = BM25 × ln(1 + factor × docmeta[col]). The multiplier is
+        rank-changing, so segments score exhaustively and top-k happens
+        after the multiply."""
+        terms = list(dict.fromkeys(self.analyzer.tokenize(query)))
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+        if not terms:
+            return empty
+        idfs = {
+            t: bm25_idf(self.df(t), self.n_docs, self.params)
+            for t in terms
+        }
+        parts_d, parts_s = [], []
+        for r in self.readers:
+            d, s = _score_segment(
+                r, terms, idfs, self.avgdl, mode, filters, self.params,
+                k=None,
+            )
+            if not d.size:
+                continue
+            if col not in r._meta.column_names:
+                raise KeyError(f"no docmeta column {col!r}")
+            pos = np.searchsorted(r._doc_ids, d)
+            vals = r._meta[col].take(pa.array(pos)).to_numpy(
+                zero_copy_only=False
+            ).astype(np.float64)
+            s = s * np.log1p(factor * vals)
+            dk, sk = topk_select(d, s, k)
+            parts_d.append(dk)
+            parts_s.append(sk)
+        if not parts_d:
+            return empty
+        out_ids, out_scores = topk_select(
+            np.concatenate(parts_d), np.concatenate(parts_s), k
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "score": pa.array(out_scores, type=pa.float64()),
+            }
+        )
+
     def search_many(self, queries: list[dict]) -> list[pa.Table]:
         """Batch API parity with DistributedSearchEngine.search_many —
         in-process there is nothing to pipeline, so this is sequential

@@ -437,3 +437,95 @@ def test_posting_heap_reads_pre_nb_sidecar(tmp_path):
     heap = PostingHeap(seg, build=False)
     assert heap.chunks("a")["docs"].to_pylist() == [b"p0", b"p1"]
     assert heap.chunks("c")["docs"].to_pylist() == [b"p3", b"p4", b"p5"]
+
+
+def test_boosting_search_demotes_not_excludes(built_index):
+    """ES boosting-query semantics: the negative clause rescales, never
+    filters — the match set equals the plain OR match set, demoted docs
+    score exactly ×negative_boost, others are untouched."""
+    from datamart_ray.search.engine import SearchEngine
+    from datamart_ray.corpus import MARKER_COMMON, MARKER_PAIR_A
+
+    index_dir, _ = built_index
+    eng = SearchEngine(index_dir)
+    n = eng.n_docs
+    plain = eng.search(MARKER_COMMON, k=n, mode="or").to_pandas()
+    boosted = eng.boosting_search(
+        MARKER_COMMON, MARKER_PAIR_A, 0.5, k=n, mode="or"
+    ).to_pandas()
+    assert set(plain["doc_id"]) == set(boosted["doc_id"])
+    neg_docs = set(
+        eng.search(MARKER_PAIR_A, k=n, mode="or").to_pandas()["doc_id"]
+    )
+    p = plain.set_index("doc_id")["score"]
+    b = boosted.set_index("doc_id")["score"]
+    demoted = [d for d in b.index if d in neg_docs]
+    kept = [d for d in b.index if d not in neg_docs]
+    assert demoted and kept  # non-vacuous both ways
+    assert np.allclose(b[demoted], p[demoted] * 0.5)
+    assert np.allclose(b[kept], p[kept])
+
+
+def test_function_score_multiplier_exact(built_index):
+    """function_score field_value_factor(log1p, multiply): every score
+    equals the plain OR score × ln(1 + factor × doclen)."""
+    from datamart_ray.search.engine import SearchEngine
+    from datamart_ray.corpus import MARKER_COMMON
+
+    index_dir, _ = built_index
+    eng = SearchEngine(index_dir)
+    n = eng.n_docs
+    plain = eng.search(MARKER_COMMON, k=n, mode="or").to_pandas()
+    fs = eng.function_score_search(
+        MARKER_COMMON, "doclen", 0.01, k=n, mode="or"
+    ).to_pandas()
+    assert set(plain["doc_id"]) == set(fs["doc_id"])
+    dl = {}
+    for r in eng.readers:
+        dl.update(zip(r._doc_ids.tolist(), r._doclens.tolist()))
+    p = plain.set_index("doc_id")["score"]
+    f = fs.set_index("doc_id")["score"]
+    for d in f.index:
+        assert f[d] == pytest.approx(p[d] * np.log1p(0.01 * dl[d]))
+
+
+def test_autocomplete_prefix_and_rank(built_index):
+    """Completion suggester: every suggestion has the prefix, global df
+    equals SearchEngine.df, ranking is (df desc, term asc)."""
+    from datamart_ray.search.engine import SearchEngine
+
+    index_dir, _ = built_index
+    eng = SearchEngine(index_dir)
+    out = eng.autocomplete("qz", size=10).to_pandas()
+    assert len(out) > 1
+    assert all(t.startswith("qz") for t in out["term"])
+    for t, d in zip(out["term"], out["df"]):
+        assert d == eng.df(t)
+    rows = list(zip((-out["df"]).tolist(), out["term"].tolist()))
+    assert rows == sorted(rows)
+
+
+def test_facet_cardinality_exact(built_index):
+    """Cardinality agg == exact distinct over the full match set."""
+    from datamart_ray.search.engine import SearchEngine
+    from datamart_ray.corpus import MARKER_COMMON
+    import pyarrow.parquet as pq
+
+    index_dir, _ = built_index
+    eng = SearchEngine(index_dir)
+    card = eng.facet_cardinality(
+        MARKER_COMMON, ("lang",), mode="and"
+    ).to_pandas()
+    docs = set(
+        eng.search(MARKER_COMMON, k=eng.n_docs, mode="or").to_pandas()[
+            "doc_id"
+        ]
+    )
+    langs = set()
+    for r in eng.readers:
+        ids = r._doc_ids.tolist()
+        for i, lang in zip(ids, r._meta["lang"].to_pylist()):
+            if i in docs:
+                langs.add(lang)
+    assert card.loc[0, "field"] == "lang"
+    assert card.loc[0, "cardinality"] == len(langs)
