@@ -38,10 +38,15 @@ class Analyzer:
     min_token_len: int = 1
     max_token_len: int = 0  # 0 = unlimited
     stem: str | None = None  # "porter" → Porter-stem tokens (no SQL twin)
+    # ES "stop" token filter analog: tokens dropped AFTER lowercasing,
+    # BEFORE stemming (ES's default filter order). SQL-reproducible.
+    stopwords: tuple = ()
 
     def __post_init__(self):
         # per-instance stem memo (frozen dataclass → set via object)
         object.__setattr__(self, "_stem_cache", {})
+        # JSON round-trips deliver a list; pin the declared tuple type
+        object.__setattr__(self, "stopwords", tuple(self.stopwords))
 
     def to_kwargs(self) -> dict:
         """Constructor kwargs for round-tripping this analyzer to worker
@@ -78,6 +83,9 @@ class Analyzer:
                 f"list_filter({expr}, t -> length(t) >= {self.min_token_len}"
                 f" AND length(t) <= {hi})"
             )
+        if self.stopwords:
+            stop_list = ", ".join(f"'{w}'" for w in sorted(self.stopwords))
+            expr = f"list_filter({expr}, t -> t NOT IN ({stop_list}))"
         return expr
 
     # ------------------------------------------------------------------
@@ -110,6 +118,12 @@ class Analyzer:
             )
         flat = pc.filter(flat, keep)
         parents = pc.filter(parents, keep)
+        if self.stopwords:
+            alive = pc.invert(
+                pc.is_in(flat, value_set=pa.array(sorted(self.stopwords)))
+            )
+            flat = pc.filter(flat, alive)
+            parents = pc.filter(parents, alive)
         if self.stem == "porter":
             flat = self._stem_array(flat)
         # Rebuild a clean list array from (parent, token): parents are

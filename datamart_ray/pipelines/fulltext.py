@@ -949,6 +949,101 @@ def _multimatch_sql(query: str, k: int, boost: float) -> str:
     """
 
 
+def ft_multimatch_cross_topk(sf_dir: str) -> pd.DataFrame:
+    """ES ``multi_match`` (cross_fields, term-centric) — the reference's
+    ACTUAL keyword-search mode (apiserver/apiserver/search/__init__.py:
+    65-77: multi_match cross_fields over ``id^10, description, name,
+    attribute_keywords``): per query term, take the best boosted field
+    contribution (dis_max per term), then sum over terms. Pinned
+    deviation: per-field contributions use each field's own df (ES
+    blends dfs across fields); accumulation pinned to lexicographic
+    term order (the twin's ``sum(c ORDER BY term)``)."""
+    eng_t = get_engine(sf_dir)
+    eng_s = get_field_engine(sf_dir, "source")
+    terms = sorted(set(ANALYZER.tokenize(MULTI_QUERY)))
+    total: pd.Series | None = None
+    for t in terms:
+        st = (
+            eng_t.search(t, k=eng_t.n_docs, mode="or")
+            .to_pandas()
+            .set_index("doc_id")["score"]
+        )
+        ss = (
+            eng_s.search(t, k=eng_s.n_docs, mode="or")
+            .to_pandas()
+            .set_index("doc_id")["score"]
+        )
+        m = pd.concat(
+            [st.rename("a"), (MULTI_BOOST * ss).rename("b")], axis=1
+        ).fillna(0.0)
+        per = m.max(axis=1)
+        total = per if total is None else total.add(per, fill_value=0.0)
+    out = total.rename("score").reset_index()
+    out = out.sort_values(
+        ["score", "doc_id"], ascending=[False, True]
+    ).head(BM25_K).reset_index(drop=True)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
+def _multimatch_cross_sql(query: str, k: int, boost: float) -> str:
+    terms = list(dict.fromkeys(ANALYZER.tokenize(query)))
+    return f"""
+        WITH {_field_scored_cte("t", "text", terms)},
+        {_field_scored_cte("s", "source", terms)},
+        merged AS (
+            SELECT coalesce(ct.doc_id, cs.doc_id) AS doc_id,
+                   coalesce(ct.term, cs.term) AS term,
+                   greatest(coalesce(ct.c, 0),
+                            {boost} * coalesce(cs.c, 0)) AS c
+            FROM contrib_t ct FULL OUTER JOIN contrib_s cs
+              ON ct.doc_id = cs.doc_id AND ct.term = cs.term
+        ),
+        final AS (
+            SELECT doc_id, sum(c ORDER BY term) AS score
+            FROM merged GROUP BY doc_id
+        )
+        SELECT doc_id::BIGINT AS doc_id, ROUND(score, 4) AS score
+        FROM final ORDER BY final.score DESC, doc_id LIMIT {k}
+    """
+
+
+SYN_QUERY = "window merge"
+SYNONYMS = {"merge": ("join",)}  # both in-vocabulary → non-vacuous
+
+
+def ft_synonym_topk(sf_dir: str) -> pd.DataFrame:
+    """Query-time synonym expansion (ES synonym filter in the search
+    analyzer): "window merge" expands to {window, merge, join}, scored
+    as an OR query — the twin scores the expanded term list directly."""
+    eng = get_engine(sf_dir)
+    out = eng.search_with_synonyms(
+        SYN_QUERY, SYNONYMS, k=BM25_K, mode="or"
+    ).to_pandas()
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
+def ft_stopword_token_counts(sf_dir: str) -> pd.DataFrame:
+    """Token counts under a stopword-filtering analyzer (ES ``stop``
+    token filter) — same kernel as ft_token_counts with the stop set
+    removed after lowercasing, SQL-reproducibly."""
+    ana = Analyzer(stopwords=_STOPWORDS)
+    ds = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        lists = ana.token_lists(t["text"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pc.list_value_length(lists).cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(count_tokens, batch_format="pyarrow").to_pandas()
+
+
 def ft_bool_msm_topk(sf_dir: str) -> pd.DataFrame:
     """``bool`` query with ``minimum_should_match``: no must clause,
     candidates must match ≥ BOOL_MSM_N distinct should tokens; score
@@ -1725,6 +1820,18 @@ def build_sql() -> dict[str, str]:
         "ft_multimatch_best_topk": _multimatch_best_sql(
             MULTI_QUERY, BM25_K, TIE_BREAKER
         ),
+        "ft_multimatch_cross_topk": _multimatch_cross_sql(
+            MULTI_QUERY, BM25_K, MULTI_BOOST
+        ),
+        "ft_synonym_topk": _bm25_sql(
+            "window merge join", BM25_K, mode_or=True
+        ),
+        "ft_stopword_token_counts": f"""
+            SELECT doc_id,
+                   len({Analyzer(stopwords=_STOPWORDS).sql_tokens_expr('text')}
+                   )::BIGINT AS n_tokens
+            FROM documents
+        """,
         "ft_facet_cardinality": _cardinality_sql(BM25_QUERY, CARD_COLS),
         "ft_autocomplete": _autocomplete_sql(AUTO_PREFIX, AUTO_SIZE),
         "ft_boosting_topk": _boosting_sql(
@@ -1877,6 +1984,9 @@ QUERIES = {
     "ft_explain_topk": ft_explain_topk,
     "ft_multimatch_topk": ft_multimatch_topk,
     "ft_multimatch_best_topk": ft_multimatch_best_topk,
+    "ft_multimatch_cross_topk": ft_multimatch_cross_topk,
+    "ft_synonym_topk": ft_synonym_topk,
+    "ft_stopword_token_counts": ft_stopword_token_counts,
     "ft_facet_cardinality": ft_facet_cardinality,
     "ft_autocomplete": ft_autocomplete,
     "ft_boosting_topk": ft_boosting_topk,

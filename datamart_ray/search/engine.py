@@ -1732,6 +1732,30 @@ class SearchEngine:
             }
         )
 
+    def search_with_synonyms(
+        self,
+        query: str,
+        synonyms: dict[str, tuple],
+        k: int = TOP_K_SIZE,
+        mode: str = "or",
+        filters: dict | None = None,
+    ) -> pa.Table:
+        """ES query-time synonym expansion analog (a ``synonym`` filter
+        in the search analyzer): every query token is OR-expanded with
+        its synonym set before scoring. Pinned deviation from ES's
+        SynonymQuery: each expansion term keeps its OWN df/idf (ES
+        blends df across the synonym group). Expansion order = token
+        order with synonyms appended after their source token,
+        duplicates dropped — the accumulation order the SQL twin pins."""
+        toks = self.analyzer.tokenize(query)
+        expanded: list[str] = []
+        for t in toks:
+            expanded.append(t)
+            for s in synonyms.get(t, ()):
+                expanded.extend(self.analyzer.tokenize(s))
+        q = " ".join(dict.fromkeys(expanded))
+        return self.search(q, k=k, mode=mode, filters=filters)
+
     def boosting_search(
         self,
         positive: str,

@@ -63,3 +63,25 @@ def test_sql_expr_matches_python(tmp_path):
     ).fetchall()
     for (sql_tokens,), text in zip(got, texts):
         assert sql_tokens == a.tokenize(text)
+
+
+def test_stopwords_filter_and_sql_parity():
+    import duckdb
+
+    a = Analyzer(stopwords=("the", "a", "of"))
+    assert a.tokenize("The hash of a window") == ["hash", "window"]
+    texts = ["The hash of a window", "a the of", "no stops here"]
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {a.sql_tokens_expr('t')} FROM (SELECT unnest(?) AS t)",
+        [texts],
+    ).fetchall()
+    for (sql_tokens,), text in zip(got, texts):
+        assert sql_tokens == a.tokenize(text)
+
+
+def test_stopwords_roundtrip_kwargs():
+    a = Analyzer(stopwords=["the", "a"])  # list in → tuple pinned
+    assert a.stopwords == ("the", "a")
+    b = Analyzer(**a.to_kwargs())
+    assert b == a
