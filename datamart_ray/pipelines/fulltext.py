@@ -1009,6 +1009,132 @@ def _multimatch_cross_sql(query: str, k: int, boost: float) -> str:
     """
 
 
+TERMS_FILTER_LANGS = ("de", "fr")  # ES `terms` query: lang IN (...)
+SORT_FIELD = "n_chars"
+
+
+def ft_bm25_terms_filter(sf_dir: str) -> pd.DataFrame:
+    """ES ``terms`` query analog (multi-value keyword filter): BM25 AND
+    search restricted to docs whose lang is IN a value set — the
+    list-valued filter path through docmeta (scalar = ES `term`,
+    list = ES `terms`, tuple = ES `range`)."""
+    eng = get_engine(sf_dir)
+    t = eng.search(
+        BM25_FILTER_QUERY,
+        k=BM25_K,
+        mode="and",
+        filters={"lang": list(TERMS_FILTER_LANGS)},
+    )
+    out = t.to_pandas()
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
+def _terms_filter_sql(query: str, k: int, langs: tuple[str, ...]) -> str:
+    terms = list(dict.fromkeys(ANALYZER.tokenize(query)))
+    llist = ", ".join(f"'{v}'" for v in langs)
+    return f"""
+        WITH {_scored_or_cte(terms)},
+        cnt AS (
+            SELECT doc_id, count(DISTINCT term) AS nt FROM tok
+            WHERE term IN ({', '.join(f"'{t}'" for t in terms)})
+            GROUP BY doc_id
+        )
+        SELECT s.doc_id, ROUND(s.score, 4) AS score
+        FROM scored s
+        JOIN cnt USING (doc_id)
+        JOIN documents d USING (doc_id)
+        WHERE cnt.nt = {len(terms)} AND d.lang IN ({llist})
+        ORDER BY s.score DESC, doc_id LIMIT {k}
+    """
+
+
+def ft_sort_by_field(sf_dir: str) -> pd.DataFrame:
+    """ES field-sort analog (``sort: [{n_chars: desc}]``): the query's
+    full AND match set ordered by a docmeta column, doc_id tiebreak,
+    no scoring — the list-page "sort by size/date" path."""
+    eng = get_engine(sf_dir)
+    out = eng.sort_by_field(
+        BM25_QUERY, SORT_FIELD, k=BM25_K, descending=True, mode="and"
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out[SORT_FIELD] = out[SORT_FIELD].astype("int64")
+    return out
+
+
+def _sort_by_field_sql(query: str, col: str, k: int) -> str:
+    terms = list(dict.fromkeys(ANALYZER.tokenize(query)))
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+        WITH {_tok_cte()},
+        tf AS (
+            SELECT doc_id, term FROM tok
+            WHERE term IN ({tlist}) GROUP BY doc_id, term
+        ),
+        cand AS (
+            SELECT doc_id FROM tf GROUP BY doc_id
+            HAVING count(*) = {len(terms)}
+        )
+        SELECT c.doc_id, d.{col}::BIGINT AS {col}
+        FROM cand c JOIN documents d USING (doc_id)
+        ORDER BY d.{col} DESC, c.doc_id LIMIT {k}
+    """
+
+
+PHRASE_SUGGEST_SIZE = 3
+PHRASE_SUGGEST_PER_TOKEN = 3
+
+
+def ft_phrase_suggest(sf_dir: str) -> pd.DataFrame:
+    """ES phrase-suggester analog over the misspelled FUZZY_QUERY:
+    per-token top corrections cross-multiplied into candidate phrases,
+    ranked (total edit distance asc, df product desc, phrase asc) —
+    the pinned LM-free deviation documented on
+    SearchEngine.suggest_phrase."""
+    eng = get_engine(sf_dir)
+    return eng.suggest_phrase(
+        FUZZY_QUERY,
+        size=PHRASE_SUGGEST_SIZE,
+        max_edits=SUGGEST_EDITS,
+        per_token=PHRASE_SUGGEST_PER_TOKEN,
+    ).to_pandas()
+
+
+def _phrase_suggest_sql(
+    query: str, size: int, max_edits: int, per_token: int
+) -> str:
+    toks = list(ANALYZER.tokenize(query))
+    cands = []
+    for i, t in enumerate(toks):
+        cands.append(
+            f"""c{i} AS (
+            SELECT term AS w, levenshtein('{t}', term)::BIGINT AS d, df
+            FROM df WHERE levenshtein('{t}', term) <= {max_edits}
+            QUALIFY row_number() OVER (
+                ORDER BY levenshtein('{t}', term), df DESC, term
+            ) <= {per_token}
+        )"""
+        )
+    phrase_expr = " || ' ' || ".join(f"c{i}.w" for i in range(len(toks)))
+    dist_expr = " + ".join(f"c{i}.d" for i in range(len(toks)))
+    dfp_expr = " * ".join(f"c{i}.df" for i in range(len(toks)))
+    srcs = ", ".join(f"c{i}" for i in range(len(toks)))
+    return f"""
+        WITH {_tok_cte()},
+        tf AS (SELECT doc_id, term FROM tok GROUP BY doc_id, term),
+        df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        {', '.join(cands)},
+        combos AS (
+            SELECT {phrase_expr} AS phrase,
+                   ({dist_expr})::BIGINT AS total_distance,
+                   ({dfp_expr})::BIGINT AS df_product
+            FROM {srcs}
+        )
+        SELECT phrase, total_distance, df_product FROM combos
+        ORDER BY total_distance, df_product DESC, phrase LIMIT {size}
+    """
+
+
 SYN_QUERY = "window merge"
 SYNONYMS = {"merge": ("join",)}  # both in-vocabulary → non-vacuous
 
@@ -1820,6 +1946,18 @@ def build_sql() -> dict[str, str]:
         "ft_multimatch_best_topk": _multimatch_best_sql(
             MULTI_QUERY, BM25_K, TIE_BREAKER
         ),
+        "ft_bm25_terms_filter": _terms_filter_sql(
+            BM25_FILTER_QUERY, BM25_K, TERMS_FILTER_LANGS
+        ),
+        "ft_sort_by_field": _sort_by_field_sql(
+            BM25_QUERY, SORT_FIELD, BM25_K
+        ),
+        "ft_phrase_suggest": _phrase_suggest_sql(
+            FUZZY_QUERY,
+            PHRASE_SUGGEST_SIZE,
+            SUGGEST_EDITS,
+            PHRASE_SUGGEST_PER_TOKEN,
+        ),
         "ft_multimatch_cross_topk": _multimatch_cross_sql(
             MULTI_QUERY, BM25_K, MULTI_BOOST
         ),
@@ -1984,6 +2122,9 @@ QUERIES = {
     "ft_explain_topk": ft_explain_topk,
     "ft_multimatch_topk": ft_multimatch_topk,
     "ft_multimatch_best_topk": ft_multimatch_best_topk,
+    "ft_bm25_terms_filter": ft_bm25_terms_filter,
+    "ft_sort_by_field": ft_sort_by_field,
+    "ft_phrase_suggest": ft_phrase_suggest,
     "ft_multimatch_cross_topk": ft_multimatch_cross_topk,
     "ft_synonym_topk": ft_synonym_topk,
     "ft_stopword_token_counts": ft_stopword_token_counts,

@@ -246,14 +246,20 @@ class SegmentReader:
         (None = everything allowed). A scalar value is an equality
         filter; a 2-tuple ``(lo, hi)`` is an inclusive numeric range
         (the ES ``range`` query analog; either bound may be None for
-        a half-open range)."""
+        a half-open range); a LIST of values is the ES ``terms`` query
+        analog (membership in any of the values)."""
         if not filters and self._tombstones.size == 0:
             return None
         mask = np.ones(self._doc_ids.size, dtype=bool)
         for col, val in (filters or {}).items():
             if col not in self._meta.column_names:
                 raise KeyError(f"no filter column {col!r} in docmeta")
-            if isinstance(val, tuple):
+            if isinstance(val, (list, set, frozenset)):
+                arr = pc.is_in(
+                    self._meta[col], value_set=pa.array(sorted(val))
+                )
+                arr = pc.fill_null(arr, False)
+            elif isinstance(val, tuple):
                 lo, hi = val
                 arr = pa.array(np.ones(self._meta.num_rows, dtype=bool))
                 if lo is not None:
@@ -1729,6 +1735,111 @@ class SearchEngine:
             {
                 "term": pa.array([t for t, _ in rows], type=pa.string()),
                 "df": pa.array([d for _, d in rows], type=pa.int64()),
+            }
+        )
+
+    def sort_by_field(
+        self,
+        query: str,
+        col: str,
+        k: int = TOP_K_SIZE,
+        descending: bool = True,
+        mode: str = "and",
+        filters: dict | None = None,
+    ) -> pa.Table:
+        """ES ``sort: [{field: order}]`` analog: the full match set of
+        `query` ordered by a docmeta column instead of _score (doc_id
+        ascending breaks ties — ES's implicit shard-doc tiebreak made
+        explicit). Scores are not returned (ES skips scoring when a
+        field sort replaces _score)."""
+        terms = list(dict.fromkeys(self.analyzer.tokenize(query)))
+        ids_p, val_p = [], []
+        if terms:
+            idfs = {
+                t: bm25_idf(self.df(t), self.n_docs, self.params)
+                for t in terms
+            }
+            for r in self.readers:
+                d, _ = _score_segment(
+                    r, terms, idfs, self.avgdl, mode, filters, self.params
+                )
+                if not d.size:
+                    continue
+                if col not in r._meta.column_names:
+                    raise KeyError(f"no sort column {col!r} in docmeta")
+                pos = np.searchsorted(r._doc_ids, d)
+                vals = r._meta[col].take(pa.array(pos)).to_numpy(
+                    zero_copy_only=False
+                )
+                ids_p.append(d)
+                val_p.append(vals)
+        if not ids_p:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    col: pa.array([], type=pa.int64()),
+                }
+            )
+        ids = np.concatenate(ids_p)
+        vals = np.concatenate(val_p)
+        sign = -1 if descending else 1
+        order = np.lexsort((ids, sign * vals))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], type=pa.int64()),
+                col: pa.array(vals[order]),
+            }
+        )
+
+    def suggest_phrase(
+        self,
+        query: str,
+        size: int = 3,
+        max_edits: int = 2,
+        per_token: int = 3,
+    ) -> pa.Table:
+        """ES phrase-suggester analog, pinned deviation: instead of the
+        LM-scored candidate generation ES runs, each token contributes
+        its top `per_token` dictionary candidates within `max_edits`
+        (the token itself at distance 0 when in-vocabulary), ranked
+        (distance asc, df desc, term asc); candidate phrases are the
+        cross product, ranked (total edit distance asc, df product
+        desc, phrase asc), truncated to `size`."""
+        import itertools
+
+        toks = self.analyzer.tokenize(query)
+        options: list[list[tuple[int, int, str]]] = []
+        for t in toks:
+            cands: list[tuple[int, int, str]] = []
+            if self.df(t) > 0:
+                cands.append((0, -self.df(t), t))
+            sug = self.suggest(t, size=per_token, max_edits=max_edits)
+            for s, d, f in zip(
+                sug["suggestion"].to_pylist(),
+                sug["distance"].to_pylist(),
+                sug["df"].to_pylist(),
+            ):
+                cands.append((int(d), -int(f), s))
+            cands.sort()
+            options.append(cands[:per_token] or [(max_edits + 1, 0, t)])
+        rows = []
+        for combo in itertools.product(*options):
+            dist = sum(c[0] for c in combo)
+            dfp = 1
+            for c in combo:
+                dfp *= max(-c[1], 0)
+            rows.append((dist, -dfp, " ".join(c[2] for c in combo)))
+        rows.sort()
+        rows = rows[:size]
+        return pa.table(
+            {
+                "phrase": pa.array([p for _, _, p in rows], type=pa.string()),
+                "total_distance": pa.array(
+                    [d for d, _, _ in rows], type=pa.int64()
+                ),
+                "df_product": pa.array(
+                    [-f for _, f, _ in rows], type=pa.int64()
+                ),
             }
         )
 

@@ -529,3 +529,59 @@ def test_facet_cardinality_exact(built_index):
                 langs.add(lang)
     assert card.loc[0, "field"] == "lang"
     assert card.loc[0, "cardinality"] == len(langs)
+
+
+def test_terms_filter_membership(built_index):
+    """List-valued filter = ES `terms` query: results ⊆ docs whose lang
+    is in the value set; equals the union of per-value equality runs."""
+    from datamart_ray.search.engine import SearchEngine
+    from datamart_ray.corpus import MARKER_COMMON
+
+    index_dir, _ = built_index
+    eng = SearchEngine(index_dir)
+    n = eng.n_docs
+    langs = ["python", "go"]
+    multi = eng.search(
+        MARKER_COMMON, k=n, mode="or", filters={"lang": langs}
+    ).to_pandas()
+    single = set()
+    for lg in langs:
+        single |= set(
+            eng.search(
+                MARKER_COMMON, k=n, mode="or", filters={"lang": lg}
+            ).to_pandas()["doc_id"]
+        )
+    assert set(multi["doc_id"]) == single and len(multi)
+
+
+def test_sort_by_field_order(built_index):
+    """Field sort: same match set as search(), ordered by doclen desc
+    with doc_id ascending tiebreak."""
+    from datamart_ray.search.engine import SearchEngine
+    from datamart_ray.corpus import MARKER_COMMON
+
+    index_dir, _ = built_index
+    eng = SearchEngine(index_dir)
+    n = eng.n_docs
+    full = eng.sort_by_field(
+        MARKER_COMMON, "doclen", k=n, descending=True, mode="and"
+    ).to_pandas()
+    match = set(
+        eng.search(MARKER_COMMON, k=n, mode="or").to_pandas()["doc_id"]
+    )
+    assert set(full["doc_id"]) == match
+    keys = list(zip((-full["doclen"]).tolist(), full["doc_id"].tolist()))
+    assert keys == sorted(keys)
+
+
+def test_phrase_suggest_beats_tokens(built_index):
+    """Phrase suggester composes per-token corrections: a one-edit
+    misspelling of two markers suggests the correct phrase first."""
+    from datamart_ray.search.engine import SearchEngine
+    from datamart_ray.corpus import MARKER_COMMON, MARKER_PAIR_A
+
+    index_dir, _ = built_index
+    eng = SearchEngine(index_dir)
+    bad = MARKER_COMMON[:-1] + "x" + " " + MARKER_PAIR_A[:-1] + "q"
+    out = eng.suggest_phrase(bad, size=3, max_edits=2).to_pandas()
+    assert out.loc[0, "phrase"] == f"{MARKER_COMMON} {MARKER_PAIR_A}"
