@@ -2161,6 +2161,63 @@ class SegmentScorer:
             np.concatenate(parts_d), np.concatenate(parts_s), k
         )
 
+    def rescored_top_k(
+        self,
+        terms: list[str],
+        idfs: dict[str, float],
+        avgdl: float,
+        k: int,
+        mode: str,
+        filters: dict | None,
+        params: BM25Params,
+        neg_terms: list[str] | None = None,
+        negative_boost: float = 1.0,
+        fs_col: str | None = None,
+        fs_factor: float = 0.0,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Boosting / function_score round: exhaustive per-segment
+        scoring with the driver's GLOBAL idfs (k=None — a score rewrite
+        reorders, so block-max pruning is unsound), then the rewrite
+        (negative-clause demotion and/or the log1p field multiplier),
+        then local top-k. The rewrite reads only segment-local state
+        (negative postings, docmeta), so results are rank-identical at
+        any actor count."""
+        parts_d, parts_s = [], []
+        for reader in self.readers:
+            d, s = _score_segment(
+                reader, terms, idfs, avgdl, mode, filters, params, k=None
+            )
+            if not d.size:
+                continue
+            if neg_terms:
+                neg = [
+                    reader.postings(t)[0]
+                    for t in neg_terms
+                    if reader.df(t) > 0
+                ]
+                if neg:
+                    nd = (
+                        neg[0]
+                        if len(neg) == 1
+                        else np.unique(np.concatenate(neg))
+                    )
+                    s = np.where(_isin_sorted(nd, d), s * negative_boost, s)
+            if fs_col is not None:
+                pos = np.searchsorted(reader._doc_ids, d)
+                vals = reader._meta[fs_col].take(pa.array(pos)).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.float64)
+                s = s * np.log1p(fs_factor * vals)
+            dk, sk = topk_select(d, s, k)
+            parts_d.append(dk)
+            parts_s.append(sk)
+        if not parts_d:
+            e = np.empty(0, dtype=np.int64)
+            return e, np.empty(0, dtype=np.float64)
+        return topk_select(
+            np.concatenate(parts_d), np.concatenate(parts_s), k
+        )
+
     def top_k(
         self,
         terms: list[str],
@@ -2202,6 +2259,7 @@ class DistributedSearchEngine:
         params: BM25Params = BM25Params(),
         lazy: bool | str = "auto",
         max_actors: int | None = None,
+        filter_cols: tuple = ("lang", "repo"),
     ):
         with open(os.path.join(index_dir, INDEX_MANIFEST_NAME)) as f:
             self.manifest = json.load(f)
@@ -2226,7 +2284,7 @@ class DistributedSearchEngine:
         # balance + per-node read IO) rather than pack onto one
         self.actors = [
             SegmentScorer.options(scheduling_strategy="SPREAD").remote(
-                g, lazy=lazy
+                g, filter_cols=filter_cols, lazy=lazy
             )
             for g in groups
         ]
@@ -2324,6 +2382,93 @@ class DistributedSearchEngine:
                 out_ids, out_scores = topk_select(
                     np.concatenate(parts_d), np.concatenate(parts_s), k
                 )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "score": pa.array(out_scores, type=pa.float64()),
+            }
+        )
+
+    def boosting_search(
+        self,
+        positive: str,
+        negative: str,
+        negative_boost: float = 0.5,
+        k: int = TOP_K_SIZE,
+        mode: str = "or",
+        filters: dict | None = None,
+    ) -> pa.Table:
+        """Distributed ES ``boosting`` query: global-df round, then each
+        actor scores exhaustively and demotes its own negative matches
+        (negative postings are segment-local, so demotion commutes with
+        actor packing) — rank-identical to the in-process engine at any
+        actor count."""
+        return self._rescored_search(
+            positive, k, mode, filters,
+            neg_terms=list(dict.fromkeys(self.analyzer.tokenize(negative))),
+            negative_boost=negative_boost,
+        )
+
+    def function_score_search(
+        self,
+        query: str,
+        col: str,
+        factor: float,
+        k: int = TOP_K_SIZE,
+        mode: str = "or",
+        filters: dict | None = None,
+    ) -> pa.Table:
+        """Distributed function_score/field_value_factor: the log1p
+        multiplier reads each actor's own docmeta — rank-identical to
+        the in-process engine at any actor count."""
+        return self._rescored_search(
+            query, k, mode, filters, fs_col=col, fs_factor=factor
+        )
+
+    def _rescored_search(
+        self,
+        query: str,
+        k: int,
+        mode: str,
+        filters: dict | None,
+        neg_terms: list[str] | None = None,
+        negative_boost: float = 1.0,
+        fs_col: str | None = None,
+        fs_factor: float = 0.0,
+    ) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+        terms = list(dict.fromkeys(self.analyzer.tokenize(query)))
+        if not terms:
+            return empty
+        df_maps = ray.get([a.dfs.remote(terms) for a in self.actors])
+        idfs = {
+            t: bm25_idf(
+                sum(m[t] for m in df_maps), self.n_docs, self.params
+            )
+            for t in terms
+        }
+        results = ray.get(
+            [
+                a.rescored_top_k.remote(
+                    terms, idfs, self.avgdl, k, mode, filters, self.params,
+                    neg_terms=neg_terms, negative_boost=negative_boost,
+                    fs_col=fs_col, fs_factor=fs_factor,
+                )
+                for a in self.actors
+            ]
+        )
+        parts_d = [d for d, _ in results if d.size]
+        parts_s = [s for _, s in results if s.size]
+        if not parts_d:
+            return empty
+        out_ids, out_scores = topk_select(
+            np.concatenate(parts_d), np.concatenate(parts_s), k
+        )
         return pa.table(
             {
                 "doc_id": pa.array(out_ids, type=pa.int64()),

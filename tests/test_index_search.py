@@ -585,3 +585,49 @@ def test_phrase_suggest_beats_tokens(built_index):
     bad = MARKER_COMMON[:-1] + "x" + " " + MARKER_PAIR_A[:-1] + "q"
     out = eng.suggest_phrase(bad, size=3, max_edits=2).to_pandas()
     assert out.loc[0, "phrase"] == f"{MARKER_COMMON} {MARKER_PAIR_A}"
+
+
+def test_distributed_rescored_search_parity(built_index):
+    """Distributed boosting/function_score (exhaustive per-actor scoring
+    with global idfs, then the rescore, then local top-k) is
+    rank-identical to the in-process engine at every actor count —
+    the rescore reads only segment-local state, so it commutes with
+    actor packing."""
+    from datamart_ray.search.engine import (
+        DistributedSearchEngine,
+        SearchEngine,
+    )
+    from datamart_ray.corpus import MARKER_COMMON, MARKER_PAIR_A
+
+    index_dir, _ = built_index
+    eng = SearchEngine(index_dir)
+    n = eng.n_docs
+    b_want = eng.boosting_search(
+        MARKER_COMMON, MARKER_PAIR_A, 0.5, k=n, mode="or"
+    )
+    f_want = eng.function_score_search(
+        MARKER_COMMON, "doclen", 0.01, k=n, mode="or"
+    )
+    for n_act in (1, None):
+        deng = DistributedSearchEngine(index_dir, max_actors=n_act)
+        try:
+            b_got = deng.boosting_search(
+                MARKER_COMMON, MARKER_PAIR_A, 0.5, k=n, mode="or"
+            )
+            assert b_got["doc_id"].to_pylist() == b_want[
+                "doc_id"
+            ].to_pylist()
+            assert np.allclose(
+                b_got["score"].to_numpy(), b_want["score"].to_numpy()
+            )
+            f_got = deng.function_score_search(
+                MARKER_COMMON, "doclen", 0.01, k=n, mode="or"
+            )
+            assert f_got["doc_id"].to_pylist() == f_want[
+                "doc_id"
+            ].to_pylist()
+            assert np.allclose(
+                f_got["score"].to_numpy(), f_want["score"].to_numpy()
+            )
+        finally:
+            deng.shutdown()
