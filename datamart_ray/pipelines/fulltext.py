@@ -803,6 +803,54 @@ def ft_function_score_topk(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def ft_boosting_dist_topk(sf_dir: str) -> pd.DataFrame:
+    """Distributed boosting query through the scorer-actor pool
+    (global-df round, exhaustive per-actor scoring + segment-local
+    negative demotion, local top-k); rank-identical to
+    ft_boosting_topk, which the shared SQL twin gates."""
+    from datamart_ray.search.engine import DistributedSearchEngine
+
+    eng = get_engine(sf_dir)  # ensures the index exists
+    idx_dir = eng.readers[0].seg_dir.rsplit("/segments/", 1)[0]
+    deng = DistributedSearchEngine(idx_dir, lazy=False, max_actors=4)
+    try:
+        t = deng.boosting_search(
+            BM25_QUERY, BOOSTING_NEG, NEG_BOOST, k=BM25_K, mode="or"
+        )
+    finally:
+        deng.shutdown()
+    out = t.to_pandas()
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
+def ft_function_score_dist_topk(sf_dir: str) -> pd.DataFrame:
+    """Distributed function_score/field_value_factor through the
+    scorer-actor pool — the log1p multiplier reads each actor's OWN
+    docmeta (filter_cols pass-through loads n_chars), so the rewrite
+    commutes with actor packing; rank-identical to
+    ft_function_score_topk, which the shared SQL twin gates."""
+    from datamart_ray.search.engine import DistributedSearchEngine
+
+    eng = get_engine(sf_dir)  # ensures the index exists
+    idx_dir = eng.readers[0].seg_dir.rsplit("/segments/", 1)[0]
+    deng = DistributedSearchEngine(
+        idx_dir,
+        lazy=False,
+        max_actors=4,
+        filter_cols=("lang", "source", "n_chars"),
+    )
+    try:
+        t = deng.function_score_search(
+            BM25_QUERY, "n_chars", FS_FACTOR, k=BM25_K, mode="or"
+        )
+    finally:
+        deng.shutdown()
+    out = t.to_pandas()
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
 def _function_score_sql(query: str, factor: float, k: int) -> str:
     terms = list(dict.fromkeys(ANALYZER.tokenize(query)))
     return f"""
@@ -1978,6 +2026,12 @@ def build_sql() -> dict[str, str]:
         "ft_function_score_topk": _function_score_sql(
             BM25_QUERY, FS_FACTOR, BM25_K
         ),
+        "ft_boosting_dist_topk": _boosting_sql(
+            BM25_QUERY, BOOSTING_NEG, NEG_BOOST, BM25_K
+        ),
+        "ft_function_score_dist_topk": _function_score_sql(
+            BM25_QUERY, FS_FACTOR, BM25_K
+        ),
         "ft_facet_lang_stats": _facet_stats_sql(BM25_QUERY, "lang"),
         "ft_term_suggest": _suggest_sql(
             FUZZY_QUERY, SUGGEST_SIZE, SUGGEST_EDITS
@@ -2132,6 +2186,8 @@ QUERIES = {
     "ft_autocomplete": ft_autocomplete,
     "ft_boosting_topk": ft_boosting_topk,
     "ft_function_score_topk": ft_function_score_topk,
+    "ft_boosting_dist_topk": ft_boosting_dist_topk,
+    "ft_function_score_dist_topk": ft_function_score_dist_topk,
     "ft_facet_lang_stats": ft_facet_lang_stats,
     "ft_term_suggest": ft_term_suggest,
     "ft_bool_msm_topk": ft_bool_msm_topk,
