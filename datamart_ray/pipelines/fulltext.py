@@ -851,6 +851,146 @@ def ft_function_score_dist_topk(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+CONST_BOOST = 1.5  # constant_score filter-context boost
+RESCORE_WINDOW = 50  # ES rescore window_size
+RESCORE_QW = 1.0  # query_weight
+RESCORE_RW = 2.0  # rescore_query_weight
+
+
+def ft_match_counts(sf_dir: str) -> pd.DataFrame:
+    """ES ``_count`` API analog: number of matching docs for the AND
+    and OR readings of the reference query — counting only, no
+    scoring/ranking work."""
+    eng = get_engine(sf_dir)
+    return pd.DataFrame(
+        {
+            "mode": ["and", "or"],
+            "n_matches": pd.array(
+                [
+                    eng.match_count(BM25_QUERY, mode="and"),
+                    eng.match_count(BM25_QUERY, mode="or"),
+                ],
+                dtype="int64",
+            ),
+        }
+    )
+
+
+def _match_counts_sql(query: str) -> str:
+    terms = list(dict.fromkeys(ANALYZER.tokenize(query)))
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+        WITH {_tok_cte()},
+        hits AS (
+            SELECT doc_id, count(DISTINCT term) AS nt
+            FROM tok WHERE term IN ({tlist}) GROUP BY doc_id
+        )
+        SELECT 'and' AS mode,
+               (SELECT count(*) FROM hits
+                WHERE nt = {len(terms)})::BIGINT AS n_matches
+        UNION ALL
+        SELECT 'or', (SELECT count(*) FROM hits)::BIGINT
+        ORDER BY mode
+    """
+
+
+def ft_constant_score(sf_dir: str) -> pd.DataFrame:
+    """ES ``constant_score`` analog: filter context, every match scores
+    exactly the boost — ranking reduces to docID order."""
+    eng = get_engine(sf_dir)
+    out = eng.constant_score_search(
+        BM25_QUERY, CONST_BOOST, k=BM25_K, mode="and"
+    ).to_pandas()
+    return out
+
+
+def _constant_score_sql(query: str, boost: float, k: int) -> str:
+    terms = list(dict.fromkeys(ANALYZER.tokenize(query)))
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+        WITH {_tok_cte()},
+        hits AS (
+            SELECT doc_id
+            FROM tok WHERE term IN ({tlist})
+            GROUP BY doc_id
+            HAVING count(DISTINCT term) = {len(terms)}
+        )
+        SELECT doc_id, {boost}::DOUBLE AS score
+        FROM hits ORDER BY doc_id LIMIT {k}
+    """
+
+
+def ft_rescore_topk(sf_dir: str) -> pd.DataFrame:
+    """ES ``rescore`` API analog: top RESCORE_WINDOW docs of the OR
+    query get a match_phrase proximity bonus (combine mode ``total``:
+    query_weight × bm25 + rescore_query_weight × phrase_bm25), then the
+    window re-ranks and truncates to k. Uses the positional index for
+    the phrase leg."""
+    eng = get_pos_engine(sf_dir)
+    t = eng.rescore_search(
+        BM25_QUERY,
+        PHRASE_QUERY,
+        window_size=RESCORE_WINDOW,
+        k=BM25_K,
+        query_weight=RESCORE_QW,
+        rescore_weight=RESCORE_RW,
+        mode="or",
+    )
+    out = t.to_pandas()
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
+def _rescore_sql(
+    query: str, phrase: str, window: int, k: int, qw: float, rw: float
+) -> str:
+    terms = list(dict.fromkeys(ANALYZER.tokenize(query)))
+    pterms = ANALYZER.tokenize(phrase)
+    m = len(pterms)
+    conds = " AND ".join(
+        f"ts[i+{j + 1}] = '{t}'" for j, t in enumerate(pterms)
+    )
+    return f"""
+        WITH {_scored_or_cte(terms)},
+        win AS (
+            SELECT doc_id, score FROM scored
+            ORDER BY score DESC, doc_id LIMIT {window}
+        ),
+        parr AS (
+            SELECT doc_id, {ANALYZER.sql_tokens_expr('text')} AS ts
+            FROM documents
+        ),
+        pm AS (
+            SELECT doc_id, count(*)::DOUBLE AS ptf
+            FROM parr,
+                 UNNEST(range(0, greatest(len(ts) - {m - 1}, 0))) AS r(i)
+            WHERE {conds}
+            GROUP BY doc_id
+        ),
+        pstats AS (
+            SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                   (SELECT sum(len(ts)) FROM parr)
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl,
+                   (SELECT count(*) FROM pm)::DOUBLE AS pdf
+        ),
+        pscore AS (
+            SELECT pm.doc_id,
+                   ln(1 + (s.n - s.pdf + 0.5) / (s.pdf + 0.5))
+                   * pm.ptf * (1.2 + 1)
+                   / (pm.ptf + 1.2 * (1 - 0.75
+                      + 0.75 * len(parr.ts) / s.avgdl)) AS pscore
+            FROM pm JOIN parr USING (doc_id) CROSS JOIN pstats s
+        )
+        SELECT w.doc_id,
+               ROUND({qw} * w.score
+                     + {rw} * COALESCE(p.pscore, 0), 4) AS score
+        FROM win w LEFT JOIN pscore p USING (doc_id)
+        ORDER BY {qw} * w.score + {rw} * COALESCE(p.pscore, 0) DESC,
+                 doc_id
+        LIMIT {k}
+    """
+
+
 def _function_score_sql(query: str, factor: float, k: int) -> str:
     terms = list(dict.fromkeys(ANALYZER.tokenize(query)))
     return f"""
@@ -2032,6 +2172,14 @@ def build_sql() -> dict[str, str]:
         "ft_function_score_dist_topk": _function_score_sql(
             BM25_QUERY, FS_FACTOR, BM25_K
         ),
+        "ft_match_counts": _match_counts_sql(BM25_QUERY),
+        "ft_constant_score": _constant_score_sql(
+            BM25_QUERY, CONST_BOOST, BM25_K
+        ),
+        "ft_rescore_topk": _rescore_sql(
+            BM25_QUERY, PHRASE_QUERY, RESCORE_WINDOW, BM25_K,
+            RESCORE_QW, RESCORE_RW,
+        ),
         "ft_facet_lang_stats": _facet_stats_sql(BM25_QUERY, "lang"),
         "ft_term_suggest": _suggest_sql(
             FUZZY_QUERY, SUGGEST_SIZE, SUGGEST_EDITS
@@ -2188,6 +2336,9 @@ QUERIES = {
     "ft_function_score_topk": ft_function_score_topk,
     "ft_boosting_dist_topk": ft_boosting_dist_topk,
     "ft_function_score_dist_topk": ft_function_score_dist_topk,
+    "ft_match_counts": ft_match_counts,
+    "ft_constant_score": ft_constant_score,
+    "ft_rescore_topk": ft_rescore_topk,
     "ft_facet_lang_stats": ft_facet_lang_stats,
     "ft_term_suggest": ft_term_suggest,
     "ft_bool_msm_topk": ft_bool_msm_topk,

@@ -1989,6 +1989,106 @@ class SearchEngine:
             }
         )
 
+    def match_count(
+        self,
+        query: str,
+        mode: str = "and",
+        filters: dict | None = None,
+    ) -> int:
+        """ES ``_count`` API analog: number of matching docs, no
+        scoring or ranking. Reuses the exhaustive match path (k=None)
+        per segment; segments match disjoint docID ranges, so the
+        global count is the sum."""
+        terms = list(dict.fromkeys(self.analyzer.tokenize(query)))
+        if not terms:
+            return 0
+        # scores are unused but must stay positive: the exhaustive OR
+        # path drops zero-scored docs
+        idfs = {t: 1.0 for t in terms}
+        return sum(
+            _score_segment(
+                r, terms, idfs, self.avgdl, mode, filters, self.params,
+                k=None,
+            )[0].size
+            for r in self.readers
+        )
+
+    def constant_score_search(
+        self,
+        query: str,
+        boost: float = 1.0,
+        k: int = TOP_K_SIZE,
+        mode: str = "and",
+        filters: dict | None = None,
+    ) -> pa.Table:
+        """ES ``constant_score`` analog: every match scores exactly
+        ``boost`` (the filter context skips BM25), so ranking reduces
+        to the docID-ascending tiebreak."""
+        terms = list(dict.fromkeys(self.analyzer.tokenize(query)))
+        ids = np.empty(0, dtype=np.int64)
+        if terms:
+            idfs = {t: 1.0 for t in terms}  # match set only (see count)
+            parts = [
+                _score_segment(
+                    r, terms, idfs, self.avgdl, mode, filters,
+                    self.params, k=None,
+                )[0]
+                for r in self.readers
+            ]
+            parts = [d for d in parts if d.size]
+            if parts:
+                ids = np.sort(np.concatenate(parts))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "score": pa.array(
+                    np.full(ids.size, boost), type=pa.float64()
+                ),
+            }
+        )
+
+    def rescore_search(
+        self,
+        query: str,
+        phrase: str,
+        window_size: int = TOP_K_SIZE,
+        k: int = TOP_K_SIZE,
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+        mode: str = "or",
+    ) -> pa.Table:
+        """ES ``rescore`` API analog: take the top ``window_size`` docs
+        of the base query, add a match_phrase proximity score over just
+        that window (combine mode ``total``: final = query_weight ×
+        bm25 + rescore_query_weight × phrase_bm25), re-rank, return
+        top-k. Docs outside the window are never promoted — exactly
+        ES's window semantics. Requires a positional index (the phrase
+        leg)."""
+        base = self.search(query, k=window_size, mode=mode)
+        d = base["doc_id"].to_numpy()
+        s = base["score"].to_numpy(zero_copy_only=False).astype(np.float64)
+        if d.size:
+            ph = self.phrase_search(phrase, k=self.n_docs)
+            pd_ids = ph["doc_id"].to_numpy()
+            pd_scores = ph["score"].to_numpy(zero_copy_only=False)
+            bonus = np.zeros(d.size, dtype=np.float64)
+            if pd_ids.size:
+                order = np.argsort(pd_ids)
+                pd_ids, pd_scores = pd_ids[order], pd_scores[order]
+                pos_c = np.clip(
+                    np.searchsorted(pd_ids, d), 0, pd_ids.size - 1
+                )
+                hit = pd_ids[pos_c] == d
+                bonus = np.where(hit, pd_scores[pos_c], 0.0)
+            s = query_weight * s + rescore_weight * bonus
+            d, s = topk_select(d, s, k)
+        return pa.table(
+            {
+                "doc_id": pa.array(d, type=pa.int64()),
+                "score": pa.array(s, type=pa.float64()),
+            }
+        )
+
     def search_many(self, queries: list[dict]) -> list[pa.Table]:
         """Batch API parity with DistributedSearchEngine.search_many —
         in-process there is nothing to pipeline, so this is sequential

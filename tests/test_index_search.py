@@ -631,3 +631,26 @@ def test_distributed_rescored_search_parity(built_index):
             )
         finally:
             deng.shutdown()
+
+
+def test_match_count_and_constant_score(built_index):
+    """_count equals the match-set sizes of exhaustive search;
+    constant_score scores every match exactly the boost, docID order."""
+    from datamart_ray.search.engine import SearchEngine
+    from datamart_ray.corpus import MARKER_COMMON
+
+    index_dir, _ = built_index
+    eng = SearchEngine(index_dir)
+    n = eng.n_docs
+    or_docs = set(
+        eng.search(MARKER_COMMON, k=n, mode="or").to_pandas()["doc_id"]
+    )
+    assert eng.match_count(MARKER_COMMON, mode="or") == len(or_docs)
+    assert eng.match_count("qzneverexists", mode="or") == 0
+    cs = eng.constant_score_search(
+        MARKER_COMMON, 2.5, k=n, mode="or"
+    ).to_pandas()
+    assert set(cs["doc_id"]) == or_docs
+    assert (cs["score"] == 2.5).all()
+    assert cs["doc_id"].is_monotonic_increasing
+

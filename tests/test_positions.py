@@ -1175,3 +1175,29 @@ def test_distributed_bool_rank_identical(ray_session, phrase_corpus, tmp_path):
             deng.shutdown()
         assert got["doc_id"].tolist() == ref["doc_id"].tolist(), max_actors
         assert np.allclose(got["score"], ref["score"]), max_actors
+
+
+def test_rescore_window_semantics(ray_session, phrase_corpus, tmp_path):
+    """ES rescore: docs outside the base window are never promoted; in
+    the window, final = qw*bm25 + rw*phrase_bm25 exactly; ranking is
+    (final desc, doc_id asc)."""
+    path, docs = phrase_corpus
+    eng = _build(path, str(tmp_path / "idx"), docs_per_spec=64)
+    window, qw, rw = 8, 1.0, 2.0
+    base = eng.search("window hash", k=window, mode="or").to_pandas()
+    ph = eng.phrase_search("window hash", k=eng.n_docs).to_pandas()
+    pmap = dict(zip(ph["doc_id"], ph["score"]))
+    out = eng.rescore_search(
+        "window hash", "window hash", window_size=window, k=window,
+        query_weight=qw, rescore_weight=rw, mode="or",
+    ).to_pandas()
+    assert set(out["doc_id"]) <= set(base["doc_id"])  # window only
+    assert any(d in pmap for d in out["doc_id"])  # non-vacuous bonus
+    want = {
+        d: qw * s + rw * pmap.get(d, 0.0)
+        for d, s in zip(base["doc_id"], base["score"])
+    }
+    for d, s in zip(out["doc_id"], out["score"]):
+        assert s == pytest.approx(want[d])
+    keys = list(zip((-out["score"]).tolist(), out["doc_id"].tolist()))
+    assert keys == sorted(keys)
