@@ -920,6 +920,28 @@ def _constant_score_sql(query: str, boost: float, k: int) -> str:
     """
 
 
+def ft_index_stats(sf_dir: str) -> pd.DataFrame:
+    """ES ``_stats`` / ``_cat/indices`` analog: one row of corpus
+    statistics straight from the index manifests + segment
+    dictionaries (no corpus scan at query time)."""
+    eng = get_engine(sf_dir)
+    out = eng.index_stats().to_pandas()
+    out["avgdl"] = round_away(out["avgdl"], 4)
+    return out
+
+
+def _index_stats_sql() -> str:
+    return f"""
+        WITH {_tok_cte()}
+        SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+               (SELECT count(*) FROM tok)::BIGINT AS total_tokens,
+               ROUND((SELECT count(*) FROM tok)::DOUBLE
+                     / (SELECT count(*) FROM documents), 4) AS avgdl,
+               (SELECT count(DISTINCT term) FROM tok)::BIGINT
+                   AS n_distinct_terms
+    """
+
+
 def ft_rescore_topk(sf_dir: str) -> pd.DataFrame:
     """ES ``rescore`` API analog: top RESCORE_WINDOW docs of the OR
     query get a match_phrase proximity bonus (combine mode ``total``:
@@ -2173,6 +2195,7 @@ def build_sql() -> dict[str, str]:
             BM25_QUERY, FS_FACTOR, BM25_K
         ),
         "ft_match_counts": _match_counts_sql(BM25_QUERY),
+        "ft_index_stats": _index_stats_sql(),
         "ft_constant_score": _constant_score_sql(
             BM25_QUERY, CONST_BOOST, BM25_K
         ),
@@ -2339,6 +2362,7 @@ QUERIES = {
     "ft_match_counts": ft_match_counts,
     "ft_constant_score": ft_constant_score,
     "ft_rescore_topk": ft_rescore_topk,
+    "ft_index_stats": ft_index_stats,
     "ft_facet_lang_stats": ft_facet_lang_stats,
     "ft_term_suggest": ft_term_suggest,
     "ft_bool_msm_topk": ft_bool_msm_topk,

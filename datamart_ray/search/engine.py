@@ -921,8 +921,10 @@ class SearchEngine:
             for d in seg_dirs
         ]
         self.n_docs = sum(r.n_docs for r in self.readers)
-        total_dl = sum(r.total_doclen for r in self.readers)
-        self.avgdl = total_dl / self.n_docs if self.n_docs else 0.0
+        self.total_doclen = sum(r.total_doclen for r in self.readers)
+        self.avgdl = (
+            self.total_doclen / self.n_docs if self.n_docs else 0.0
+        )
         if warm_terms:
             self.warm(warm_terms)
 
@@ -1986,6 +1988,29 @@ class SearchEngine:
             {
                 "doc_id": pa.array(out_ids, type=pa.int64()),
                 "score": pa.array(out_scores, type=pa.float64()),
+            }
+        )
+
+    def index_stats(self) -> pa.Table:
+        """ES ``_stats`` / ``_cat/indices`` analog: one row of corpus
+        statistics — doc count, total token count, average doc length,
+        and the distinct-term count (union of the segment dictionaries,
+        which are vocabulary-sized, so the driver union is bounded).
+        Dictionary terms of fully-tombstoned docs remain counted until
+        compaction, matching ES's uncompacted segment stats."""
+        terms = np.unique(
+            np.concatenate([r._dict_terms for r in self.readers])
+        )
+        return pa.table(
+            {
+                "n_docs": pa.array([self.n_docs], type=pa.int64()),
+                "total_tokens": pa.array(
+                    [self.total_doclen], type=pa.int64()
+                ),
+                "avgdl": pa.array([self.avgdl], type=pa.float64()),
+                "n_distinct_terms": pa.array(
+                    [int(terms.size)], type=pa.int64()
+                ),
             }
         )
 
