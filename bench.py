@@ -213,6 +213,20 @@ def run_bench() -> dict:
             eng.prefix_search(q, k=50)
             prlat.append(time.time() - t0)
     extra["prefix_p50"] = round(statistics.median(prlat), 4)
+    # rescore API: OR window (block-max pruned) + phrase leg over the
+    # window docs only — the phrase decode volume is the cost driver
+    rslat = []
+    for _ in range(6):
+        t0 = time.time()
+        peng.rescore_search(
+            f"{MARKER_HEAD} {MARKER_COMMON}",
+            f"{MARKER_HEAD} {MARKER_COMMON}",
+            window_size=50,
+            k=50,
+            rescore_weight=2.0,
+        )
+        rslat.append(time.time() - t0)
+    extra["rescore_p50"] = round(statistics.median(rslat), 4)
     del peng
 
     # bool / more_like_this serving (round 3 late): bool rides the same
@@ -259,6 +273,12 @@ def run_bench() -> dict:
             eng.suggest(term, size=3, max_edits=2)
             slat.append(time.time() - t0)
     extra["suggest_p50"] = round(statistics.median(slat), 4)
+    clat = []
+    for _ in range(6):
+        t0 = time.time()
+        eng.match_count(f"{MARKER_COMMON} {MARKER_HEAD}", mode="or")
+        clat.append(time.time() - t0)
+    extra["count_p50"] = round(statistics.median(clat), 4)
 
     from datamart_ray.pipelines.relational import (
         q01_pricing_summary,
