@@ -920,6 +920,123 @@ def _constant_score_sql(query: str, boost: float, k: int) -> str:
     """
 
 
+SIG_K = 15  # significant_terms size
+SIG_MIN_DOC_COUNT = 3  # ES min_doc_count analog
+
+
+def ft_significant_terms(sf_dir: str) -> pd.DataFrame:
+    """ES ``significant_terms`` aggregation analog: terms
+    over-represented in the docs matching the AND query vs the whole
+    corpus, scored by foreground/background lift
+    (fg_df/n_fg) / (bg_df/N) — the deterministic percentage heuristic
+    (ES default JLH multiplies this by the absolute difference; the
+    lift alone is pinned here for SQL matchability). Ray-Data-first
+    shape: the match set comes from the index (no corpus scan to
+    match), is broadcast once via ``ray.put``, and foreground doc
+    frequencies are computed distributed — tokenize only matched docs
+    inside ``map_batches``, count distinct (doc, term) per batch
+    (map-side combine), one vocabulary-sized groupby-sum. Background
+    df comes from the index dictionary (no second scan)."""
+    import ray as _ray
+
+    eng = get_engine(sf_dir)
+    ids = eng.match_docs(BM25_QUERY, mode="and")
+    n_fg, n_docs = ids.size, eng.n_docs
+    if not n_fg:
+        return pd.DataFrame(
+            {
+                "term": pd.Series([], dtype="object"),
+                "fg_count": pd.Series([], dtype="int64"),
+                "bg_count": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
+    ids_ref = _ray.put(ids)  # already sorted
+
+    def fg_counts(batch: pa.Table) -> pa.Table:
+        matched = _ray.get(ids_ref)
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.clip(
+            np.searchsorted(matched, d), 0, matched.size - 1
+        )
+        keep = matched[pos] == d
+        if not keep.any():
+            return pa.table(
+                {
+                    "term": pa.array([], type=pa.string()),
+                    "fg": pa.array([], type=pa.int64()),
+                }
+            )
+        tf, _ = ANALYZER.term_frequencies(
+            batch.filter(pa.array(keep))["text"]
+        )
+        # distinct (doc, term) is already grouped; combine to per-term
+        # doc counts inside the task (map-side combine)
+        g = tf.group_by("term").aggregate([("row_idx", "count")])
+        return pa.table(
+            {
+                "term": g["term"],
+                "fg": pc.cast(g["row_idx_count"], pa.int64()),
+            }
+        )
+
+    fg = (
+        rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+        .map_batches(fg_counts, batch_format="pyarrow")
+        .groupby("term")
+        .sum("fg")
+        .to_pandas()
+    )
+    fg = fg[fg["sum(fg)"] >= SIG_MIN_DOC_COUNT]
+    bg = np.array([eng.df(t) for t in fg["term"]], dtype=np.float64)
+    lift = (fg["sum(fg)"].to_numpy(np.float64) / n_fg) / (bg / n_docs)
+    out = pd.DataFrame(
+        {
+            "term": fg["term"].to_numpy(),
+            "fg_count": fg["sum(fg)"].astype("int64").to_numpy(),
+            "bg_count": bg.astype("int64"),
+            "score": lift,
+        }
+    )
+    out = out.sort_values(
+        ["score", "term"], ascending=[False, True]
+    ).head(SIG_K)
+    out["score"] = round_away(out["score"], 4)
+    return out.reset_index(drop=True)
+
+
+def _significant_terms_sql(query: str, k: int, min_dc: int) -> str:
+    terms = list(dict.fromkeys(ANALYZER.tokenize(query)))
+    qvals = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+        WITH {_tok_cte()},
+        dt AS (SELECT DISTINCT doc_id, term FROM tok),
+        qterms(term) AS (VALUES {qvals}),
+        matched AS (
+            SELECT doc_id FROM dt JOIN qterms USING (term)
+            GROUP BY doc_id HAVING count(*) = {len(terms)}
+        ),
+        stats AS (
+            SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                   (SELECT count(*) FROM matched)::DOUBLE AS n_fg
+        ),
+        fg AS (
+            SELECT term, count(*)::DOUBLE AS fg_df
+            FROM dt JOIN matched USING (doc_id) GROUP BY term
+        ),
+        bg AS (SELECT term, count(*)::DOUBLE AS bg_df FROM dt GROUP BY term)
+        SELECT fg.term,
+               fg.fg_df::BIGINT AS fg_count,
+               bg.bg_df::BIGINT AS bg_count,
+               ROUND((fg.fg_df / s.n_fg) / (bg.bg_df / s.n_docs), 4)
+                   AS score
+        FROM fg JOIN bg USING (term) CROSS JOIN stats s
+        WHERE fg.fg_df >= {min_dc}
+        ORDER BY (fg.fg_df / s.n_fg) / (bg.bg_df / s.n_docs) DESC, fg.term
+        LIMIT {k}
+    """
+
+
 def ft_index_stats(sf_dir: str) -> pd.DataFrame:
     """ES ``_stats`` / ``_cat/indices`` analog: one row of corpus
     statistics straight from the index manifests + segment
@@ -2196,6 +2313,9 @@ def build_sql() -> dict[str, str]:
         ),
         "ft_match_counts": _match_counts_sql(BM25_QUERY),
         "ft_index_stats": _index_stats_sql(),
+        "ft_significant_terms": _significant_terms_sql(
+            BM25_QUERY, SIG_K, SIG_MIN_DOC_COUNT
+        ),
         "ft_constant_score": _constant_score_sql(
             BM25_QUERY, CONST_BOOST, BM25_K
         ),
@@ -2363,6 +2483,7 @@ QUERIES = {
     "ft_constant_score": ft_constant_score,
     "ft_rescore_topk": ft_rescore_topk,
     "ft_index_stats": ft_index_stats,
+    "ft_significant_terms": ft_significant_terms,
     "ft_facet_lang_stats": ft_facet_lang_stats,
     "ft_term_suggest": ft_term_suggest,
     "ft_bool_msm_topk": ft_bool_msm_topk,

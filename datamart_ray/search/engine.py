@@ -2014,6 +2014,34 @@ class SearchEngine:
             }
         )
 
+    def match_docs(
+        self,
+        query: str,
+        mode: str = "and",
+        filters: dict | None = None,
+    ) -> np.ndarray:
+        """Sorted docIDs of EVERY match (no scoring) — the match-set
+        primitive behind _count, constant_score and significant_terms.
+        Driver memory is O(matches): fine for selective queries; a
+        full-corpus OR at 100 TB should stay a Dataset instead."""
+        terms = list(dict.fromkeys(self.analyzer.tokenize(query)))
+        if not terms:
+            return np.empty(0, dtype=np.int64)
+        # scores are unused but must stay positive: the exhaustive OR
+        # path drops zero-scored docs
+        idfs = {t: 1.0 for t in terms}
+        parts = [
+            _score_segment(
+                r, terms, idfs, self.avgdl, mode, filters, self.params,
+                k=None,
+            )[0]
+            for r in self.readers
+        ]
+        parts = [d for d in parts if d.size]
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.sort(np.concatenate(parts))
+
     def match_count(
         self,
         query: str,
@@ -2021,22 +2049,9 @@ class SearchEngine:
         filters: dict | None = None,
     ) -> int:
         """ES ``_count`` API analog: number of matching docs, no
-        scoring or ranking. Reuses the exhaustive match path (k=None)
-        per segment; segments match disjoint docID ranges, so the
-        global count is the sum."""
-        terms = list(dict.fromkeys(self.analyzer.tokenize(query)))
-        if not terms:
-            return 0
-        # scores are unused but must stay positive: the exhaustive OR
-        # path drops zero-scored docs
-        idfs = {t: 1.0 for t in terms}
-        return sum(
-            _score_segment(
-                r, terms, idfs, self.avgdl, mode, filters, self.params,
-                k=None,
-            )[0].size
-            for r in self.readers
-        )
+        scoring or ranking. Segments match disjoint docID ranges, so
+        the global count is the sum."""
+        return int(self.match_docs(query, mode, filters).size)
 
     def constant_score_search(
         self,
@@ -2049,20 +2064,7 @@ class SearchEngine:
         """ES ``constant_score`` analog: every match scores exactly
         ``boost`` (the filter context skips BM25), so ranking reduces
         to the docID-ascending tiebreak."""
-        terms = list(dict.fromkeys(self.analyzer.tokenize(query)))
-        ids = np.empty(0, dtype=np.int64)
-        if terms:
-            idfs = {t: 1.0 for t in terms}  # match set only (see count)
-            parts = [
-                _score_segment(
-                    r, terms, idfs, self.avgdl, mode, filters,
-                    self.params, k=None,
-                )[0]
-                for r in self.readers
-            ]
-            parts = [d for d in parts if d.size]
-            if parts:
-                ids = np.sort(np.concatenate(parts))[:k]
+        ids = self.match_docs(query, mode, filters)[:k]
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
