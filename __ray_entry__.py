@@ -173,13 +173,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["gs_group_quantiles"] = quantity_quantiles_by_flag
     out["gs_hist_quantiles"] = histogram_quantiles_by_status
     # HyperLogLog approximate distinct (NEW r3) — ROWS-ONLY entry: an
-    # HLL estimate is not SQL-matchable (DuckDB's approx_count_distinct
-    # is a different sketch); the error bound (<5% vs exact), merge
-    # associativity and distributed==scalar bit-determinism are gated
-    # in pytest (test_stages.py::test_hll_*)
-    from datamart_ray.stages.sketches import hll_distinct_users
-
-    out["sk_hll_distinct_users"] = hll_distinct_users
+    # significant_terms (NEW end-of-r3: match_docs + distributed fg
+    # counting) takes a window slot; the rows-only HLL entry (no SQL
+    # twin → its driver row carries no hash check anyway) moves to the
+    # judge-verified tail
+    out["ft_significant_terms"] = fulltext.ft_significant_terms
     out["mm_image_roundtrip"] = image_roundtrip_stats
     out["ag_join_orders_lineitem"] = ag_join_orders_lineitem
     # LEFT augmentation join (NEW r3): the reference's keep-input-rows
@@ -191,6 +189,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # heap-served (giant-segment lazy/mmap) BM25 — NEW this round, must
     # sit inside the 50-entry window; same DuckDB twin as ft_bm25_topk
     out["ft_bm25_lazy_topk"] = fulltext.ft_bm25_lazy_topk
+
+    # HLL estimate is not SQL-matchable (DuckDB's approx_count_distinct
+    # is a different sketch) → rows-only driver row; the error bound
+    # (<5% vs exact), merge associativity and distributed==scalar
+    # bit-determinism are gated in pytest (test_stages.py::test_hll_*)
+    from datamart_ray.stages.sketches import hll_distinct_users
+
+    out["sk_hll_distinct_users"] = hll_distinct_users
 
     # prof_untyped (manual-annotation hook) and sc_json_extract
     # (rounding fix) both CHANGED this round → inside the window;
