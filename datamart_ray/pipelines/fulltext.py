@@ -22,7 +22,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from datamart_ray.util import ensure_fast_shuffle, round_away
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from datamart_ray.analyzer import Analyzer
 from datamart_ray.index.build import IndexConfig, build_index
@@ -917,6 +917,118 @@ def _constant_score_sql(query: str, boost: float, k: int) -> str:
         )
         SELECT doc_id, {boost}::DOUBLE AS score
         FROM hits ORDER BY doc_id LIMIT {k}
+    """
+
+
+# percolator: stored queries matched against the streaming corpus
+# (ES percolate = reverse search / alerting). (query_id, query, mode)
+PERC_QUERIES = (
+    ("alert_merge_join", "merge join", "and"),
+    ("alert_window_stream", "window stream", "and"),
+    ("alert_dup", "dup", "or"),
+    ("alert_scan_or_filter", "scan filter", "or"),
+)
+
+
+def ft_percolate(sf_dir: str) -> pd.DataFrame:
+    """ES ``percolate`` analog (reverse search / alerting): a small set
+    of STORED queries is broadcast once; every doc streams through
+    ``map_batches``, where a per-batch (docs × stored-vocabulary)
+    presence matrix evaluates all queries vectorized; per-query partial
+    aggregates (count, min/max docID) combine map-side so only
+    O(queries) rows ride the shuffle. Scale shape: stored-query sets
+    are small and broadcastable; the corpus never materializes."""
+    specs = [
+        (qid, list(dict.fromkeys(ANALYZER.tokenize(q))), mode == "and")
+        for qid, q, mode in PERC_QUERIES
+    ]
+    vocab = sorted({t for _, ts, _ in specs for t in ts})
+    term_idx = {t: i for i, t in enumerate(vocab)}
+    vocab_arr = pa.array(vocab)
+
+    def perc_partial(batch: pa.Table) -> pa.Table:
+        tf, _ = ANALYZER.term_frequencies(batch["text"])
+        keep = pc.is_in(tf["term"], value_set=vocab_arr)
+        tf = tf.filter(keep)
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pres = np.zeros((len(batch), len(vocab)), dtype=bool)
+        if tf.num_rows:
+            rows = tf["row_idx"].to_numpy(zero_copy_only=False)
+            codes = np.array(
+                [term_idx[t] for t in tf["term"].to_pylist()],
+                dtype=np.int64,
+            )
+            pres[rows, codes] = True
+        qids, ns, mins, maxs = [], [], [], []
+        for qid, ts, is_and in specs:
+            cols = [term_idx[t] for t in ts]
+            m = (
+                pres[:, cols].all(axis=1)
+                if is_and
+                else pres[:, cols].any(axis=1)
+            )
+            ids = d[m]
+            if ids.size:
+                qids.append(qid)
+                ns.append(int(ids.size))
+                mins.append(int(ids.min()))
+                maxs.append(int(ids.max()))
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.string()),
+                "n": pa.array(ns, type=pa.int64()),
+                "min_doc": pa.array(mins, type=pa.int64()),
+                "max_doc": pa.array(maxs, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+        .map_batches(perc_partial, batch_format="pyarrow")
+        .groupby("query_id")
+        .aggregate(Sum("n"), Min("min_doc"), Max("max_doc"))
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "query_id": agg["query_id"],
+            "n_matches": agg["sum(n)"].astype("int64"),
+            "min_doc": agg["min(min_doc)"].astype("int64"),
+            "max_doc": agg["max(max_doc)"].astype("int64"),
+        }
+    )
+    return out.sort_values("query_id").reset_index(drop=True)
+
+
+def _percolate_sql() -> str:
+    qterm_vals, qmeta_vals = [], []
+    for qid, q, mode in PERC_QUERIES:
+        ts = list(dict.fromkeys(ANALYZER.tokenize(q)))
+        qmeta_vals.append(
+            f"('{qid}', {len(ts)}, {'true' if mode == 'and' else 'false'})"
+        )
+        qterm_vals.extend(f"('{qid}', '{t}')" for t in ts)
+    return f"""
+        WITH {_tok_cte()},
+        dt AS (SELECT DISTINCT doc_id, term FROM tok),
+        qt(query_id, term) AS (VALUES {", ".join(qterm_vals)}),
+        qm(query_id, nt, mode_and) AS (VALUES {", ".join(qmeta_vals)}),
+        hits AS (
+            SELECT qt.query_id, dt.doc_id,
+                   count(DISTINCT dt.term) AS k
+            FROM dt JOIN qt USING (term)
+            GROUP BY qt.query_id, dt.doc_id
+        ),
+        matched AS (
+            SELECT h.query_id, h.doc_id
+            FROM hits h JOIN qm USING (query_id)
+            WHERE (qm.mode_and AND h.k = qm.nt) OR NOT qm.mode_and
+        )
+        SELECT query_id,
+               count(*)::BIGINT AS n_matches,
+               min(doc_id)::BIGINT AS min_doc,
+               max(doc_id)::BIGINT AS max_doc
+        FROM matched GROUP BY query_id ORDER BY query_id
     """
 
 
@@ -2316,6 +2428,7 @@ def build_sql() -> dict[str, str]:
         "ft_significant_terms": _significant_terms_sql(
             BM25_QUERY, SIG_K, SIG_MIN_DOC_COUNT
         ),
+        "ft_percolate": _percolate_sql(),
         "ft_constant_score": _constant_score_sql(
             BM25_QUERY, CONST_BOOST, BM25_K
         ),
@@ -2484,6 +2597,7 @@ QUERIES = {
     "ft_rescore_topk": ft_rescore_topk,
     "ft_index_stats": ft_index_stats,
     "ft_significant_terms": ft_significant_terms,
+    "ft_percolate": ft_percolate,
     "ft_facet_lang_stats": ft_facet_lang_stats,
     "ft_term_suggest": ft_term_suggest,
     "ft_bool_msm_topk": ft_bool_msm_topk,
