@@ -899,23 +899,40 @@ def _phrase_prefix_match_segment(
 
 
 class SearchEngine:
-    """In-process engine over all committed segments of an index dir."""
+    """In-process engine over all committed segments of an index dir.
+
+    ``index_dir`` may be a LIST of index dirs (the ES index-alias
+    analog): the engine reads the union of their active segments and
+    computes global stats (N, Σdl, df) across all of them, so ranking
+    is identical to one combined index. All aliased indices must share
+    the analyzer config (checked); docIDs must be disjoint (the same
+    contract delta ingest relies on)."""
 
     def __init__(
         self,
-        index_dir: str,
+        index_dir: str | list[str],
         params: BM25Params = BM25Params(),
         filter_cols: tuple = ("lang", "repo"),
         lazy: bool | str = "auto",
         warm_terms: int = 0,
     ):
-        with open(os.path.join(index_dir, INDEX_MANIFEST_NAME)) as f:
-            self.manifest = json.load(f)
-        self.analyzer = IndexConfig.analyzer_from_json(self.manifest["config"])
+        dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
+        manifests = []
+        for d in dirs:
+            with open(os.path.join(d, INDEX_MANIFEST_NAME)) as f:
+                manifests.append(json.load(f))
+        cfg0 = manifests[0]["config"]
+        for m, d in zip(manifests[1:], dirs[1:]):
+            if m["config"] != cfg0:
+                raise ValueError(
+                    f"aliased index {d} has a different analyzer/config"
+                )
+        self.manifest = manifests[0]
+        self.analyzer = IndexConfig.analyzer_from_json(cfg0)
         self.params = params
-        seg_dirs = active_segments(index_dir)
+        seg_dirs = [s for d in dirs for s in active_segments(d)]
         if not seg_dirs:
-            raise ValueError(f"no committed segments under {index_dir}")
+            raise ValueError(f"no committed segments under {dirs}")
         self.readers = [
             SegmentReader(d, filter_cols, lazy=_resolve_lazy(d, lazy))
             for d in seg_dirs

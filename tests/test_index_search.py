@@ -654,3 +654,65 @@ def test_match_count_and_constant_score(built_index):
     assert (cs["score"] == 2.5).all()
     assert cs["doc_id"].is_monotonic_increasing
 
+
+
+def test_index_alias_rank_identity(corpus_dir, tmp_path):
+    """ES index-alias analog: an engine over [indexA, indexB] (one
+    corpus split in two, disjoint explicit docIDs) ranks identically
+    to one combined index — global N/Σdl/df are computed across
+    aliased indices. Mismatched analyzer configs are rejected."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datamart_ray.analyzer import Analyzer
+    from datamart_ray.corpus import MARKER_COMMON, MARKER_HEAD
+    from datamart_ray.index.build import IndexConfig, build_index
+    from datamart_ray.search.engine import SearchEngine
+
+    files = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
+    t = pq.read_table(files)
+    t = t.append_column(
+        "doc_id", pa.array(range(t.num_rows), type=pa.int64())
+    )
+    half = t.num_rows // 2
+    full_p = str(tmp_path / "full.parquet")
+    half_a = str(tmp_path / "a.parquet")
+    half_b = str(tmp_path / "b.parquet")
+    pq.write_table(t, full_p)
+    pq.write_table(t.slice(0, half), half_a)
+    pq.write_table(t.slice(half), half_b)
+    cfg = IndexConfig(chunk_docs=64, docs_per_spec=50, id_col="doc_id")
+    idx_f, idx_a, idx_b = (
+        str(tmp_path / "if"), str(tmp_path / "ia"), str(tmp_path / "ib")
+    )
+    build_index(full_p, idx_f, cfg)
+    build_index(half_a, idx_a, cfg)
+    build_index(half_b, idx_b, cfg)
+    combined = SearchEngine(idx_f)
+    aliased = SearchEngine([idx_a, idx_b])
+    assert aliased.n_docs == combined.n_docs
+    assert aliased.avgdl == pytest.approx(combined.avgdl)
+    for q, mode in [
+        (f"{MARKER_COMMON} {MARKER_HEAD}", "or"),
+        (MARKER_COMMON, "and"),
+    ]:
+        got = aliased.search(q, k=50, mode=mode)
+        want = combined.search(q, k=50, mode=mode)
+        assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+        assert np.allclose(
+            got["score"].to_numpy(), want["score"].to_numpy(), atol=1e-12
+        )
+    other = str(tmp_path / "io")
+    build_index(
+        half_a,
+        other,
+        IndexConfig(
+            analyzer=Analyzer(min_token_len=2),
+            chunk_docs=64,
+            id_col="doc_id",
+        ),
+    )
+    with pytest.raises(ValueError, match="different analyzer"):
+        SearchEngine([idx_a, other])
