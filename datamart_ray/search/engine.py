@@ -2399,19 +2399,31 @@ class DistributedSearchEngine:
 
     def __init__(
         self,
-        index_dir: str,
+        index_dir: str | list[str],
         params: BM25Params = BM25Params(),
         lazy: bool | str = "auto",
         max_actors: int | None = None,
         filter_cols: tuple = ("lang", "repo"),
     ):
-        with open(os.path.join(index_dir, INDEX_MANIFEST_NAME)) as f:
-            self.manifest = json.load(f)
-        self.analyzer = IndexConfig.analyzer_from_json(self.manifest["config"])
+        # list = ES index alias (see SearchEngine): union of segments,
+        # global stats across aliased indices
+        dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
+        manifests = []
+        for d in dirs:
+            with open(os.path.join(d, INDEX_MANIFEST_NAME)) as f:
+                manifests.append(json.load(f))
+        cfg0 = manifests[0]["config"]
+        for m, d in zip(manifests[1:], dirs[1:]):
+            if m["config"] != cfg0:
+                raise ValueError(
+                    f"aliased index {d} has a different analyzer/config"
+                )
+        self.manifest = manifests[0]
+        self.analyzer = IndexConfig.analyzer_from_json(cfg0)
         self.params = params
-        seg_dirs = active_segments(index_dir)
+        seg_dirs = [s for d in dirs for s in active_segments(d)]
         if not seg_dirs:
-            raise ValueError(f"no committed segments under {index_dir}")
+            raise ValueError(f"no committed segments under {dirs}")
         if max_actors is None:
             try:
                 max_actors = max(

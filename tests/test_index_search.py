@@ -716,3 +716,16 @@ def test_index_alias_rank_identity(corpus_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="different analyzer"):
         SearchEngine([idx_a, other])
+    # distributed engine honors the same alias contract
+    from datamart_ray.search.engine import DistributedSearchEngine
+
+    deng = DistributedSearchEngine([idx_a, idx_b], max_actors=2)
+    try:
+        got = deng.search(MARKER_COMMON, k=50, mode="and")
+        want = combined.search(MARKER_COMMON, k=50, mode="and")
+        assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+        assert np.allclose(
+            got["score"].to_numpy(), want["score"].to_numpy(), atol=1e-9
+        )
+    finally:
+        deng.shutdown()
