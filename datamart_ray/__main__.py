@@ -66,6 +66,16 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact", help="merge segments, drop tombstones")
     c.add_argument("--index", required=True)
 
+    sn = sub.add_parser(
+        "snapshot", help="point-in-time copy of the index's active view"
+    )
+    sn.add_argument("--index", required=True)
+    sn.add_argument("--dest", required=True)
+
+    rs = sub.add_parser("restore", help="restore a snapshot to a fresh dir")
+    rs.add_argument("--snapshot", required=True)
+    rs.add_argument("--dest", required=True)
+
     p = sub.add_parser("profile", help="build the profile (range) index")
     p.add_argument("--sf", required=True)
 
@@ -240,6 +250,16 @@ def _run(args) -> int:
         from datamart_ray.index.maintain import compact_segments
 
         print(json.dumps(compact_segments(args.index), default=str))
+        return 0
+    if args.cmd == "snapshot":
+        from datamart_ray.index.maintain import snapshot_index
+
+        print(json.dumps(snapshot_index(args.index, args.dest)))
+        return 0
+    if args.cmd == "restore":
+        from datamart_ray.index.maintain import restore_index
+
+        print(json.dumps(restore_index(args.snapshot, args.dest)))
         return 0
     if args.cmd == "profile":
         from datamart_ray.pipelines.profindex import build_profile_index

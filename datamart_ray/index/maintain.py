@@ -17,6 +17,7 @@
 
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
@@ -36,6 +37,7 @@ from datamart_ray.index.manifest import (
     atomic_write_json,
     list_committed_segments,
     read_manifest,
+    segment_is_committed,
 )
 
 TOMBSTONE_NAME = "tombstones.parquet"
@@ -550,3 +552,91 @@ def verify_index_invariant(index_dir: str) -> dict:
             "source_ok": source_ok,
         }
     return out
+
+
+SNAPSHOT_MANIFEST_NAME = "snapshot.json"
+
+
+def snapshot_index(index_dir: str, snap_dir: str) -> dict:
+    """ES snapshot-API analog: a point-in-time copy of the index's
+    ACTIVE view. Committed segments are immutable (compaction commits
+    under a fresh name and repoints index.json), so copying needs no
+    writer lock; only tombstones mutate, and each segment's tombstone
+    file is copied with its segment body, making the snapshot a
+    consistent view no newer than the copy start. ``snapshot.json`` is
+    written LAST (atomically) — a torn snapshot has no manifest and is
+    detectable/invalid. Returns the snapshot manifest."""
+    import shutil
+
+    segs = active_segments(index_dir)
+    if not segs:
+        raise ValueError(f"no committed segments under {index_dir}")
+    if os.path.exists(snap_dir) and os.listdir(snap_dir):
+        raise ValueError(f"snapshot target {snap_dir} is not empty")
+    os.makedirs(os.path.join(snap_dir, "segments"), exist_ok=True)
+    names = []
+    for seg in segs:
+        name = os.path.basename(seg)
+        shutil.copytree(seg, os.path.join(snap_dir, "segments", name))
+        names.append(name)
+    idx_path = os.path.join(index_dir, INDEX_MANIFEST_NAME)
+    if os.path.isfile(idx_path):
+        shutil.copy2(idx_path, os.path.join(snap_dir, INDEX_MANIFEST_NAME))
+    else:
+        # dir-scan indices (pre-index.json builds): synthesize one so
+        # the snapshot restores to an authoritative active list
+        atomic_write_json(
+            os.path.join(snap_dir, INDEX_MANIFEST_NAME),
+            {"segments": names},
+        )
+    manifest = {
+        "segments": names,
+        "source_index": os.path.abspath(index_dir),
+        "sha256_rollups": {
+            os.path.basename(s): read_manifest(s)["sha256_rollup"]
+            for s in segs
+        },
+    }
+    atomic_write_json(
+        os.path.join(snap_dir, SNAPSHOT_MANIFEST_NAME), manifest
+    )
+    return manifest
+
+
+def restore_index(snap_dir: str, dest_dir: str) -> dict:
+    """Restore a snapshot into a fresh index dir. Refuses torn
+    snapshots (missing snapshot.json) and non-empty destinations;
+    verifies every listed segment is present and committed before the
+    copy, and re-checks each restored segment's manifest rollup against
+    the snapshot's recorded sha256 rollups after it."""
+    import shutil
+
+    snap_manifest_path = os.path.join(snap_dir, SNAPSHOT_MANIFEST_NAME)
+    if not os.path.isfile(snap_manifest_path):
+        raise ValueError(
+            f"{snap_dir} has no {SNAPSHOT_MANIFEST_NAME} — torn or not "
+            "a snapshot"
+        )
+    with open(snap_manifest_path) as f:
+        manifest = json.load(f)
+    if os.path.exists(dest_dir) and os.listdir(dest_dir):
+        raise ValueError(f"restore target {dest_dir} is not empty")
+    for name in manifest["segments"]:
+        seg = os.path.join(snap_dir, "segments", name)
+        if not segment_is_committed(seg):
+            raise ValueError(f"snapshot segment {name} missing/uncommitted")
+    os.makedirs(os.path.join(dest_dir, "segments"), exist_ok=True)
+    for name in manifest["segments"]:
+        shutil.copytree(
+            os.path.join(snap_dir, "segments", name),
+            os.path.join(dest_dir, "segments", name),
+        )
+        got = read_manifest(os.path.join(dest_dir, "segments", name))
+        want = manifest["sha256_rollups"][name]
+        if got["sha256_rollup"] != want:
+            raise ValueError(f"restored segment {name} rollup mismatch")
+    shutil.copy2(
+        os.path.join(snap_dir, INDEX_MANIFEST_NAME),
+        os.path.join(dest_dir, INDEX_MANIFEST_NAME),
+    )
+    return manifest

@@ -398,3 +398,46 @@ def test_rebuild_docid_collision_refused(ray_session, tmp_path):
     )
     with pytest.raises(ValueError, match="collide"):
         build_index(corpus_a, idx, cfg)
+
+
+def test_snapshot_restore_point_in_time(small_index, tmp_path):
+    """ES snapshot analog: a snapshot taken after deletes restores a
+    point-in-time view — later mutations (more deletes + compaction) of
+    the ORIGINAL never leak into the restored index. Torn snapshots
+    (no snapshot.json) and non-empty targets are refused."""
+    from datamart_ray.index.maintain import (
+        compact_segments,
+        snapshot_index,
+        restore_index,
+    )
+
+    _, idx = small_index
+    eng = SearchEngine(idx)
+    before = eng.search("qzcommonneedle", k=200)["doc_id"].to_pylist()
+    assert len(before) > 4
+    delete_docs(idx, before[:2])
+    at_snap = SearchEngine(idx).search("qzcommonneedle", k=200)
+    snap = str(tmp_path / "snap")
+    manifest = snapshot_index(idx, snap)
+    assert manifest["segments"]
+    # mutate the original AFTER the snapshot
+    delete_docs(idx, before[2:4])
+    compact_segments(idx)
+    mutated = SearchEngine(idx).search("qzcommonneedle", k=200)
+    assert set(mutated["doc_id"].to_pylist()) == set(
+        at_snap["doc_id"].to_pylist()
+    ) - set(before[2:4])
+    # restore → exactly the at-snapshot view (ids AND scores)
+    dest = str(tmp_path / "restored")
+    restore_index(snap, dest)
+    got = SearchEngine(dest).search("qzcommonneedle", k=200)
+    assert got["doc_id"].to_pylist() == at_snap["doc_id"].to_pylist()
+    assert np.allclose(
+        got["score"].to_numpy(), at_snap["score"].to_numpy(), atol=0
+    )
+    # refusals: non-empty target, torn snapshot
+    with pytest.raises(ValueError, match="not empty"):
+        restore_index(snap, dest)
+    os.remove(os.path.join(snap, "snapshot.json"))
+    with pytest.raises(ValueError, match="torn"):
+        restore_index(snap, str(tmp_path / "restored2"))
