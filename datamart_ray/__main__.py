@@ -76,6 +76,12 @@ def main(argv: list[str] | None = None) -> int:
     rs.add_argument("--snapshot", required=True)
     rs.add_argument("--dest", required=True)
 
+    an = sub.add_parser(
+        "analyze", help="ES _analyze: show an index's tokenization of text"
+    )
+    an.add_argument("--index", default=None, help="use this index's analyzer")
+    an.add_argument("--text", required=True)
+
     p = sub.add_parser("profile", help="build the profile (range) index")
     p.add_argument("--sf", required=True)
 
@@ -260,6 +266,17 @@ def _run(args) -> int:
         from datamart_ray.index.maintain import restore_index
 
         print(json.dumps(restore_index(args.snapshot, args.dest)))
+        return 0
+    if args.cmd == "analyze":
+        if args.index:
+            from datamart_ray.index.build import load_index_config
+
+            analyzer = load_index_config(args.index).analyzer
+        else:
+            from datamart_ray.analyzer import Analyzer
+
+            analyzer = Analyzer()
+        print(json.dumps({"tokens": analyzer.tokenize(args.text)}))
         return 0
     if args.cmd == "profile":
         from datamart_ray.pipelines.profindex import build_profile_index
