@@ -1192,6 +1192,33 @@ def ft_rescore_topk(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def ft_rescore_dist_topk(sf_dir: str) -> pd.DataFrame:
+    """Distributed rescore through the scorer-actor pool (distributed
+    base window + distributed phrase round, shared combine);
+    rank-identical to ft_rescore_topk, which the shared SQL twin
+    gates."""
+    from datamart_ray.search.engine import DistributedSearchEngine
+
+    eng = get_pos_engine(sf_dir)  # ensures the positional index exists
+    idx_dir = eng.readers[0].seg_dir.rsplit("/segments/", 1)[0]
+    deng = DistributedSearchEngine(idx_dir, lazy=False, max_actors=4)
+    try:
+        t = deng.rescore_search(
+            BM25_QUERY,
+            PHRASE_QUERY,
+            window_size=RESCORE_WINDOW,
+            k=BM25_K,
+            query_weight=RESCORE_QW,
+            rescore_weight=RESCORE_RW,
+            mode="or",
+        )
+    finally:
+        deng.shutdown()
+    out = t.to_pandas()
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
 def _rescore_sql(
     query: str, phrase: str, window: int, k: int, qw: float, rw: float
 ) -> str:
@@ -2429,6 +2456,10 @@ def build_sql() -> dict[str, str]:
             BM25_QUERY, SIG_K, SIG_MIN_DOC_COUNT
         ),
         "ft_percolate": _percolate_sql(),
+        "ft_rescore_dist_topk": _rescore_sql(
+            BM25_QUERY, PHRASE_QUERY, RESCORE_WINDOW, BM25_K,
+            RESCORE_QW, RESCORE_RW,
+        ),
         "ft_constant_score": _constant_score_sql(
             BM25_QUERY, CONST_BOOST, BM25_K
         ),
@@ -2598,6 +2629,7 @@ QUERIES = {
     "ft_index_stats": ft_index_stats,
     "ft_significant_terms": ft_significant_terms,
     "ft_percolate": ft_percolate,
+    "ft_rescore_dist_topk": ft_rescore_dist_topk,
     "ft_facet_lang_stats": ft_facet_lang_stats,
     "ft_term_suggest": ft_term_suggest,
     "ft_bool_msm_topk": ft_bool_msm_topk,

@@ -898,6 +898,38 @@ def _phrase_prefix_match_segment(
     return docids, ptf.astype(np.int64)
 
 
+def _combine_rescore(
+    base: pa.Table, ph: pa.Table, qw: float, rw: float, k: int
+) -> pa.Table:
+    """Rescore combine (mode ``total``): final = qw × base + rw ×
+    phrase score for docs in the base window; docs outside the window
+    are never promoted. Shared by the in-process and distributed
+    engines — given identical base/phrase inputs the outputs are
+    identical."""
+    d = base["doc_id"].to_numpy()
+    s = base["score"].to_numpy(zero_copy_only=False).astype(np.float64)
+    if d.size:
+        pd_ids = ph["doc_id"].to_numpy()
+        pd_scores = ph["score"].to_numpy(zero_copy_only=False)
+        bonus = np.zeros(d.size, dtype=np.float64)
+        if pd_ids.size:
+            order = np.argsort(pd_ids)
+            pd_ids, pd_scores = pd_ids[order], pd_scores[order]
+            pos_c = np.clip(
+                np.searchsorted(pd_ids, d), 0, pd_ids.size - 1
+            )
+            hit = pd_ids[pos_c] == d
+            bonus = np.where(hit, pd_scores[pos_c], 0.0)
+        s = qw * s + rw * bonus
+        d, s = topk_select(d, s, k)
+    return pa.table(
+        {
+            "doc_id": pa.array(d, type=pa.int64()),
+            "score": pa.array(s, type=pa.float64()),
+        }
+    )
+
+
 class SearchEngine:
     """In-process engine over all committed segments of an index dir.
 
@@ -2109,29 +2141,12 @@ class SearchEngine:
         ES's window semantics. Requires a positional index (the phrase
         leg)."""
         base = self.search(query, k=window_size, mode=mode)
-        d = base["doc_id"].to_numpy()
-        s = base["score"].to_numpy(zero_copy_only=False).astype(np.float64)
-        if d.size:
-            ph = self.phrase_search(phrase, k=self.n_docs)
-            pd_ids = ph["doc_id"].to_numpy()
-            pd_scores = ph["score"].to_numpy(zero_copy_only=False)
-            bonus = np.zeros(d.size, dtype=np.float64)
-            if pd_ids.size:
-                order = np.argsort(pd_ids)
-                pd_ids, pd_scores = pd_ids[order], pd_scores[order]
-                pos_c = np.clip(
-                    np.searchsorted(pd_ids, d), 0, pd_ids.size - 1
-                )
-                hit = pd_ids[pos_c] == d
-                bonus = np.where(hit, pd_scores[pos_c], 0.0)
-            s = query_weight * s + rescore_weight * bonus
-            d, s = topk_select(d, s, k)
-        return pa.table(
-            {
-                "doc_id": pa.array(d, type=pa.int64()),
-                "score": pa.array(s, type=pa.float64()),
-            }
+        ph = (
+            self.phrase_search(phrase, k=self.n_docs)
+            if base.num_rows
+            else base
         )
+        return _combine_rescore(base, ph, query_weight, rescore_weight, k)
 
     def search_many(self, queries: list[dict]) -> list[pa.Table]:
         """Batch API parity with DistributedSearchEngine.search_many —
@@ -2771,6 +2786,29 @@ class DistributedSearchEngine:
                 "score": pa.array(out_scores, type=pa.float64()),
             }
         )
+
+    def rescore_search(
+        self,
+        query: str,
+        phrase: str,
+        window_size: int = TOP_K_SIZE,
+        k: int = TOP_K_SIZE,
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+        mode: str = "or",
+    ) -> pa.Table:
+        """Distributed ES ``rescore``: the base window and the phrase
+        scores each come from their (already rank-identical)
+        distributed rounds, and the combine is the shared
+        ``_combine_rescore`` — so results equal the in-process engine
+        at any actor count."""
+        base = self.search(query, k=window_size, mode=mode)
+        ph = (
+            self.phrase_search(phrase, k=self.n_docs)
+            if base.num_rows
+            else base
+        )
+        return _combine_rescore(base, ph, query_weight, rescore_weight, k)
 
     def search_many(
         self,
