@@ -579,16 +579,19 @@ def snapshot_index(index_dir: str, snap_dir: str) -> dict:
         name = os.path.basename(seg)
         shutil.copytree(seg, os.path.join(snap_dir, "segments", name))
         names.append(name)
+    # index.json carries the committed config (compaction/delta read it)
+    # but its "segments" list is pinned to EXACTLY the copied set — a
+    # stale listing must not leak extra names into the snapshot view
     idx_path = os.path.join(index_dir, INDEX_MANIFEST_NAME)
     if os.path.isfile(idx_path):
-        shutil.copy2(idx_path, os.path.join(snap_dir, INDEX_MANIFEST_NAME))
-    else:
-        # dir-scan indices (pre-index.json builds): synthesize one so
-        # the snapshot restores to an authoritative active list
-        atomic_write_json(
-            os.path.join(snap_dir, INDEX_MANIFEST_NAME),
-            {"segments": names},
-        )
+        with open(idx_path) as f:
+            idx_obj = json.load(f)
+    else:  # dir-scan index (pre-index.json build): synthesize
+        idx_obj = {}
+    idx_obj["segments"] = names
+    atomic_write_json(
+        os.path.join(snap_dir, INDEX_MANIFEST_NAME), idx_obj
+    )
     manifest = {
         "segments": names,
         "source_index": os.path.abspath(index_dir),
