@@ -1944,6 +1944,245 @@ def _facet_sql(query: str, col: str) -> str:
     """
 
 
+TOPHITS_PER_GROUP = 3  # ES top_hits size per bucket
+SPAN_SLOP = 3  # span_near slop (unordered, two clauses)
+PCT_QS = (0.25, 0.5, 0.75, 0.95, 0.99)  # percentiles-agg cut points
+TV_DOC_ID = 42  # term_vectors target doc (exists at every sf)
+
+
+def ft_top_hits_per_lang(sf_dir: str) -> pd.DataFrame:
+    """ES top_hits aggregation: per-`lang` top-3 matching docs by BM25
+    (the result-panel-per-bucket pattern next to a facet). Full-match
+    scoring + one Arrow multi-key sort + vectorized per-group head."""
+    eng = get_engine(sf_dir)
+    t = eng.grouped_top_hits(
+        BM25_QUERY, "lang", per_group=TOPHITS_PER_GROUP, mode="and"
+    )
+    out = t.to_pandas()
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
+def _top_hits_sql(query: str, col: str, per_group: int) -> str:
+    terms = list(dict.fromkeys(ANALYZER.tokenize(query)))
+    qvals = ", ".join(f"('{t}', {i})" for i, t in enumerate(terms))
+    return f"""
+        WITH {_tok_cte()},
+        tf AS (
+            SELECT doc_id, term, count(*)::DOUBLE AS tf
+            FROM tok GROUP BY doc_id, term
+        ),
+        dl AS (
+            SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id
+        ),
+        stats AS (
+            SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                   (SELECT sum(dl) FROM dl)
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        qterms(term, qord) AS (VALUES {qvals}),
+        contrib AS (
+            SELECT tf.doc_id, q.qord,
+                   ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+            FROM tf
+            JOIN qterms q USING (term)
+            JOIN df USING (term)
+            JOIN dl USING (doc_id)
+            CROSS JOIN stats s
+        ),
+        scored AS (
+            SELECT doc_id, sum(c ORDER BY qord) AS score, count(*) AS nt
+            FROM contrib GROUP BY doc_id
+        ),
+        hits AS (
+            SELECT doc_id, score FROM scored WHERE nt = {len(terms)}
+        ),
+        ranked AS (
+            SELECT d.{col} AS {col}, h.doc_id, h.score,
+                   row_number() OVER (
+                       PARTITION BY d.{col}
+                       ORDER BY h.score DESC, h.doc_id
+                   ) AS rn
+            FROM hits h JOIN documents d USING (doc_id)
+        )
+        SELECT {col}, doc_id, ROUND(score, 4) AS score
+        FROM ranked WHERE rn <= {per_group}
+        ORDER BY {col}, score DESC, doc_id
+    """
+
+
+def ft_collapse_source_topk(sf_dir: str) -> pd.DataFrame:
+    """ES field collapsing: best matching doc per `source`, then the
+    global top-k over the group winners — one-result-per-site dedup of
+    a result page."""
+    eng = get_engine(sf_dir)
+    t = eng.collapse_search(BM25_QUERY, "source", k=BM25_K, mode="and")
+    out = t.to_pandas()
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
+def _collapse_sql(query: str, col: str, k: int) -> str:
+    base = _top_hits_sql(query, col, 1)
+    # reuse the ranked CTE; rewrap for (doc_id, col, score) top-k output
+    head, _sel = base.rsplit("SELECT", 1)
+    return f"""{head}
+        SELECT doc_id, {col}, ROUND(score, 4) AS score
+        FROM ranked WHERE rn = 1
+        ORDER BY score DESC, doc_id
+        LIMIT {k}
+    """
+
+
+def ft_nchars_percentiles(sf_dir: str) -> pd.DataFrame:
+    """ES percentiles aggregation over `n_chars` of every matching doc
+    — exact linear-interpolation quantiles (DuckDB quantile_cont twin;
+    ES's t-digest approximation replaced by exact values, pinned
+    deviation documented on the engine method)."""
+    eng = get_engine(sf_dir)
+    out = eng.matched_percentiles(
+        BM25_QUERY, "n_chars", PCT_QS, mode="and"
+    ).to_pandas()
+    out["value"] = round_away(out["value"], 4)
+    return out
+
+
+def _percentiles_sql(query: str, col: str, pcts: tuple) -> str:
+    terms = list(dict.fromkeys(ANALYZER.tokenize(query)))
+    qvals = ", ".join(f"('{t}')" for t in terms)
+    lst = ", ".join(str(p) for p in pcts)
+    return f"""
+        WITH {_tok_cte()},
+        qterms(term) AS (VALUES {qvals}),
+        matched AS (
+            SELECT doc_id
+            FROM (SELECT DISTINCT doc_id, term FROM tok) x
+            JOIN qterms USING (term)
+            GROUP BY doc_id
+            HAVING count(*) = {len(terms)}
+        ),
+        vals AS (
+            SELECT d.{col}::DOUBLE AS v
+            FROM matched m JOIN documents d USING (doc_id)
+            WHERE d.{col} IS NOT NULL
+        ),
+        q AS (SELECT quantile_cont(v, [{lst}]) AS qa FROM vals),
+        u AS (
+            SELECT unnest([{lst}]) AS pct, unnest(qa) AS value FROM q
+        )
+        SELECT pct, ROUND(value, 4) AS value FROM u
+    """
+
+
+def ft_span_near_topk(sf_dir: str) -> pd.DataFrame:
+    """ES span_near (in_order=false, slop=3) over the two PHRASE_QUERY
+    terms: BM25 top-k where tf counts unordered position pairs within
+    the slop window — the proximity-query family the positional index
+    exists for."""
+    eng = get_pos_engine(sf_dir)
+    t = eng.span_near_search(PHRASE_QUERY, slop=SPAN_SLOP, k=BM25_K)
+    out = t.to_pandas()
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
+def _span_near_sql(query: str, slop: int, k: int) -> str:
+    a, b = list(dict.fromkeys(ANALYZER.tokenize(query)))
+    w = slop + 1
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {ANALYZER.sql_tokens_expr('text')} AS ts
+            FROM documents
+        ),
+        posa AS (
+            SELECT doc_id, i FROM toks,
+                 UNNEST(range(0, len(ts))) AS r(i)
+            WHERE ts[i + 1] = '{a}'
+        ),
+        posb AS (
+            SELECT doc_id, i FROM toks,
+                 UNNEST(range(0, len(ts))) AS r(i)
+            WHERE ts[i + 1] = '{b}'
+        ),
+        m AS (
+            SELECT posa.doc_id, count(*)::DOUBLE AS ptf
+            FROM posa JOIN posb
+              ON posa.doc_id = posb.doc_id
+             AND abs(posa.i - posb.i) <= {w}
+            GROUP BY posa.doc_id
+        ),
+        dl AS (SELECT doc_id, len(ts)::DOUBLE AS dl FROM toks),
+        stats AS (
+            SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                   (SELECT sum(dl) FROM dl)
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl,
+                   (SELECT count(*) FROM m)::DOUBLE AS df
+        )
+        SELECT m.doc_id,
+               ROUND(ln(1 + (s.n - s.df + 0.5) / (s.df + 0.5))
+                     * m.ptf * (1.2 + 1)
+                     / (m.ptf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)),
+                     4) AS score
+        FROM m JOIN dl USING (doc_id) CROSS JOIN stats s
+        ORDER BY score DESC, doc_id
+        LIMIT {k}
+    """
+
+
+def ft_term_vectors(sf_dir: str) -> pd.DataFrame:
+    """ES term_vectors API (term_statistics=true) for one document:
+    per-term in-doc tf, corpus df and idf. tf comes from re-analyzing
+    the stored text (the ES path when term vectors aren't stored); df
+    from the index's term dictionary (summed over segments)."""
+    from collections import Counter
+
+    from datamart_ray.util import fetch_rows_by_ids
+
+    eng = get_engine(sf_dir)
+    rows = fetch_rows_by_ids(
+        os.path.join(sf_dir, "documents.parquet"),
+        "doc_id",
+        (TV_DOC_ID,),
+        columns=["doc_id", "text"],
+    )
+    text = rows.column("text")[0].as_py() or ""
+    tf = Counter(ANALYZER.tokenize(text))
+    terms = sorted(tf)
+    n = float(eng.n_docs)
+    recs = []
+    for t in terms:
+        df = eng.df(t)
+        idf = float(np.log1p((n - df + 0.5) / (df + 0.5)))
+        recs.append((t, tf[t], df, idf))
+    out = pd.DataFrame(
+        recs, columns=["term", "tf", "df", "idf"]
+    ).astype({"tf": "int64", "df": "int64"})
+    out["idf"] = round_away(out["idf"], 4)
+    return out
+
+
+def _term_vectors_sql(doc_id: int) -> str:
+    return f"""
+        WITH {_tok_cte()},
+        tf AS (
+            SELECT term, count(*)::BIGINT AS tf
+            FROM tok WHERE doc_id = {doc_id} GROUP BY term
+        ),
+        df AS (
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+            FROM tok GROUP BY term
+        ),
+        n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+        SELECT tf.term, tf.tf, df.df,
+               ROUND(ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5)), 4) AS idf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+        ORDER BY tf.term
+    """
+
+
 def ft_bm25_lazy_topk(sf_dir: str) -> pd.DataFrame:
     """BM25 top-k through the giant-segment serving path: a fresh
     SearchEngine with lazy=True reads every term from the mmap
@@ -2460,6 +2699,17 @@ def build_sql() -> dict[str, str]:
             BM25_QUERY, PHRASE_QUERY, RESCORE_WINDOW, BM25_K,
             RESCORE_QW, RESCORE_RW,
         ),
+        "ft_top_hits_per_lang": _top_hits_sql(
+            BM25_QUERY, "lang", TOPHITS_PER_GROUP
+        ),
+        "ft_collapse_source_topk": _collapse_sql(
+            BM25_QUERY, "source", BM25_K
+        ),
+        "ft_nchars_percentiles": _percentiles_sql(
+            BM25_QUERY, "n_chars", PCT_QS
+        ),
+        "ft_span_near_topk": _span_near_sql(PHRASE_QUERY, SPAN_SLOP, BM25_K),
+        "ft_term_vectors": _term_vectors_sql(TV_DOC_ID),
         "ft_constant_score": _constant_score_sql(
             BM25_QUERY, CONST_BOOST, BM25_K
         ),
@@ -2630,6 +2880,11 @@ QUERIES = {
     "ft_significant_terms": ft_significant_terms,
     "ft_percolate": ft_percolate,
     "ft_rescore_dist_topk": ft_rescore_dist_topk,
+    "ft_top_hits_per_lang": ft_top_hits_per_lang,
+    "ft_collapse_source_topk": ft_collapse_source_topk,
+    "ft_nchars_percentiles": ft_nchars_percentiles,
+    "ft_span_near_topk": ft_span_near_topk,
+    "ft_term_vectors": ft_term_vectors,
     "ft_facet_lang_stats": ft_facet_lang_stats,
     "ft_term_suggest": ft_term_suggest,
     "ft_bool_msm_topk": ft_bool_msm_topk,

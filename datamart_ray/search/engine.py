@@ -898,6 +898,52 @@ def _phrase_prefix_match_segment(
     return docids, ptf.astype(np.int64)
 
 
+def _span_near_match_segment(
+    reader: SegmentReader, term_a: str, term_b: str, slop: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(docids, pair_tf) of every doc where `term_a` and `term_b`
+    co-occur within `slop` intervening tokens, UNORDERED — the ES
+    ``span_near`` (in_order=false) analog over two single-term clauses
+    (reference ranks via ES; span scoring is ES-internal). Pinned
+    semantics: pair_tf counts position pairs with |pa − pb| ≤ slop+1,
+    a deterministic proximity count that an exhaustive SQL twin can
+    reproduce exactly (ES's sloppy-freq weighting is replaced by the
+    raw pair count — documented deviation).
+
+    Vectorized: both terms' packed (docID<<32|pos) key arrays are
+    bounded by the doc-level AND candidate set, then ONE searchsorted
+    range-count per occurrence of the rarer term; per-doc pair sums via
+    reduceat over the already-sorted doc runs."""
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    cand = _phrase_candidate_docs(reader, [term_a, term_b])
+    if cand is None or cand.size == 0:
+        return empty
+    ka = _term_position_keys(reader, term_a, docs_filter=cand)
+    kb = _term_position_keys(reader, term_b, docs_filter=cand)
+    if ka is None or kb is None or ka.size == 0 or kb.size == 0:
+        return empty
+    if kb.size < ka.size:  # pair count is symmetric — scan the rarer side
+        ka, kb = kb, ka
+    w = np.uint64(slop + 1)
+    pos_mask = np.uint64(0xFFFFFFFF)
+    pos_a = ka & pos_mask
+    # window clamped to the doc's position space so keys never bleed
+    # across the packed docID boundary
+    lo = ka - np.minimum(pos_a, w)
+    hi = ka + np.minimum(pos_mask - pos_a, w)
+    cnt = np.searchsorted(kb, hi, side="right") - np.searchsorted(
+        kb, lo, side="left"
+    )
+    keep = cnt > 0
+    if not keep.any():
+        return empty
+    docs = (ka[keep] >> np.uint64(32)).astype(np.int64)
+    cnt = cnt[keep]
+    docids, starts = np.unique(docs, return_index=True)
+    ptf = np.add.reduceat(cnt, starts).astype(np.int64)
+    return docids, ptf
+
+
 def _combine_rescore(
     base: pa.Table, ph: pa.Table, qw: float, rw: float, k: int
 ) -> pa.Table:
@@ -1463,6 +1509,196 @@ class SearchEngine:
                 "n": pa.array([v for _, v in items], type=pa.int64()),
             }
         )
+
+    def _score_all_with_meta(
+        self,
+        query: str,
+        col: str,
+        mode: str,
+        filters: dict[str, str] | None,
+    ) -> tuple[np.ndarray, np.ndarray, pa.Array]:
+        """(doc_ids, scores, col_values) of EVERY doc matching `query`
+        — the shared full-match collector behind the top_hits /
+        collapse / percentiles aggregations (same scoring path as
+        facet_counts, plus the docmeta column gather)."""
+        terms = list(dict.fromkeys(self.analyzer.tokenize(query)))
+        d_parts: list[np.ndarray] = []
+        s_parts: list[np.ndarray] = []
+        v_parts: list[pa.Array] = []
+        if terms:
+            idfs = {
+                t: bm25_idf(self.df(t), self.n_docs, self.params)
+                for t in terms
+            }
+            for r in self.readers:
+                d, s = _score_segment(
+                    r, terms, idfs, self.avgdl, mode, filters, self.params
+                )
+                if not d.size:
+                    continue
+                if col not in r._meta.column_names:
+                    raise KeyError(
+                        f"no docmeta column {col!r} loaded — include it "
+                        "in SearchEngine(filter_cols=...) (and in "
+                        "IndexConfig.meta_cols at build time)"
+                    )
+                pos = np.searchsorted(r._doc_ids, d)
+                vals = r._meta[col].take(pa.array(pos)).combine_chunks()
+                d_parts.append(d)
+                s_parts.append(s)
+                v_parts.append(
+                    vals.chunk(0)
+                    if isinstance(vals, pa.ChunkedArray)
+                    else vals
+                )
+        if not d_parts:
+            return (
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.float64),
+                pa.array([], type=pa.string()),
+            )
+        return (
+            np.concatenate(d_parts),
+            np.concatenate(s_parts),
+            pa.concat_arrays(v_parts),
+        )
+
+    def grouped_top_hits(
+        self,
+        query: str,
+        col: str,
+        per_group: int = 3,
+        mode: str = "and",
+        filters: dict[str, str] | None = None,
+    ) -> pa.Table:
+        """ES ``top_hits``-aggregation analog: for every value of
+        docmeta column `col`, the top `per_group` matching docs by BM25
+        (score desc, docID asc within each group). Full-match scoring
+        as in facet_counts, then ONE Arrow multi-key sort + a
+        vectorized per-group head select — no per-group Python. Output
+        sorted (col asc nulls-last, score desc, doc_id asc)."""
+        d, s, v = self._score_all_with_meta(query, col, mode, filters)
+        if not d.size:
+            return pa.table(
+                {
+                    col: pa.array([], type=v.type),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
+        tbl = pa.table(
+            {col: v, "doc_id": pa.array(d), "score": pa.array(s)}
+        )
+        idx = pc.sort_indices(
+            tbl,
+            sort_keys=[
+                (col, "ascending"),
+                ("score", "descending"),
+                ("doc_id", "ascending"),
+            ],
+            null_placement="at_end",
+        )
+        tbl = tbl.take(idx)
+        vs = tbl[col].to_numpy(zero_copy_only=False)
+        n = len(vs)
+        new_grp = np.ones(n, dtype=bool)
+        if n > 1:
+            # None != None is False in Python, so nulls stay one group
+            new_grp[1:] = vs[1:] != vs[:-1]
+        starts = np.flatnonzero(new_grp)
+        grp_id = np.cumsum(new_grp) - 1
+        rank = np.arange(n) - starts[grp_id]
+        return tbl.filter(pa.array(rank < per_group))
+
+    def collapse_search(
+        self,
+        query: str,
+        col: str,
+        k: int = TOP_K_SIZE,
+        mode: str = "and",
+        filters: dict[str, str] | None = None,
+    ) -> pa.Table:
+        """ES field-collapsing analog (``collapse: {field: col}``): at
+        most ONE hit — the best (score desc, docID asc) — per value of
+        `col`, then the global top-k over the group winners. Docs with
+        a NULL collapse key form one group, as in ES's missing-bucket
+        behavior. Output columns (doc_id, col, score), result order
+        (score desc, doc_id asc)."""
+        winners = self.grouped_top_hits(
+            query, col, per_group=1, mode=mode, filters=filters
+        )
+        d = winners["doc_id"].to_numpy()
+        s = winners["score"].to_numpy(zero_copy_only=False)
+        od, osc = topk_select(d, s, k)
+        # winner set ≤ #distinct groups — reattaching keys is small
+        pos = {int(x): i for i, x in enumerate(d)}
+        sel = pa.array([pos[int(x)] for x in od], type=pa.int64())
+        return pa.table(
+            {
+                "doc_id": pa.array(od, type=pa.int64()),
+                col: winners[col].take(sel).combine_chunks(),
+                "score": pa.array(osc, type=pa.float64()),
+            }
+        )
+
+    def matched_percentiles(
+        self,
+        query: str,
+        col: str,
+        pcts: tuple = (0.25, 0.5, 0.75, 0.95, 0.99),
+        mode: str = "and",
+        filters: dict[str, str] | None = None,
+    ) -> pa.Table:
+        """ES ``percentiles``-aggregation analog over numeric docmeta
+        column `col` of EVERY matching doc. EXACT linear-interpolation
+        quantiles (numpy 'linear' == DuckDB quantile_cont), not ES's
+        t-digest approximation — pinned deviation: exact is affordable
+        because only (doc, value) pairs of MATCHED docs are collected;
+        the 100-TB path swaps in a mergeable sketch at the same API."""
+        _, _, v = self._score_all_with_meta(query, col, mode, filters)
+        vals = np.asarray(
+            v.to_numpy(zero_copy_only=False), dtype=np.float64
+        )
+        vals = vals[~np.isnan(vals)]
+        qs = np.asarray(pcts, dtype=np.float64)
+        out = (
+            np.quantile(vals, qs, method="linear")
+            if vals.size
+            else np.full(qs.size, np.nan)
+        )
+        return pa.table(
+            {
+                "pct": pa.array(qs, type=pa.float64()),
+                "value": pa.array(out, type=pa.float64()),
+            }
+        )
+
+    def span_near_search(
+        self, query: str, slop: int = 2, k: int = TOP_K_SIZE
+    ) -> pa.Table:
+        """ES ``span_near`` (in_order=false) analog for two single-term
+        clauses: BM25 top-k over docs where the two query terms
+        co-occur within `slop` intervening tokens in either order.
+        tf = unordered position-pair count (see
+        _span_near_match_segment), idf from the span-match df — the
+        same global two-phase shape as phrase_search. Requires a
+        positional index."""
+        terms = list(dict.fromkeys(self.analyzer.tokenize(query)))
+        if len(terms) != 2:
+            raise ValueError(
+                "span_near_search is pinned to exactly two distinct "
+                f"terms, got {terms!r}"
+            )
+        a, b = terms
+        parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        for r in self.readers:
+            d, ptf = _span_near_match_segment(r, a, b, slop)
+            if r._tombstones.size and d.size:
+                keep = ~_isin_sorted(r._tombstones, d)
+                d, ptf = d[keep], ptf[keep]
+            if d.size:
+                parts.append((d, ptf, r.doclen_of(d)))
+        return self._score_phrase_parts(parts, k)
 
     def explain(self, query: str, doc_ids) -> pa.Table:
         """ES ``explain=true`` analog: the per-(doc, term) BM25 score

@@ -1,0 +1,223 @@
+"""top_hits / collapse / percentiles aggregations + span_near proximity:
+engine vs pure-Python brute force on one small mixed-meta corpus, plus
+segmentation invariance (results identical at different docs_per_spec).
+"""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from datamart_ray.analyzer import Analyzer
+from datamart_ray.index.build import IndexConfig, build_index
+from datamart_ray.search.engine import SearchEngine
+
+N_DOCS = 400
+QUERY = "red blue"
+SPAN_A, SPAN_B = "red", "blue"
+
+
+@pytest.fixture(scope="module")
+def agg_corpus(tmp_path_factory):
+    rng = np.random.default_rng(9)
+    vocab = ["red", "green", "blue", "cyan", "teal", "gold"]
+    langs = ["en", "fr", "de", None]
+    docs = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(2, 25))))
+        for _ in range(N_DOCS)
+    ]
+    doc_langs = [langs[int(rng.integers(0, 4))] for _ in range(N_DOCS)]
+    vals = [int(rng.integers(0, 10_000)) for _ in range(N_DOCS)]
+    path = str(tmp_path_factory.mktemp("aggc") / "docs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(N_DOCS), type=pa.int64()),
+                "text": pa.array(docs),
+                "lang": pa.array(doc_langs, type=pa.string()),
+                "val": pa.array(vals, type=pa.int64()),
+            }
+        ),
+        path,
+    )
+    return path, docs, doc_langs, vals
+
+
+def _build(path, idx, **kw):
+    cfg = IndexConfig(
+        analyzer=Analyzer(),
+        content_col="text",
+        id_col="doc_id",
+        meta_cols=("lang", "val"),
+        **kw,
+    )
+    build_index(path, idx, cfg)
+    return SearchEngine(idx, lazy=False, filter_cols=("lang", "val"))
+
+
+def _brute_and_scores(docs, query):
+    """(doc_id -> exact BM25 score) of every AND-matching doc."""
+    an = Analyzer()
+    toks = [an.tokenize(d) for d in docs]
+    n = len(docs)
+    dl = [len(t) for t in toks]
+    avgdl = sum(dl) / n
+    qts = list(dict.fromkeys(an.tokenize(query)))
+    df = {q: sum(1 for t in toks if q in t) for q in qts}
+    out = {}
+    for i, t in enumerate(toks):
+        if not all(q in t for q in qts):
+            continue
+        s = 0.0
+        for q in qts:  # query order == engine accumulation order
+            tf = t.count(q)
+            idf = math.log1p((n - df[q] + 0.5) / (df[q] + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl[i] / avgdl))
+        out[i] = s
+    return out
+
+
+def test_grouped_top_hits_matches_brute(ray_session, agg_corpus, tmp_path):
+    path, docs, doc_langs, _ = agg_corpus
+    eng = _build(path, str(tmp_path / "idx"), docs_per_spec=64)
+    scores = _brute_and_scores(docs, QUERY)
+    per_group = 3
+    groups = {}
+    for i, s in scores.items():
+        groups.setdefault(doc_langs[i], []).append((-s, i))
+    exp = []
+    for g in sorted((k for k in groups if k is not None)) + (
+        [None] if None in groups else []
+    ):
+        for negs, i in sorted(groups[g])[:per_group]:
+            exp.append((g, i, round(-negs, 6)))
+    got = [
+        (r.lang if isinstance(r.lang, str) else None, int(r.doc_id),
+         round(r.score, 6))
+        for r in eng.grouped_top_hits(QUERY, "lang", per_group=per_group)
+        .to_pandas()
+        .itertuples()
+    ]
+    assert got == exp
+
+
+def test_collapse_search_matches_brute(ray_session, agg_corpus, tmp_path):
+    path, docs, doc_langs, _ = agg_corpus
+    eng = _build(path, str(tmp_path / "cidx"), docs_per_spec=64)
+    scores = _brute_and_scores(docs, QUERY)
+    best = {}
+    for i, s in scores.items():
+        cur = best.get(doc_langs[i])
+        if cur is None or (-s, i) < cur:
+            best[doc_langs[i]] = (-s, i)
+    exp = sorted(best.values())[:3]
+    exp = [(i, round(-negs, 6)) for negs, i in exp]
+    t = eng.collapse_search(QUERY, "lang", k=3).to_pandas()
+    got = [(int(r.doc_id), round(r.score, 6)) for r in t.itertuples()]
+    assert got == exp
+    # one row per distinct collapse key, winner's key attached
+    assert t["lang"].map(lambda v: v if isinstance(v, str) else None).tolist() == [
+        doc_langs[i] for i, _ in exp
+    ]
+
+
+def test_matched_percentiles_exact(ray_session, agg_corpus, tmp_path):
+    path, docs, _, vals = agg_corpus
+    eng = _build(path, str(tmp_path / "pidx"), docs_per_spec=64)
+    scores = _brute_and_scores(docs, QUERY)
+    matched_vals = np.array([vals[i] for i in scores], dtype=np.float64)
+    qs = (0.25, 0.5, 0.75, 0.95)
+    exp = np.quantile(matched_vals, qs, method="linear")
+    got = eng.matched_percentiles(QUERY, "val", qs).to_pandas()
+    assert np.allclose(got["value"].to_numpy(), exp, rtol=0, atol=0)
+    assert got["pct"].tolist() == list(qs)
+
+
+def _brute_span(docs, a, b, slop, k):
+    an = Analyzer()
+    toks = [an.tokenize(d) for d in docs]
+    n = len(docs)
+    dl = [len(t) for t in toks]
+    avgdl = sum(dl) / n
+    ptfs = {}
+    for i, t in enumerate(toks):
+        pa_ = [j for j, x in enumerate(t) if x == a]
+        pb_ = [j for j, x in enumerate(t) if x == b]
+        c = sum(1 for x in pa_ for y in pb_ if abs(x - y) <= slop + 1)
+        if c:
+            ptfs[i] = c
+    df = len(ptfs)
+    idf = math.log1p((n - df + 0.5) / (df + 0.5))
+    scored = sorted(
+        (
+            (idf * c * 2.2 / (c + 1.2 * (1 - 0.75 + 0.75 * dl[i] / avgdl)), i)
+            for i, c in ptfs.items()
+        ),
+        key=lambda x: (-x[0], x[1]),
+    )[:k]
+    return [(i, round(s, 6)) for s, i in scored]
+
+
+def test_span_near_matches_brute_force(ray_session, agg_corpus, tmp_path):
+    path, docs, _, _ = agg_corpus
+    cfg = IndexConfig(
+        analyzer=Analyzer(),
+        content_col="text",
+        id_col="doc_id",
+        meta_cols=(),
+        positions=True,
+        docs_per_spec=64,
+    )
+    build_index(path, str(tmp_path / "sidx"), cfg)
+    eng = SearchEngine(str(tmp_path / "sidx"), lazy=False)
+    for slop in (0, 1, 3):
+        got = [
+            (int(r.doc_id), round(r.score, 6))
+            for r in eng.span_near_search(
+                f"{SPAN_A} {SPAN_B}", slop=slop, k=15
+            )
+            .to_pandas()
+            .itertuples()
+        ]
+        exp = _brute_span(docs, SPAN_A, SPAN_B, slop, 15)
+        assert got == exp, slop
+
+
+def test_span_near_segmentation_invariance(ray_session, agg_corpus, tmp_path):
+    path, docs, _, _ = agg_corpus
+    outs = []
+    for name, dps in (("s1", 37), ("s2", 600)):
+        cfg = IndexConfig(
+            analyzer=Analyzer(),
+            content_col="text",
+            id_col="doc_id",
+            meta_cols=(),
+            positions=True,
+            docs_per_spec=dps,
+        )
+        build_index(path, str(tmp_path / name), cfg)
+        eng = SearchEngine(str(tmp_path / name), lazy=False)
+        outs.append(
+            eng.span_near_search(f"{SPAN_A} {SPAN_B}", slop=2, k=25)
+            .to_pandas()
+        )
+    assert outs[0].equals(outs[1])
+
+
+def test_span_near_rejects_non_pair(ray_session, agg_corpus, tmp_path):
+    path, _, _, _ = agg_corpus
+    cfg = IndexConfig(
+        analyzer=Analyzer(),
+        content_col="text",
+        id_col="doc_id",
+        meta_cols=(),
+        positions=True,
+    )
+    build_index(path, str(tmp_path / "ridx"), cfg)
+    eng = SearchEngine(str(tmp_path / "ridx"))
+    with pytest.raises(ValueError, match="two distinct"):
+        eng.span_near_search("red red", slop=1)
+    with pytest.raises(ValueError, match="two distinct"):
+        eng.span_near_search("red blue gold", slop=1)
