@@ -62,6 +62,21 @@ def main(argv: list[str] | None = None) -> int:
     x.add_argument("--index", required=True)
     x.add_argument("--ids", default=None)
     x.add_argument("--where", default=None)
+    x.add_argument(
+        "--query", default=None, help="ES _delete_by_query analog"
+    )
+    x.add_argument("--mode", default="and", choices=("and", "or"))
+
+    ri = sub.add_parser(
+        "reindex",
+        help="ES _reindex: rebuild under a new config, replay deletes",
+    )
+    ri.add_argument("--input", required=True, help="source parquet")
+    ri.add_argument("--src-index", required=True)
+    ri.add_argument("--dest-index", required=True)
+    ri.add_argument("--content-col", default="content")
+    ri.add_argument("--id-col", default=None)
+    ri.add_argument("--positions", action="store_true")
 
     c = sub.add_parser("compact", help="merge segments, drop tombstones")
     c.add_argument("--index", required=True)
@@ -239,7 +254,11 @@ def _run(args) -> int:
         print(json.dumps(ingest_delta(args.index, args.input), default=str))
         return 0
     if args.cmd == "delete":
-        from datamart_ray.index.maintain import delete_docs, delete_where
+        from datamart_ray.index.maintain import (
+            delete_by_query,
+            delete_docs,
+            delete_where,
+        )
 
         if args.ids:
             n = delete_docs(
@@ -248,9 +267,29 @@ def _run(args) -> int:
         elif args.where:
             col, _, val = args.where.partition("=")
             n = delete_where(args.index, col, val)
+        elif args.query:
+            n = delete_by_query(args.index, args.query, mode=args.mode)
         else:
-            raise SystemExit("delete needs --ids or --where")
+            raise SystemExit("delete needs --ids, --where or --query")
         print(json.dumps({"deleted": n}))
+        return 0
+    if args.cmd == "reindex":
+        from datamart_ray.index.build import IndexConfig
+        from datamart_ray.index.maintain import reindex
+
+        cfg = IndexConfig(
+            content_col=args.content_col,
+            id_col=args.id_col,
+            positions=args.positions,
+        )
+        print(
+            json.dumps(
+                reindex(
+                    args.input, args.src_index, args.dest_index, cfg
+                ),
+                default=str,
+            )
+        )
         return 0
     if args.cmd == "compact":
         from datamart_ray.index.maintain import compact_segments

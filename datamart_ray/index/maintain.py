@@ -110,6 +110,62 @@ def delete_docs(index_dir: str, doc_ids) -> int:
     return deleted
 
 
+def delete_by_query(
+    index_dir: str,
+    query: str,
+    mode: str = "and",
+    filters: dict | None = None,
+) -> int:
+    """ES ``_delete_by_query`` analog: tombstone EVERY doc matching the
+    analyzed `query` (AND/OR semantics + optional keyword filters, the
+    exact match set of SearchEngine.search). Idempotent like
+    delete_docs; a later compact physically drops the rows.
+
+    Scale note: the match set streams out of per-segment scoring (the
+    same path facet_counts uses); only matched docIDs are materialized,
+    never postings or text."""
+    from datamart_ray.search.engine import SearchEngine
+
+    eng = SearchEngine(index_dir)
+    t = eng.search(query, k=eng.n_docs, mode=mode, filters=filters)
+    ids = t["doc_id"].to_numpy()
+    return delete_docs(index_dir, ids) if ids.size else 0
+
+
+def reindex(
+    source_path: str,
+    src_index: str,
+    dest_index: str,
+    config,
+) -> dict:
+    """ES ``_reindex`` analog: rebuild `dest_index` from the SOURCE
+    table under a (possibly different) IndexConfig, then replay
+    `src_index`'s tombstones so the destination serves exactly the
+    live document set of the source index — deletes survive the
+    reindex, as they do when ES copies live docs only.
+
+    The heavy lift is the ordinary distributed build (resume-safe,
+    atomic segment commits); the tombstone replay is a metadata-only
+    pass."""
+    from datamart_ray.index.build import build_index
+
+    manifest = build_index(source_path, dest_index, config)
+    carried = []
+    for seg_dir in active_segments(src_index):
+        t = read_tombstones(seg_dir)
+        if t.size:
+            carried.append(t)
+    replayed = 0
+    if carried:
+        replayed = delete_docs(
+            dest_index, np.unique(np.concatenate(carried))
+        )
+    return {
+        "segments": manifest["segments"],
+        "replayed_tombstones": replayed,
+    }
+
+
 def delete_where(index_dir: str, column: str, value) -> int:
     """Delete every doc whose docmeta `column` equals `value`."""
     import pyarrow.compute as pc

@@ -1944,6 +1944,25 @@ def _facet_sql(query: str, col: str) -> str:
     """
 
 
+def ft_facet_dist_lang(sf_dir: str) -> pd.DataFrame:
+    """Distributed facet (terms aggregation) through the scorer-actor
+    pool: per-actor {value → count} partials, driver merge — gates the
+    distributed FULL-MATCH path (search tops out at k; facet touches
+    every match). Same SQL twin as the in-process ft_bm25_facet_lang."""
+    from datamart_ray.search.engine import DistributedSearchEngine
+
+    eng = get_engine(sf_dir)  # ensures the on-disk index exists
+    index_dir = eng.readers[0].seg_dir.rsplit("/segments/", 1)[0]
+    deng = DistributedSearchEngine(index_dir, max_actors=4)
+    try:
+        t = deng.facet_counts(BM25_QUERY, "lang", mode="and")
+    finally:
+        deng.shutdown()
+    out = t.to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 TOPHITS_PER_GROUP = 3  # ES top_hits size per bucket
 SPAN_SLOP = 3  # span_near slop (unordered, two clauses)
 PCT_QS = (0.25, 0.5, 0.75, 0.95, 0.99)  # percentiles-agg cut points
@@ -2635,6 +2654,7 @@ def build_sql() -> dict[str, str]:
         "ft_prefix_topk": _prefix_sql(PREFIX_QUERY, BM25_K),
         "ft_phrase_dist_topk": _phrase_sql(PHRASE_QUERY, BM25_K),
         "ft_bm25_facet_lang": _facet_sql(BM25_QUERY, "lang"),
+        "ft_facet_dist_lang": _facet_sql(BM25_QUERY, "lang"),
         "ft_phrase_slop_topk": _phrase_slop_sql(PHRASE_QUERY, BM25_K, 2),
         "ft_bm25_or_topk": _bm25_sql(BM25_QUERY, BM25_K, mode_or=True),
         "ft_bm25_dist_topk": _bm25_sql(BM25_QUERY, BM25_K),
@@ -2849,6 +2869,7 @@ QUERIES = {
     "ft_prefix_topk": ft_prefix_topk,
     "ft_phrase_dist_topk": ft_phrase_dist_topk,
     "ft_bm25_facet_lang": ft_bm25_facet_lang,
+    "ft_facet_dist_lang": ft_facet_dist_lang,
     "ft_phrase_slop_topk": ft_phrase_slop_topk,
     "ft_bm25_or_topk": ft_bm25_or_topk,
     "ft_bm25_dist_topk": ft_bm25_dist_topk,

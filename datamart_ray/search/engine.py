@@ -2613,6 +2613,36 @@ class SegmentScorer:
             np.concatenate(parts_d), np.concatenate(parts_s), k
         )
 
+    def facet_partial(
+        self,
+        terms: list[str],
+        idfs: dict[str, float],
+        avgdl: float,
+        col: str,
+        mode: str,
+        filters: dict[str, str] | None,
+        params: BM25Params,
+    ) -> dict:
+        """Per-actor facet partial: {col value → match count} over this
+        actor's segments. The driver merges partials — traffic is
+        O(distinct values · actors), never per-doc."""
+        agg: dict = {}
+        for r in self.readers:
+            d, _ = _score_segment(
+                r, terms, idfs, avgdl, mode, filters, params
+            )
+            if not d.size:
+                continue
+            if col not in r._meta.column_names:
+                raise KeyError(f"no facet column {col!r} in docmeta")
+            pos = np.searchsorted(r._doc_ids, d)
+            vals = r._meta[col].take(pa.array(pos))
+            for item in pc.value_counts(vals).to_pylist():
+                agg[item["values"]] = (
+                    agg.get(item["values"], 0) + item["counts"]
+                )
+        return agg
+
     def top_k(
         self,
         terms: list[str],
@@ -2736,6 +2766,51 @@ class DistributedSearchEngine:
             {
                 "doc_id": pa.array(out_ids, type=pa.int64()),
                 "score": pa.array(out_scores, type=pa.float64()),
+            }
+        )
+
+    def facet_counts(
+        self,
+        query: str,
+        col: str,
+        mode: str = "and",
+        filters: dict[str, str] | None = None,
+    ) -> pa.Table:
+        """Distributed ES terms-aggregation: one global df round (match
+        semantics need global stats only for OR pruning parity —
+        exhaustive here), then per-actor facet partials merged on the
+        driver. Identical output to SearchEngine.facet_counts at any
+        actor count; driver traffic O(distinct values · actors)."""
+        terms = list(dict.fromkeys(self.analyzer.tokenize(query)))
+        agg: dict = {}
+        if terms:
+            df_maps = ray.get([a.dfs.remote(terms) for a in self.actors])
+            idfs = {
+                t: bm25_idf(
+                    sum(m[t] for m in df_maps), self.n_docs, self.params
+                )
+                for t in terms
+            }
+            partials = ray.get(
+                [
+                    a.facet_partial.remote(
+                        terms, idfs, self.avgdl, col, mode, filters,
+                        self.params,
+                    )
+                    for a in self.actors
+                ]
+            )
+            for p in partials:
+                for v, n in p.items():
+                    agg[v] = agg.get(v, 0) + n
+        items = sorted(
+            agg.items(),
+            key=lambda kv: (-kv[1], kv[0] is None, kv[0] or ""),
+        )
+        return pa.table(
+            {
+                col: pa.array([k for k, _ in items], type=pa.string()),
+                "n": pa.array([v for _, v in items], type=pa.int64()),
             }
         )
 

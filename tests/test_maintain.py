@@ -441,3 +441,57 @@ def test_snapshot_restore_point_in_time(small_index, tmp_path):
     os.remove(os.path.join(snap, "snapshot.json"))
     with pytest.raises(ValueError, match="torn"):
         restore_index(snap, str(tmp_path / "restored2"))
+
+
+def test_delete_by_query_matches_search_set(small_index):
+    from datamart_ray.index.maintain import delete_by_query
+
+    _, idx = small_index
+    eng = SearchEngine(idx)
+    matched = set(
+        eng.search("qzcommonneedle", k=eng.n_docs, mode="and")[
+            "doc_id"
+        ].to_pylist()
+    )
+    assert matched
+    n = delete_by_query(idx, "qzcommonneedle", mode="and")
+    assert n == len(matched)
+    eng2 = SearchEngine(idx)
+    assert eng2.search("qzcommonneedle", k=50).num_rows == 0
+    # unrelated docs survive
+    assert eng2.search("qzuniqueneedle", k=5).num_rows == 1
+    # idempotent
+    assert delete_by_query(idx, "qzcommonneedle") == 0
+
+
+def test_reindex_replays_tombstones(small_index, tmp_path):
+    from datamart_ray.index.maintain import delete_by_query, reindex
+
+    corpus, idx = small_index
+    n_del = delete_by_query(idx, "qzcommonneedle")
+    assert n_del > 0
+    dest = str(tmp_path / "re_idx")
+    res = reindex(corpus, idx, dest, IndexConfig(docs_per_spec=30))
+    assert res["replayed_tombstones"] == n_del
+    src_eng, dst_eng = SearchEngine(idx), SearchEngine(dest)
+    # live doc set identical; deleted docs stay deleted in the new index
+    assert dst_eng.search("qzcommonneedle", k=50).num_rows == 0
+    for q in ("qzuniqueneedle", "qzfilterneedle"):
+        a = src_eng.search(q, k=50).to_pandas()
+        b = dst_eng.search(q, k=50).to_pandas()
+        assert a["doc_id"].tolist() == b["doc_id"].tolist(), q
+
+
+def test_distributed_facet_matches_inprocess(small_index):
+    from datamart_ray.search.engine import DistributedSearchEngine
+
+    _, idx = small_index
+    eng = SearchEngine(idx)
+    deng = DistributedSearchEngine(idx, max_actors=3)
+    try:
+        for q, mode in (("qzcommonneedle", "and"), ("qzstopneedle qzcommonneedle", "or")):
+            a = eng.facet_counts(q, "lang", mode=mode).to_pandas()
+            b = deng.facet_counts(q, "lang", mode=mode).to_pandas()
+            assert a.equals(b), (q, mode)
+    finally:
+        deng.shutdown()
