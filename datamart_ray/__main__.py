@@ -74,7 +74,9 @@ def main(argv: list[str] | None = None) -> int:
     ri.add_argument("--input", required=True, help="source parquet")
     ri.add_argument("--src-index", required=True)
     ri.add_argument("--dest-index", required=True)
-    ri.add_argument("--content-col", default="content")
+    # the committed config of --src-index is inherited (analyzer,
+    # id_col, meta_cols, positions ...); flags override selectively
+    ri.add_argument("--content-col", default=None)
     ri.add_argument("--id-col", default=None)
     ri.add_argument("--positions", action="store_true")
 
@@ -274,14 +276,24 @@ def _run(args) -> int:
         print(json.dumps({"deleted": n}))
         return 0
     if args.cmd == "reindex":
-        from datamart_ray.index.build import IndexConfig
+        import dataclasses
+
+        from datamart_ray.index.build import load_index_config
         from datamart_ray.index.maintain import reindex
 
-        cfg = IndexConfig(
-            content_col=args.content_col,
-            id_col=args.id_col,
-            positions=args.positions,
-        )
+        # inherit the SOURCE index's committed config — a default-built
+        # IndexConfig would silently swap the analyzer and (worse)
+        # replay src tombstone ids against differently-assigned docIDs
+        cfg = load_index_config(args.src_index)
+        overrides = {}
+        if args.content_col is not None:
+            overrides["content_col"] = args.content_col
+        if args.id_col is not None:
+            overrides["id_col"] = args.id_col
+        if args.positions:
+            overrides["positions"] = True
+        if overrides:
+            cfg = dataclasses.replace(cfg, **overrides)
         print(
             json.dumps(
                 reindex(

@@ -130,6 +130,7 @@ class IndexConfig:
                 "min_token_len": self.analyzer.min_token_len,
                 "max_token_len": self.analyzer.max_token_len,
                 "stem": self.analyzer.stem,
+                "stopwords": list(self.analyzer.stopwords),
             },
             "content_col": self.content_col,
             "id_col": self.id_col,

@@ -976,6 +976,64 @@ def _combine_rescore(
     )
 
 
+def _alias_union(index_dir) -> tuple[dict, "Analyzer", list[str]]:
+    """(primary manifest, analyzer, union of active segment dirs) for a
+    single index dir or an alias LIST — shared by the in-process and
+    distributed engine constructors. Enforces the alias contract:
+    identical committed config, and docID-disjoint members."""
+    dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
+    manifests = []
+    for d in dirs:
+        with open(os.path.join(d, INDEX_MANIFEST_NAME)) as f:
+            manifests.append(json.load(f))
+    cfg0 = manifests[0]["config"]
+    for m, d in zip(manifests[1:], dirs[1:]):
+        if m["config"] != cfg0:
+            raise ValueError(
+                f"aliased index {d} has a different analyzer/config"
+            )
+    seg_dirs = [s for d in dirs for s in active_segments(d)]
+    if not seg_dirs:
+        raise ValueError(f"no committed segments under {dirs}")
+    if len(dirs) > 1:
+        _check_alias_docid_ranges(dirs)
+    return manifests[0], IndexConfig.analyzer_from_json(cfg0), seg_dirs
+
+
+def _check_alias_docid_ranges(dirs: list[str]) -> None:
+    """Aliased indices must carry disjoint docIDs — overlapping ids
+    would silently inflate N/df and return duplicate hits with split
+    scores (build_index refuses intra-index collisions; the alias path
+    must too). Checked via footer-only min/max docID statistics per
+    index (O(segments) metadata reads, no id materialization). The
+    enforced contract is disjoint RANGES, which the id-assignment
+    lifecycle (dense build ids, delta appends past max) guarantees."""
+    ranges = []
+    for d in dirs:
+        lo: int | None = None
+        hi: int | None = None
+        for seg in active_segments(d):
+            meta_dir = os.path.join(seg, "docmeta")
+            for fn in sorted(os.listdir(meta_dir)):
+                pf = pq.ParquetFile(os.path.join(meta_dir, fn))
+                ci = pf.schema_arrow.names.index("doc_id")
+                md = pf.metadata
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+        ranges.append((lo if lo is not None else 0, hi or 0, d))
+    ranges.sort()
+    for (_, ha, da), (lb, _, db) in zip(ranges, ranges[1:]):
+        if lb <= ha:
+            raise ValueError(
+                f"aliased indices {da!r} and {db!r} have overlapping "
+                "docID ranges — alias members must be docID-disjoint"
+            )
+
+
 class SearchEngine:
     """In-process engine over all committed segments of an index dir.
 
@@ -983,8 +1041,8 @@ class SearchEngine:
     analog): the engine reads the union of their active segments and
     computes global stats (N, Σdl, df) across all of them, so ranking
     is identical to one combined index. All aliased indices must share
-    the analyzer config (checked); docIDs must be disjoint (the same
-    contract delta ingest relies on)."""
+    the analyzer config and be docID-disjoint (both checked at init —
+    see _alias_union)."""
 
     def __init__(
         self,
@@ -994,23 +1052,8 @@ class SearchEngine:
         lazy: bool | str = "auto",
         warm_terms: int = 0,
     ):
-        dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
-        manifests = []
-        for d in dirs:
-            with open(os.path.join(d, INDEX_MANIFEST_NAME)) as f:
-                manifests.append(json.load(f))
-        cfg0 = manifests[0]["config"]
-        for m, d in zip(manifests[1:], dirs[1:]):
-            if m["config"] != cfg0:
-                raise ValueError(
-                    f"aliased index {d} has a different analyzer/config"
-                )
-        self.manifest = manifests[0]
-        self.analyzer = IndexConfig.analyzer_from_json(cfg0)
+        self.manifest, self.analyzer, seg_dirs = _alias_union(index_dir)
         self.params = params
-        seg_dirs = [s for d in dirs for s in active_segments(d)]
-        if not seg_dirs:
-            raise ValueError(f"no committed segments under {dirs}")
         self.readers = [
             SegmentReader(d, filter_cols, lazy=_resolve_lazy(d, lazy))
             for d in seg_dirs
@@ -1251,12 +1294,6 @@ class SearchEngine:
             cached = (terms, lens)
             r._dict_nonascii_cache = cached
         return cached
-
-    def _fuzzy1_candidates(self, qterm: str) -> set:
-        out: set = set()
-        for r in self.readers:
-            out.update(_segment_fuzzy1_terms(r, qterm))
-        return out
 
     def fuzzy_search(
         self,
@@ -1599,12 +1636,18 @@ class SearchEngine:
             null_placement="at_end",
         )
         tbl = tbl.take(idx)
-        vs = tbl[col].to_numpy(zero_copy_only=False)
-        n = len(vs)
+        # null-safe group boundaries via dictionary codes: numeric nulls
+        # surface as NaN through to_numpy (NaN != NaN would split every
+        # null row into its own group); codes unify equal values and
+        # map all nulls to -1 — one missing-bucket group, as in ES
+        enc = pc.dictionary_encode(tbl[col].combine_chunks())
+        codes = pc.fill_null(
+            pc.cast(enc.indices, pa.int64()), -1
+        ).to_numpy(zero_copy_only=False)
+        n = codes.size
         new_grp = np.ones(n, dtype=bool)
         if n > 1:
-            # None != None is False in Python, so nulls stay one group
-            new_grp[1:] = vs[1:] != vs[:-1]
+            new_grp[1:] = codes[1:] != codes[:-1]
         starts = np.flatnonzero(new_grp)
         grp_id = np.cumsum(new_grp) - 1
         rank = np.arange(n) - starts[grp_id]
@@ -1788,10 +1831,23 @@ class SearchEngine:
                 if col not in r._meta.column_names:
                     raise KeyError(f"no facet column {col!r} in docmeta")
                 pos = np.searchsorted(r._doc_ids, d)
-                vals = r._meta[col].take(pa.array(pos)).to_pylist()
-                for v, sc in zip(vals, s):
-                    cnt[v] = cnt.get(v, 0) + 1
-                    tot[v] = tot.get(v, 0.0) + float(sc)
+                vals = r._meta[col].take(pa.array(pos)).combine_chunks()
+                # vectorized grouped count+sum: dictionary codes →
+                # bincount (accumulates in input order, so float sums
+                # equal the sequential per-doc adds the twin pins)
+                enc = pc.dictionary_encode(vals)
+                codes = pc.fill_null(
+                    pc.cast(enc.indices, pa.int64()), -1
+                ).to_numpy(zero_copy_only=False)
+                keys = [None] + enc.dictionary.to_pylist()
+                seg_n = np.bincount(codes + 1, minlength=len(keys))
+                seg_sum = np.bincount(
+                    codes + 1, weights=s, minlength=len(keys)
+                )
+                for i, v in enumerate(keys):
+                    if seg_n[i]:
+                        cnt[v] = cnt.get(v, 0) + int(seg_n[i])
+                        tot[v] = tot.get(v, 0.0) + float(seg_sum[i])
         items = sorted(
             cnt.items(),
             key=lambda kv: (-kv[1], kv[0] is None, kv[0] or ""),
@@ -2039,44 +2095,29 @@ class SearchEngine:
         ascending breaks ties — ES's implicit shard-doc tiebreak made
         explicit). Scores are not returned (ES skips scoring when a
         field sort replaces _score)."""
-        terms = list(dict.fromkeys(self.analyzer.tokenize(query)))
-        ids_p, val_p = [], []
-        if terms:
-            idfs = {
-                t: bm25_idf(self.df(t), self.n_docs, self.params)
-                for t in terms
-            }
-            for r in self.readers:
-                d, _ = _score_segment(
-                    r, terms, idfs, self.avgdl, mode, filters, self.params
-                )
-                if not d.size:
-                    continue
-                if col not in r._meta.column_names:
-                    raise KeyError(f"no sort column {col!r} in docmeta")
-                pos = np.searchsorted(r._doc_ids, d)
-                vals = r._meta[col].take(pa.array(pos)).to_numpy(
-                    zero_copy_only=False
-                )
-                ids_p.append(d)
-                val_p.append(vals)
-        if not ids_p:
+        ids, _, vals = self._score_all_with_meta(query, col, mode, filters)
+        if not ids.size:
             return pa.table(
                 {
                     "doc_id": pa.array([], type=pa.int64()),
-                    col: pa.array([], type=pa.int64()),
+                    col: pa.array([], type=vals.type),
                 }
             )
-        ids = np.concatenate(ids_p)
-        vals = np.concatenate(val_p)
-        sign = -1 if descending else 1
-        order = np.lexsort((ids, sign * vals))[:k]
-        return pa.table(
-            {
-                "doc_id": pa.array(ids[order], type=pa.int64()),
-                col: pa.array(vals[order]),
-            }
+        # Arrow multi-key sort: correct descending order for string
+        # (and any other) key types — numpy's sign*vals trick silently
+        # breaks on object arrays (str.__mul__(-1) == '' per element)
+        tbl = pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()), col: vals}
         )
+        order = pc.sort_indices(
+            tbl,
+            sort_keys=[
+                (col, "descending" if descending else "ascending"),
+                ("doc_id", "ascending"),
+            ],
+            null_placement="at_end",
+        )
+        return tbl.take(order[:k])
 
     def suggest_phrase(
         self,
@@ -2108,8 +2149,22 @@ class SearchEngine:
             ):
                 cands.append((int(d), -int(f), s))
             cands.sort()
-            options.append(cands[:per_token] or [(max_edits + 1, 0, t)])
+            if not cands:
+                # a token with NO in-budget correction kills every
+                # candidate phrase — the twin's per-token CTE is empty,
+                # so the cross product (and the result) must be too
+                options = []
+                break
+            options.append(cands[:per_token])
         rows = []
+        if not options:  # no tokens, or an uncorrectable token
+            return pa.table(
+                {
+                    "phrase": pa.array([], type=pa.string()),
+                    "total_distance": pa.array([], type=pa.int64()),
+                    "df_product": pa.array([], type=pa.int64()),
+                }
+            )
         for combo in itertools.product(*options):
             dist = sum(c[0] for c in combo)
             dfp = 1
@@ -2687,24 +2742,10 @@ class DistributedSearchEngine:
         filter_cols: tuple = ("lang", "repo"),
     ):
         # list = ES index alias (see SearchEngine): union of segments,
-        # global stats across aliased indices
-        dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
-        manifests = []
-        for d in dirs:
-            with open(os.path.join(d, INDEX_MANIFEST_NAME)) as f:
-                manifests.append(json.load(f))
-        cfg0 = manifests[0]["config"]
-        for m, d in zip(manifests[1:], dirs[1:]):
-            if m["config"] != cfg0:
-                raise ValueError(
-                    f"aliased index {d} has a different analyzer/config"
-                )
-        self.manifest = manifests[0]
-        self.analyzer = IndexConfig.analyzer_from_json(cfg0)
+        # global stats across aliased indices — same shared resolution
+        # + contract checks as the in-process engine
+        self.manifest, self.analyzer, seg_dirs = _alias_union(index_dir)
         self.params = params
-        seg_dirs = [s for d in dirs for s in active_segments(d)]
-        if not seg_dirs:
-            raise ValueError(f"no committed segments under {dirs}")
         if max_actors is None:
             try:
                 max_actors = max(

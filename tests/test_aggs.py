@@ -221,3 +221,83 @@ def test_span_near_rejects_non_pair(ray_session, agg_corpus, tmp_path):
         eng.span_near_search("red red", slop=1)
     with pytest.raises(ValueError, match="two distinct"):
         eng.span_near_search("red blue gold", slop=1)
+
+
+def test_sort_by_field_descending_string(ray_session, agg_corpus, tmp_path):
+    """Regression: descending sort on a STRING docmeta column (numpy's
+    sign*vals trick yields '' per element on object arrays — silent
+    doc_id-order results)."""
+    path, docs, doc_langs, _ = agg_corpus
+    eng = _build(path, str(tmp_path / "soidx"), docs_per_spec=64)
+    scores = _brute_and_scores(docs, QUERY)
+    t = eng.sort_by_field(QUERY, "lang", k=10, descending=True).to_pandas()
+    # expected: lang desc, doc_id asc, nulls last
+    non_null = [(doc_langs[i], i) for i in scores if doc_langs[i] is not None]
+    non_null.sort(key=lambda x: x[1])
+    non_null.sort(key=lambda x: x[0], reverse=True)
+    want = non_null[:10]
+    got = [
+        (r.lang, int(r.doc_id))
+        for r in t.itertuples()
+        if isinstance(r.lang, str)
+    ]
+    assert got == want[: len(got)]
+    assert t["lang"].iloc[0] == max(v for v, _ in non_null)
+
+
+def test_grouped_top_hits_numeric_null_one_bucket(ray_session, tmp_path):
+    """Regression: numeric group keys with NULLs must form ONE missing
+    bucket (NaN != NaN would split every null row into its own group)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 40
+    texts = ["red blue"] * n
+    vals = [None if i % 2 else 7 for i in range(n)]
+    path = str(tmp_path / "nn.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), type=pa.int64()),
+                "text": pa.array(texts),
+                "val": pa.array(vals, type=pa.int64()),
+            }
+        ),
+        path,
+    )
+    cfg = IndexConfig(
+        analyzer=Analyzer(), content_col="text", id_col="doc_id",
+        meta_cols=("val",), docs_per_spec=16,
+    )
+    build_index(path, str(tmp_path / "nnidx"), cfg)
+    eng = SearchEngine(
+        str(tmp_path / "nnidx"), filter_cols=("val",), lazy=False
+    )
+    t = eng.grouped_top_hits("red blue", "val", per_group=2).to_pandas()
+    # exactly 2 winners for val=7 and 2 for the single null bucket
+    assert len(t) == 4
+    collapsed = eng.collapse_search("red blue", "val", k=10).to_pandas()
+    assert len(collapsed) == 2  # one winner per group incl. missing
+
+
+def test_suggest_phrase_uncorrectable_token_empty(ray_session, agg_corpus, tmp_path):
+    """Regression: a token with no in-budget correction must yield an
+    EMPTY suggestion set (the SQL twin's cross product is empty), not a
+    fabricated echo-the-typo candidate."""
+    path, _, _, _ = agg_corpus
+    eng = _build(path, str(tmp_path / "spidx"), docs_per_spec=64)
+    t = eng.suggest_phrase("qqqqqqqqqq red", max_edits=2)
+    assert t.num_rows == 0
+    # and a fully correctable phrase still suggests
+    assert eng.suggest_phrase("redd bluu", max_edits=2).num_rows > 0
+
+
+def test_alias_rejects_overlapping_docids(ray_session, agg_corpus, tmp_path):
+    """Alias contract: two indices over the same (default, dense) docID
+    space must be refused, not silently double-counted."""
+    path, _, _, _ = agg_corpus
+    a = _build(path, str(tmp_path / "al_a"), docs_per_spec=64)
+    b = _build(path, str(tmp_path / "al_b"), docs_per_spec=200)
+    del a, b
+    with pytest.raises(ValueError, match="docID-disjoint"):
+        SearchEngine([str(tmp_path / "al_a"), str(tmp_path / "al_b")])

@@ -85,3 +85,19 @@ def test_stopwords_roundtrip_kwargs():
     assert a.stopwords == ("the", "a")
     b = Analyzer(**a.to_kwargs())
     assert b == a
+
+
+def test_stopwords_survive_index_config_roundtrip():
+    """Regression: IndexConfig.to_json() must carry analyzer stopwords —
+    dropping them makes the ES 'stop'-filter feature a silent no-op on
+    every indexed path (build workers, engines, CLI analyze)."""
+    from datamart_ray.index.build import IndexConfig
+
+    cfg = IndexConfig(analyzer=Analyzer(stopwords=("the", "a")))
+    back = IndexConfig.analyzer_from_json(cfg.to_json())
+    assert back.stopwords == ("a", "the") or set(back.stopwords) == {"the", "a"}
+    assert back.tokenize("the hash a join") == ["hash", "join"]
+    # old manifests without the key keep the default empty tuple
+    obj = cfg.to_json()
+    del obj["analyzer"]["stopwords"]
+    assert IndexConfig.analyzer_from_json(obj).stopwords == ()
