@@ -2096,6 +2096,86 @@ def _percentiles_sql(query: str, col: str, pcts: tuple) -> str:
     """
 
 
+HIST_INTERVAL = 200  # histogram-agg bucket width over n_chars
+
+
+def ft_extended_stats(sf_dir: str) -> pd.DataFrame:
+    """ES extended_stats aggregation over `n_chars` of every matching
+    doc — exact integer n/min/max/sum, pinned-formula variance/std."""
+    eng = get_engine(sf_dir)
+    out = eng.matched_extended_stats(
+        BM25_QUERY, "n_chars", mode="and"
+    ).to_pandas()
+    for c in ("avg", "variance", "std"):
+        out[c] = round_away(out[c], 4)
+    return out
+
+
+def _extended_stats_sql(query: str, col: str) -> str:
+    terms = list(dict.fromkeys(ANALYZER.tokenize(query)))
+    qvals = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+        WITH {_tok_cte()},
+        qterms(term) AS (VALUES {qvals}),
+        matched AS (
+            SELECT doc_id
+            FROM (SELECT DISTINCT doc_id, term FROM tok) x
+            JOIN qterms USING (term)
+            GROUP BY doc_id
+            HAVING count(*) = {len(terms)}
+        ),
+        vals AS (
+            SELECT d.{col}::BIGINT AS v
+            FROM matched m JOIN documents d USING (doc_id)
+            WHERE d.{col} IS NOT NULL
+        ),
+        agg AS (
+            SELECT count(*)::BIGINT AS n, min(v) AS mn, max(v) AS mx,
+                   sum(v)::BIGINT AS s, sum(v * v)::BIGINT AS sq
+            FROM vals
+        )
+        SELECT n, mn AS min, mx AS max, s AS sum,
+               ROUND(s / n::DOUBLE, 4) AS avg,
+               ROUND((sq - (s * s) / n::DOUBLE) / n::DOUBLE, 4)
+                   AS variance,
+               ROUND(sqrt((sq - (s * s) / n::DOUBLE) / n::DOUBLE), 4)
+                   AS std
+        FROM agg
+    """
+
+
+def ft_nchars_histogram(sf_dir: str) -> pd.DataFrame:
+    """ES histogram aggregation: fixed-interval buckets over `n_chars`
+    of every matching doc (min_doc_count=1)."""
+    eng = get_engine(sf_dir)
+    out = eng.matched_histogram(
+        BM25_QUERY, "n_chars", HIST_INTERVAL, mode="and"
+    ).to_pandas()
+    return out
+
+
+def _nchars_histogram_sql(query: str, col: str, interval: int) -> str:
+    terms = list(dict.fromkeys(ANALYZER.tokenize(query)))
+    qvals = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+        WITH {_tok_cte()},
+        qterms(term) AS (VALUES {qvals}),
+        matched AS (
+            SELECT doc_id
+            FROM (SELECT DISTINCT doc_id, term FROM tok) x
+            JOIN qterms USING (term)
+            GROUP BY doc_id
+            HAVING count(*) = {len(terms)}
+        )
+        SELECT (d.{col} // {interval}) * {interval} AS bucket,
+               count(*)::BIGINT AS n
+        FROM matched m JOIN documents d USING (doc_id)
+        WHERE d.{col} IS NOT NULL
+        GROUP BY bucket
+        ORDER BY bucket
+    """
+
+
 def ft_span_near_topk(sf_dir: str) -> pd.DataFrame:
     """ES span_near (in_order=false, slop=3) over the two PHRASE_QUERY
     terms: BM25 top-k where tf counts unordered position pairs within
@@ -2729,6 +2809,10 @@ def build_sql() -> dict[str, str]:
             BM25_QUERY, "n_chars", PCT_QS
         ),
         "ft_span_near_topk": _span_near_sql(PHRASE_QUERY, SPAN_SLOP, BM25_K),
+        "ft_extended_stats": _extended_stats_sql(BM25_QUERY, "n_chars"),
+        "ft_nchars_histogram": _nchars_histogram_sql(
+            BM25_QUERY, "n_chars", HIST_INTERVAL
+        ),
         "ft_term_vectors": _term_vectors_sql(TV_DOC_ID),
         "ft_constant_score": _constant_score_sql(
             BM25_QUERY, CONST_BOOST, BM25_K
@@ -2905,6 +2989,8 @@ QUERIES = {
     "ft_collapse_source_topk": ft_collapse_source_topk,
     "ft_nchars_percentiles": ft_nchars_percentiles,
     "ft_span_near_topk": ft_span_near_topk,
+    "ft_extended_stats": ft_extended_stats,
+    "ft_nchars_histogram": ft_nchars_histogram,
     "ft_term_vectors": ft_term_vectors,
     "ft_facet_lang_stats": ft_facet_lang_stats,
     "ft_term_suggest": ft_term_suggest,

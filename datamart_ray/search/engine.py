@@ -1716,6 +1716,80 @@ class SearchEngine:
             }
         )
 
+    def matched_extended_stats(
+        self,
+        query: str,
+        col: str,
+        mode: str = "and",
+        filters: dict[str, str] | None = None,
+    ) -> pa.Table:
+        """ES ``extended_stats`` aggregation over integer docmeta column
+        `col` of every matching doc: n/min/max/sum exact in int64; avg,
+        population variance and std derived from the integer sums with
+        the pinned formula var = (Σv² − (Σv)²/n)/n — the SQL twin spells
+        the same arithmetic, so floats match bit-for-bit."""
+        _, _, v = self._score_all_with_meta(query, col, mode, filters)
+        arr = v.drop_null()
+        n = len(arr)
+        if n == 0:
+            return pa.table(
+                {
+                    "n": pa.array([0], type=pa.int64()),
+                    "min": pa.array([None], type=pa.int64()),
+                    "max": pa.array([None], type=pa.int64()),
+                    "sum": pa.array([None], type=pa.int64()),
+                    "avg": pa.array([None], type=pa.float64()),
+                    "variance": pa.array([None], type=pa.float64()),
+                    "std": pa.array([None], type=pa.float64()),
+                }
+            )
+        x = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        s = int(x.sum())
+        sq = int((x * x).sum())
+        avg = s / n
+        var = (sq - (s * s) / n) / n
+        return pa.table(
+            {
+                "n": pa.array([n], type=pa.int64()),
+                "min": pa.array([int(x.min())], type=pa.int64()),
+                "max": pa.array([int(x.max())], type=pa.int64()),
+                "sum": pa.array([s], type=pa.int64()),
+                "avg": pa.array([avg], type=pa.float64()),
+                "variance": pa.array([var], type=pa.float64()),
+                "std": pa.array([float(np.sqrt(var))], type=pa.float64()),
+            }
+        )
+
+    def matched_histogram(
+        self,
+        query: str,
+        col: str,
+        interval: int,
+        mode: str = "and",
+        filters: dict[str, str] | None = None,
+    ) -> pa.Table:
+        """ES ``histogram`` aggregation: fixed-`interval` buckets
+        (bucket key = floor(v/interval)·interval) over integer docmeta
+        column `col` of every matching doc; empty buckets omitted
+        (min_doc_count=1). Output (bucket asc, n)."""
+        _, _, v = self._score_all_with_meta(query, col, mode, filters)
+        x = v.drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
+        if not x.size:
+            return pa.table(
+                {
+                    "bucket": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        b = (x // interval) * interval
+        keys, counts = np.unique(b, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(keys, type=pa.int64()),
+                "n": pa.array(counts.astype(np.int64), type=pa.int64()),
+            }
+        )
+
     def span_near_search(
         self, query: str, slop: int = 2, k: int = TOP_K_SIZE
     ) -> pa.Table:
