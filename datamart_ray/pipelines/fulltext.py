@@ -2176,6 +2176,48 @@ def _nchars_histogram_sql(query: str, col: str, interval: int) -> str:
     """
 
 
+def ft_top_hits_dist(sf_dir: str) -> pd.DataFrame:
+    """Distributed top_hits through the scorer-actor pool (per-actor
+    pre-truncated group heads, driver re-head) — same SQL twin as the
+    in-process entry, so the driver gates actor-count invariance."""
+    from datamart_ray.search.engine import DistributedSearchEngine
+
+    eng = get_engine(sf_dir)
+    index_dir = eng.readers[0].seg_dir.rsplit("/segments/", 1)[0]
+    deng = DistributedSearchEngine(index_dir, max_actors=4)
+    try:
+        t = deng.grouped_top_hits(
+            BM25_QUERY, "lang", per_group=TOPHITS_PER_GROUP, mode="and"
+        )
+    finally:
+        deng.shutdown()
+    out = t.to_pandas()
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
+def ft_extended_stats_dist(sf_dir: str) -> pd.DataFrame:
+    """Distributed extended_stats (integer partials merged exactly on
+    the driver) — same SQL twin as ft_extended_stats."""
+    from datamart_ray.search.engine import DistributedSearchEngine
+
+    eng = get_engine(sf_dir)
+    index_dir = eng.readers[0].seg_dir.rsplit("/segments/", 1)[0]
+    deng = DistributedSearchEngine(
+        index_dir, max_actors=4,
+        filter_cols=("lang", "source", "n_chars"),
+    )
+    try:
+        out = deng.matched_extended_stats(
+            BM25_QUERY, "n_chars", mode="and"
+        ).to_pandas()
+    finally:
+        deng.shutdown()
+    for c in ("avg", "variance", "std"):
+        out[c] = round_away(out[c], 4)
+    return out
+
+
 def ft_span_near_topk(sf_dir: str) -> pd.DataFrame:
     """ES span_near (in_order=false, slop=3) over the two PHRASE_QUERY
     terms: BM25 top-k where tf counts unordered position pairs within
@@ -2810,6 +2852,12 @@ def build_sql() -> dict[str, str]:
         ),
         "ft_span_near_topk": _span_near_sql(PHRASE_QUERY, SPAN_SLOP, BM25_K),
         "ft_extended_stats": _extended_stats_sql(BM25_QUERY, "n_chars"),
+        "ft_top_hits_dist": _top_hits_sql(
+            BM25_QUERY, "lang", TOPHITS_PER_GROUP
+        ),
+        "ft_extended_stats_dist": _extended_stats_sql(
+            BM25_QUERY, "n_chars"
+        ),
         "ft_nchars_histogram": _nchars_histogram_sql(
             BM25_QUERY, "n_chars", HIST_INTERVAL
         ),
@@ -2990,6 +3038,8 @@ QUERIES = {
     "ft_nchars_percentiles": ft_nchars_percentiles,
     "ft_span_near_topk": ft_span_near_topk,
     "ft_extended_stats": ft_extended_stats,
+    "ft_top_hits_dist": ft_top_hits_dist,
+    "ft_extended_stats_dist": ft_extended_stats_dist,
     "ft_nchars_histogram": ft_nchars_histogram,
     "ft_term_vectors": ft_term_vectors,
     "ft_facet_lang_stats": ft_facet_lang_stats,

@@ -976,6 +976,99 @@ def _combine_rescore(
     )
 
 
+def _collect_matches_with_meta(
+    readers: list,
+    terms: list[str],
+    idfs: dict[str, float],
+    avgdl: float,
+    col: str,
+    mode: str,
+    filters: dict | None,
+    params: BM25Params,
+) -> tuple[np.ndarray, np.ndarray, pa.Array]:
+    """(doc_ids, scores, col_values) of EVERY doc matching the terms
+    across `readers` — the shared full-match collector behind the
+    top_hits / collapse / percentiles / stats / histogram aggregations,
+    both in-process (all segments) and per scorer actor (its packed
+    segments, with driver-supplied global idfs)."""
+    d_parts: list[np.ndarray] = []
+    s_parts: list[np.ndarray] = []
+    v_parts: list[pa.Array] = []
+    if terms:
+        for r in readers:
+            d, s = _score_segment(
+                r, terms, idfs, avgdl, mode, filters, params
+            )
+            if not d.size:
+                continue
+            if col not in r._meta.column_names:
+                raise KeyError(
+                    f"no docmeta column {col!r} loaded — include it "
+                    "in SearchEngine(filter_cols=...) (and in "
+                    "IndexConfig.meta_cols at build time)"
+                )
+            pos = np.searchsorted(r._doc_ids, d)
+            vals = r._meta[col].take(pa.array(pos)).combine_chunks()
+            d_parts.append(d)
+            s_parts.append(s)
+            v_parts.append(
+                vals.chunk(0)
+                if isinstance(vals, pa.ChunkedArray)
+                else vals
+            )
+    if not d_parts:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.float64),
+            pa.array([], type=pa.string()),
+        )
+    return (
+        np.concatenate(d_parts),
+        np.concatenate(s_parts),
+        pa.concat_arrays(v_parts),
+    )
+
+
+def _empty_hits_table(col: str, val_type: pa.DataType) -> pa.Table:
+    return pa.table(
+        {
+            col: pa.array([], type=val_type),
+            "doc_id": pa.array([], type=pa.int64()),
+            "score": pa.array([], type=pa.float64()),
+        }
+    )
+
+
+def _grouped_head(tbl: pa.Table, col: str, per_group: int) -> pa.Table:
+    """Top `per_group` rows per `col` value of a (col, doc_id, score)
+    table: ONE Arrow multi-key sort + a vectorized rank filter. Group
+    boundaries via dictionary codes so NULL keys (NaN through numpy)
+    form one missing bucket. Output sorted (col asc nulls-last, score
+    desc, doc_id asc)."""
+    idx = pc.sort_indices(
+        tbl,
+        sort_keys=[
+            (col, "ascending"),
+            ("score", "descending"),
+            ("doc_id", "ascending"),
+        ],
+        null_placement="at_end",
+    )
+    tbl = tbl.take(idx)
+    enc = pc.dictionary_encode(tbl[col].combine_chunks())
+    codes = pc.fill_null(
+        pc.cast(enc.indices, pa.int64()), -1
+    ).to_numpy(zero_copy_only=False)
+    n = codes.size
+    new_grp = np.ones(n, dtype=bool)
+    if n > 1:
+        new_grp[1:] = codes[1:] != codes[:-1]
+    starts = np.flatnonzero(new_grp)
+    grp_id = np.cumsum(new_grp) - 1
+    rank = np.arange(n) - starts[grp_id]
+    return tbl.filter(pa.array(rank < per_group))
+
+
 def _alias_union(index_dir) -> tuple[dict, "Analyzer", list[str]]:
     """(primary manifest, analyzer, union of active segment dirs) for a
     single index dir or an alias LIST — shared by the in-process and
@@ -1556,48 +1649,17 @@ class SearchEngine:
     ) -> tuple[np.ndarray, np.ndarray, pa.Array]:
         """(doc_ids, scores, col_values) of EVERY doc matching `query`
         — the shared full-match collector behind the top_hits /
-        collapse / percentiles aggregations (same scoring path as
-        facet_counts, plus the docmeta column gather)."""
+        collapse / percentiles / stats / histogram aggregations (same
+        scoring path as facet_counts, plus the docmeta column
+        gather)."""
         terms = list(dict.fromkeys(self.analyzer.tokenize(query)))
-        d_parts: list[np.ndarray] = []
-        s_parts: list[np.ndarray] = []
-        v_parts: list[pa.Array] = []
-        if terms:
-            idfs = {
-                t: bm25_idf(self.df(t), self.n_docs, self.params)
-                for t in terms
-            }
-            for r in self.readers:
-                d, s = _score_segment(
-                    r, terms, idfs, self.avgdl, mode, filters, self.params
-                )
-                if not d.size:
-                    continue
-                if col not in r._meta.column_names:
-                    raise KeyError(
-                        f"no docmeta column {col!r} loaded — include it "
-                        "in SearchEngine(filter_cols=...) (and in "
-                        "IndexConfig.meta_cols at build time)"
-                    )
-                pos = np.searchsorted(r._doc_ids, d)
-                vals = r._meta[col].take(pa.array(pos)).combine_chunks()
-                d_parts.append(d)
-                s_parts.append(s)
-                v_parts.append(
-                    vals.chunk(0)
-                    if isinstance(vals, pa.ChunkedArray)
-                    else vals
-                )
-        if not d_parts:
-            return (
-                np.empty(0, dtype=np.int64),
-                np.empty(0, dtype=np.float64),
-                pa.array([], type=pa.string()),
-            )
-        return (
-            np.concatenate(d_parts),
-            np.concatenate(s_parts),
-            pa.concat_arrays(v_parts),
+        idfs = {
+            t: bm25_idf(self.df(t), self.n_docs, self.params)
+            for t in terms
+        }
+        return _collect_matches_with_meta(
+            self.readers, terms, idfs, self.avgdl, col, mode, filters,
+            self.params,
         )
 
     def grouped_top_hits(
@@ -1616,42 +1678,11 @@ class SearchEngine:
         sorted (col asc nulls-last, score desc, doc_id asc)."""
         d, s, v = self._score_all_with_meta(query, col, mode, filters)
         if not d.size:
-            return pa.table(
-                {
-                    col: pa.array([], type=v.type),
-                    "doc_id": pa.array([], type=pa.int64()),
-                    "score": pa.array([], type=pa.float64()),
-                }
-            )
+            return _empty_hits_table(col, v.type)
         tbl = pa.table(
             {col: v, "doc_id": pa.array(d), "score": pa.array(s)}
         )
-        idx = pc.sort_indices(
-            tbl,
-            sort_keys=[
-                (col, "ascending"),
-                ("score", "descending"),
-                ("doc_id", "ascending"),
-            ],
-            null_placement="at_end",
-        )
-        tbl = tbl.take(idx)
-        # null-safe group boundaries via dictionary codes: numeric nulls
-        # surface as NaN through to_numpy (NaN != NaN would split every
-        # null row into its own group); codes unify equal values and
-        # map all nulls to -1 — one missing-bucket group, as in ES
-        enc = pc.dictionary_encode(tbl[col].combine_chunks())
-        codes = pc.fill_null(
-            pc.cast(enc.indices, pa.int64()), -1
-        ).to_numpy(zero_copy_only=False)
-        n = codes.size
-        new_grp = np.ones(n, dtype=bool)
-        if n > 1:
-            new_grp[1:] = codes[1:] != codes[:-1]
-        starts = np.flatnonzero(new_grp)
-        grp_id = np.cumsum(new_grp) - 1
-        rank = np.arange(n) - starts[grp_id]
-        return tbl.filter(pa.array(rank < per_group))
+        return _grouped_head(tbl, col, per_group)
 
     def collapse_search(
         self,
@@ -2772,6 +2803,82 @@ class SegmentScorer:
                 )
         return agg
 
+    def top_hits_partial(
+        self,
+        terms: list[str],
+        idfs: dict[str, float],
+        avgdl: float,
+        col: str,
+        per_group: int,
+        mode: str,
+        filters: dict[str, str] | None,
+        params: BM25Params,
+    ) -> pa.Table:
+        """Per-actor top_hits partial: per-group top `per_group` over
+        this actor's segments (same vectorized head-select as the
+        in-process engine). The driver re-merges per group, so traffic
+        is O(groups × per_group × actors) — never the full match set."""
+        d, s, v = _collect_matches_with_meta(
+            self.readers, terms, idfs, avgdl, col, mode, filters, params
+        )
+        if not d.size:
+            return _empty_hits_table(col, v.type)
+        tbl = pa.table(
+            {col: v, "doc_id": pa.array(d), "score": pa.array(s)}
+        )
+        return _grouped_head(tbl, col, per_group)
+
+    def stats_partial(
+        self,
+        terms: list[str],
+        idfs: dict[str, float],
+        avgdl: float,
+        col: str,
+        mode: str,
+        filters: dict[str, str] | None,
+        params: BM25Params,
+    ) -> tuple:
+        """Per-actor extended_stats partial (n, min, max, Σv, Σv²) —
+        exactly mergeable integer sums, O(1) traffic per actor."""
+        _, _, v = _collect_matches_with_meta(
+            self.readers, terms, idfs, avgdl, col, mode, filters, params
+        )
+        arr = v.drop_null()
+        if not len(arr):
+            return 0, None, None, 0, 0
+        x = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        return (
+            int(x.size),
+            int(x.min()),
+            int(x.max()),
+            int(x.sum()),
+            int((x * x).sum()),
+        )
+
+    def hist_partial(
+        self,
+        terms: list[str],
+        idfs: dict[str, float],
+        avgdl: float,
+        col: str,
+        interval: int,
+        mode: str,
+        filters: dict[str, str] | None,
+        params: BM25Params,
+    ) -> dict:
+        """Per-actor histogram partial {bucket → n} — bucket counts
+        merge by addition, O(buckets) traffic per actor."""
+        _, _, v = _collect_matches_with_meta(
+            self.readers, terms, idfs, avgdl, col, mode, filters, params
+        )
+        arr = v.drop_null()
+        if not len(arr):
+            return {}
+        x = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (x // interval) * interval
+        keys, counts = np.unique(b, return_counts=True)
+        return {int(kk): int(cc) for kk, cc in zip(keys, counts)}
+
     def top_k(
         self,
         terms: list[str],
@@ -2896,16 +3003,9 @@ class DistributedSearchEngine:
         exhaustive here), then per-actor facet partials merged on the
         driver. Identical output to SearchEngine.facet_counts at any
         actor count; driver traffic O(distinct values · actors)."""
-        terms = list(dict.fromkeys(self.analyzer.tokenize(query)))
+        terms, idfs = self._agg_round(query)
         agg: dict = {}
         if terms:
-            df_maps = ray.get([a.dfs.remote(terms) for a in self.actors])
-            idfs = {
-                t: bm25_idf(
-                    sum(m[t] for m in df_maps), self.n_docs, self.params
-                )
-                for t in terms
-            }
             partials = ray.get(
                 [
                     a.facet_partial.remote(
@@ -2926,6 +3026,148 @@ class DistributedSearchEngine:
             {
                 col: pa.array([k for k, _ in items], type=pa.string()),
                 "n": pa.array([v for _, v in items], type=pa.int64()),
+            }
+        )
+
+    def _agg_round(self, query: str) -> tuple[list[str], dict]:
+        """Shared df round for the aggregation family: (terms, global
+        idfs)."""
+        terms = list(dict.fromkeys(self.analyzer.tokenize(query)))
+        if not terms:
+            return [], {}
+        df_maps = ray.get([a.dfs.remote(terms) for a in self.actors])
+        idfs = {
+            t: bm25_idf(
+                sum(m[t] for m in df_maps), self.n_docs, self.params
+            )
+            for t in terms
+        }
+        return terms, idfs
+
+    def grouped_top_hits(
+        self,
+        query: str,
+        col: str,
+        per_group: int = 3,
+        mode: str = "and",
+        filters: dict[str, str] | None = None,
+    ) -> pa.Table:
+        """Distributed top_hits aggregation: each actor returns its
+        per-group top `per_group` (a pre-truncated table), the driver
+        concats and re-heads per group. Traffic O(groups × per_group ×
+        actors); identical output to the in-process engine at any
+        actor count (the per-group global head of per-actor heads is
+        the global head)."""
+        terms, idfs = self._agg_round(query)
+        if not terms:
+            return _empty_hits_table(col, pa.string())
+        parts = ray.get(
+            [
+                a.top_hits_partial.remote(
+                    terms, idfs, self.avgdl, col, per_group, mode,
+                    filters, self.params,
+                )
+                for a in self.actors
+            ]
+        )
+        parts = [p for p in parts if p.num_rows]
+        if not parts:
+            return _empty_hits_table(col, pa.string())
+        return _grouped_head(
+            pa.concat_tables(parts, promote_options="default"),
+            col,
+            per_group,
+        )
+
+    def matched_extended_stats(
+        self,
+        query: str,
+        col: str,
+        mode: str = "and",
+        filters: dict[str, str] | None = None,
+    ) -> pa.Table:
+        """Distributed extended_stats: per-actor integer (n, min, max,
+        Σv, Σv²) partials merge exactly on the driver; the float
+        avg/var/std derivation is the same pinned formula as the
+        in-process engine, so outputs are bit-identical."""
+        terms, idfs = self._agg_round(query)
+        n = 0
+        mn = mx = None
+        s = sq = 0
+        if terms:
+            parts = ray.get(
+                [
+                    a.stats_partial.remote(
+                        terms, idfs, self.avgdl, col, mode, filters,
+                        self.params,
+                    )
+                    for a in self.actors
+                ]
+            )
+            for pn, pmn, pmx, ps, psq in parts:
+                if not pn:
+                    continue
+                n += pn
+                s += ps
+                sq += psq
+                mn = pmn if mn is None else min(mn, pmn)
+                mx = pmx if mx is None else max(mx, pmx)
+        if n == 0:
+            return pa.table(
+                {
+                    "n": pa.array([0], type=pa.int64()),
+                    "min": pa.array([None], type=pa.int64()),
+                    "max": pa.array([None], type=pa.int64()),
+                    "sum": pa.array([None], type=pa.int64()),
+                    "avg": pa.array([None], type=pa.float64()),
+                    "variance": pa.array([None], type=pa.float64()),
+                    "std": pa.array([None], type=pa.float64()),
+                }
+            )
+        avg = s / n
+        var = (sq - (s * s) / n) / n
+        return pa.table(
+            {
+                "n": pa.array([n], type=pa.int64()),
+                "min": pa.array([mn], type=pa.int64()),
+                "max": pa.array([mx], type=pa.int64()),
+                "sum": pa.array([s], type=pa.int64()),
+                "avg": pa.array([avg], type=pa.float64()),
+                "variance": pa.array([var], type=pa.float64()),
+                "std": pa.array([float(np.sqrt(var))], type=pa.float64()),
+            }
+        )
+
+    def matched_histogram(
+        self,
+        query: str,
+        col: str,
+        interval: int,
+        mode: str = "and",
+        filters: dict[str, str] | None = None,
+    ) -> pa.Table:
+        """Distributed histogram aggregation: per-actor {bucket → n}
+        partials merged by addition on the driver."""
+        terms, idfs = self._agg_round(query)
+        agg: dict = {}
+        if terms:
+            parts = ray.get(
+                [
+                    a.hist_partial.remote(
+                        terms, idfs, self.avgdl, col, interval, mode,
+                        filters, self.params,
+                    )
+                    for a in self.actors
+                ]
+            )
+            for p in parts:
+                for b, c in p.items():
+                    agg[b] = agg.get(b, 0) + c
+        keys = sorted(agg)
+        return pa.table(
+            {
+                "bucket": pa.array(keys, type=pa.int64()),
+                "n": pa.array([agg[b] for b in keys], type=pa.int64()),
             }
         )
 

@@ -301,3 +301,28 @@ def test_alias_rejects_overlapping_docids(ray_session, agg_corpus, tmp_path):
     del a, b
     with pytest.raises(ValueError, match="docID-disjoint"):
         SearchEngine([str(tmp_path / "al_a"), str(tmp_path / "al_b")])
+
+
+def test_distributed_aggs_match_inprocess(ray_session, agg_corpus, tmp_path):
+    """top_hits / extended_stats / histogram through the scorer-actor
+    pool equal the in-process engine at any actor count."""
+    from datamart_ray.search.engine import DistributedSearchEngine
+
+    path, _, _, _ = agg_corpus
+    eng = _build(path, str(tmp_path / "daidx"), docs_per_spec=40)
+    deng = DistributedSearchEngine(
+        str(tmp_path / "daidx"), max_actors=3,
+        filter_cols=("lang", "val"),
+    )
+    try:
+        a = eng.grouped_top_hits(QUERY, "lang", per_group=2).to_pandas()
+        b = deng.grouped_top_hits(QUERY, "lang", per_group=2).to_pandas()
+        assert a.equals(b)
+        a = eng.matched_extended_stats(QUERY, "val").to_pandas()
+        b = deng.matched_extended_stats(QUERY, "val").to_pandas()
+        assert a.equals(b)
+        a = eng.matched_histogram(QUERY, "val", 500).to_pandas()
+        b = deng.matched_histogram(QUERY, "val", 500).to_pandas()
+        assert a.equals(b)
+    finally:
+        deng.shutdown()
