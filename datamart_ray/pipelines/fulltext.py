@@ -2218,6 +2218,52 @@ def ft_extended_stats_dist(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def ft_grouped_percentiles(sf_dir: str) -> pd.DataFrame:
+    """ES nested terms→percentiles aggregation: per-`lang` n_chars
+    quantiles over every matching doc (exact quantile_cont parity)."""
+    eng = get_engine(sf_dir)
+    out = eng.matched_grouped_percentiles(
+        BM25_QUERY, "lang", "n_chars", PCT_QS, mode="and"
+    ).to_pandas()
+    out["value"] = round_away(out["value"], 4)
+    return out
+
+
+def _grouped_percentiles_sql(
+    query: str, group_col: str, val_col: str, pcts: tuple
+) -> str:
+    terms = list(dict.fromkeys(ANALYZER.tokenize(query)))
+    qvals = ", ".join(f"('{t}')" for t in terms)
+    lst = ", ".join(str(p) for p in pcts)
+    return f"""
+        WITH {_tok_cte()},
+        qterms(term) AS (VALUES {qvals}),
+        matched AS (
+            SELECT doc_id
+            FROM (SELECT DISTINCT doc_id, term FROM tok) x
+            JOIN qterms USING (term)
+            GROUP BY doc_id
+            HAVING count(*) = {len(terms)}
+        ),
+        vals AS (
+            SELECT d.{group_col} AS {group_col}, d.{val_col}::DOUBLE AS v
+            FROM matched m JOIN documents d USING (doc_id)
+            WHERE d.{val_col} IS NOT NULL
+        ),
+        g AS (
+            SELECT {group_col}, quantile_cont(v, [{lst}]) AS qa
+            FROM vals GROUP BY {group_col}
+        ),
+        u AS (
+            SELECT {group_col}, unnest([{lst}]) AS pct,
+                   unnest(qa) AS value
+            FROM g
+        )
+        SELECT {group_col}, pct, ROUND(value, 4) AS value FROM u
+        ORDER BY {group_col}, pct
+    """
+
+
 def ft_span_near_topk(sf_dir: str) -> pd.DataFrame:
     """ES span_near (in_order=false, slop=3) over the two PHRASE_QUERY
     terms: BM25 top-k where tf counts unordered position pairs within
@@ -2861,6 +2907,9 @@ def build_sql() -> dict[str, str]:
         "ft_nchars_histogram": _nchars_histogram_sql(
             BM25_QUERY, "n_chars", HIST_INTERVAL
         ),
+        "ft_grouped_percentiles": _grouped_percentiles_sql(
+            BM25_QUERY, "lang", "n_chars", PCT_QS
+        ),
         "ft_term_vectors": _term_vectors_sql(TV_DOC_ID),
         "ft_constant_score": _constant_score_sql(
             BM25_QUERY, CONST_BOOST, BM25_K
@@ -3041,6 +3090,7 @@ QUERIES = {
     "ft_top_hits_dist": ft_top_hits_dist,
     "ft_extended_stats_dist": ft_extended_stats_dist,
     "ft_nchars_histogram": ft_nchars_histogram,
+    "ft_grouped_percentiles": ft_grouped_percentiles,
     "ft_term_vectors": ft_term_vectors,
     "ft_facet_lang_stats": ft_facet_lang_stats,
     "ft_term_suggest": ft_term_suggest,

@@ -976,6 +976,60 @@ def _combine_rescore(
     )
 
 
+def _collect_matches_with_meta_cols(
+    readers: list,
+    terms: list[str],
+    idfs: dict[str, float],
+    avgdl: float,
+    cols: tuple,
+    mode: str,
+    filters: dict | None,
+    params: BM25Params,
+) -> tuple[np.ndarray, np.ndarray, list[pa.Array]]:
+    """(doc_ids, scores, [col_values...]) of EVERY doc matching the
+    terms across `readers` — the shared full-match collector behind the
+    top_hits / collapse / percentiles / stats / histogram aggregations,
+    both in-process (all segments) and per scorer actor (its packed
+    segments, with driver-supplied global idfs)."""
+    d_parts: list[np.ndarray] = []
+    s_parts: list[np.ndarray] = []
+    v_parts: list[list[pa.Array]] = [[] for _ in cols]
+    if terms:
+        for r in readers:
+            d, s = _score_segment(
+                r, terms, idfs, avgdl, mode, filters, params
+            )
+            if not d.size:
+                continue
+            pos = pa.array(np.searchsorted(r._doc_ids, d))
+            for j, col in enumerate(cols):
+                if col not in r._meta.column_names:
+                    raise KeyError(
+                        f"no docmeta column {col!r} loaded — include it "
+                        "in SearchEngine(filter_cols=...) (and in "
+                        "IndexConfig.meta_cols at build time)"
+                    )
+                vals = r._meta[col].take(pos).combine_chunks()
+                v_parts[j].append(
+                    vals.chunk(0)
+                    if isinstance(vals, pa.ChunkedArray)
+                    else vals
+                )
+            d_parts.append(d)
+            s_parts.append(s)
+    if not d_parts:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.float64),
+            [pa.array([], type=pa.string()) for _ in cols],
+        )
+    return (
+        np.concatenate(d_parts),
+        np.concatenate(s_parts),
+        [pa.concat_arrays(p) for p in v_parts],
+    )
+
+
 def _collect_matches_with_meta(
     readers: list,
     terms: list[str],
@@ -986,47 +1040,12 @@ def _collect_matches_with_meta(
     filters: dict | None,
     params: BM25Params,
 ) -> tuple[np.ndarray, np.ndarray, pa.Array]:
-    """(doc_ids, scores, col_values) of EVERY doc matching the terms
-    across `readers` — the shared full-match collector behind the
-    top_hits / collapse / percentiles / stats / histogram aggregations,
-    both in-process (all segments) and per scorer actor (its packed
-    segments, with driver-supplied global idfs)."""
-    d_parts: list[np.ndarray] = []
-    s_parts: list[np.ndarray] = []
-    v_parts: list[pa.Array] = []
-    if terms:
-        for r in readers:
-            d, s = _score_segment(
-                r, terms, idfs, avgdl, mode, filters, params
-            )
-            if not d.size:
-                continue
-            if col not in r._meta.column_names:
-                raise KeyError(
-                    f"no docmeta column {col!r} loaded — include it "
-                    "in SearchEngine(filter_cols=...) (and in "
-                    "IndexConfig.meta_cols at build time)"
-                )
-            pos = np.searchsorted(r._doc_ids, d)
-            vals = r._meta[col].take(pa.array(pos)).combine_chunks()
-            d_parts.append(d)
-            s_parts.append(s)
-            v_parts.append(
-                vals.chunk(0)
-                if isinstance(vals, pa.ChunkedArray)
-                else vals
-            )
-    if not d_parts:
-        return (
-            np.empty(0, dtype=np.int64),
-            np.empty(0, dtype=np.float64),
-            pa.array([], type=pa.string()),
-        )
-    return (
-        np.concatenate(d_parts),
-        np.concatenate(s_parts),
-        pa.concat_arrays(v_parts),
+    """Single-column convenience wrapper over
+    _collect_matches_with_meta_cols."""
+    d, s, vs = _collect_matches_with_meta_cols(
+        readers, terms, idfs, avgdl, (col,), mode, filters, params
     )
+    return d, s, vs[0]
 
 
 def _empty_hits_table(col: str, val_type: pa.DataType) -> pa.Table:
@@ -1818,6 +1837,78 @@ class SearchEngine:
             {
                 "bucket": pa.array(keys, type=pa.int64()),
                 "n": pa.array(counts.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    def matched_grouped_percentiles(
+        self,
+        query: str,
+        group_col: str,
+        val_col: str,
+        pcts: tuple = (0.25, 0.5, 0.75, 0.95, 0.99),
+        mode: str = "and",
+        filters: dict[str, str] | None = None,
+    ) -> pa.Table:
+        """ES nested aggregation — ``terms`` over `group_col` with a
+        ``percentiles`` sub-aggregation over numeric `val_col` — across
+        EVERY matching doc. One Arrow sort groups the match set; each
+        group's quantiles are exact linear interpolation on the
+        contiguous slice (quantile_cont parity, like
+        matched_percentiles). Output (group, pct, value) sorted (group
+        asc nulls-last, pct asc); NULL group keys form one missing
+        bucket, NULL values are dropped."""
+        terms = list(dict.fromkeys(self.analyzer.tokenize(query)))
+        idfs = {
+            t: bm25_idf(self.df(t), self.n_docs, self.params)
+            for t in terms
+        }
+        d, _, (gv, vv) = _collect_matches_with_meta_cols(
+            self.readers, terms, idfs, self.avgdl,
+            (group_col, val_col), mode, filters, self.params,
+        )
+        qs = np.asarray(pcts, dtype=np.float64)
+        empty = pa.table(
+            {
+                group_col: pa.array([], type=gv.type),
+                "pct": pa.array([], type=pa.float64()),
+                "value": pa.array([], type=pa.float64()),
+            }
+        )
+        if not d.size:
+            return empty
+        tbl = pa.table({group_col: gv, "v": vv}).filter(pc.is_valid(vv))
+        if not tbl.num_rows:
+            return empty
+        idx = pc.sort_indices(
+            tbl,
+            sort_keys=[(group_col, "ascending"), ("v", "ascending")],
+            null_placement="at_end",
+        )
+        tbl = tbl.take(idx)
+        enc = pc.dictionary_encode(tbl[group_col].combine_chunks())
+        codes = pc.fill_null(
+            pc.cast(enc.indices, pa.int64()), -1
+        ).to_numpy(zero_copy_only=False)
+        vals = tbl["v"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = codes.size
+        new_grp = np.ones(n, dtype=bool)
+        if n > 1:
+            new_grp[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(new_grp)
+        ends = np.append(starts[1:], n)
+        gkeys = tbl[group_col].take(pa.array(starts)).to_pylist()
+        g_out, p_out, v_out = [], [], []
+        for gk, lo, hi in zip(gkeys, starts, ends):
+            # slice is pre-sorted — quantile interpolates in place
+            q = np.quantile(vals[lo:hi], qs, method="linear")
+            g_out.extend([gk] * qs.size)
+            p_out.extend(qs.tolist())
+            v_out.extend(q.tolist())
+        return pa.table(
+            {
+                group_col: pa.array(g_out, type=gv.type),
+                "pct": pa.array(p_out, type=pa.float64()),
+                "value": pa.array(v_out, type=pa.float64()),
             }
         )
 
