@@ -2218,6 +2218,56 @@ def ft_extended_stats_dist(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+FILTER_BUCKETS = (
+    # ES `filters` aggregation: named filter buckets, each counted over
+    # the whole corpus independently (AND semantics per bucket)
+    ("hash_join", "window hash join"),
+    ("phrase_terms", "window join"),
+    ("single", "json"),
+)
+
+
+def ft_filters_agg(sf_dir: str) -> pd.DataFrame:
+    """ES ``filters`` aggregation analog: one named bucket per stored
+    filter query, each bucket = its AND match count (the `_count` path
+    per bucket — counting only, no scoring)."""
+    eng = get_engine(sf_dir)
+    return pd.DataFrame(
+        {
+            "bucket": [n for n, _ in FILTER_BUCKETS],
+            "n": pd.array(
+                [
+                    eng.match_count(q, mode="and")
+                    for _, q in FILTER_BUCKETS
+                ],
+                dtype="int64",
+            ),
+        }
+    )
+
+
+def _filters_agg_sql(buckets: tuple) -> str:
+    parts = []
+    for name, query in buckets:
+        terms = list(dict.fromkeys(ANALYZER.tokenize(query)))
+        qvals = ", ".join(f"('{t}')" for t in terms)
+        parts.append(f"""
+        SELECT '{name}' AS bucket, (
+            SELECT count(*) FROM (
+                SELECT doc_id
+                FROM (SELECT DISTINCT doc_id, term FROM tok) x
+                JOIN (VALUES {qvals}) q(term) USING (term)
+                GROUP BY doc_id
+                HAVING count(*) = {len(terms)}
+            )
+        )::BIGINT AS n""")
+    body = "\n        UNION ALL\n".join(parts)
+    return f"""
+        WITH {_tok_cte()}
+        {body}
+    """
+
+
 def ft_grouped_percentiles(sf_dir: str) -> pd.DataFrame:
     """ES nested terms→percentiles aggregation: per-`lang` n_chars
     quantiles over every matching doc (exact quantile_cont parity)."""
@@ -2910,6 +2960,7 @@ def build_sql() -> dict[str, str]:
         "ft_grouped_percentiles": _grouped_percentiles_sql(
             BM25_QUERY, "lang", "n_chars", PCT_QS
         ),
+        "ft_filters_agg": _filters_agg_sql(FILTER_BUCKETS),
         "ft_term_vectors": _term_vectors_sql(TV_DOC_ID),
         "ft_constant_score": _constant_score_sql(
             BM25_QUERY, CONST_BOOST, BM25_K
@@ -3091,6 +3142,7 @@ QUERIES = {
     "ft_extended_stats_dist": ft_extended_stats_dist,
     "ft_nchars_histogram": ft_nchars_histogram,
     "ft_grouped_percentiles": ft_grouped_percentiles,
+    "ft_filters_agg": ft_filters_agg,
     "ft_term_vectors": ft_term_vectors,
     "ft_facet_lang_stats": ft_facet_lang_stats,
     "ft_term_suggest": ft_term_suggest,
