@@ -2268,6 +2268,132 @@ def _filters_agg_sql(buckets: tuple) -> str:
     """
 
 
+RRF_WINDOW = 50  # per-leg candidate window (ES rank_window_size)
+RRF_K = 60  # ES rrf rank_constant default
+RRF_TOPK = 10
+RRF_QVEC = 7  # query = this row's embedding (vec_id aligns with doc_id)
+
+
+def hy_rrf_hybrid(sf_dir: str) -> pd.DataFrame:
+    """ES 8 hybrid retrieval with reciprocal-rank fusion: a BM25 leg
+    (OR-mode top-window over `documents`) and a vector leg (distributed
+    brute cosine top-window over `embeddings`, query = RRF_QVEC's
+    embedding) fused as Σ 1/(RRF_K + rank). Window membership is
+    decided on raw scores (each leg's gated top-k semantics); ranks
+    within a window are assigned on the ROUNDED leg score with docID
+    tie-break, so both legs' rank orders are reproducible by the SQL
+    twin bit-for-bit. Docs absent from a leg contribute 0 from it, as
+    in ES."""
+    from datamart_ray.stages.similarity import _brute_topk
+
+    eng = get_engine(sf_dir)
+    bm = eng.search(BM25_QUERY, k=RRF_WINDOW, mode="or").to_pandas()
+    bm["s"] = round_away(bm["score"], 4)
+    bm = bm.sort_values(["s", "doc_id"], ascending=[False, True])
+    bm_rank = {
+        int(d): i + 1 for i, d in enumerate(bm["doc_id"].tolist())
+    }
+    vec = _brute_topk(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        (RRF_QVEC,),
+        RRF_WINDOW,
+        "vec_id",
+        "embedding",
+    )
+    vec = vec.sort_values(["sim", "neighbor_id"], ascending=[False, True])
+    v_rank = {
+        int(d): i + 1 for i, d in enumerate(vec["neighbor_id"].tolist())
+    }
+    rows = []
+    for d in sorted(set(bm_rank) | set(v_rank)):
+        r = 0.0
+        if d in bm_rank:
+            r += 1.0 / (RRF_K + bm_rank[d])
+        if d in v_rank:  # leg order pinned: bm25 first, then vector
+            r += 1.0 / (RRF_K + v_rank[d])
+        rows.append((d, r))
+    rows.sort(key=lambda x: (-x[1], x[0]))
+    rows = rows[:RRF_TOPK]
+    out = pd.DataFrame(rows, columns=["doc_id", "rrf"])
+    out["rrf"] = round_away(out["rrf"], 6)
+    return out
+
+
+def _rrf_sql(
+    query: str, qvec: int, window: int, rk: int, k: int
+) -> str:
+    terms = list(dict.fromkeys(ANALYZER.tokenize(query)))
+    qvals = ", ".join(f"('{t}', {i})" for i, t in enumerate(terms))
+    return f"""
+        WITH {_tok_cte()},
+        tf AS (
+            SELECT doc_id, term, count(*)::DOUBLE AS tf
+            FROM tok GROUP BY doc_id, term
+        ),
+        dl AS (
+            SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id
+        ),
+        stats AS (
+            SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                   (SELECT sum(dl) FROM dl)
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        qterms(term, qord) AS (VALUES {qvals}),
+        contrib AS (
+            SELECT tf.doc_id, q.qord,
+                   ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+            FROM tf
+            JOIN qterms q USING (term)
+            JOIN df USING (term)
+            JOIN dl USING (doc_id)
+            CROSS JOIN stats s
+        ),
+        scored AS (
+            SELECT doc_id, sum(c ORDER BY qord) AS score
+            FROM contrib GROUP BY doc_id
+        ),
+        bmtop AS (
+            SELECT doc_id, ROUND(score, 4) AS s
+            FROM scored ORDER BY scored.score DESC, doc_id LIMIT {window}
+        ),
+        bmr AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY s DESC, doc_id) AS br
+            FROM bmtop
+        ),
+        emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings
+        ),
+        qv AS (SELECT e FROM emb WHERE vec_id = {qvec}),
+        sims AS (
+            SELECT emb.vec_id AS doc_id,
+                   list_cosine_similarity(qv.e, emb.e) AS raw
+            FROM emb, qv WHERE emb.vec_id != {qvec}
+        ),
+        vtop AS (
+            SELECT doc_id, ROUND(raw, 4) AS sim
+            FROM sims ORDER BY raw DESC, doc_id LIMIT {window}
+        ),
+        vr AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY sim DESC, doc_id) AS vrk
+            FROM vtop
+        ),
+        fused AS (
+            SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+                   COALESCE(1.0 / ({rk} + b.br), 0)
+                   + COALESCE(1.0 / ({rk} + v.vrk), 0) AS rrf_raw
+            FROM bmr b FULL OUTER JOIN vr v USING (doc_id)
+        )
+        SELECT doc_id, ROUND(rrf_raw, 6) AS rrf
+        FROM fused ORDER BY rrf_raw DESC, doc_id LIMIT {k}
+    """
+
+
 def ft_grouped_percentiles(sf_dir: str) -> pd.DataFrame:
     """ES nested terms→percentiles aggregation: per-`lang` n_chars
     quantiles over every matching doc (exact quantile_cont parity)."""
@@ -2961,6 +3087,9 @@ def build_sql() -> dict[str, str]:
             BM25_QUERY, "lang", "n_chars", PCT_QS
         ),
         "ft_filters_agg": _filters_agg_sql(FILTER_BUCKETS),
+        "hy_rrf_hybrid": _rrf_sql(
+            BM25_QUERY, RRF_QVEC, RRF_WINDOW, RRF_K, RRF_TOPK
+        ),
         "ft_term_vectors": _term_vectors_sql(TV_DOC_ID),
         "ft_constant_score": _constant_score_sql(
             BM25_QUERY, CONST_BOOST, BM25_K
@@ -3143,6 +3272,7 @@ QUERIES = {
     "ft_nchars_histogram": ft_nchars_histogram,
     "ft_grouped_percentiles": ft_grouped_percentiles,
     "ft_filters_agg": ft_filters_agg,
+    "hy_rrf_hybrid": hy_rrf_hybrid,
     "ft_term_vectors": ft_term_vectors,
     "ft_facet_lang_stats": ft_facet_lang_stats,
     "ft_term_suggest": ft_term_suggest,
