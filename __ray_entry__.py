@@ -248,9 +248,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     out["rg_coverage_ranges"] = coverage_ranges
 
-    from datamart_ray.pipelines.window import sliding_window_counts
+    from datamart_ray.pipelines.window import (
+        date_hist_pipeline,
+        sliding_window_counts,
+    )
 
     out["tw_sliding_window"] = sliding_window_counts
+    # ES date_histogram + derivative/cumulative_sum pipeline aggs
+    # (late r3 — appended outside the 50-entry window by design)
+    out["tw_date_hist_pipeline"] = date_hist_pipeline
     # (rj_interval_join registered EARLY, inside the 50-entry window)
 
     # ---- entries below here may fall outside the driver's 50-entry
@@ -481,9 +487,13 @@ def oracle_sql() -> dict[str, str]:
     out["rg_coverage_ranges"] = coverage_ranges_sql()
     out["rg_overlap_scores"] = range_overlap_sql()
 
-    from datamart_ray.pipelines.window import sliding_window_sql
+    from datamart_ray.pipelines.window import (
+        date_hist_pipeline_sql,
+        sliding_window_sql,
+    )
 
     out["tw_sliding_window"] = sliding_window_sql()
+    out["tw_date_hist_pipeline"] = date_hist_pipeline_sql()
 
     from datamart_ray.pipelines.joins import RJ_WINDOWS_SQL
 

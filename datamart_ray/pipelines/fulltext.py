@@ -2268,6 +2268,290 @@ def _filters_agg_sql(buckets: tuple) -> str:
     """
 
 
+RANGE_EDGES = ((None, 150), (150, 300), (300, 450), (450, None))
+COMPOSITE_COLS = ("lang", "source")
+COMPOSITE_SIZE = 8  # composite-agg page size
+SCROLL_PAGE_SIZE = 15
+SCROLL_PAGE = 2  # 0-based: ranks 31-45
+
+
+def _matched_cte(query: str) -> str:
+    """tok + qterms + matched CTE body shared by the match-set
+    aggregation twins (AND semantics, same shape as the histogram
+    twin)."""
+    terms = list(dict.fromkeys(ANALYZER.tokenize(query)))
+    qvals = ", ".join(f"('{t}')" for t in terms)
+    return f"""{_tok_cte()},
+        qterms(term) AS (VALUES {qvals}),
+        matched AS (
+            SELECT doc_id
+            FROM (SELECT DISTINCT doc_id, term FROM tok) x
+            JOIN qterms USING (term)
+            GROUP BY doc_id
+            HAVING count(*) = {len(terms)}
+        )"""
+
+
+def ft_range_agg(sf_dir: str) -> pd.DataFrame:
+    """ES ``range`` aggregation: named half-open n_chars buckets over
+    every BM25 AND match, each with count + exact-integer-sum avg."""
+    eng = get_engine(sf_dir)
+    out = eng.matched_range_agg(
+        BM25_QUERY, "n_chars", RANGE_EDGES, mode="and"
+    ).to_pandas()
+    out["avg"] = round_away(out["avg"], 4)
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def ft_range_agg_dist(sf_dir: str) -> pd.DataFrame:
+    """Distributed ``range`` aggregation through the scorer-actor pool
+    (per-actor exact integer partials, driver merge) — same twin as
+    the in-process entry, gating actor-count invariance."""
+    from datamart_ray.search.engine import DistributedSearchEngine
+
+    eng = get_engine(sf_dir)
+    index_dir = eng.readers[0].seg_dir.rsplit("/segments/", 1)[0]
+    deng = DistributedSearchEngine(
+        index_dir, max_actors=4,
+        filter_cols=("lang", "source", "n_chars"),
+    )
+    try:
+        out = deng.matched_range_agg(
+            BM25_QUERY, "n_chars", RANGE_EDGES, mode="and"
+        ).to_pandas()
+    finally:
+        deng.shutdown()
+    out["avg"] = round_away(out["avg"], 4)
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def _range_agg_sql(query: str, col: str, edges: tuple) -> str:
+    parts = []
+    for lo, hi in edges:
+        name = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+        conds = []
+        if lo is not None:
+            conds.append(f"v >= {lo}")
+        if hi is not None:
+            conds.append(f"v < {hi}")
+        where = " AND ".join(conds) if conds else "TRUE"
+        parts.append(f"""
+        SELECT '{name}' AS bucket, count(v)::BIGINT AS n,
+               CASE WHEN count(v) = 0 THEN NULL
+                    ELSE ROUND(sum(v)::DOUBLE / count(v), 4)
+               END AS avg
+        FROM vals WHERE {where}""")
+    body = "\n        UNION ALL\n".join(parts)
+    return f"""
+        WITH {_matched_cte(query)},
+        vals AS (
+            SELECT d.{col}::BIGINT AS v
+            FROM matched m JOIN documents d USING (doc_id)
+            WHERE d.{col} IS NOT NULL
+        )
+        SELECT * FROM ({body}) ORDER BY bucket
+    """
+
+
+def ft_composite_agg(sf_dir: str) -> pd.DataFrame:
+    """ES ``composite`` aggregation with after-key pagination: page 2
+    of the (lang, source) buckets of the BM25 AND match set, fetched
+    with the cursor = last key of page 1 (the composite contract:
+    key-ordered buckets walked in fixed-size pages)."""
+    eng = get_engine(sf_dir)
+    p1 = eng.matched_composite(
+        BM25_QUERY, COMPOSITE_COLS, COMPOSITE_SIZE, mode="and"
+    )
+    assert p1.num_rows == COMPOSITE_SIZE, "page 1 underfull"
+    after = (
+        p1[COMPOSITE_COLS[0]][-1].as_py(),
+        p1[COMPOSITE_COLS[1]][-1].as_py(),
+    )
+    t = eng.matched_composite(
+        BM25_QUERY, COMPOSITE_COLS, COMPOSITE_SIZE, after=after,
+        mode="and",
+    )
+    return t.to_pandas()
+
+
+def _composite_sql(query: str, cols: tuple, size: int, page: int) -> str:
+    c0, c1 = cols
+    return f"""
+        WITH {_matched_cte(query)}
+        SELECT d.{c0}, d.{c1}, count(*)::BIGINT AS n
+        FROM matched m JOIN documents d USING (doc_id)
+        GROUP BY d.{c0}, d.{c1}
+        ORDER BY d.{c0}, d.{c1}
+        LIMIT {size} OFFSET {page * size}
+    """
+
+
+def ft_adjacency_matrix(sf_dir: str) -> pd.DataFrame:
+    """ES ``adjacency_matrix`` aggregation over the stored FILTER
+    BUCKETS: per-filter match counts plus every pairwise-intersection
+    bucket ("A&B"), zero-count buckets omitted."""
+    eng = get_engine(sf_dir)
+    return eng.adjacency_matrix(FILTER_BUCKETS, mode="and").to_pandas()
+
+
+def _adjacency_matrix_sql(buckets: tuple) -> str:
+    ctes, singles, pairs = [], [], []
+    for name, query in buckets:
+        terms = list(dict.fromkeys(ANALYZER.tokenize(query)))
+        qvals = ", ".join(f"('{t}')" for t in terms)
+        ctes.append(f"""
+        m_{name} AS (
+            SELECT doc_id
+            FROM (SELECT DISTINCT doc_id, term FROM tok) x
+            JOIN (VALUES {qvals}) q(term) USING (term)
+            GROUP BY doc_id
+            HAVING count(*) = {len(terms)}
+        )""")
+        singles.append(
+            f"SELECT '{name}' AS bucket,"
+            f" (SELECT count(*) FROM m_{name})::BIGINT AS n"
+        )
+    names = [n for n, _ in buckets]
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            pairs.append(f"""
+            SELECT '{names[i]}&{names[j]}' AS bucket, (
+                SELECT count(*) FROM (
+                    SELECT doc_id FROM m_{names[i]}
+                    INTERSECT
+                    SELECT doc_id FROM m_{names[j]}
+                )
+            )::BIGINT AS n""")
+    body = "\n        UNION ALL\n".join(singles + pairs)
+    return f"""
+        WITH {_tok_cte()},
+        {','.join(ctes)}
+        SELECT * FROM ({body}) WHERE n > 0 ORDER BY bucket
+    """
+
+
+def ft_weighted_avg(sf_dir: str) -> pd.DataFrame:
+    """ES ``weighted_avg`` aggregation: n_chars weighted by token
+    length (the index doclen field) over every BM25 AND match — exact
+    int64 sums, one final division."""
+    eng = get_engine(sf_dir)
+    out = eng.matched_weighted_avg(
+        BM25_QUERY, "n_chars", mode="and"
+    ).to_pandas()
+    out["weighted_avg"] = round_away(out["weighted_avg"], 4)
+    return out
+
+
+def _weighted_avg_sql(query: str, col: str) -> str:
+    return f"""
+        WITH {_matched_cte(query)},
+        dl AS (
+            SELECT doc_id, count(*)::BIGINT AS w FROM tok GROUP BY doc_id
+        ),
+        j AS (
+            SELECT d.{col}::BIGINT AS v, dl.w
+            FROM matched m
+            JOIN documents d USING (doc_id)
+            JOIN dl USING (doc_id)
+            WHERE d.{col} IS NOT NULL
+        )
+        SELECT (SELECT count(*) FROM matched)::BIGINT AS n,
+               ROUND(sum(v * w)::DOUBLE / sum(w)::DOUBLE, 4)
+                   AS weighted_avg
+        FROM j
+    """
+
+
+def ft_scroll_page3(sf_dir: str) -> pd.DataFrame:
+    """ES scroll-API analog: the third fixed-size page (ranks 31-45)
+    of the full (score desc, docID asc) BM25 ranking — deep pagination
+    past the search_after entry's depth."""
+    eng = get_engine(sf_dir)
+    t = eng.scroll_page(
+        BM25_QUERY, SCROLL_PAGE_SIZE, SCROLL_PAGE, mode="and"
+    )
+    out = t.to_pandas()
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
+def ft_matrix_stats(sf_dir: str) -> pd.DataFrame:
+    """ES ``matrix_stats`` aggregation over the (n_chars, doclen)
+    field pair across all live docs: count, mean, population variance,
+    covariance, Pearson correlation — exact int64 partial sums per
+    segment, float moments derived once with the twin's formula."""
+    eng = get_engine(sf_dir)
+    out = eng.matrix_stats("n_chars").to_pandas()
+    for c in ("mean", "variance", "covariance", "correlation"):
+        out[c] = round_away(out[c], 4)
+    return out
+
+
+def _matrix_stats_sql(col: str) -> str:
+    return f"""
+        WITH {_tok_cte()},
+        dl AS (
+            SELECT doc_id, count(*)::BIGINT AS y FROM tok GROUP BY doc_id
+        ),
+        j AS (
+            SELECT d.{col}::BIGINT AS x, coalesce(dl.y, 0)::BIGINT AS y
+            FROM documents d LEFT JOIN dl USING (doc_id)
+        ),
+        s AS (
+            SELECT count(*)::BIGINT AS n,
+                   sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                   sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+                   sum(x * y)::BIGINT AS sxy
+            FROM j
+        ),
+        m AS (
+            SELECT n,
+                   sx::DOUBLE / n AS mean_x, sy::DOUBLE / n AS mean_y,
+                   (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n) / n
+                       AS var_x,
+                   (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n) / n
+                       AS var_y,
+                   (sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n) / n
+                       AS cov
+            FROM s
+        )
+        SELECT '{col}' AS field, n, ROUND(mean_x, 4) AS mean,
+               ROUND(var_x, 4) AS variance, ROUND(cov, 4) AS covariance,
+               ROUND(cov / sqrt(var_x * var_y), 4) AS correlation
+        FROM m
+        UNION ALL
+        SELECT 'doclen', n, ROUND(mean_y, 4), ROUND(var_y, 4),
+               ROUND(cov, 4), ROUND(cov / sqrt(var_x * var_y), 4)
+        FROM m
+    """
+
+
+def ft_bucket_stats(sf_dir: str) -> pd.DataFrame:
+    """ES ``stats_bucket`` pipeline aggregation: min/max/sum/avg of
+    the per-lang bucket counts of the terms aggregation over the BM25
+    AND match set."""
+    eng = get_engine(sf_dir)
+    out = eng.bucket_stats(BM25_QUERY, "lang", mode="and").to_pandas()
+    out["avg"] = round_away(out["avg"], 4)
+    return out
+
+
+def _bucket_stats_sql(query: str, col: str) -> str:
+    return f"""
+        WITH {_matched_cte(query)},
+        f AS (
+            SELECT d.{col}, count(*)::BIGINT AS n
+            FROM matched m JOIN documents d USING (doc_id)
+            GROUP BY d.{col}
+        )
+        SELECT count(*)::BIGINT AS n_buckets,
+               min(n)::BIGINT AS min, max(n)::BIGINT AS max,
+               sum(n)::BIGINT AS sum,
+               ROUND(sum(n)::DOUBLE / count(*), 4) AS avg
+        FROM f
+    """
+
+
 RRF_WINDOW = 50  # per-leg candidate window (ES rank_window_size)
 RRF_K = 60  # ES rrf rank_constant default
 RRF_TOPK = 10
@@ -3138,6 +3422,22 @@ def build_sql() -> dict[str, str]:
                          / greatest(len(ts), 1)::DOUBLE, 4) AS uniq_ratio
             FROM toks
         """,
+        "ft_range_agg": _range_agg_sql(BM25_QUERY, "n_chars", RANGE_EDGES),
+        "ft_range_agg_dist": _range_agg_sql(
+            BM25_QUERY, "n_chars", RANGE_EDGES
+        ),
+        "ft_composite_agg": _composite_sql(
+            BM25_QUERY, COMPOSITE_COLS, COMPOSITE_SIZE, 1
+        ),
+        "ft_adjacency_matrix": _adjacency_matrix_sql(FILTER_BUCKETS),
+        "ft_weighted_avg": _weighted_avg_sql(BM25_QUERY, "n_chars"),
+        "ft_scroll_page3": _bm25_sql(
+            BM25_QUERY,
+            SCROLL_PAGE_SIZE,
+            offset=SCROLL_PAGE * SCROLL_PAGE_SIZE,
+        ),
+        "ft_matrix_stats": _matrix_stats_sql("n_chars"),
+        "ft_bucket_stats": _bucket_stats_sql(BM25_QUERY, "lang"),
     }
 
 
@@ -3286,6 +3586,17 @@ QUERIES = {
     "ft_facet_nchars_hist": ft_facet_nchars_hist,
     "ft_exact_dedup": ft_exact_dedup,
     "ft_quality_scores": ft_quality_scores,
+    # r3 late batch: range/composite/adjacency/weighted_avg/matrix_stats
+    # pipeline-agg analogs — appended at the END so the driver's
+    # 50-entry correctness window keeps its existing membership
+    "ft_range_agg": ft_range_agg,
+    "ft_range_agg_dist": ft_range_agg_dist,
+    "ft_composite_agg": ft_composite_agg,
+    "ft_adjacency_matrix": ft_adjacency_matrix,
+    "ft_weighted_avg": ft_weighted_avg,
+    "ft_scroll_page3": ft_scroll_page3,
+    "ft_matrix_stats": ft_matrix_stats,
+    "ft_bucket_stats": ft_bucket_stats,
 }
 
 SQL = build_sql()

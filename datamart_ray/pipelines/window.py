@@ -225,3 +225,63 @@ def sessionize_sql(gap_sec: int = 14400) -> str:
         GROUP BY 1, 2
         ORDER BY 1, 2
     """
+
+
+def date_hist_pipeline(sf_dir: str) -> pd.DataFrame:
+    """ES ``date_histogram`` (fixed_interval = 1 day over purchase
+    events) with the two classic PIPELINE sub-aggregations:
+    ``cumulative_sum`` and ``derivative`` of the bucket doc count
+    (first bucket's derivative is NULL, as in ES).
+
+    Ray shape (scale-safe): column-pruned read → per-batch partial
+    day-count tables (Arrow ``value_counts``, no row ever leaves the
+    batch) → one small groupby-sum over ~n_days rows. The pipeline
+    aggregations run on the driver over the tiny bucket frame — that
+    is the ES semantics too (pipeline aggs post-process sibling bucket
+    lists, never documents)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def part(t: pa.Table) -> pa.Table:
+        m = pc.fill_null(pc.equal(t["event_type"], "purchase"), False)
+        day = pc.floor_temporal(
+            pc.cast(t.filter(m)["ts"], pa.timestamp("us")), unit="day"
+        )
+        vc = pc.value_counts(day.combine_chunks())
+        return pa.table(
+            {
+                "day": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(part, batch_format="pyarrow").groupby("day").sum("n")
+    pdf = (
+        agg.to_pandas()
+        .rename(columns={"sum(n)": "n"})
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    pdf["n"] = pdf["n"].astype("int64")
+    pdf["cum_n"] = pdf["n"].cumsum().astype("int64")
+    pdf["deriv"] = pdf["n"].diff().astype("Int64")
+    return pdf
+
+
+def date_hist_pipeline_sql() -> str:
+    """DuckDB twin: GROUP BY day + window-function pipeline stage."""
+    return """
+        WITH b AS (
+            SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n
+            FROM events
+            WHERE event_type = 'purchase'
+            GROUP BY 1
+        )
+        SELECT day, n,
+               (SUM(n) OVER (ORDER BY day
+                    ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_n,
+               (n - LAG(n) OVER (ORDER BY day))::BIGINT AS deriv
+        FROM b
+        ORDER BY day
+    """

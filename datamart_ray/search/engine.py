@@ -1912,6 +1912,291 @@ class SearchEngine:
             }
         )
 
+    def matched_range_agg(
+        self,
+        query: str,
+        col: str,
+        edges: tuple,
+        mode: str = "and",
+        filters: dict[str, str] | None = None,
+    ) -> pa.Table:
+        """ES ``range`` aggregation over integer docmeta column `col`
+        of every matching doc: one half-open bucket [from, to) per
+        `edges` entry (None = unbounded, ES's missing from/to), each
+        with its doc count and an exact-integer-sum average. Every
+        requested range is emitted, empty ones with n=0/avg NULL (ES
+        keeps all requested ranges), in the given range order."""
+        _, _, v = self._score_all_with_meta(query, col, mode, filters)
+        arr = v.drop_null()
+        x = (
+            arr.to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(arr)
+            else np.empty(0, dtype=np.int64)
+        )
+        names, ns, avgs = [], [], []
+        for lo, hi in edges:
+            m = np.ones(x.size, dtype=bool)
+            if lo is not None:
+                m &= x >= lo
+            if hi is not None:
+                m &= x < hi
+            sel = x[m]
+            names.append(
+                f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+            )
+            ns.append(int(sel.size))
+            avgs.append(
+                int(sel.sum()) / sel.size if sel.size else None
+            )
+        return pa.table(
+            {
+                "bucket": pa.array(names, type=pa.string()),
+                "n": pa.array(ns, type=pa.int64()),
+                "avg": pa.array(avgs, type=pa.float64()),
+            }
+        )
+
+    def matched_composite(
+        self,
+        query: str,
+        cols: tuple,
+        size: int,
+        after: tuple | None = None,
+        mode: str = "and",
+        filters: dict[str, str] | None = None,
+    ) -> pa.Table:
+        """ES ``composite`` aggregation over two keyword docmeta
+        columns: buckets are the distinct (cols[0], cols[1]) pairs of
+        the match set ordered ascending by the key tuple; `after` is
+        the exclusive after_key cursor and `size` the page size —
+        ES's paginate-through-all-buckets contract. Returns
+        (col0, col1, n) for one page."""
+        terms = list(dict.fromkeys(self.analyzer.tokenize(query)))
+        idfs = {
+            t: bm25_idf(self.df(t), self.n_docs, self.params)
+            for t in terms
+        }
+        d, _, (a, b) = _collect_matches_with_meta_cols(
+            self.readers, terms, idfs, self.avgdl, tuple(cols), mode,
+            filters, self.params,
+        )
+        c0, c1 = cols
+        if not d.size:
+            return pa.table(
+                {
+                    c0: pa.array([], type=pa.string()),
+                    c1: pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        g = (
+            pa.table({c0: a, c1: b})
+            .group_by([c0, c1])
+            .aggregate([([], "count_all")])
+            .rename_columns([c0, c1, "n"])
+            .sort_by([(c0, "ascending"), (c1, "ascending")])
+        )
+        if after is not None:
+            a0, a1 = after
+            keep = pc.or_(
+                pc.greater(g[c0], a0),
+                pc.and_(pc.equal(g[c0], a0), pc.greater(g[c1], a1)),
+            )
+            g = g.filter(pc.fill_null(keep, False))
+        g = g.slice(0, size)
+        return pa.table(
+            {
+                c0: g[c0],
+                c1: g[c1],
+                "n": pc.cast(g["n"], pa.int64()),
+            }
+        )
+
+    def adjacency_matrix(
+        self, named_queries: tuple, mode: str = "and"
+    ) -> pa.Table:
+        """ES ``adjacency_matrix`` aggregation: one bucket per named
+        filter plus one per pairwise intersection (key "A&B", ES's
+        default separator), each counting docs matching BOTH queries
+        (AND term semantics per filter). Zero-count buckets are
+        omitted as in ES; output sorted by bucket key ascending."""
+        sets = {
+            name: self.match_docs(q, mode) for name, q in named_queries
+        }
+        names = [n for n, _ in named_queries]
+        rows: list[tuple[str, int]] = []
+        for n1 in names:
+            if sets[n1].size:
+                rows.append((n1, int(sets[n1].size)))
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                c = np.intersect1d(
+                    sets[names[i]], sets[names[j]], assume_unique=True
+                ).size
+                if c:
+                    rows.append((f"{names[i]}&{names[j]}", int(c)))
+        rows.sort()
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    [r[0] for r in rows], type=pa.string()
+                ),
+                "n": pa.array([r[1] for r in rows], type=pa.int64()),
+            }
+        )
+
+    def matched_weighted_avg(
+        self,
+        query: str,
+        val_col: str,
+        mode: str = "and",
+        filters: dict[str, str] | None = None,
+    ) -> pa.Table:
+        """ES ``weighted_avg`` aggregation over every matching doc:
+        value = integer docmeta column `val_col`, weight = the doc's
+        token length (the index's doclen field). Both are integers, so
+        Σ(v·w) and Σw accumulate exactly in int64 and the single final
+        division is the only float op — the SQL twin spells the same
+        arithmetic."""
+        terms = list(dict.fromkeys(self.analyzer.tokenize(query)))
+        idfs = {
+            t: bm25_idf(self.df(t), self.n_docs, self.params)
+            for t in terms
+        }
+        n = 0
+        svw = 0
+        sw = 0
+        for r in self.readers:
+            d, _ = _score_segment(
+                r, terms, idfs, self.avgdl, mode, filters, self.params
+            )
+            if not d.size:
+                continue
+            pos = np.searchsorted(r._doc_ids, d)
+            v = r._meta[val_col].take(pa.array(pos))
+            ok = pc.is_valid(v).to_numpy(zero_copy_only=False)
+            vv = (
+                pc.fill_null(v, 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)[ok]
+            )
+            w = r._doclens[pos].astype(np.int64)[ok]
+            n += int(d.size)
+            svw += int((vv * w).sum())
+            sw += int(w.sum())
+        wavg = float(svw) / float(sw) if sw else None
+        return pa.table(
+            {
+                "n": pa.array([n], type=pa.int64()),
+                "weighted_avg": pa.array([wavg], type=pa.float64()),
+            }
+        )
+
+    def scroll_page(
+        self,
+        query: str,
+        page_size: int,
+        page: int,
+        mode: str = "and",
+        filters: dict[str, str] | None = None,
+    ) -> pa.Table:
+        """ES scroll-API analog: deep page `page` (0-based) of the full
+        (score desc, docID asc) ranked match list — the contract scroll
+        provides is a stable total order walked in fixed-size chunks.
+        Served as top-((page+1)·size) then slice: per-segment heaps
+        stay O(page·size), no full materialization."""
+        t = self.search(
+            query, k=(page + 1) * page_size, mode=mode, filters=filters
+        )
+        return t.slice(page * page_size, page_size)
+
+    def matrix_stats(self, col: str = "n_chars") -> pa.Table:
+        """ES ``matrix_stats`` aggregation analog over the field pair
+        (docmeta `col`, doclen) across every live doc: count, means,
+        population variances, covariance and Pearson correlation. Each
+        segment contributes exact int64 partial sums (n, Σx, Σy, Σx²,
+        Σy², Σxy) — O(1) merge traffic per segment, the same shape a
+        scorer actor would ship — and the driver derives the float
+        moments with the pinned formula var=(Σx²−ΣxΣx/n)/n,
+        cov=(Σxy−ΣxΣy/n)/n, which the SQL twin spells identically."""
+        n = 0
+        sx = sy = sxx = syy = sxy = 0
+        for r in self.readers:
+            pos_ids = r.filter_positions({})
+            if pos_ids is None:
+                pos = np.arange(r._doc_ids.size)
+            else:
+                pos = np.searchsorted(r._doc_ids, pos_ids)
+            x = (
+                r._meta[col]
+                .take(pa.array(pos))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            y = r._doclens[pos].astype(np.int64)
+            n += int(pos.size)
+            sx += int(x.sum())
+            sy += int(y.sum())
+            sxx += int((x * x).sum())
+            syy += int((y * y).sum())
+            sxy += int((x * y).sum())
+        if n == 0:
+            return pa.table({"field": pa.array([], type=pa.string())})
+        # float-op order mirrors the SQL twin exactly (all doubles)
+        mean_x = float(sx) / n
+        mean_y = float(sy) / n
+        var_x = (float(sxx) - float(sx) * float(sx) / n) / n
+        var_y = (float(syy) - float(sy) * float(sy) / n) / n
+        cov = (float(sxy) - float(sx) * float(sy) / n) / n
+        corr = cov / float(np.sqrt(var_x * var_y))
+        return pa.table(
+            {
+                "field": pa.array([col, "doclen"], type=pa.string()),
+                "n": pa.array([n, n], type=pa.int64()),
+                "mean": pa.array([mean_x, mean_y], type=pa.float64()),
+                "variance": pa.array([var_x, var_y], type=pa.float64()),
+                "covariance": pa.array([cov, cov], type=pa.float64()),
+                "correlation": pa.array(
+                    [corr, corr], type=pa.float64()
+                ),
+            }
+        )
+
+    def bucket_stats(
+        self,
+        query: str,
+        col: str,
+        mode: str = "and",
+        filters: dict[str, str] | None = None,
+    ) -> pa.Table:
+        """ES ``stats_bucket`` pipeline aggregation: min/max/sum/avg of
+        the per-bucket doc counts of a sibling terms aggregation over
+        docmeta column `col` (the facet panel's counts). Buckets are
+        integers, so everything but the final avg division is exact."""
+        f = self.facet_counts(query, col, mode, filters)
+        ns = f["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not ns.size:
+            return pa.table(
+                {
+                    "n_buckets": pa.array([0], type=pa.int64()),
+                    "min": pa.array([None], type=pa.int64()),
+                    "max": pa.array([None], type=pa.int64()),
+                    "sum": pa.array([None], type=pa.int64()),
+                    "avg": pa.array([None], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "n_buckets": pa.array([ns.size], type=pa.int64()),
+                "min": pa.array([int(ns.min())], type=pa.int64()),
+                "max": pa.array([int(ns.max())], type=pa.int64()),
+                "sum": pa.array([int(ns.sum())], type=pa.int64()),
+                "avg": pa.array(
+                    [float(ns.sum()) / ns.size], type=pa.float64()
+                ),
+            }
+        )
+
     def span_near_search(
         self, query: str, slop: int = 2, k: int = TOP_K_SIZE
     ) -> pa.Table:
@@ -2970,6 +3255,40 @@ class SegmentScorer:
         keys, counts = np.unique(b, return_counts=True)
         return {int(kk): int(cc) for kk, cc in zip(keys, counts)}
 
+    def range_partial(
+        self,
+        terms: list[str],
+        idfs: dict[str, float],
+        avgdl: float,
+        col: str,
+        edges: tuple,
+        mode: str,
+        filters: dict[str, str] | None,
+        params: BM25Params,
+    ) -> list:
+        """Per-actor range-aggregation partial: one exact (n, Σv) int
+        pair per requested range — O(ranges) traffic per actor, merged
+        by addition on the driver."""
+        _, _, v = _collect_matches_with_meta(
+            self.readers, terms, idfs, avgdl, col, mode, filters, params
+        )
+        arr = v.drop_null()
+        x = (
+            arr.to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(arr)
+            else np.empty(0, dtype=np.int64)
+        )
+        out = []
+        for lo, hi in edges:
+            m = np.ones(x.size, dtype=bool)
+            if lo is not None:
+                m &= x >= lo
+            if hi is not None:
+                m &= x < hi
+            sel = x[m]
+            out.append((int(sel.size), int(sel.sum())))
+        return out
+
     def top_k(
         self,
         terms: list[str],
@@ -3259,6 +3578,51 @@ class DistributedSearchEngine:
             {
                 "bucket": pa.array(keys, type=pa.int64()),
                 "n": pa.array([agg[b] for b in keys], type=pa.int64()),
+            }
+        )
+
+    def matched_range_agg(
+        self,
+        query: str,
+        col: str,
+        edges: tuple,
+        mode: str = "and",
+        filters: dict[str, str] | None = None,
+    ) -> pa.Table:
+        """Distributed ES ``range`` aggregation: per-actor exact
+        (n, Σv) integer partials per range, merged by addition on the
+        driver; avg derived once from the global sums (identical
+        arithmetic to the in-process method)."""
+        terms, idfs = self._agg_round(query)
+        ns = [0] * len(edges)
+        sums = [0] * len(edges)
+        if terms:
+            parts = ray.get(
+                [
+                    a.range_partial.remote(
+                        terms, idfs, self.avgdl, col, edges, mode,
+                        filters, self.params,
+                    )
+                    for a in self.actors
+                ]
+            )
+            for p in parts:
+                for i, (cnt, sm) in enumerate(p):
+                    ns[i] += cnt
+                    sums[i] += sm
+        names = [
+            f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+            for lo, hi in edges
+        ]
+        avgs = [
+            (sums[i] / ns[i]) if ns[i] else None
+            for i in range(len(edges))
+        ]
+        return pa.table(
+            {
+                "bucket": pa.array(names, type=pa.string()),
+                "n": pa.array(ns, type=pa.int64()),
+                "avg": pa.array(avgs, type=pa.float64()),
             }
         )
 

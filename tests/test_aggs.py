@@ -326,3 +326,145 @@ def test_distributed_aggs_match_inprocess(ray_session, agg_corpus, tmp_path):
         assert a.equals(b)
     finally:
         deng.shutdown()
+
+
+def test_range_agg_matches_brute(ray_session, agg_corpus, tmp_path):
+    """range agg buckets = brute-force bucket membership over the exact
+    AND match set; empty ranges kept with n=0/avg NULL."""
+    path, docs, _, vals = agg_corpus
+    eng = _build(path, str(tmp_path / "raidx"), docs_per_spec=60)
+    edges = ((None, 2000), (2000, 6000), (6000, None), (20_000, None))
+    got = eng.matched_range_agg(QUERY, "val", edges).to_pandas()
+    matches = _brute_and_scores(docs, QUERY)
+    mv = [vals[i] for i in matches]
+    for row, (lo, hi) in zip(got.itertuples(index=False), edges):
+        sel = [
+            v
+            for v in mv
+            if (lo is None or v >= lo) and (hi is None or v < hi)
+        ]
+        assert row.n == len(sel)
+        if sel:
+            assert row.avg == pytest.approx(sum(sel) / len(sel))
+        else:
+            assert np.isnan(row.avg)
+
+
+def test_composite_agg_pagination_walks_all_buckets(
+    ray_session, agg_corpus, tmp_path
+):
+    """after-key pages tile the full key-ordered bucket list without
+    overlap or gaps, and bucket counts match a brute groupby (null
+    keys excluded via a terms filter, so the cursor compare is total)."""
+    path, docs, doc_langs, vals = agg_corpus
+    eng = _build(path, str(tmp_path / "caidx"), docs_per_spec=60)
+    flt = {"lang": ["en", "fr", "de"]}
+    matches = _brute_and_scores(docs, QUERY)
+    brute: dict = {}
+    for i in matches:
+        if doc_langs[i] is None:
+            continue
+        key = (doc_langs[i], vals[i])
+        brute[key] = brute.get(key, 0) + 1
+    seen, after = [], None
+    while True:
+        t = eng.matched_composite(
+            QUERY, ("lang", "val"), 3, after=after, filters=flt
+        )
+        if t.num_rows == 0:
+            break
+        assert t.num_rows <= 3
+        seen.extend(
+            zip(
+                t["lang"].to_pylist(),
+                t["val"].to_pylist(),
+                t["n"].to_pylist(),
+            )
+        )
+        after = (t["lang"][-1].as_py(), t["val"][-1].as_py())
+    assert {(a, b): n for a, b, n in seen} == brute
+    assert [(a, b) for a, b, _ in seen] == sorted(brute)
+
+
+def test_adjacency_matrix_counts(ray_session, agg_corpus, tmp_path):
+    path, docs, _, _ = agg_corpus
+    eng = _build(path, str(tmp_path / "adidx"), docs_per_spec=60)
+    named = (("r", "red"), ("b", "blue"), ("g", "gold"))
+    got = dict(
+        zip(
+            eng.adjacency_matrix(named)["bucket"].to_pylist(),
+            eng.adjacency_matrix(named)["n"].to_pylist(),
+        )
+    )
+    an = Analyzer()
+    toks = [set(an.tokenize(d)) for d in docs]
+    sets = {n: {i for i, t in enumerate(toks) if q in t} for n, q in named}
+    for n1, _ in named:
+        assert got.get(n1, 0) == len(sets[n1])
+    for a, b in (("r", "b"), ("r", "g"), ("b", "g")):
+        assert got.get(f"{a}&{b}", 0) == len(sets[a] & sets[b])
+
+
+def test_weighted_avg_exact(ray_session, agg_corpus, tmp_path):
+    """Σ(v·w)/Σw with w = doclen over the exact AND match set."""
+    path, docs, _, vals = agg_corpus
+    eng = _build(path, str(tmp_path / "waidx"), docs_per_spec=60)
+    got = eng.matched_weighted_avg(QUERY, "val").to_pandas()
+    an = Analyzer()
+    matches = _brute_and_scores(docs, QUERY)
+    svw = sum(vals[i] * len(an.tokenize(docs[i])) for i in matches)
+    sw = sum(len(an.tokenize(docs[i])) for i in matches)
+    assert int(got["n"][0]) == len(matches)
+    assert got["weighted_avg"][0] == pytest.approx(svw / sw)
+
+
+def test_scroll_pages_tile_full_ranking(ray_session, agg_corpus, tmp_path):
+    """scroll pages 0..2 concatenated == top-3·size of the ranking."""
+    path, _, _, _ = agg_corpus
+    eng = _build(path, str(tmp_path / "scidx"), docs_per_spec=60)
+    size = 7
+    full = eng.search(QUERY, k=3 * size).to_pandas()
+    parts = [
+        eng.scroll_page(QUERY, size, p).to_pandas() for p in range(3)
+    ]
+    import pandas as pd
+
+    tiled = pd.concat(parts, ignore_index=True)
+    assert tiled.equals(full.iloc[: len(tiled)].reset_index(drop=True))
+
+
+def test_matrix_stats_matches_numpy(ray_session, agg_corpus, tmp_path):
+    path, docs, _, vals = agg_corpus
+    eng = _build(path, str(tmp_path / "msidx"), docs_per_spec=60)
+    got = eng.matrix_stats("val").to_pandas()
+    an = Analyzer()
+    x = np.array(vals, dtype=np.float64)
+    y = np.array([len(an.tokenize(d)) for d in docs], dtype=np.float64)
+    assert int(got["n"][0]) == len(docs)
+    assert got["mean"][0] == pytest.approx(x.mean())
+    assert got["mean"][1] == pytest.approx(y.mean())
+    assert got["variance"][0] == pytest.approx(x.var())
+    assert got["covariance"][0] == pytest.approx(
+        ((x - x.mean()) * (y - y.mean())).mean()
+    )
+    assert got["correlation"][0] == pytest.approx(np.corrcoef(x, y)[0, 1])
+
+
+def test_distributed_range_agg_matches_inprocess(
+    ray_session, agg_corpus, tmp_path
+):
+    from datamart_ray.search.engine import DistributedSearchEngine
+
+    path, _, _, _ = agg_corpus
+    eng = _build(path, str(tmp_path / "dridx"), docs_per_spec=40)
+    deng = DistributedSearchEngine(
+        str(tmp_path / "dridx"), max_actors=3,
+        filter_cols=("lang", "val"),
+    )
+    edges = ((None, 3000), (3000, 7000), (7000, None))
+    try:
+        a = eng.matched_range_agg(QUERY, "val", edges).to_pandas()
+        b = deng.matched_range_agg(QUERY, "val", edges).to_pandas()
+        assert a.equals(b)
+    finally:
+        deng.shutdown()
