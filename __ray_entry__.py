@@ -257,6 +257,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ES date_histogram + derivative/cumulative_sum pipeline aggs
     # (late r3 — appended outside the 50-entry window by design)
     out["tw_date_hist_pipeline"] = date_hist_pipeline
+    from datamart_ray.pipelines.spatial import geo_bounds_centroid
+    from datamart_ray.pipelines.window import (
+        bucket_selector_daily,
+        moving_avg_daily,
+    )
+
+    out["tw_moving_avg"] = moving_avg_daily
+    out["tw_bucket_selector"] = bucket_selector_daily
+    out["sp_geo_bounds"] = geo_bounds_centroid
     # (rj_interval_join registered EARLY, inside the 50-entry window)
 
     # ---- entries below here may fall outside the driver's 50-entry
@@ -494,6 +503,15 @@ def oracle_sql() -> dict[str, str]:
 
     out["tw_sliding_window"] = sliding_window_sql()
     out["tw_date_hist_pipeline"] = date_hist_pipeline_sql()
+    from datamart_ray.pipelines.spatial import geo_bounds_centroid_sql
+    from datamart_ray.pipelines.window import (
+        bucket_selector_sql,
+        moving_avg_sql,
+    )
+
+    out["tw_moving_avg"] = moving_avg_sql()
+    out["tw_bucket_selector"] = bucket_selector_sql()
+    out["sp_geo_bounds"] = geo_bounds_centroid_sql()
 
     from datamart_ray.pipelines.joins import RJ_WINDOWS_SQL
 

@@ -2552,6 +2552,89 @@ def _bucket_stats_sql(query: str, col: str) -> str:
     """
 
 
+PCTRANK_VALUES = (100, 250, 400, 550)  # percentile_ranks probe values
+MSEARCH_PLAN = (  # (query, mode, k) per msearch slot
+    (BM25_QUERY, "and", 10),
+    ("merge sort stream", "and", 10),
+    (BM25_QUERY, "or", 10),
+)
+
+
+def ft_percentile_ranks(sf_dir: str) -> pd.DataFrame:
+    """ES ``percentile_ranks`` aggregation: % of BM25 AND matches with
+    n_chars ≤ each probe value (exact counts, no t-digest)."""
+    eng = get_engine(sf_dir)
+    out = eng.matched_percentile_ranks(
+        BM25_QUERY, "n_chars", PCTRANK_VALUES, mode="and"
+    ).to_pandas()
+    out["rank_pct"] = round_away(out["rank_pct"], 4)
+    return out
+
+
+def _percentile_ranks_sql(query: str, col: str, values: tuple) -> str:
+    vvals = ", ".join(f"({v})" for v in values)
+    return f"""
+        WITH {_matched_cte(query)},
+        vals AS (
+            SELECT d.{col}::BIGINT AS v
+            FROM matched m JOIN documents d USING (doc_id)
+            WHERE d.{col} IS NOT NULL
+        ),
+        probes(value) AS (VALUES {vvals})
+        SELECT p.value::BIGINT AS value,
+               ROUND(
+                   100.0 * (SELECT count(*) FROM vals WHERE v <= p.value)
+                   / (SELECT count(*) FROM vals), 4
+               ) AS rank_pct
+        FROM probes p
+        ORDER BY value
+    """
+
+
+def ft_msearch(sf_dir: str) -> pd.DataFrame:
+    """ES ``_msearch`` analog: one pipelined batch of queries through
+    the scorer-actor pool (one df round for the union of terms, all
+    scoring calls in flight) — output (qid, doc_id, score) rows,
+    identical to running each query alone."""
+    from datamart_ray.search.engine import DistributedSearchEngine
+
+    eng = get_engine(sf_dir)
+    index_dir = eng.readers[0].seg_dir.rsplit("/segments/", 1)[0]
+    deng = DistributedSearchEngine(index_dir, max_actors=4)
+    try:
+        results = deng.search_many(
+            [
+                {"query": q, "mode": m, "k": k}
+                for q, m, k in MSEARCH_PLAN
+            ]
+        )
+    finally:
+        deng.shutdown()
+    frames = []
+    for qid, t in enumerate(results):
+        f = t.to_pandas()
+        f.insert(0, "qid", qid)
+        frames.append(f)
+    out = pd.concat(frames, ignore_index=True)
+    out["qid"] = out["qid"].astype("int64")
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
+def _msearch_sql(plan: tuple) -> str:
+    parts = [
+        f"SELECT {qid}::BIGINT AS qid, * FROM ("
+        + _bm25_sql(q, k, mode_or=(m == "or"))
+        + ")"
+        for qid, (q, m, k) in enumerate(plan)
+    ]
+    return (
+        "SELECT * FROM (\n"
+        + "\nUNION ALL\n".join(parts)
+        + "\n) ORDER BY qid, score DESC, doc_id"
+    )
+
+
 RRF_WINDOW = 50  # per-leg candidate window (ES rank_window_size)
 RRF_K = 60  # ES rrf rank_constant default
 RRF_TOPK = 10
@@ -3438,6 +3521,10 @@ def build_sql() -> dict[str, str]:
         ),
         "ft_matrix_stats": _matrix_stats_sql("n_chars"),
         "ft_bucket_stats": _bucket_stats_sql(BM25_QUERY, "lang"),
+        "ft_percentile_ranks": _percentile_ranks_sql(
+            BM25_QUERY, "n_chars", PCTRANK_VALUES
+        ),
+        "ft_msearch": _msearch_sql(MSEARCH_PLAN),
     }
 
 
@@ -3597,6 +3684,8 @@ QUERIES = {
     "ft_scroll_page3": ft_scroll_page3,
     "ft_matrix_stats": ft_matrix_stats,
     "ft_bucket_stats": ft_bucket_stats,
+    "ft_percentile_ranks": ft_percentile_ranks,
+    "ft_msearch": ft_msearch,
 }
 
 SQL = build_sql()

@@ -454,3 +454,106 @@ def spatial_candidates_sql(
         ORDER BY score DESC, source
     """
     )
+
+
+def geo_bounds_centroid(sf_dir: str) -> pd.DataFrame:
+    """ES ``geo_bounds`` + ``geo_centroid`` aggregation analogs over
+    each derived point set (x = key % 100, y = balance / 100): the
+    tightest bounding envelope and the mean point, one row per source
+    table.
+
+    Ray shape (scale-safe): per-batch O(1) partials — min/max of each
+    axis plus exact integer sums (x is int, y in fixed-point cents) —
+    merged by one tiny groupby; the centroid divisions happen once on
+    the merged scalars, so the float result is independent of batch
+    count and block order."""
+    ensure_fast_shuffle()
+    from ray.data.aggregate import Max, Min, Sum
+
+    frames = []
+    for label, table, key, bal in POINT_SOURCES:
+        ds = rd.read_parquet(
+            f"{sf_dir}/{table}.parquet", columns=[key, bal]
+        )
+
+        def part(
+            t: pa.Table, label=label, key=key, bal=bal
+        ) -> pa.Table:
+            x = (
+                t[key].to_numpy(zero_copy_only=False) % 100
+            ).astype(np.int64)
+            b = t[bal].to_numpy(zero_copy_only=False)
+            # fixed-point cents: balances are 2-decimal money, so the
+            # int64 sum is exact and order-independent
+            cents = np.rint(b * 100.0).astype(np.int64)
+            return pa.table(
+                {
+                    "src": pa.array([label]),
+                    "n": pa.array([x.size], type=pa.int64()),
+                    "min_x": pa.array([int(x.min())], type=pa.int64()),
+                    "max_x": pa.array([int(x.max())], type=pa.int64()),
+                    "min_yc": pa.array(
+                        [int(cents.min())], type=pa.int64()
+                    ),
+                    "max_yc": pa.array(
+                        [int(cents.max())], type=pa.int64()
+                    ),
+                    "sum_x": pa.array([int(x.sum())], type=pa.int64()),
+                    "sum_yc": pa.array(
+                        [int(cents.sum())], type=pa.int64()
+                    ),
+                }
+            )
+
+        g = (
+            ds.map_batches(part, batch_format="pyarrow")
+            .groupby("src")
+            .aggregate(
+                Sum("n", alias_name="n"),
+                Min("min_x", alias_name="min_x"),
+                Max("max_x", alias_name="max_x"),
+                Min("min_yc", alias_name="min_yc"),
+                Max("max_yc", alias_name="max_yc"),
+                Sum("sum_x", alias_name="sum_x"),
+                Sum("sum_yc", alias_name="sum_yc"),
+            )
+            .to_pandas()
+        )
+        frames.append(g)
+    out = pd.concat(frames, ignore_index=True)
+    res = pd.DataFrame(
+        {
+            "src": out["src"],
+            "n": out["n"].astype("int64"),
+            "min_x": out["min_x"].astype("float64"),
+            "max_x": out["max_x"].astype("float64"),
+            "min_y": round_away(out["min_yc"] / 100.0, 4),
+            "max_y": round_away(out["max_yc"] / 100.0, 4),
+            "centroid_x": round_away(out["sum_x"] / out["n"], 4),
+            "centroid_y": round_away(
+                out["sum_yc"] / 100.0 / out["n"], 4
+            ),
+        }
+    )
+    return res.sort_values("src").reset_index(drop=True)
+
+
+def geo_bounds_centroid_sql() -> str:
+    parts = []
+    for label, table, key, bal in POINT_SOURCES:
+        parts.append(f"""
+        SELECT '{label}' AS src,
+               count(*)::BIGINT AS n,
+               min({key} % 100)::DOUBLE AS min_x,
+               max({key} % 100)::DOUBLE AS max_x,
+               ROUND(min(CAST(round({bal} * 100.0) AS BIGINT)) / 100.0,
+                     4) AS min_y,
+               ROUND(max(CAST(round({bal} * 100.0) AS BIGINT)) / 100.0,
+                     4) AS max_y,
+               ROUND(sum({key} % 100)::DOUBLE / count(*), 4)
+                   AS centroid_x,
+               ROUND(sum(CAST(round({bal} * 100.0) AS BIGINT))::DOUBLE
+                     / 100.0 / count(*), 4) AS centroid_y
+        FROM {table}""")
+    body = "\n        UNION ALL\n".join(parts)
+    return f"SELECT * FROM ({body}) ORDER BY src"

@@ -285,3 +285,75 @@ def date_hist_pipeline_sql() -> str:
         FROM b
         ORDER BY day
     """
+
+
+MOVING_WINDOW = 7  # trailing buckets (inclusive of current)
+
+
+def moving_avg_daily(sf_dir: str) -> pd.DataFrame:
+    """ES ``moving_fn`` (unweightedAvg) pipeline aggregation over the
+    daily purchase date_histogram: trailing MOVING_WINDOW-bucket mean
+    of the doc count, window inclusive of the current bucket. The
+    sibling bucket list is tiny (n_days rows), so the pipeline stage
+    runs on the driver — same placement ES gives pipeline aggs. The
+    mean is Σwindow/|window| with an integer numerator, one float
+    division per bucket."""
+    base = date_hist_pipeline(sf_dir)[["day", "n"]]
+    n = base["n"].to_numpy(dtype=np.int64)
+    cs = np.concatenate([[0], np.cumsum(n)])
+    idx = np.arange(n.size)
+    lo = np.maximum(0, idx - (MOVING_WINDOW - 1))
+    wsum = cs[idx + 1] - cs[lo]
+    wlen = idx + 1 - lo
+    from datamart_ray.util import round_away
+
+    out = base.copy()
+    out["moving_avg"] = round_away(
+        pd.Series(wsum.astype(np.float64) / wlen), 4
+    )
+    return out
+
+
+def moving_avg_sql() -> str:
+    return f"""
+        WITH b AS (
+            SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n
+            FROM events
+            WHERE event_type = 'purchase'
+            GROUP BY 1
+        )
+        SELECT day, n,
+               ROUND(
+                   (SUM(n) OVER w)::DOUBLE / (COUNT(n) OVER w), 4
+               ) AS moving_avg
+        FROM b
+        WINDOW w AS (ORDER BY day
+                     ROWS BETWEEN {MOVING_WINDOW - 1} PRECEDING
+                     AND CURRENT ROW)
+        ORDER BY day
+    """
+
+
+def bucket_selector_daily(sf_dir: str) -> pd.DataFrame:
+    """ES ``bucket_selector`` pipeline aggregation: keep only the daily
+    purchase buckets whose doc count exceeds the all-bucket mean. The
+    predicate is evaluated by integer cross-multiplication
+    (n · n_buckets > Σn) so both sides stay float-free."""
+    base = date_hist_pipeline(sf_dir)[["day", "n"]]
+    n = base["n"].to_numpy(dtype=np.int64)
+    keep = n * np.int64(n.size) > np.int64(n.sum())
+    return base[keep].reset_index(drop=True)
+
+
+def bucket_selector_sql() -> str:
+    return """
+        WITH b AS (
+            SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n
+            FROM events
+            WHERE event_type = 'purchase'
+            GROUP BY 1
+        )
+        SELECT day, n FROM b
+        WHERE n * (SELECT count(*) FROM b) > (SELECT sum(n) FROM b)
+        ORDER BY day
+    """

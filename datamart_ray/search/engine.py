@@ -2197,6 +2197,40 @@ class SearchEngine:
             }
         )
 
+    def matched_percentile_ranks(
+        self,
+        query: str,
+        col: str,
+        values: tuple,
+        mode: str = "and",
+        filters: dict[str, str] | None = None,
+    ) -> pa.Table:
+        """ES ``percentile_ranks`` aggregation: for each probe value,
+        the percentage of matching docs whose `col` is ≤ the value —
+        the inverse of the percentiles agg. Exact counts (no t-digest),
+        one float division per probe."""
+        _, _, v = self._score_all_with_meta(query, col, mode, filters)
+        arr = v.drop_null()
+        x = (
+            np.sort(
+                arr.to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            if len(arr)
+            else np.empty(0, dtype=np.int64)
+        )
+        n = x.size
+        probes = np.asarray(values, dtype=np.int64)
+        le = np.searchsorted(x, probes, side="right")
+        ranks = [
+            (100.0 * int(c)) / n if n else None for c in le
+        ]
+        return pa.table(
+            {
+                "value": pa.array(probes, type=pa.int64()),
+                "rank_pct": pa.array(ranks, type=pa.float64()),
+            }
+        )
+
     def span_near_search(
         self, query: str, slop: int = 2, k: int = TOP_K_SIZE
     ) -> pa.Table:

@@ -468,3 +468,15 @@ def test_distributed_range_agg_matches_inprocess(
         assert a.equals(b)
     finally:
         deng.shutdown()
+
+
+def test_percentile_ranks_exact(ray_session, agg_corpus, tmp_path):
+    path, docs, _, vals = agg_corpus
+    eng = _build(path, str(tmp_path / "pridx"), docs_per_spec=60)
+    probes = (0, 2500, 5000, 9999)
+    got = eng.matched_percentile_ranks(QUERY, "val", probes).to_pandas()
+    matches = _brute_and_scores(docs, QUERY)
+    mv = sorted(vals[i] for i in matches)
+    for row, p in zip(got.itertuples(index=False), probes):
+        want = 100.0 * sum(1 for v in mv if v <= p) / len(mv)
+        assert row.rank_pct == pytest.approx(want)
