@@ -1684,3 +1684,15 @@ def test_hll_distinct_users_entry(ray_session):
     )
     scalar_est = int(round(hll_estimate(hll_fold(vals))))
     assert est == scalar_est  # distributed == scalar, bit-deterministic
+
+
+def test_knn_sq8_matches_exact(ray_session):
+    """SQ8 codes + oversampled rescore return the exact top-k frame;
+    the uint8 grid loses at most scale/2 per dimension, far below the
+    fixture's neighbor gaps."""
+    from datamart_ray.stages.similarity import knn_cosine, knn_sq8
+
+    sf = "/root/testdata/sf0.001"
+    exact = knn_cosine(sf, query_ids=(0, 1), k=5).reset_index(drop=True)
+    sq8 = knn_sq8(sf, query_ids=(0, 1), k=5).reset_index(drop=True)
+    assert sq8.equals(exact)
