@@ -266,11 +266,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["tw_moving_avg"] = moving_avg_daily
     out["tw_bucket_selector"] = bucket_selector_daily
     out["sp_geo_bounds"] = geo_bounds_centroid
-    from datamart_ray.stages.similarity import knn_sq8
+    from datamart_ray.stages.similarity import knn_pq, knn_sq8
 
-    # SQ8 (uint8 scalar-quantized) ANN with exact rescore — gated by
-    # the same exhaustive exact-cosine twin as the LSH/IVF paths
+    # SQ8 (uint8 scalar-quantized) and PQ (product-quantized, ADC
+    # scoring) ANN with exact rescore — gated by the same exhaustive
+    # exact-cosine twin as the LSH/IVF paths
     out["sim_knn_sq8"] = knn_sq8
+    out["sim_knn_pq"] = knn_pq
     # (rj_interval_join registered EARLY, inside the 50-entry window)
 
     # ---- entries below here may fall outside the driver's 50-entry
@@ -518,6 +520,7 @@ def oracle_sql() -> dict[str, str]:
     out["tw_bucket_selector"] = bucket_selector_sql()
     out["sp_geo_bounds"] = geo_bounds_centroid_sql()
     out["sim_knn_sq8"] = knn_cosine_sql()
+    out["sim_knn_pq"] = knn_cosine_sql()
 
     from datamart_ray.pipelines.joins import RJ_WINDOWS_SQL
 

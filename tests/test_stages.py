@@ -1696,3 +1696,24 @@ def test_knn_sq8_matches_exact(ray_session):
     exact = knn_cosine(sf, query_ids=(0, 1), k=5).reset_index(drop=True)
     sq8 = knn_sq8(sf, query_ids=(0, 1), k=5).reset_index(drop=True)
     assert sq8.equals(exact)
+
+
+def test_knn_pq_matches_exact(ray_session):
+    """PQ/ADC candidates + oversampled exact rescore return the exact
+    top-k frame on the fixture; the codebook artifact makes a second
+    call train-free."""
+    from datamart_ray.stages.similarity import knn_cosine, knn_pq
+
+    sf = "/root/testdata/sf0.001"
+    exact = knn_cosine(sf, query_ids=(0, 1), k=5).reset_index(drop=True)
+    got = knn_pq(sf, query_ids=(0, 1), k=5).reset_index(drop=True)
+    assert got.equals(exact)
+
+
+def test_pq_codebook_deterministic_and_persisted(ray_session):
+    from datamart_ray.stages.similarity import pq_codebooks
+
+    a = pq_codebooks("/root/testdata/sf0.001")
+    b = pq_codebooks("/root/testdata/sf0.001")  # artifact reload path
+    assert a.shape == (8, 32, 8)
+    assert np.array_equal(a, b)
