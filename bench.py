@@ -279,19 +279,34 @@ def run_bench() -> dict:
         eng.match_count(f"{MARKER_COMMON} {MARKER_HEAD}", mode="or")
         clat.append(time.time() - t0)
     extra["count_p50"] = round(statistics.median(clat), 4)
+    # full-match aggregation serving (late r3): range buckets over the
+    # match set's doclen — scores every match, not just top-k
+    alat = []
+    for _ in range(6):
+        t0 = time.time()
+        eng.matched_range_agg(
+            f"{MARKER_COMMON} {MARKER_HEAD}",
+            "doclen",
+            ((None, 300), (300, 600), (600, None)),
+            mode="or",
+        )
+        alat.append(time.time() - t0)
+    extra["range_agg_p50"] = round(statistics.median(alat), 4)
 
     from datamart_ray.pipelines.relational import (
         q01_pricing_summary,
         q02_revenue_by_nation,
     )
     from datamart_ray.pipelines.fulltext import ft_df_top_terms
-    from datamart_ray.stages.similarity import knn_cosine
+    from datamart_ray.stages.similarity import knn_cosine, knn_pq, knn_sq8
 
     for name, fn in [
         ("q01_pricing_summary", q01_pricing_summary),
         ("q02_revenue_by_nation", q02_revenue_by_nation),
         ("ft_df_top_terms", ft_df_top_terms),
         ("sim_knn_cosine", knn_cosine),
+        ("sim_knn_sq8", knn_sq8),
+        ("sim_knn_pq", knn_pq),
     ]:
         t0 = time.time()
         fn(SF_DIR)

@@ -82,6 +82,13 @@ def main(argv: list[str] | None = None) -> int:
 
     c = sub.add_parser("compact", help="merge segments, drop tombstones")
     c.add_argument("--index", required=True)
+    c.add_argument(
+        "--max-segments",
+        type=int,
+        default=None,
+        help="tiered merge: keep at most N segments, merging only the "
+        "smallest (default: full compaction into one segment)",
+    )
 
     sn = sub.add_parser(
         "snapshot", help="point-in-time copy of the index's active view"
@@ -304,9 +311,13 @@ def _run(args) -> int:
         )
         return 0
     if args.cmd == "compact":
-        from datamart_ray.index.maintain import compact_segments
+        from datamart_ray.index.maintain import compact_segments, tiered_merge
 
-        print(json.dumps(compact_segments(args.index), default=str))
+        if args.max_segments is not None:
+            out = tiered_merge(args.index, max_segments=args.max_segments)
+        else:
+            out = compact_segments(args.index)
+        print(json.dumps(out, default=str))
         return 0
     if args.cmd == "snapshot":
         from datamart_ray.index.maintain import snapshot_index

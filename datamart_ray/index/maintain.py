@@ -184,16 +184,21 @@ def compact_segments(
     index_dir: str,
     config: IndexConfig | None = None,
     rechunk: bool = False,
+    seg_names: list[str] | None = None,
 ) -> dict:
-    """Merge every committed segment into one, making tombstoned deletes
+    """Merge committed segments into one, making tombstoned deletes
     permanent (the Lucene merge analog; completes U5's delete semantics).
+    Default merges EVERY active segment; `seg_names` restricts the merge
+    to a subset (the tiered-merge building block — untouched segments
+    stay active in index.json and keep their own tombstones).
 
-    Pipeline: read all segments' posting chunks → filter tombstoned docs
-    out of each chunk (vectorized decode/re-encode only where a chunk
-    intersects the tombstone set) → groupby(term) merge → fresh chunk
-    rows; docmeta concatenated minus tombstones; N/avgdl/df recomputed, so
-    post-compaction scores reflect the smaller corpus (document: deletes
-    become *visible in stats* only at compaction, exactly like Lucene).
+    Pipeline: read the selected segments' posting chunks → filter
+    tombstoned docs out of each chunk (vectorized decode/re-encode only
+    where a chunk intersects the tombstone set) → groupby(term) merge →
+    fresh chunk rows; docmeta concatenated minus tombstones; N/avgdl/df
+    recomputed, so post-compaction scores reflect the smaller corpus
+    (document: deletes become *visible in stats* only at compaction,
+    exactly like Lucene).
     """
     import time
 
@@ -214,9 +219,24 @@ def compact_segments(
     ensure_fast_shuffle()
     t0 = time.time()
     _gc_orphan_segments(index_dir)
-    seg_dirs = active_segments(index_dir)
-    if not seg_dirs:
+    all_seg_dirs = active_segments(index_dir)
+    if not all_seg_dirs:
         raise ValueError(f"no committed segments under {index_dir}")
+    if seg_names is not None:
+        wanted = set(seg_names)
+        seg_dirs = [
+            d for d in all_seg_dirs if os.path.basename(d) in wanted
+        ]
+        found = {os.path.basename(d) for d in seg_dirs}
+        if found != wanted:
+            raise ValueError(
+                f"segments not active: {sorted(wanted - found)}"
+            )
+        if len(seg_dirs) < 2:
+            raise ValueError("need >= 2 segments to merge a subset")
+    else:
+        seg_dirs = all_seg_dirs
+    kept_dirs = [d for d in all_seg_dirs if d not in seg_dirs]
     manifests = [read_manifest(d) for d in seg_dirs]
     # config=None means "keep the committed config" — defaulting to
     # IndexConfig() would silently swap the analyzer the postings were
@@ -240,7 +260,7 @@ def compact_segments(
     # so a crash anywhere in the swap leaves a consistent view (see
     # manifest.active_segments).
     next_idx = 1 + max(
-        int(os.path.basename(d).split("-")[1]) for d in seg_dirs
+        int(os.path.basename(d).split("-")[1]) for d in all_seg_dirs
     )
     seg_name = f"seg-{next_idx:05d}"
     max_doc_id = max(_segment_max_doc_id(d) for d in seg_dirs)
@@ -480,14 +500,19 @@ def compact_segments(
 
     # swap (crash-safe order): commit new → repoint index.json → delete old
     commit_segment_dir(tmp_dir, os.path.join(seg_root, seg_name))
+    kept_names = [os.path.basename(d) for d in kept_dirs]
+    kept_files = sum(
+        len(read_manifest(d)["files"]) for d in kept_dirs
+    )
     atomic_write_json(
         os.path.join(index_dir, INDEX_MANIFEST_NAME),
         {
-            "segments": [seg_name],
+            "segments": kept_names + [seg_name],
             "config": config.to_json(),
             "built": [seg_name],
             "resumed_skipped": [],
-            "n_files": len(all_files),
+            "preserved": kept_names,
+            "n_files": len(all_files) + kept_files,
         },
     )
     for d in seg_dirs:
@@ -698,4 +723,41 @@ def restore_index(snap_dir: str, dest_dir: str) -> dict:
         os.path.join(snap_dir, INDEX_MANIFEST_NAME),
         os.path.join(dest_dir, INDEX_MANIFEST_NAME),
     )
+    return manifest
+
+
+def tiered_merge(
+    index_dir: str,
+    max_segments: int = 8,
+    config: IndexConfig | None = None,
+) -> dict:
+    """Lucene-style tiered merge POLICY: keep the segment count at or
+    under `max_segments` by merging only the SMALLEST segments (by live
+    doc count) into one, leaving the big ones untouched.
+
+    This is the 10^12-file shape: a full compaction rewrites the whole
+    index every time (O(corpus) per maintenance cycle), while the tiered
+    policy rewrites only the small tail that delta ingests accumulate —
+    the total rewrite work over the index's lifetime stays
+    O(corpus · log(corpus)) like Lucene's TieredMergePolicy, and large
+    settled segments are never touched again until enough small ones
+    pile up around them.
+
+    No-op (returns {"merged": []}) when the index is already within
+    budget. Crash-safety is compact_segments': commit new → repoint
+    index.json (keeping the untouched segments active) → delete merged.
+    """
+    segs = active_segments(index_dir)
+    if len(segs) <= max_segments:
+        return {"merged": [], "segments": [os.path.basename(d) for d in segs]}
+    sizes = []
+    for d in segs:
+        m = read_manifest(d)
+        live = m["n_docs"] - int(read_tombstones(d).size)
+        sizes.append((live, os.path.basename(d)))
+    sizes.sort()
+    n_merge = len(segs) - max_segments + 1
+    victims = [name for _, name in sizes[:n_merge]]
+    manifest = compact_segments(index_dir, config=config, seg_names=victims)
+    manifest["merged"] = victims
     return manifest

@@ -495,3 +495,62 @@ def test_distributed_facet_matches_inprocess(small_index):
             assert a.equals(b), (q, mode)
     finally:
         deng.shutdown()
+
+
+def test_tiered_merge_keeps_big_segments(ray_session, tmp_path):
+    """Tiered policy merges only the smallest segments: the count drops
+    to max_segments, the biggest segment survives untouched, deletes in
+    merged segments become permanent, and search results are identical
+    (rank + score) to the pre-merge view."""
+    from datamart_ray.index.maintain import (
+        delete_docs,
+        tiered_merge,
+        verify_index_invariant,
+    )
+    from datamart_ray.index.manifest import active_segments, read_manifest
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, n_files=150, vocab_size=800, n_output_files=6)
+    idx = str(tmp_path / "idx")
+    # tiny segment budget => one segment per input file (6 segments)
+    build_index(
+        corpus, idx, IndexConfig(docs_per_spec=30, segment_docs=30)
+    )
+    segs = active_segments(idx)
+    assert len(segs) >= 4
+    sizes = {
+        os.path.basename(d): read_manifest(d)["n_docs"] for d in segs
+    }
+    biggest = max(sizes, key=lambda s: sizes[s])
+    eng = SearchEngine(idx)
+    before = eng.search("qzcommonneedle", k=50)
+    victims = before["doc_id"].to_pylist()[:2]
+    delete_docs(idx, victims)
+    want = SearchEngine(idx).search("qzcommonneedle", k=50)
+
+    res = tiered_merge(idx, max_segments=2)
+    assert res["merged"], "policy should have merged something"
+    after_segs = [os.path.basename(d) for d in active_segments(idx)]
+    assert len(after_segs) == 2
+    # the largest segment must survive unless it was itself a victim
+    if biggest not in res["merged"]:
+        assert biggest in after_segs
+    # live doc accounting: the merged segment holds exactly the merged
+    # segments' docs minus the tombstones it folded in permanently
+    merged_dir = [
+        d
+        for d in active_segments(idx)
+        if os.path.basename(d) == res["segment"]
+    ][0]
+    mm = read_manifest(merged_dir)
+    assert mm["n_docs"] == sum(sizes[v] for v in res["merged"]) - mm[
+        "n_deleted"
+    ]
+    # rank identity vs the pre-merge view (stats fold only inside the
+    # merged segments, scores may shift; order must not)
+    got = SearchEngine(idx).search("qzcommonneedle", k=50)
+    assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+    audit = verify_index_invariant(idx)
+    assert all(v["docmeta_ok"] for v in audit.values())
+    # within budget => no-op
+    assert tiered_merge(idx, max_segments=2)["merged"] == []
