@@ -273,6 +273,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # exact-cosine twin as the LSH/IVF paths
     out["sim_knn_sq8"] = knn_sq8
     out["sim_knn_pq"] = knn_pq
+    from datamart_ray.stages.similarity import knn_ivfpq
+
+    out["sim_knn_ivfpq"] = knn_ivfpq
     # (rj_interval_join registered EARLY, inside the 50-entry window)
 
     # ---- entries below here may fall outside the driver's 50-entry
@@ -521,6 +524,7 @@ def oracle_sql() -> dict[str, str]:
     out["sp_geo_bounds"] = geo_bounds_centroid_sql()
     out["sim_knn_sq8"] = knn_cosine_sql()
     out["sim_knn_pq"] = knn_cosine_sql()
+    out["sim_knn_ivfpq"] = knn_cosine_sql()
 
     from datamart_ray.pipelines.joins import RJ_WINDOWS_SQL
 

@@ -1243,3 +1243,98 @@ def knn_pq(
     ds = rd.read_parquet(path, columns=[id_col, vec_col])
     cand = ds.map_batches(find_candidates, batch_format="pyarrow")
     return _distributed_rescore_ds(path, id_col, vec_col, cand, q_ids, Q, k)
+
+
+def knn_ivfpq(
+    sf_dir: str,
+    query_ids: tuple[int, ...] = (0, 1, 2),
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 12,
+    m_subspaces: int = 8,
+    n_codes: int = 32,
+    oversample: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """IVF-PQ — the production compressed-index composition (FAISS
+    IndexIVFPQ shape): the coarse quantizer routes each vector to a
+    cluster, queries probe only their `nprobe` closest clusters, and
+    WITHIN the probed set ranking is by PQ/ADC lookup-table scores (no
+    float vectors touched during candidate generation — at 100 TB the
+    scan reads 1 byte·m per vector plus a cluster id). The oversampled
+    per-batch top-k feeds the shared exact rescore kernel, same as the
+    LSH/IVF/SQ8/PQ paths.
+
+    Reuses both persisted trainers: `ivf_centroids` (deterministic
+    spherical k-means, bounded sample) and `pq_codebooks` (per-subspace
+    L2 k-means, same sample policy)."""
+    ensure_fast_shuffle()
+    path = f"{sf_dir}/embeddings.parquet"
+    C = ivf_centroids(
+        sf_dir, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col
+    )
+    books = pq_codebooks(
+        sf_dir, m_subspaces, n_codes, id_col=id_col, vec_col=vec_col
+    )
+    qt = fetch_rows_by_ids(path, id_col, list(query_ids), [id_col, vec_col])
+    q_ids = qt[id_col].to_numpy(zero_copy_only=False)
+    Q = _to_matrix(qt[vec_col])
+    qn = np.linalg.norm(Q, axis=1)
+    Qn = Q / qn[:, None]
+    probe = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]
+    sub = books.shape[2]
+    m = m_subspaces
+    lut = np.einsum("qsd,scd->qsc", Q.reshape(len(Q), m, sub), books)
+    norms2 = (books * books).sum(axis=2)
+    ref = ray.put((q_ids.astype(np.int64), probe, C, lut, norms2, qn, books))
+    mm = k * oversample
+
+    def find_candidates(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "cand_id": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        qids, probe_l, C_l, lut_l, norms2_l, qn_l, books_l = ray.get(ref)
+        X = _to_matrix(t[vec_col])
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        n = X.shape[0]
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        assign = np.argmax(Xn @ C_l.T, axis=1)
+        codes = np.empty((n, m), dtype=np.uint8)
+        for s in range(m):
+            Xs = X[:, s * sub : (s + 1) * sub]
+            d = Xs @ books_l[s].T - 0.5 * norms2_l[s][None, :]
+            codes[:, s] = np.argmax(d, axis=1)
+        acc = np.zeros((len(qids), n), dtype=np.float64)
+        xnorm2 = np.zeros(n, dtype=np.float64)
+        for s in range(m):
+            acc += lut_l[:, s, codes[:, s]]
+            xnorm2 += norms2_l[s, codes[:, s]]
+        sims = acc / np.sqrt(xnorm2)[None, :] / qn_l[:, None]
+        out_q, out_c = [], []
+        for j, qid in enumerate(qids):
+            hit = np.isin(assign, probe_l[j]) & (ids != qid)
+            cand_ids = ids[hit]
+            cand_s = sims[j][hit]
+            if cand_ids.size > mm:
+                kth = np.partition(-cand_s, mm - 1)[mm - 1]
+                top = np.flatnonzero(-cand_s <= kth)
+                cand_ids = cand_ids[top]
+            out_q.append(np.full(cand_ids.size, qid, dtype=np.int64))
+            out_c.append(cand_ids.astype(np.int64))
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "cand_id": pa.array(np.concatenate(out_c)),
+            }
+        )
+
+    cand = rd.read_parquet(path, columns=[id_col, vec_col]).map_batches(
+        find_candidates, batch_format="pyarrow"
+    )
+    return _distributed_rescore_ds(path, id_col, vec_col, cand, q_ids, Q, k)

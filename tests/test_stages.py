@@ -1717,3 +1717,14 @@ def test_pq_codebook_deterministic_and_persisted(ray_session):
     b = pq_codebooks("/root/testdata/sf0.001")  # artifact reload path
     assert a.shape == (8, 32, 8)
     assert np.array_equal(a, b)
+
+
+def test_knn_ivfpq_matches_exact(ray_session):
+    """Coarse-probe candidate routing + PQ/ADC in-cluster ranking +
+    exact rescore return the exact top-k frame on the fixture."""
+    from datamart_ray.stages.similarity import knn_cosine, knn_ivfpq
+
+    sf = "/root/testdata/sf0.001"
+    exact = knn_cosine(sf, query_ids=(0, 1), k=5).reset_index(drop=True)
+    got = knn_ivfpq(sf, query_ids=(0, 1), k=5).reset_index(drop=True)
+    assert got.equals(exact)
