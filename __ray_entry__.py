@@ -276,6 +276,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from datamart_ray.stages.similarity import knn_ivfpq
 
     out["sim_knn_ivfpq"] = knn_ivfpq
+    from datamart_ray.stages.textstats import unigram_logprob
+
+    # CCNet-style LM quality filter: unigram model fit on the corpus,
+    # docs scored by mean token log-probability
+    out["ts_unigram_logprob"] = unigram_logprob
     # (rj_interval_join registered EARLY, inside the 50-entry window)
 
     # ---- entries below here may fall outside the driver's 50-entry
@@ -525,6 +530,9 @@ def oracle_sql() -> dict[str, str]:
     out["sim_knn_sq8"] = knn_cosine_sql()
     out["sim_knn_pq"] = knn_cosine_sql()
     out["sim_knn_ivfpq"] = knn_cosine_sql()
+    from datamart_ray.stages.textstats import unigram_logprob_sql
+
+    out["ts_unigram_logprob"] = unigram_logprob_sql()
 
     from datamart_ray.pipelines.joins import RJ_WINDOWS_SQL
 

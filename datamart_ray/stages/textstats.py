@@ -507,3 +507,122 @@ def rare_token_ratio_sql(
         GROUP BY 1
         ORDER BY 1
     """
+
+
+def unigram_logprob(
+    sf_dir: str,
+    ndigits: int = 4,
+) -> pd.DataFrame:
+    """Unigram language-model quality score — the CCNet-family "LM
+    perplexity filter" with the LM trained ON THE CORPUS ITSELF: pass 1
+    fits the unigram model (global term occurrence counts, one small
+    groupby over per-batch partials), pass 2 scores every document with
+    its mean token log-probability Σ tf·ln(cnt/total) / n_tokens.
+
+    Shape notes (100-TB): the trained model is vocabulary-bounded and
+    broadcast once via ``ray.put`` (sorted term array + counts — a
+    binary-searchable model, no Python dict); scoring is one
+    searchsorted + one bincount per batch, no corpus shuffle. Per-doc
+    float sums run in ascending-term order to mirror the twin's
+    ``sum(... ORDER BY term)`` exactly.
+
+    Output (doc_id, n_tokens, logprob) for docs with ≥1 token."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from datamart_ray.util import round_away
+
+    ensure_fast_shuffle()
+    an = Analyzer()
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        tf, _ = an.term_frequencies(t["text"])
+        part = tf.group_by("term").aggregate([("tf", "sum")])
+        return part.rename_columns(["term", "pcnt"])
+
+    cnt_pd = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("pcnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("term")
+    )
+    vocab = cnt_pd["term"].to_numpy(dtype=object)
+    counts = cnt_pd["cnt"].to_numpy(dtype=np.int64)
+    total = int(counts.sum())
+    # ln(cnt) - ln(total): precomputed per term ONCE (model artifact)
+    lp = np.log(counts.astype(np.float64)) - np.log(float(total))
+    mref = ray.put((vocab.astype("U"), lp))
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab_l, lp_l = ray.get(mref)
+        tf, doclens = an.term_frequencies(t["text"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = doclens > 0
+        out_ids = ids[keep]
+        out_n = doclens[keep]
+        if tf.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "logprob": pa.array([], pa.float64()),
+                }
+            )
+        # ascending-term accumulation order == the twin's ORDER BY term
+        tf = tf.sort_by([("row_idx", "ascending"), ("term", "ascending")])
+        rows = tf["row_idx"].to_numpy(zero_copy_only=False)
+        terms = tf["term"].to_numpy(zero_copy_only=False).astype("U")
+        tfs = tf["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pos = np.searchsorted(vocab_l, terms)
+        # every corpus term is in the model by construction
+        contrib = tfs * lp_l[pos]
+        sums = np.zeros(len(ids), dtype=np.float64)
+        # add.at accumulates in array order -> ascending-term per row
+        np.add.at(sums, rows, contrib)
+        logprob = sums[keep] / out_n
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+                "logprob": pa.array(logprob, pa.float64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["logprob"] = round_away(out["logprob"], ndigits)
+    return out
+
+
+def unigram_logprob_sql(ndigits: int = 4) -> str:
+    an = Analyzer()
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({an.sql_tokens_expr('text')}) AS term
+            FROM documents
+        ),
+        c AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY term),
+        tot AS (SELECT count(*)::BIGINT AS total FROM tok),
+        tf AS (
+            SELECT doc_id, term, count(*)::BIGINT AS tf
+            FROM tok GROUP BY doc_id, term
+        )
+        SELECT doc_id,
+               sum(tf)::BIGINT AS n_tokens,
+               ROUND(
+                   sum(tf * (ln(cnt::DOUBLE) - ln(total::DOUBLE))
+                       ORDER BY term)
+                   / sum(tf), {ndigits}
+               ) AS logprob
+        FROM tf JOIN c USING (term) CROSS JOIN tot
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """
