@@ -2635,6 +2635,70 @@ def _msearch_sql(plan: tuple) -> str:
     )
 
 
+SAMPLER_SHARD = 50  # diversified_sampler shard_size (candidate window)
+SAMPLER_MAX_PER = 2  # max_docs_per_value
+
+
+def ft_diversified_sampler(sf_dir: str) -> pd.DataFrame:
+    """ES ``diversified_sampler`` aggregation with an ``avg``
+    sub-aggregation: take the top SAMPLER_SHARD BM25 matches, keep at
+    most SAMPLER_MAX_PER docs per `source` walking in rank order
+    (rank = rounded score desc, docID asc — pinned so the twin's
+    window functions reproduce it bit-for-bit), then aggregate mean
+    n_chars over the de-biased sample. Integer sum, one division."""
+    eng = get_engine(sf_dir)
+    top = eng.search(BM25_QUERY, k=SAMPLER_SHARD, mode="and").to_pandas()
+    meta = eng.readers
+    # attach source + n_chars via the docmeta already in memory
+    import numpy as np
+
+    src = {}
+    nch = {}
+    for r in meta:
+        ids = r._doc_ids
+        s = r._meta["source"].to_numpy(zero_copy_only=False)
+        c = r._meta["n_chars"].to_numpy(zero_copy_only=False)
+        for d in top["doc_id"].to_numpy():
+            pos = np.searchsorted(ids, d)
+            if pos < ids.size and ids[pos] == d:
+                src[int(d)] = s[pos]
+                nch[int(d)] = int(c[pos])
+    top["source"] = top["doc_id"].map(src)
+    top["n_chars"] = top["doc_id"].map(nch)
+    top["r"] = round_away(top["score"], 4)
+    top = top.sort_values(["r", "doc_id"], ascending=[False, True])
+    keep = top.groupby("source").cumcount() < SAMPLER_MAX_PER
+    sample = top[keep]
+    n = len(sample)
+    s = int(sample["n_chars"].sum())
+    return pd.DataFrame(
+        {
+            "n_sample": pd.array([n], dtype="int64"),
+            "avg_nchars": [round_away(pd.Series([s / n]), 4)[0]],
+        }
+    )
+
+
+def _diversified_sampler_sql(
+    query: str, shard: int, max_per: int
+) -> str:
+    inner = _bm25_sql(query, shard)
+    return f"""
+        WITH top_hits AS ({inner}),
+        ranked AS (
+            SELECT t.doc_id, t.score, d.source, d.n_chars,
+                   row_number() OVER (
+                       PARTITION BY d.source
+                       ORDER BY t.score DESC, t.doc_id
+                   ) AS rn
+            FROM top_hits t JOIN documents d USING (doc_id)
+        )
+        SELECT count(*)::BIGINT AS n_sample,
+               ROUND(sum(n_chars)::DOUBLE / count(*), 4) AS avg_nchars
+        FROM ranked WHERE rn <= {max_per}
+    """
+
+
 RRF_WINDOW = 50  # per-leg candidate window (ES rank_window_size)
 RRF_K = 60  # ES rrf rank_constant default
 RRF_TOPK = 10
@@ -3525,6 +3589,9 @@ def build_sql() -> dict[str, str]:
             BM25_QUERY, "n_chars", PCTRANK_VALUES
         ),
         "ft_msearch": _msearch_sql(MSEARCH_PLAN),
+        "ft_diversified_sampler": _diversified_sampler_sql(
+            BM25_QUERY, SAMPLER_SHARD, SAMPLER_MAX_PER
+        ),
     }
 
 
@@ -3686,6 +3753,7 @@ QUERIES = {
     "ft_bucket_stats": ft_bucket_stats,
     "ft_percentile_ranks": ft_percentile_ranks,
     "ft_msearch": ft_msearch,
+    "ft_diversified_sampler": ft_diversified_sampler,
 }
 
 SQL = build_sql()
