@@ -2635,6 +2635,42 @@ def _msearch_sql(plan: tuple) -> str:
     )
 
 
+FACET_APPROX_SIZE = 5
+FACET_APPROX_SHARD = 100  # >= per-actor distinct langs => exact, bounds 0
+
+
+def ft_facet_approx_lang(sf_dir: str) -> pd.DataFrame:
+    """ES terms aggregation in its real bounded-traffic mode: each
+    scorer actor ships only its top shard_size buckets and the result
+    carries per-bucket doc_count_error_upper_bound. At this fixture's
+    cardinality shard_size covers every bucket, so the entry gates the
+    wiring against the EXACT facet twin (all bounds must be 0)."""
+    from datamart_ray.search.engine import DistributedSearchEngine
+
+    eng = get_engine(sf_dir)
+    index_dir = eng.readers[0].seg_dir.rsplit("/segments/", 1)[0]
+    deng = DistributedSearchEngine(index_dir, max_actors=4)
+    try:
+        out = deng.facet_counts_approx(
+            BM25_QUERY,
+            "lang",
+            size=FACET_APPROX_SIZE,
+            shard_size=FACET_APPROX_SHARD,
+            mode="and",
+        ).to_pandas()
+    finally:
+        deng.shutdown()
+    return out
+
+
+def _facet_approx_sql(query: str, col: str, size: int) -> str:
+    return f"""
+        SELECT *, 0::BIGINT AS doc_count_error_upper_bound
+        FROM ({_facet_sql(query, col)})
+        LIMIT {size}
+    """
+
+
 SAMPLER_SHARD = 50  # diversified_sampler shard_size (candidate window)
 SAMPLER_MAX_PER = 2  # max_docs_per_value
 
@@ -3592,6 +3628,9 @@ def build_sql() -> dict[str, str]:
         "ft_diversified_sampler": _diversified_sampler_sql(
             BM25_QUERY, SAMPLER_SHARD, SAMPLER_MAX_PER
         ),
+        "ft_facet_approx_lang": _facet_approx_sql(
+            BM25_QUERY, "lang", FACET_APPROX_SIZE
+        ),
     }
 
 
@@ -3754,6 +3793,7 @@ QUERIES = {
     "ft_percentile_ranks": ft_percentile_ranks,
     "ft_msearch": ft_msearch,
     "ft_diversified_sampler": ft_diversified_sampler,
+    "ft_facet_approx_lang": ft_facet_approx_lang,
 }
 
 SQL = build_sql()

@@ -3473,6 +3473,82 @@ class DistributedSearchEngine:
             }
         )
 
+    def facet_counts_approx(
+        self,
+        query: str,
+        col: str,
+        size: int = 5,
+        shard_size: int | None = None,
+        mode: str = "and",
+        filters: dict[str, str] | None = None,
+    ) -> pa.Table:
+        """ES terms-aggregation SHARD-APPROXIMATION semantics: each
+        actor ships only its top `shard_size` buckets (count desc,
+        value asc — the bounded-traffic mode real ES always runs in),
+        the driver merges and keeps the global top `size`, and every
+        returned bucket carries ES's per-bucket
+        ``doc_count_error_upper_bound``: the sum, over actors that did
+        NOT report the bucket, of that actor's smallest shipped count —
+        the worst case it could have hidden. With
+        shard_size ≥ per-actor distinct count the result is exact and
+        every bound is 0 (asserted in tests against facet_counts).
+
+        This is the 100-TB facet shape: traffic is
+        O(shard_size · actors) regardless of the column's cardinality.
+        """
+        if shard_size is None:
+            shard_size = max(size * 4, 10)  # ES default-ish heuristic
+        terms, idfs = self._agg_round(query)
+        if not terms:
+            return pa.table(
+                {
+                    col: pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                    "doc_count_error_upper_bound": pa.array(
+                        [], type=pa.int64()
+                    ),
+                }
+            )
+        partials = ray.get(
+            [
+                a.facet_partial.remote(
+                    terms, idfs, self.avgdl, col, mode, filters,
+                    self.params,
+                )
+                for a in self.actors
+            ]
+        )
+        shipped: list[dict] = []
+        worst: list[int] = []  # per actor: smallest shipped count
+        for p in partials:
+            items = sorted(
+                p.items(),
+                key=lambda kv: (-kv[1], kv[0] is None, kv[0] or ""),
+            )[:shard_size]
+            shipped.append(dict(items))
+            worst.append(items[-1][1] if len(items) == shard_size else 0)
+        agg: dict = {}
+        for p in shipped:
+            for v, n in p.items():
+                agg[v] = agg.get(v, 0) + n
+        merged = sorted(
+            agg.items(),
+            key=lambda kv: (-kv[1], kv[0] is None, kv[0] or ""),
+        )[:size]
+        errs = [
+            sum(w for p, w in zip(shipped, worst) if v not in p)
+            for v, _ in merged
+        ]
+        return pa.table(
+            {
+                col: pa.array([k for k, _ in merged], type=pa.string()),
+                "n": pa.array([v for _, v in merged], type=pa.int64()),
+                "doc_count_error_upper_bound": pa.array(
+                    errs, type=pa.int64()
+                ),
+            }
+        )
+
     def _agg_round(self, query: str) -> tuple[list[str], dict]:
         """Shared df round for the aggregation family: (terms, global
         idfs)."""

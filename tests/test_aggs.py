@@ -480,3 +480,41 @@ def test_percentile_ranks_exact(ray_session, agg_corpus, tmp_path):
     for row, p in zip(got.itertuples(index=False), probes):
         want = 100.0 * sum(1 for v in mv if v <= p) / len(mv)
         assert row.rank_pct == pytest.approx(want)
+
+
+def test_facet_counts_approx_error_bound(ray_session, agg_corpus, tmp_path):
+    """ES shard-approximation semantics: with a generous shard_size the
+    approx facet equals the exact one with all error bounds 0; with a
+    truncating shard_size every approx count underestimates by at most
+    its doc_count_error_upper_bound."""
+    from datamart_ray.search.engine import DistributedSearchEngine
+
+    path, _, _, _ = agg_corpus
+    _build(path, str(tmp_path / "faidx"), docs_per_spec=40)
+    deng = DistributedSearchEngine(
+        str(tmp_path / "faidx"), max_actors=3,
+        filter_cols=("lang", "val"),
+    )
+    try:
+        exact = deng.facet_counts(QUERY, "lang").to_pandas()
+        generous = deng.facet_counts_approx(
+            QUERY, "lang", size=len(exact), shard_size=100
+        ).to_pandas()
+        assert generous["doc_count_error_upper_bound"].eq(0).all()
+        assert generous["lang"].fillna("~").tolist() == exact[
+            "lang"
+        ].fillna("~").tolist()
+        assert generous["n"].tolist() == exact["n"].tolist()
+
+        tight = deng.facet_counts_approx(
+            QUERY, "lang", size=2, shard_size=1
+        ).to_pandas()
+        truth = dict(
+            zip(exact["lang"].fillna("~"), exact["n"])
+        )
+        for r in tight.itertuples(index=False):
+            key = r.lang if isinstance(r.lang, str) else "~"
+            assert r.n <= truth[key]
+            assert truth[key] <= r.n + r.doc_count_error_upper_bound
+    finally:
+        deng.shutdown()
