@@ -167,6 +167,13 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--sf", required=True)
     cp.add_argument("--window", type=int, default=256)
     cp.add_argument("--rare-thr", type=float, default=0.05)
+    cp.add_argument(
+        "--out",
+        default=None,
+        help="write results as resumable hash-partitioned parquet "
+        "(committed shards are skipped on re-run) instead of stdout",
+    )
+    cp.add_argument("--shards", type=int, default=16)
 
     pi = sub.add_parser(
         "scrub", help="redact emails/URLs/IPs; per-doc counts"
@@ -448,7 +455,20 @@ def _run(args) -> int:
         out = clean_pack_pipeline(
             args.sf, window=args.window, rare_thr=args.rare_thr
         )
-        print(out.to_json(orient="records"))
+        if args.out:
+            import ray.data as rd
+
+            from datamart_ray.sources.sink import write_parquet_resumable
+
+            res = write_parquet_resumable(
+                lambda: rd.from_pandas(out),
+                args.out,
+                key_col=out.columns[0],
+                n_shards=args.shards,
+            )
+            print(json.dumps(res))
+        else:
+            print(out.to_json(orient="records"))
         return 0
     if args.cmd == "scrub":
         from datamart_ray.stages.pii import scrub_pii

@@ -142,3 +142,61 @@ def test_multi_megabyte_documents(ray_session, tmp_path):
     assert hits.num_rows == 3
     # the tiny doc wins: same tf, far smaller dl
     assert hits["doc_id"].to_pylist()[0] == 2
+
+
+def test_resumable_sink_skips_committed_shards(ray_session, tmp_path):
+    """Crash-resume contract of the generic output sink: committed
+    shards are skipped on re-run, uncommitted partials are wiped and
+    rewritten, and the union of committed shards is exactly the input."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from datamart_ray.sources.sink import (
+        SHARD_COL,
+        committed_shards,
+        read_resumable_output,
+        write_parquet_resumable,
+    )
+
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(1000), pa.int64()),
+                "v": pa.array(np.arange(1000) * 3),
+            }
+        ),
+        src,
+    )
+    out = str(tmp_path / "out")
+    make = lambda: rd.read_parquet(src)
+
+    r1 = write_parquet_resumable(make, out, "doc_id", n_shards=8)
+    assert sorted(r1["written"]) == list(range(8))
+    assert committed_shards(out) == set(range(8))
+
+    # simulate a crash: drop two markers, leave one's files partial
+    os.remove(os.path.join(out, "_SUCCESS.3"))
+    os.remove(os.path.join(out, "_SUCCESS.5"))
+    shutil.rmtree(os.path.join(out, f"{SHARD_COL}=5"))
+
+    r2 = write_parquet_resumable(make, out, "doc_id", n_shards=8)
+    assert r2["written"] == [3, 5]
+    assert r2["skipped"] == [0, 1, 2, 4, 6, 7]
+    assert committed_shards(out) == set(range(8))
+
+    back = read_resumable_output(out).to_pandas()
+    assert len(back) == 1000
+    assert sorted(back["doc_id"].tolist()) == list(range(1000))
+    assert (back.sort_values("doc_id")["v"].to_numpy()
+            == np.arange(1000) * 3).all()
+
+    # fully committed => pure no-op
+    r3 = write_parquet_resumable(make, out, "doc_id", n_shards=8)
+    assert r3["written"] == []
