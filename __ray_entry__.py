@@ -281,6 +281,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # CCNet-style LM quality filter: unigram model fit on the corpus,
     # docs scored by mean token log-probability
     out["ts_unigram_logprob"] = unigram_logprob
+    from datamart_ray.stages.sampling import temperature_mix_sample
+
+    # XLM-R/UNIMAX-style temperature mixture sampling (alpha=0.5)
+    out["sa_temperature_mix"] = temperature_mix_sample
     # (rj_interval_join registered EARLY, inside the 50-entry window)
 
     # ---- entries below here may fall outside the driver's 50-entry
@@ -533,6 +537,9 @@ def oracle_sql() -> dict[str, str]:
     from datamart_ray.stages.textstats import unigram_logprob_sql
 
     out["ts_unigram_logprob"] = unigram_logprob_sql()
+    from datamart_ray.stages.sampling import temperature_mix_sql
+
+    out["sa_temperature_mix"] = temperature_mix_sql()
 
     from datamart_ray.pipelines.joins import RJ_WINDOWS_SQL
 

@@ -113,3 +113,102 @@ def stratified_sample_sql(
               < (CASE lang {whens} ELSE {int(default_rate * LEHMER_MOD)} END)
         ORDER BY doc_id
     """
+
+
+TEMP_ALPHA = 0.5  # temperature exponent (XLM-R-style alpha)
+TEMP_TARGET = 0.3  # expected kept fraction of the corpus
+
+
+def temperature_mix_sample(
+    sf_dir: str,
+    alpha: float = TEMP_ALPHA,
+    target: float = TEMP_TARGET,
+) -> "pd.DataFrame":
+    """Temperature-weighted mixture sampling — the multilingual
+    data-mixing op (XLM-R/UNIMAX family): per-language keep rate
+    ∝ count^(α−1), normalized so the expected kept fraction of the
+    whole corpus is `target`, capped at 1. Low-resource languages are
+    up-weighted relative to proportional sampling; α=1 reduces to
+    uniform, α=0 to equal-per-language mass.
+
+    Same deterministic arithmetic contract as stratified_sample: the
+    per-language RATES come from one tiny groupby (pass 1), each rate
+    is rounded to 9 decimals (both sides — pins the float pow chain),
+    converted to an integer MINSTD threshold, and the keep decision is
+    per-row id arithmetic — no shuffle, stable at any parallelism.
+
+    Output (doc_id, lang) sorted by doc_id."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    cnt_pd = (
+        ds.groupby("lang")
+        .aggregate(Count(alias_name="cnt"))
+        .to_pandas()
+        .sort_values("lang")
+    )
+    cnt = cnt_pd["cnt"].to_numpy(dtype=np.float64)
+    total = float(cnt.sum())
+    sp = float(np.sum(cnt**alpha))
+    # float-op order mirrors the SQL twin exactly
+    rates = np.minimum(
+        1.0, np.round(((target * total) / sp) * cnt ** (alpha - 1.0), 9)
+    )
+    thresholds = {
+        lang: int(np.floor(r * LEHMER_MOD))
+        for lang, r in zip(cnt_pd["lang"], rates)
+    }
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        strata = t["lang"].to_numpy(zero_copy_only=False)
+        thr = np.zeros(t.num_rows, dtype=np.int64)
+        for k, v in thresholds.items():
+            thr[strata == k] = v
+        return t.filter(pa.array(lehmer_bucket(ids) < thr))
+
+    out = (
+        ds.map_batches(keep, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["doc_id", "lang"]]
+
+
+def temperature_mix_sql(
+    alpha: float = TEMP_ALPHA, target: float = TEMP_TARGET
+) -> str:
+    expr = f"(d.doc_id % {LEHMER_MOD})"
+    for _ in range(LEHMER_ROUNDS):
+        expr = f"(({expr} * {LEHMER_MULT}) % {LEHMER_MOD})"
+    return f"""
+        WITH c AS (
+            SELECT lang, count(*)::BIGINT AS cnt
+            FROM documents GROUP BY lang
+        ),
+        tot AS (
+            SELECT sum(cnt)::DOUBLE AS total,
+                   sum(pow(cnt::DOUBLE, {alpha})) AS sp
+            FROM c
+        ),
+        thr AS (
+            SELECT lang,
+                   CAST(floor(
+                       LEAST(1.0, ROUND(
+                           (({target} * total) / sp)
+                           * pow(cnt::DOUBLE, {alpha} - 1.0), 9
+                       )) * {LEHMER_MOD}
+                   ) AS BIGINT) AS thr
+            FROM c CROSS JOIN tot
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN thr USING (lang)
+        WHERE {expr} < thr.thr
+        ORDER BY d.doc_id
+    """

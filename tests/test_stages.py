@@ -1728,3 +1728,27 @@ def test_knn_ivfpq_matches_exact(ray_session):
     exact = knn_cosine(sf, query_ids=(0, 1), k=5).reset_index(drop=True)
     got = knn_ivfpq(sf, query_ids=(0, 1), k=5).reset_index(drop=True)
     assert got.equals(exact)
+
+
+def test_temperature_mix_upweights_low_resource(ray_session):
+    """alpha<1 keeps a HIGHER fraction of low-resource languages than
+    of high-resource ones, and the sample is non-vacuous."""
+    import duckdb
+
+    from datamart_ray.stages.sampling import temperature_mix_sample
+
+    sf = "/root/testdata/sf0.01"
+    out = temperature_mix_sample(sf)
+    assert len(out) > 0
+    con = duckdb.connect()
+    tot = dict(
+        con.execute(
+            f"SELECT lang, count(*) FROM read_parquet('{sf}/documents.parquet') GROUP BY lang"
+        ).fetchall()
+    )
+    kept = out.groupby("lang").size().to_dict()
+    fracs = {k: kept.get(k, 0) / tot[k] for k in tot}
+    hi = max(tot, key=lambda k: tot[k])
+    lo = min(tot, key=lambda k: tot[k])
+    if tot[hi] > 2 * tot[lo]:  # only meaningful with real skew
+        assert fracs[lo] > fracs[hi]
