@@ -2462,6 +2462,28 @@ def _weighted_avg_sql(query: str, col: str) -> str:
     """
 
 
+def ft_weighted_avg_dist(sf_dir: str) -> pd.DataFrame:
+    """Distributed weighted_avg through the scorer-actor pool (exact
+    integer partials, one driver division) — same twin as the
+    in-process entry, gating actor-count invariance."""
+    from datamart_ray.search.engine import DistributedSearchEngine
+
+    eng = get_engine(sf_dir)
+    index_dir = eng.readers[0].seg_dir.rsplit("/segments/", 1)[0]
+    deng = DistributedSearchEngine(
+        index_dir, max_actors=4,
+        filter_cols=("lang", "source", "n_chars"),
+    )
+    try:
+        out = deng.matched_weighted_avg(
+            BM25_QUERY, "n_chars", mode="and"
+        ).to_pandas()
+    finally:
+        deng.shutdown()
+    out["weighted_avg"] = round_away(out["weighted_avg"], 4)
+    return out
+
+
 def ft_scroll_page3(sf_dir: str) -> pd.DataFrame:
     """ES scroll-API analog: the third fixed-size page (ranks 31-45)
     of the full (score desc, docID asc) BM25 ranking — deep pagination
@@ -3631,6 +3653,7 @@ def build_sql() -> dict[str, str]:
         "ft_facet_approx_lang": _facet_approx_sql(
             BM25_QUERY, "lang", FACET_APPROX_SIZE
         ),
+        "ft_weighted_avg_dist": _weighted_avg_sql(BM25_QUERY, "n_chars"),
     }
 
 
@@ -3794,6 +3817,7 @@ QUERIES = {
     "ft_msearch": ft_msearch,
     "ft_diversified_sampler": ft_diversified_sampler,
     "ft_facet_approx_lang": ft_facet_approx_lang,
+    "ft_weighted_avg_dist": ft_weighted_avg_dist,
 }
 
 SQL = build_sql()

@@ -3289,6 +3289,41 @@ class SegmentScorer:
         keys, counts = np.unique(b, return_counts=True)
         return {int(kk): int(cc) for kk, cc in zip(keys, counts)}
 
+    def weighted_avg_partial(
+        self,
+        terms: list[str],
+        idfs: dict[str, float],
+        avgdl: float,
+        val_col: str,
+        mode: str,
+        filters: dict[str, str] | None,
+        params: BM25Params,
+    ) -> tuple:
+        """Per-actor weighted_avg partial: exact int64 (n, Σv·w, Σw) —
+        O(1) traffic per actor, merged by addition."""
+        n = 0
+        svw = 0
+        sw = 0
+        for r in self.readers:
+            d, _ = _score_segment(
+                r, terms, idfs, avgdl, mode, filters, params
+            )
+            if not d.size:
+                continue
+            pos = np.searchsorted(r._doc_ids, d)
+            v = r._meta[val_col].take(pa.array(pos))
+            ok = pc.is_valid(v).to_numpy(zero_copy_only=False)
+            vv = (
+                pc.fill_null(v, 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)[ok]
+            )
+            w = r._doclens[pos].astype(np.int64)[ok]
+            n += int(d.size)
+            svw += int((vv * w).sum())
+            sw += int(w.sum())
+        return n, svw, sw
+
     def range_partial(
         self,
         terms: list[str],
@@ -3733,6 +3768,41 @@ class DistributedSearchEngine:
                 "bucket": pa.array(names, type=pa.string()),
                 "n": pa.array(ns, type=pa.int64()),
                 "avg": pa.array(avgs, type=pa.float64()),
+            }
+        )
+
+    def matched_weighted_avg(
+        self,
+        query: str,
+        val_col: str,
+        mode: str = "and",
+        filters: dict[str, str] | None = None,
+    ) -> pa.Table:
+        """Distributed ES weighted_avg: per-actor exact int64
+        (n, Σv·w, Σw) partials merged by addition; the single float
+        division happens once on the merged sums (identical arithmetic
+        to the in-process method at any actor count)."""
+        terms, idfs = self._agg_round(query)
+        n = svw = sw = 0
+        if terms:
+            parts = ray.get(
+                [
+                    a.weighted_avg_partial.remote(
+                        terms, idfs, self.avgdl, val_col, mode,
+                        filters, self.params,
+                    )
+                    for a in self.actors
+                ]
+            )
+            for pn, psvw, psw in parts:
+                n += pn
+                svw += psvw
+                sw += psw
+        wavg = float(svw) / float(sw) if sw else None
+        return pa.table(
+            {
+                "n": pa.array([n], type=pa.int64()),
+                "weighted_avg": pa.array([wavg], type=pa.float64()),
             }
         )
 
