@@ -281,10 +281,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # CCNet-style LM quality filter: unigram model fit on the corpus,
     # docs scored by mean token log-probability
     out["ts_unigram_logprob"] = unigram_logprob
-    from datamart_ray.stages.sampling import temperature_mix_sample
+    from datamart_ray.stages.sampling import (
+        split_assign,
+        temperature_mix_sample,
+    )
 
     # XLM-R/UNIMAX-style temperature mixture sampling (alpha=0.5)
     out["sa_temperature_mix"] = temperature_mix_sample
+    # deterministic train/val/test split (per-row id arithmetic)
+    out["sa_split_counts"] = split_assign
     # (rj_interval_join registered EARLY, inside the 50-entry window)
 
     # ---- entries below here may fall outside the driver's 50-entry
@@ -537,9 +542,13 @@ def oracle_sql() -> dict[str, str]:
     from datamart_ray.stages.textstats import unigram_logprob_sql
 
     out["ts_unigram_logprob"] = unigram_logprob_sql()
-    from datamart_ray.stages.sampling import temperature_mix_sql
+    from datamart_ray.stages.sampling import (
+        split_assign_sql,
+        temperature_mix_sql,
+    )
 
     out["sa_temperature_mix"] = temperature_mix_sql()
+    out["sa_split_counts"] = split_assign_sql()
 
     from datamart_ray.pipelines.joins import RJ_WINDOWS_SQL
 

@@ -2484,6 +2484,45 @@ def ft_weighted_avg_dist(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def ft_script_fields(sf_dir: str) -> pd.DataFrame:
+    """ES ``script_fields`` / runtime-field analog: every top-k hit
+    carries a query-time computed column — here
+    ``score_per_kchar = rounded_score / (n_chars / 1000)`` (a
+    length-normalized relevance density). The computation happens at
+    serving time from the hit's score and docmeta, no reindex; both
+    sides derive it from the 4-digit rounded score so the division
+    chain is pinned."""
+    import numpy as np
+
+    eng = get_engine(sf_dir)
+    top = eng.search(BM25_QUERY, k=BM25_K, mode="and").to_pandas()
+    nch = {}
+    for r in eng.readers:
+        ids = r._doc_ids
+        c = r._meta["n_chars"].to_numpy(zero_copy_only=False)
+        for d in top["doc_id"].to_numpy():
+            pos = np.searchsorted(ids, d)
+            if pos < ids.size and ids[pos] == d:
+                nch[int(d)] = int(c[pos])
+    top["score"] = round_away(top["score"], 4)
+    top["n_chars"] = top["doc_id"].map(nch).astype("int64")
+    top["score_per_kchar"] = round_away(
+        top["score"] / (top["n_chars"] / 1000.0), 4
+    )
+    return top[["doc_id", "score", "n_chars", "score_per_kchar"]]
+
+
+def _script_fields_sql(query: str, k: int) -> str:
+    return f"""
+        SELECT t.doc_id, t.score, d.n_chars,
+               ROUND(t.score / (d.n_chars / 1000.0), 4)
+                   AS score_per_kchar
+        FROM ({_bm25_sql(query, k)}) t
+        JOIN documents d USING (doc_id)
+        ORDER BY t.score DESC, t.doc_id
+    """
+
+
 def ft_scroll_page3(sf_dir: str) -> pd.DataFrame:
     """ES scroll-API analog: the third fixed-size page (ranks 31-45)
     of the full (score desc, docID asc) BM25 ranking — deep pagination
@@ -3654,6 +3693,7 @@ def build_sql() -> dict[str, str]:
             BM25_QUERY, "lang", FACET_APPROX_SIZE
         ),
         "ft_weighted_avg_dist": _weighted_avg_sql(BM25_QUERY, "n_chars"),
+        "ft_script_fields": _script_fields_sql(BM25_QUERY, BM25_K),
     }
 
 
@@ -3818,6 +3858,7 @@ QUERIES = {
     "ft_diversified_sampler": ft_diversified_sampler,
     "ft_facet_approx_lang": ft_facet_approx_lang,
     "ft_weighted_avg_dist": ft_weighted_avg_dist,
+    "ft_script_fields": ft_script_fields,
 }
 
 SQL = build_sql()

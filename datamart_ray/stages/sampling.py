@@ -212,3 +212,77 @@ def temperature_mix_sql(
         WHERE {expr} < thr.thr
         ORDER BY d.doc_id
     """
+
+
+SPLIT_BOUNDS = (0.98, 0.99)  # train < 98% <= val < 99% <= test
+
+
+def split_assign(
+    sf_dir: str,
+    bounds: tuple[float, float] = SPLIT_BOUNDS,
+) -> "pd.DataFrame":
+    """Deterministic train/val/test assignment — the dataset-split op
+    every training pipeline runs before anything else. A row's split is
+    pure id arithmetic (the MINSTD bucket against two fixed integer
+    cutoffs), so the assignment is reproducible at any parallelism,
+    stable under repartitioning/resume, and disjoint by construction —
+    no shuffle, no RNG state, one streaming pass.
+
+    Output: per (split, lang) row counts (split asc, lang asc) — the
+    audit table a split job emits; the per-row assignment is the same
+    expression any downstream reader applies as a filter."""
+    import pandas as pd
+
+    lo = int(bounds[0] * LEHMER_MOD)
+    hi = int(bounds[1] * LEHMER_MOD)
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = lehmer_bucket(ids)
+        split = np.where(b < lo, "train", np.where(b < hi, "val", "test"))
+        part = pa.table(
+            {"split": pa.array(split), "lang": t["lang"]}
+        )
+        g = part.group_by(["split", "lang"]).aggregate([([], "count_all")])
+        return g.rename_columns(["split", "lang", "n"])
+
+    out = (
+        rd_groupby_sum(ds.map_batches(assign, batch_format="pyarrow"))
+        .sort_values(["split", "lang"])
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def rd_groupby_sum(ds: rd.Dataset) -> "pd.DataFrame":
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.groupby(["split", "lang"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+
+
+def split_assign_sql(
+    bounds: tuple[float, float] = SPLIT_BOUNDS,
+) -> str:
+    lo = int(bounds[0] * LEHMER_MOD)
+    hi = int(bounds[1] * LEHMER_MOD)
+    expr = f"(doc_id % {LEHMER_MOD})"
+    for _ in range(LEHMER_ROUNDS):
+        expr = f"(({expr} * {LEHMER_MULT}) % {LEHMER_MOD})"
+    return f"""
+        SELECT CASE WHEN {expr} < {lo} THEN 'train'
+                    WHEN {expr} < {hi} THEN 'val'
+                    ELSE 'test' END AS split,
+               lang,
+               count(*)::BIGINT AS n
+        FROM documents
+        GROUP BY 1, 2
+        ORDER BY split, lang
+    """
