@@ -1475,6 +1475,116 @@ def _multimatch_cross_sql(query: str, k: int, boost: float) -> str:
     """
 
 
+def ft_multimatch_blended_topk(sf_dir: str) -> pd.DataFrame:
+    """ES ``multi_match`` cross_fields with TRUE BlendedTermQuery df
+    semantics — closes the pinned per-field-df deviation of
+    ft_multimatch_cross_topk: each term's idf is computed from the
+    blended document frequency max(df over fields) (Lucene
+    BlendedTermQuery's rewrite), tf/doclen stay per-field, the best
+    boosted field contribution wins per term (dis_max), terms sum in
+    lexicographic order. Engine side rescales each field's per-term
+    score by idf_blend/idf_field — same arithmetic family as the
+    boosting/function_score rescale paths."""
+    import math
+
+    eng_t = get_engine(sf_dir)
+    eng_s = get_field_engine(sf_dir, "source")
+    terms = sorted(set(ANALYZER.tokenize(MULTI_QUERY)))
+    n = eng_t.n_docs
+
+    def idf(df: int) -> float:
+        return math.log1p((n - df + 0.5) / (df + 0.5))
+
+    total: pd.Series | None = None
+    for t in terms:
+        df_blend = max(eng_t.df(t), eng_s.df(t))
+        if df_blend == 0:
+            continue
+        i_blend = idf(df_blend)
+        parts = []
+        for eng, boost in ((eng_t, 1.0), (eng_s, MULTI_BOOST)):
+            df_f = eng.df(t)
+            if df_f == 0:
+                continue
+            s = (
+                eng.search(t, k=eng.n_docs, mode="or")
+                .to_pandas()
+                .set_index("doc_id")["score"]
+            )
+            parts.append(boost * (i_blend / idf(df_f)) * s)
+        if not parts:
+            continue
+        m = pd.concat(parts, axis=1).fillna(0.0)
+        per = m.max(axis=1)
+        total = per if total is None else total.add(per, fill_value=0.0)
+    out = total.rename("score").reset_index()
+    out = out.sort_values(
+        ["score", "doc_id"], ascending=[False, True]
+    ).head(BM25_K).reset_index(drop=True)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score"] = round_away(out["score"], 4)
+    return out
+
+
+def _multimatch_blended_sql(query: str, k: int, boost: float) -> str:
+    terms = list(dict.fromkeys(ANALYZER.tokenize(query)))
+    return f"""
+        WITH {_field_scored_cte("t", "text", terms)},
+        {_field_scored_cte("s", "source", terms)},
+        df_blend AS (
+            SELECT q.term,
+                   greatest(coalesce(dt.df, 0), coalesce(ds.df, 0)) AS df
+            FROM qterms_t q
+            LEFT JOIN df_t dt USING (term)
+            LEFT JOIN df_s ds USING (term)
+        ),
+        idf AS (
+            SELECT b.term,
+                   ln(1 + (s.n - b.df + 0.5) / (b.df + 0.5)) AS i_blend
+            FROM df_blend b CROSS JOIN stats_t s
+            WHERE b.df > 0
+        ),
+        -- rescale each field's contribution from its own idf to the
+        -- blended idf (same arithmetic as the engine)
+        rescaled AS (
+            SELECT c.doc_id, c.term,
+                   greatest(
+                       coalesce(
+                           (i.i_blend
+                            / ln(1 + (st.n - dt.df + 0.5) / (dt.df + 0.5)))
+                           * c.c, 0),
+                       0) AS c
+            FROM contrib_t c
+            JOIN idf i USING (term)
+            JOIN df_t dt USING (term)
+            CROSS JOIN stats_t st
+        ),
+        rescaled_s AS (
+            SELECT c.doc_id, c.term,
+                   {boost} * (i.i_blend
+                    / ln(1 + (ss.n - ds.df + 0.5) / (ds.df + 0.5)))
+                   * c.c AS c
+            FROM contrib_s c
+            JOIN idf i USING (term)
+            JOIN df_s ds USING (term)
+            CROSS JOIN stats_s ss
+        ),
+        merged AS (
+            SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                   coalesce(a.term, b.term) AS term,
+                   greatest(coalesce(a.c, 0), coalesce(b.c, 0)) AS c
+            FROM rescaled a FULL OUTER JOIN rescaled_s b
+              ON a.doc_id = b.doc_id AND a.term = b.term
+        ),
+        final AS (
+            SELECT doc_id, sum(c ORDER BY term) AS score
+            FROM merged GROUP BY doc_id
+        )
+        SELECT doc_id::BIGINT AS doc_id, ROUND(score, 4) AS score
+        FROM final ORDER BY final.score DESC, doc_id LIMIT {k}
+    """
+
+
 TERMS_FILTER_LANGS = ("de", "fr")  # ES `terms` query: lang IN (...)
 SORT_FIELD = "n_chars"
 
@@ -3694,6 +3804,9 @@ def build_sql() -> dict[str, str]:
         ),
         "ft_weighted_avg_dist": _weighted_avg_sql(BM25_QUERY, "n_chars"),
         "ft_script_fields": _script_fields_sql(BM25_QUERY, BM25_K),
+        "ft_multimatch_blended_topk": _multimatch_blended_sql(
+            MULTI_QUERY, BM25_K, MULTI_BOOST
+        ),
     }
 
 
@@ -3859,6 +3972,7 @@ QUERIES = {
     "ft_facet_approx_lang": ft_facet_approx_lang,
     "ft_weighted_avg_dist": ft_weighted_avg_dist,
     "ft_script_fields": ft_script_fields,
+    "ft_multimatch_blended_topk": ft_multimatch_blended_topk,
 }
 
 SQL = build_sql()
