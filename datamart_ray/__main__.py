@@ -90,6 +90,13 @@ def main(argv: list[str] | None = None) -> int:
         "smallest (default: full compaction into one segment)",
     )
 
+    ln = sub.add_parser(
+        "lineage",
+        help="per-segment lineage + metrics records (provenance, "
+        "integrity rollups, build timings)",
+    )
+    ln.add_argument("--index", required=True)
+
     sn = sub.add_parser(
         "snapshot", help="point-in-time copy of the index's active view"
     )
@@ -316,6 +323,12 @@ def _run(args) -> int:
                 default=str,
             )
         )
+        return 0
+    if args.cmd == "lineage":
+        from datamart_ray.index.maintain import lineage_records
+
+        t = lineage_records(args.index)
+        print(t.to_pandas().to_json(orient="records"))
         return 0
     if args.cmd == "compact":
         from datamart_ray.index.maintain import compact_segments, tiered_merge

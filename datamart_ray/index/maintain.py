@@ -761,3 +761,42 @@ def tiered_merge(
     manifest = compact_segments(index_dir, config=config, seg_names=victims)
     manifest["merged"] = victims
     return manifest
+
+
+def lineage_records(index_dir: str) -> "pa.Table":
+    """Per-partition lineage + metrics as a TABLE — the audit surface
+    the north-star asks every partition to emit: one row per active
+    segment with its provenance (source files, compaction ancestry),
+    contents (docs, live docs, postings, terms), integrity
+    (sha256 rollup) and build metrics (seconds, epoch). Reads only
+    manifests and tombstone footers — O(segments), never the corpus."""
+    rows = []
+    for seg_dir in active_segments(index_dir):
+        m = read_manifest(seg_dir)
+        tombs = int(read_tombstones(seg_dir).size)
+        timings = m.get("timings", {}) or {}
+        rows.append(
+            {
+                "segment": m["segment"],
+                "n_docs": int(m["n_docs"]),
+                "n_live_docs": int(m["n_docs"]) - tombs,
+                "n_tombstones": tombs,
+                "n_terms": int(m.get("n_terms", 0)),
+                "n_postings": int(m.get("n_postings", 0)),
+                "total_doclen": int(m.get("total_doclen", 0)),
+                "n_source_files": len(m.get("files", [])),
+                "source_files": json.dumps(
+                    [f.get("path") for f in m.get("files", [])]
+                ),
+                "compacted_from": json.dumps(
+                    m.get("compacted_from", [])
+                ),
+                "sha256_rollup": m.get("sha256_rollup", ""),
+                "build_sec": float(timings.get("total_sec", 0.0)),
+                "built_unix": int(m.get("built_unix", 0)),
+            }
+        )
+    rows.sort(key=lambda r: r["segment"])
+    if not rows:
+        return pa.table({"segment": pa.array([], type=pa.string())})
+    return pa.Table.from_pylist(rows)

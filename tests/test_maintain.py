@@ -554,3 +554,21 @@ def test_tiered_merge_keeps_big_segments(ray_session, tmp_path):
     assert all(v["docmeta_ok"] for v in audit.values())
     # within budget => no-op
     assert tiered_merge(idx, max_segments=2)["merged"] == []
+
+
+def test_lineage_records_cover_active_segments(ray_session, tmp_path):
+    from datamart_ray.index.maintain import delete_docs, lineage_records
+    from datamart_ray.index.manifest import active_segments
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, n_files=120, vocab_size=800, n_output_files=2)
+    idx = str(tmp_path / "idx")
+    build_index(corpus, idx, IndexConfig(docs_per_spec=40))
+    delete_docs(idx, [0, 1, 2])
+    t = lineage_records(idx).to_pandas()
+    assert len(t) == len(active_segments(idx))
+    assert (t["n_live_docs"] == t["n_docs"] - t["n_tombstones"]).all()
+    assert int(t["n_docs"].sum()) == 120
+    assert int(t["n_tombstones"].sum()) == 3
+    assert (t["sha256_rollup"].str.len() == 64).all()
+    assert (t["n_source_files"] > 0).all()
