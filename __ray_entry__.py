@@ -278,9 +278,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["sim_knn_ivfpq"] = knn_ivfpq
     from datamart_ray.stages.textstats import unigram_logprob
 
-    # CCNet-style LM quality filter: unigram model fit on the corpus,
-    # docs scored by mean token log-probability
+    # CCNet-style LM quality filters: unigram + add-one-smoothed bigram
+    # models fit on the corpus, docs scored by mean log-probability
     out["ts_unigram_logprob"] = unigram_logprob
+    from datamart_ray.stages.textstats import bigram_logprob
+
+    out["ts_bigram_logprob"] = bigram_logprob
     from datamart_ray.stages.sampling import (
         split_assign,
         temperature_mix_sample,
@@ -542,6 +545,9 @@ def oracle_sql() -> dict[str, str]:
     from datamart_ray.stages.textstats import unigram_logprob_sql
 
     out["ts_unigram_logprob"] = unigram_logprob_sql()
+    from datamart_ray.stages.textstats import bigram_logprob_sql
+
+    out["ts_bigram_logprob"] = bigram_logprob_sql()
     from datamart_ray.stages.sampling import (
         split_assign_sql,
         temperature_mix_sql,

@@ -626,3 +626,191 @@ def unigram_logprob_sql(ndigits: int = 4) -> str:
         GROUP BY doc_id
         ORDER BY doc_id
     """
+
+
+def bigram_logprob(
+    sf_dir: str,
+    ndigits: int = 4,
+) -> pd.DataFrame:
+    """Bigram language-model quality score with add-one smoothing —
+    the step past :func:`unigram_logprob` toward the CCNet-style
+    KenLM filter: P(t₂|t₁) = (c(t₁,t₂)+1) / (c₁(t₁)+V), where
+    c₁(t₁) = Σ bigrams starting with t₁ and V = corpus vocabulary
+    size; a document scores the mean ln P over its bigrams.
+
+    Shape: pass 1a fits the bigram table (per-batch lockstep-shifted
+    token pairs → one groupby), pass 1b counts the vocabulary; the
+    model broadcasts once as sorted composite keys + counts (at real
+    corpus scale the bigram table is pruned/sketched at the same API —
+    documented knob, the fixture fits exact). Pass 2 scores per batch:
+    searchsorted lookups, per-(doc, bigram) tf grouping, and the float
+    accumulation runs tf·lnP in ascending (t₁,t₂) order to mirror the
+    twin's ``sum(tf * ln(..) ORDER BY t1, t2)`` exactly.
+
+    Output (doc_id, n_bigrams, logprob) for docs with ≥2 tokens."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from datamart_ray.util import round_away
+
+    ensure_fast_shuffle()
+    an = Analyzer()
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    SEP = "\x1f"
+
+    def _bigram_arrays(col) -> tuple[np.ndarray, np.ndarray]:
+        """(row_idx, 't1<SEP>t2') arrays for every bigram in the batch."""
+        lists = an.token_lists(col)
+        flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(lists).to_numpy(
+            zero_copy_only=False
+        )
+        if flat.size < 2:
+            return np.empty(0, np.int64), np.empty(0, dtype="U1")
+        same = parents[:-1] == parents[1:]
+        t1 = flat[:-1][same].astype("U")
+        t2 = flat[1:][same].astype("U")
+        keys = np.char.add(np.char.add(t1, SEP), t2)
+        return parents[:-1][same].astype(np.int64), keys
+
+    def partial_bigrams(t: pa.Table) -> pa.Table:
+        _, keys = _bigram_arrays(t["text"])
+        if not keys.size:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.string()),
+                    "pcnt": pa.array([], pa.int64()),
+                }
+            )
+        uk, cnt = np.unique(keys, return_counts=True)
+        return pa.table(
+            {
+                "k": pa.array(uk.astype(object), pa.string()),
+                "pcnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    bg_pd = (
+        ds.map_batches(partial_bigrams, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("pcnt", alias_name="c"))
+        .to_pandas()
+        .sort_values("k")
+    )
+    keys = bg_pd["k"].to_numpy(dtype="U")
+    c2 = bg_pd["c"].to_numpy(dtype=np.int64)
+    # prefix counts c1(t1) = sum of bigram counts per first token
+    t1_of = np.array([k.split(SEP, 1)[0] for k in keys], dtype="U")
+    order = np.argsort(t1_of, kind="stable")
+    uniq_t1, starts = np.unique(t1_of[order], return_index=True)
+    c1_sums = np.add.reduceat(c2[order], starts)
+    c1_map = dict(zip(uniq_t1.tolist(), c1_sums.tolist()))
+    c1 = np.array([c1_map[t] for t in t1_of], dtype=np.int64)
+
+    def partial_vocab(t: pa.Table) -> pa.Table:
+        lists = an.token_lists(t["text"])
+        flat = pc.list_flatten(lists)
+        u = pc.unique(flat)
+        return pa.table({"term": u})
+
+    from ray.data.aggregate import Count
+
+    vocab_pd = (
+        ds.map_batches(partial_vocab, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Count(alias_name="x"))
+        .to_pandas()
+    )
+    V = int(len(vocab_pd))
+    # lnP per model bigram (float chain identical to the twin)
+    lp = np.log((c2 + 1.0) / (c1 + float(V)))
+    mref = ray.put((keys, lp))
+
+    def score(t: pa.Table) -> pa.Table:
+        keys_l, lp_l = ray.get(mref)
+        rows, bkeys = _bigram_arrays(t["text"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_bigrams": pa.array([], pa.int64()),
+                "logprob": pa.array([], pa.float64()),
+            }
+        )
+        if not bkeys.size:
+            return empty
+        # group to (row, bigram, tf), ordered by (row, key)
+        srt = np.lexsort((bkeys, rows))
+        rows_s, keys_s = rows[srt], bkeys[srt]
+        new = np.ones(rows_s.size, dtype=bool)
+        new[1:] = (rows_s[1:] != rows_s[:-1]) | (keys_s[1:] != keys_s[:-1])
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.append(starts, rows_s.size)).astype(np.float64)
+        g_rows = rows_s[starts]
+        g_keys = keys_s[starts]
+        pos = np.searchsorted(keys_l, g_keys)
+        contrib = tf * lp_l[pos]
+        sums = np.zeros(len(ids), dtype=np.float64)
+        np.add.at(sums, g_rows, contrib)  # ascending key order per row
+        nbg = np.zeros(len(ids), dtype=np.int64)
+        np.add.at(nbg, g_rows, tf.astype(np.int64))
+        keep = nbg > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "n_bigrams": pa.array(nbg[keep], pa.int64()),
+                "logprob": pa.array(sums[keep] / nbg[keep], pa.float64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["logprob"] = round_away(out["logprob"], ndigits)
+    return out
+
+
+def bigram_logprob_sql(ndigits: int = 4) -> str:
+    an = Analyzer()
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {an.sql_tokens_expr('text')} AS ts
+            FROM documents
+        ),
+        vocab AS (
+            SELECT count(DISTINCT term)::BIGINT AS v
+            FROM (SELECT unnest(ts) AS term FROM toks)
+        ),
+        bg AS (
+            SELECT doc_id,
+                   unnest(ts[1:len(ts)-1]) AS t1,
+                   unnest(ts[2:len(ts)]) AS t2
+            FROM toks WHERE len(ts) >= 2
+        ),
+        c2 AS (
+            SELECT t1, t2, count(*)::BIGINT AS c FROM bg GROUP BY t1, t2
+        ),
+        c1 AS (SELECT t1, sum(c)::BIGINT AS c1 FROM c2 GROUP BY t1),
+        tfbg AS (
+            SELECT doc_id, t1, t2, count(*)::BIGINT AS tf
+            FROM bg GROUP BY doc_id, t1, t2
+        )
+        SELECT doc_id,
+               sum(tf)::BIGINT AS n_bigrams,
+               ROUND(
+                   sum(tf * ln((c2.c + 1)::DOUBLE / (c1.c1 + v.v)::DOUBLE)
+                       ORDER BY t1, t2)
+                   / sum(tf), {ndigits}
+               ) AS logprob
+        FROM tfbg
+        JOIN c2 USING (t1, t2)
+        JOIN c1 USING (t1)
+        CROSS JOIN vocab v
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """
