@@ -56,6 +56,17 @@ local = {}
 for q, mode in queries:
     t = eng.search(q, k=20, mode=mode)
     local[q] = [t["doc_id"].to_pylist(), t["score"].to_pylist()]
+AGG_Q = "qzcommonneedle"
+EDGES = ((None, 300), (300, 600), (600, None))
+local_aggs = {
+    "facet": eng.facet_counts(AGG_Q, "lang", mode="or").to_pydict(),
+    "range": eng.matched_range_agg(
+        AGG_Q, "doclen", EDGES, mode="or"
+    ).to_pydict(),
+    "wavg": eng.matched_weighted_avg(
+        AGG_Q, "doclen", mode="or"
+    ).to_pydict(),
+}
 n_segs = len(eng.readers)
 ray.shutdown()
 
@@ -81,6 +92,24 @@ dist = {}
 for q, mode in queries:
     t = deng.search(q, k=20, mode=mode)
     dist[q] = [t["doc_id"].to_pylist(), t["score"].to_pylist()]
+dist_aggs = {
+    "facet": deng.facet_counts(AGG_Q, "lang", mode="or").to_pydict(),
+    "range": deng.matched_range_agg(
+        AGG_Q, "doclen", EDGES, mode="or"
+    ).to_pydict(),
+    "wavg": deng.matched_weighted_avg(
+        AGG_Q, "doclen", mode="or"
+    ).to_pydict(),
+}
+# shard-approx facet with generous shard_size must equal the exact head
+fa = deng.facet_counts_approx(
+    AGG_Q, "lang", size=100, shard_size=10_000, mode="or"
+).to_pydict()
+approx_exact = (
+    fa["lang"] == dist_aggs["facet"]["lang"]
+    and fa["n"] == dist_aggs["facet"]["n"]
+    and all(e == 0 for e in fa["doc_count_error_upper_bound"])
+)
 deng.shutdown()
 ray.shutdown()
 c.shutdown()
@@ -91,6 +120,8 @@ print("RESULT:" + json.dumps({
     "n_actors": n_actors,
     "nodes_used": len(nodes_used),
     "match": dist == local,
+    "aggs_match": dist_aggs == local_aggs,
+    "approx_exact": approx_exact,
 }))
 """
 
@@ -116,3 +147,5 @@ def test_scorer_actors_spread_and_rank_identity(tmp_path):
     assert r["n_actors"] >= 2
     assert r["nodes_used"] == 2, r  # SPREAD put scorers on BOTH nodes
     assert r["match"], "distributed ranking differs from in-process"
+    assert r["aggs_match"], "cross-node aggregations differ from in-process"
+    assert r["approx_exact"], "generous-shard approx facet not exact"
