@@ -113,6 +113,13 @@ class IndexConfig:
     # nothing. Incompatible with salt_window (a phrase match needs each
     # term's postings in one docID-ordered run per segment bucket).
     positions: bool = False
+    # ES `_source` analog: store the raw content column inside each
+    # docmeta partition so `SearchEngine.get_source` serves documents
+    # from the index alone. OFF by default — it duplicates the corpus
+    # (the 100-TB deployment usually keeps source in the lake and uses
+    # the fetch-by-id path); docmeta loads stay cheap either way because
+    # readers project only doc_id/doclen/filter_cols.
+    store_source: bool = False
 
     def __post_init__(self):
         if self.positions and self.salt_window:
@@ -137,6 +144,7 @@ class IndexConfig:
             "meta_cols": list(self.meta_cols),
             "chunk_docs": self.chunk_docs,
             "positions": self.positions,
+            "store_source": self.store_source,
         }
 
     @staticmethod
@@ -154,6 +162,7 @@ class IndexConfig:
             meta_cols=tuple(obj.get("meta_cols", ())),
             chunk_docs=int(obj.get("chunk_docs", 4096)),
             positions=bool(obj.get("positions", False)),
+            store_source=bool(obj.get("store_source", False)),
         )
 
 
@@ -258,6 +267,7 @@ class _TokenizeSpec:
         self.id_col = config_json["id_col"]
         self.meta_cols = config_json["meta_cols"]
         self.positions = bool(config_json.get("positions", False))
+        self.store_source = bool(config_json.get("store_source", False))
         self.docmeta_dir = docmeta_dir
 
     def __call__(self, batch: pa.Table):
@@ -307,6 +317,8 @@ class _TokenizeSpec:
                     "doclen": pa.array(doclens, type=pa.int64()),
                     "sha256": pa.array(shas, type=pa.string()),
                 }
+                if self.store_source:
+                    meta["_source"] = content
                 for c in meta_cols:
                     meta[c] = t[c]
                 meta_batches.append(pa.table(meta))

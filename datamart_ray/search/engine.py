@@ -2897,6 +2897,49 @@ class SearchEngine:
             return np.empty(0, dtype=np.int64)
         return np.sort(np.concatenate(parts))
 
+    def get_source(self, doc_ids) -> pa.Table:
+        """ES GET ``/_source`` analog: fetch stored document content by
+        docID from the INDEX alone — requires the index to have been
+        built with ``IndexConfig(store_source=True)``. Per segment the
+        request is routed by the segment's docID range, then only the
+        docmeta row groups whose footer stats intersect the requested
+        ids are read (parquet filter pushdown); tombstoned docs are
+        omitted, like a GET of a deleted doc. Returns (doc_id, _source)
+        sorted by doc_id."""
+        import pyarrow.dataset as pads
+
+        wanted = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+        parts = []
+        for r in self.readers:
+            if not r._doc_ids.size:
+                continue
+            lo, hi = r._doc_ids[0], r._doc_ids[-1]
+            sel = wanted[(wanted >= lo) & (wanted <= hi)]
+            if r._tombstones.size and sel.size:
+                sel = sel[~_isin_sorted(r._tombstones, sel)]
+            if not sel.size:
+                continue
+            dset = pads.dataset(os.path.join(r.seg_dir, "docmeta"))
+            if "_source" not in dset.schema.names:
+                raise KeyError(
+                    "no stored _source — build the index with "
+                    "IndexConfig(store_source=True)"
+                )
+            parts.append(
+                dset.to_table(
+                    columns=["doc_id", "_source"],
+                    filter=pads.field("doc_id").isin(sel.tolist()),
+                )
+            )
+        if not parts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "_source": pa.array([], type=pa.string()),
+                }
+            )
+        return pa.concat_tables(parts).sort_by("doc_id")
+
     def match_count(
         self,
         query: str,

@@ -729,3 +729,40 @@ def test_index_alias_rank_identity(corpus_dir, tmp_path):
         )
     finally:
         deng.shutdown()
+
+
+def test_get_source_from_index(ray_session, tmp_path):
+    """ES GET /_source analog: stored content round-trips from the
+    index alone; deleted docs are omitted; indexes built without
+    store_source refuse clearly."""
+    import pyarrow.parquet as pq
+
+    from datamart_ray.corpus import generate_corpus
+    from datamart_ray.index.build import IndexConfig, build_index
+    from datamart_ray.index.maintain import delete_docs
+    from datamart_ray.search.engine import SearchEngine
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, n_files=80, vocab_size=400, n_output_files=2)
+    idx = str(tmp_path / "idx")
+    build_index(
+        corpus, idx,
+        IndexConfig(docs_per_spec=30, segment_docs=40, store_source=True),
+    )
+    src = pq.read_table(corpus, columns=["content"])["content"].to_pylist()
+    eng = SearchEngine(idx)
+    ids = [0, 7, 39, 41, 79]
+    t = eng.get_source(ids)
+    assert t["doc_id"].to_pylist() == ids
+    assert t["_source"].to_pylist() == [src[i] for i in ids]
+    # deleted doc disappears from GET
+    delete_docs(idx, [7])
+    t2 = SearchEngine(idx).get_source(ids)
+    assert t2["doc_id"].to_pylist() == [0, 39, 41, 79]
+    # index without stored source refuses
+    idx2 = str(tmp_path / "idx2")
+    build_index(corpus, idx2, IndexConfig(docs_per_spec=30))
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="store_source"):
+        SearchEngine(idx2).get_source([0])
