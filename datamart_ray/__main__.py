@@ -147,6 +147,15 @@ def main(argv: list[str] | None = None) -> int:
         help="per-stratum rates, e.g. en=0.5,de=0.25",
     )
     sa.add_argument("--default-rate", type=float, default=0.1)
+    sa.add_argument(
+        "--mode",
+        choices=("stratified", "temperature", "split"),
+        default="stratified",
+        help="stratified=fixed per-stratum rates; temperature="
+        "count^(alpha-1) mixture rates; split=train/val/test counts",
+    )
+    sa.add_argument("--alpha", type=float, default=0.5)
+    sa.add_argument("--target", type=float, default=0.3)
 
     pk = sub.add_parser(
         "pack", help="pack documents into fixed-size token windows"
@@ -428,16 +437,27 @@ def _run(args) -> int:
         print(out.to_json(orient="records"))
         return 0
     if args.cmd == "sample":
-        from datamart_ray.stages.sampling import stratified_sample
-
-        rates = {}
-        for part in args.rates.split(","):
-            k, _, v = part.partition("=")
-            if k:
-                rates[k] = float(v)
-        out = stratified_sample(
-            args.sf, rates=rates, default_rate=args.default_rate
+        from datamart_ray.stages.sampling import (
+            split_assign,
+            stratified_sample,
+            temperature_mix_sample,
         )
+
+        if args.mode == "temperature":
+            out = temperature_mix_sample(
+                args.sf, alpha=args.alpha, target=args.target
+            )
+        elif args.mode == "split":
+            out = split_assign(args.sf)
+        else:
+            rates = {}
+            for part in args.rates.split(","):
+                k, _, v = part.partition("=")
+                if k:
+                    rates[k] = float(v)
+            out = stratified_sample(
+                args.sf, rates=rates, default_rate=args.default_rate
+            )
         print(out.to_json(orient="records"))
         return 0
     if args.cmd == "pack":
