@@ -266,6 +266,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["tw_moving_avg"] = moving_avg_daily
     out["tw_bucket_selector"] = bucket_selector_daily
     out["sp_geo_bounds"] = geo_bounds_centroid
+    from datamart_ray.pipelines.spatial import geo_distance_search
+
+    out["sp_geo_distance"] = geo_distance_search
     from datamart_ray.stages.similarity import knn_pq, knn_sq8
 
     # SQ8 (uint8 scalar-quantized) and PQ (product-quantized, ADC
@@ -539,6 +542,9 @@ def oracle_sql() -> dict[str, str]:
     out["tw_moving_avg"] = moving_avg_sql()
     out["tw_bucket_selector"] = bucket_selector_sql()
     out["sp_geo_bounds"] = geo_bounds_centroid_sql()
+    from datamart_ray.pipelines.spatial import geo_distance_sql
+
+    out["sp_geo_distance"] = geo_distance_sql()
     out["sim_knn_sq8"] = knn_cosine_sql()
     out["sim_knn_pq"] = knn_cosine_sql()
     out["sim_knn_ivfpq"] = knn_cosine_sql()

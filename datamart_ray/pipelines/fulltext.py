@@ -1475,6 +1475,56 @@ def _multimatch_cross_sql(query: str, k: int, boost: float) -> str:
     """
 
 
+def ft_ingest_pipeline(sf_dir: str) -> pd.DataFrame:
+    """ES ingest-pipeline analog: a pinned processor chain applied to
+    every document BEFORE indexing/counting — gsub (digit runs → '0'),
+    lowercase, trim — then the per-doc token count of the processed
+    text. The processors are vectorized Arrow kernels per batch (the
+    exact shape an ingest node's processor list compiles to); the twin
+    spells the identical chain in SQL, so the entry gates the whole
+    processor semantics, not just the count."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def process(t: pa.Table) -> pa.Table:
+        x = pc.fill_null(t["text"], "")
+        x = pc.replace_substring_regex(x, r"[0-9]+", "0")  # gsub
+        x = pc.utf8_lower(x)  # lowercase
+        x = pc.utf8_trim_whitespace(x)  # trim
+        lists = ANALYZER.token_lists(x)
+        n = pc.list_value_length(lists)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pc.cast(n, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(process, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return out
+
+
+def _ingest_pipeline_sql() -> str:
+    toks = ANALYZER.sql_tokens_expr(
+        "trim(lower(regexp_replace(coalesce(text, ''), '[0-9]+', '0', 'g')))"
+    )
+    return f"""
+        SELECT doc_id, len({toks})::BIGINT AS n_tokens
+        FROM documents
+        ORDER BY doc_id
+    """
+
+
 def ft_multimatch_blended_topk(sf_dir: str) -> pd.DataFrame:
     """ES ``multi_match`` cross_fields with TRUE BlendedTermQuery df
     semantics — closes the pinned per-field-df deviation of
@@ -3807,6 +3857,7 @@ def build_sql() -> dict[str, str]:
         "ft_multimatch_blended_topk": _multimatch_blended_sql(
             MULTI_QUERY, BM25_K, MULTI_BOOST
         ),
+        "ft_ingest_pipeline": _ingest_pipeline_sql(),
     }
 
 
@@ -3973,6 +4024,7 @@ QUERIES = {
     "ft_weighted_avg_dist": ft_weighted_avg_dist,
     "ft_script_fields": ft_script_fields,
     "ft_multimatch_blended_topk": ft_multimatch_blended_topk,
+    "ft_ingest_pipeline": ft_ingest_pipeline,
 }
 
 SQL = build_sql()

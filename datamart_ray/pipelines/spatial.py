@@ -557,3 +557,99 @@ def geo_bounds_centroid_sql() -> str:
         FROM {table}""")
     body = "\n        UNION ALL\n".join(parts)
     return f"SELECT * FROM ({body}) ORDER BY src"
+
+
+GEO_QUERY_POINT = (5.0, 30.0)  # (x, y) in the derived planar space
+GEO_RADIUS = 25.0
+GEO_TOPK = 10
+
+
+def geo_distance_search(
+    sf_dir: str,
+    qx: float = GEO_QUERY_POINT[0],
+    qy: float = GEO_QUERY_POINT[1],
+    radius: float = GEO_RADIUS,
+    k: int = GEO_TOPK,
+) -> pd.DataFrame:
+    """ES ``geo_distance`` query + distance sort analog over the
+    supplier point set (x = key % 100, y = balance/100): keep points
+    within `radius` of the query point, return the k nearest ordered
+    (distance asc, key asc). Planar Euclidean distance — pinned
+    deviation from ES haversine, the derived coordinates are not
+    geodetic. Squared-distance compare in FIXED-POINT integers (cents²)
+    so the radius gate and the ordering are float-free; the reported
+    distance is one sqrt at the end, rounded.
+
+    Ray shape: per-batch vectorized filter + local top-k partials —
+    candidate rows only ever leave a batch, no shuffle."""
+    ensure_fast_shuffle()
+    ds = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    )
+    # fixed-point: x in integer units of 0.01 (cents-scale), y likewise
+    qx_c = int(round(qx * 100))
+    qy_c = int(round(qy * 100))
+    r2_c = int(round(radius * 100)) ** 2
+
+    def part(t: pa.Table) -> pa.Table:
+        key = t["s_suppkey"].to_numpy(zero_copy_only=False)
+        x_c = (key % 100).astype(np.int64) * 100
+        y_c = np.rint(
+            t["s_acctbal"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)  # balance/100 * 100 cents-scale == round(bal)
+        d2 = (x_c - qx_c) ** 2 + (y_c - qy_c) ** 2
+        m = d2 <= r2_c
+        sel_k = key[m]
+        sel_d = d2[m]
+        if sel_k.size > k:  # local top-k partial
+            kth = np.partition(sel_d, k - 1)[k - 1]
+            keep = sel_d <= kth
+            sel_k, sel_d = sel_k[keep], sel_d[keep]
+        return pa.table(
+            {
+                "s_suppkey": pa.array(sel_k.astype(np.int64)),
+                "d2_c": pa.array(sel_d.astype(np.int64)),
+            }
+        )
+
+    pdf = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    if pdf.empty:  # empty Datasets drop the schema through to_pandas
+        pdf = pd.DataFrame({"s_suppkey": [], "d2_c": []})
+    pdf = pdf.sort_values(["d2_c", "s_suppkey"]).head(k).reset_index(drop=True)
+    out = pd.DataFrame(
+        {
+            "s_suppkey": pdf["s_suppkey"].astype("int64"),
+            "distance": round_away(np.sqrt(pdf["d2_c"]) / 100.0, 4),
+        }
+    )
+    return out
+
+
+def geo_distance_sql(
+    qx: float = GEO_QUERY_POINT[0],
+    qy: float = GEO_QUERY_POINT[1],
+    radius: float = GEO_RADIUS,
+    k: int = GEO_TOPK,
+) -> str:
+    qx_c = int(round(qx * 100))
+    qy_c = int(round(qy * 100))
+    r2_c = int(round(radius * 100)) ** 2
+    return f"""
+        WITH pts AS (
+            SELECT s_suppkey,
+                   (s_suppkey % 100) * 100 AS x_c,
+                   CAST(round(s_acctbal) AS BIGINT) AS y_c
+            FROM supplier
+        ),
+        d AS (
+            SELECT s_suppkey,
+                   (x_c - {qx_c}) * (x_c - {qx_c})
+                   + (y_c - {qy_c}) * (y_c - {qy_c}) AS d2_c
+            FROM pts
+        )
+        SELECT s_suppkey, ROUND(sqrt(d2_c) / 100.0, 4) AS distance
+        FROM d
+        WHERE d2_c <= {r2_c}
+        ORDER BY d2_c, s_suppkey
+        LIMIT {k}
+    """
