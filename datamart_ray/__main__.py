@@ -187,7 +187,11 @@ def main(argv: list[str] | None = None) -> int:
         "--out",
         default=None,
         help="write results as resumable hash-partitioned parquet "
-        "(committed shards are skipped on re-run) instead of stdout",
+        "(committed shards are skipped on re-run) instead of stdout. "
+        "NOTE: this pipeline's RESULT frame is stats-sized, so only "
+        "the write is skipped on retry — the scan-pruning resume "
+        "benefit applies when the sink wraps a lazy Dataset (see "
+        "sources/sink.py and its crash-resume test)",
     )
     cp.add_argument("--shards", type=int, default=16)
 

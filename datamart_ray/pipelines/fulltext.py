@@ -1567,6 +1567,13 @@ def ft_multimatch_blended_topk(sf_dir: str) -> pd.DataFrame:
         m = pd.concat(parts, axis=1).fillna(0.0)
         per = m.max(axis=1)
         total = per if total is None else total.add(per, fill_value=0.0)
+    if total is None:  # no query term matches either field
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
     out = total.rename("score").reset_index()
     out = out.sort_values(
         ["score", "doc_id"], ascending=[False, True]

@@ -594,9 +594,10 @@ def geo_distance_search(
     def part(t: pa.Table) -> pa.Table:
         key = t["s_suppkey"].to_numpy(zero_copy_only=False)
         x_c = (key % 100).astype(np.int64) * 100
-        y_c = np.rint(
-            t["s_acctbal"].to_numpy(zero_copy_only=False)
-        ).astype(np.int64)  # balance/100 * 100 cents-scale == round(bal)
+        b = t["s_acctbal"].to_numpy(zero_copy_only=False)
+        # half-AWAY rounding (DuckDB round semantics) — np.rint is
+        # half-to-even and disagrees on balances ending in .50
+        y_c = (np.sign(b) * np.floor(np.abs(b) + 0.5)).astype(np.int64)
         d2 = (x_c - qx_c) ** 2 + (y_c - qy_c) ** 2
         m = d2 <= r2_c
         sel_k = key[m]

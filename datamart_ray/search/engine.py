@@ -1981,11 +1981,18 @@ class SearchEngine:
             filters, self.params,
         )
         c0, c1 = cols
+
+        def _meta_type(col: str) -> pa.DataType:
+            for r in self.readers:
+                if col in r._meta.column_names:
+                    return r._meta.schema.field(col).type
+            return pa.string()
+
         if not d.size:
             return pa.table(
                 {
-                    c0: pa.array([], type=pa.string()),
-                    c1: pa.array([], type=pa.string()),
+                    c0: pa.array([], type=_meta_type(c0)),
+                    c1: pa.array([], type=_meta_type(c1)),
                     "n": pa.array([], type=pa.int64()),
                 }
             )
@@ -1998,11 +2005,30 @@ class SearchEngine:
         )
         if after is not None:
             a0, a1 = after
+
+            # nulls-last TOTAL order (matches the sort and the twin's
+            # NULLS LAST): a null key sorts after every non-null, so
+            # rows with null keys stay visible past a non-null cursor
+            def gt(col, val):
+                if val is None:
+                    return pa.array(
+                        np.zeros(g.num_rows, dtype=bool)
+                    )  # nothing sorts after null
+                return pc.or_(
+                    pc.fill_null(pc.greater(col, val), False),
+                    pc.is_null(col),
+                )
+
+            def eq(col, val):
+                if val is None:
+                    return pc.is_null(col)
+                return pc.fill_null(pc.equal(col, val), False)
+
             keep = pc.or_(
-                pc.greater(g[c0], a0),
-                pc.and_(pc.equal(g[c0], a0), pc.greater(g[c1], a1)),
+                gt(g[c0], a0),
+                pc.and_(eq(g[c0], a0), gt(g[c1], a1)),
             )
-            g = g.filter(pc.fill_null(keep, False))
+            g = g.filter(keep)
         g = g.slice(0, size)
         return pa.table(
             {

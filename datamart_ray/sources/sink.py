@@ -66,7 +66,26 @@ def write_parquet_resumable(
     `make_ds` is a zero-arg callable returning the Dataset so a resume
     can re-plan the scan with the shard filter applied from the start
     (a Dataset handle is single-use)."""
+    import json
+
     os.makedirs(out_dir, exist_ok=True)
+    # the shard layout is part of the output's identity: a resume with
+    # a different n_shards/key would silently drop or duplicate rows
+    meta_path = os.path.join(out_dir, "_META.json")
+    meta = {"n_shards": n_shards, "key_col": key_col}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prior = json.load(f)
+        if prior != meta:
+            raise ValueError(
+                f"resumable output at {out_dir} was written with "
+                f"{prior}; cannot resume with {meta}"
+            )
+    else:
+        tmp = meta_path + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, meta_path)
     done = committed_shards(out_dir)
     todo = sorted(set(range(n_shards)) - done)
     if not todo:

@@ -154,9 +154,13 @@ def temperature_mix_sample(
     cnt = cnt_pd["cnt"].to_numpy(dtype=np.float64)
     total = float(cnt.sum())
     sp = float(np.sum(cnt**alpha))
-    # float-op order mirrors the SQL twin exactly
+    from datamart_ray.util import round_away
+
+    # float-op order mirrors the SQL twin exactly; half-AWAY rounding
+    # (DuckDB ROUND), not numpy's half-to-even
     rates = np.minimum(
-        1.0, np.round(((target * total) / sp) * cnt ** (alpha - 1.0), 9)
+        1.0,
+        round_away(((target * total) / sp) * cnt ** (alpha - 1.0), 9),
     )
     thresholds = {
         lang: int(np.floor(r * LEHMER_MOD))

@@ -1138,6 +1138,11 @@ def pq_codebooks(
         raise ValueError(
             f"dim {dim} not divisible by m_subspaces {m_subspaces}"
         )
+    if X.shape[0] < n_codes:
+        raise ValueError(
+            f"PQ training sample has {X.shape[0]} rows < n_codes="
+            f"{n_codes} — lower n_codes or the sample stride"
+        )
     sub = dim // m_subspaces
     books = np.empty((m_subspaces, n_codes, sub), dtype=np.float64)
     for s in range(m_subspaces):

@@ -518,3 +518,39 @@ def test_facet_counts_approx_error_bound(ray_session, agg_corpus, tmp_path):
             assert truth[key] <= r.n + r.doc_count_error_upper_bound
     finally:
         deng.shutdown()
+
+
+def test_composite_agg_null_buckets_survive_cursor(
+    ray_session, agg_corpus, tmp_path
+):
+    """Null-keyed buckets sort last (NULLS LAST) and must remain
+    reachable when paginating past a non-null after-cursor."""
+    path, docs, doc_langs, vals = agg_corpus
+    eng = _build(path, str(tmp_path / "cnidx"), docs_per_spec=60)
+    matches = _brute_and_scores(docs, QUERY)
+    brute: dict = {}
+    for i in matches:
+        brute[(doc_langs[i], vals[i])] = (
+            brute.get((doc_langs[i], vals[i]), 0) + 1
+        )
+    seen, after = [], None
+    while True:
+        t = eng.matched_composite(QUERY, ("lang", "val"), 4, after=after)
+        if t.num_rows == 0:
+            break
+        rows = list(
+            zip(
+                t["lang"].to_pylist(),
+                t["val"].to_pylist(),
+                t["n"].to_pylist(),
+            )
+        )
+        seen.extend(rows)
+        last = rows[-1]
+        if last[0] is None and after is not None and after[0] is None \
+                and (last[1] == after[1]):
+            break  # safety: no progress
+        after = (last[0], last[1])
+    assert {(a, b): n for a, b, n in seen} == brute
+    # null-lang buckets actually paged through (corpus has None langs)
+    assert any(a is None for a, _, _ in seen)

@@ -200,3 +200,24 @@ def test_resumable_sink_skips_committed_shards(ray_session, tmp_path):
     # fully committed => pure no-op
     r3 = write_parquet_resumable(make, out, "doc_id", n_shards=8)
     assert r3["written"] == []
+
+
+def test_resumable_sink_refuses_layout_change(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    import ray.data as rd
+
+    from datamart_ray.sources.sink import write_parquet_resumable
+
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(100), pa.int64())}), src
+    )
+    out = str(tmp_path / "out")
+    make = lambda: rd.read_parquet(src)
+    write_parquet_resumable(make, out, "doc_id", n_shards=8)
+    with pytest.raises(ValueError, match="cannot resume"):
+        write_parquet_resumable(make, out, "doc_id", n_shards=16)
