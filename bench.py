@@ -298,7 +298,12 @@ def run_bench() -> dict:
         q02_revenue_by_nation,
     )
     from datamart_ray.pipelines.fulltext import ft_df_top_terms
-    from datamart_ray.stages.similarity import knn_cosine, knn_pq, knn_sq8
+    from datamart_ray.stages.similarity import (
+        knn_cosine,
+        knn_ivfpq,
+        knn_pq,
+        knn_sq8,
+    )
 
     for name, fn in [
         ("q01_pricing_summary", q01_pricing_summary),
@@ -307,6 +312,7 @@ def run_bench() -> dict:
         ("sim_knn_cosine", knn_cosine),
         ("sim_knn_sq8", knn_sq8),
         ("sim_knn_pq", knn_pq),
+        ("sim_knn_ivfpq", knn_ivfpq),
     ]:
         t0 = time.time()
         fn(SF_DIR)

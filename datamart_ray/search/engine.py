@@ -2726,6 +2726,80 @@ class SearchEngine:
             }
         )
 
+    def profile_search(
+        self,
+        query: str,
+        k: int = TOP_K_SIZE,
+        mode: str = "and",
+        filters: dict | None = None,
+    ) -> tuple[pa.Table, pa.Table]:
+        """ES profile-API analog: execute the query through the same
+        scoring primitives `search` uses, with a per-phase wall-time
+        breakdown — analyze (tokenize), stats (df→idf), score_segments
+        (per-segment match+score+local top-k), merge_topk (global
+        heap). Returns (result, profile) where result is
+        rank-identical to :meth:`search` (asserted in tests) and
+        profile is one (phase, ms) row per phase."""
+        import time
+
+        t0 = time.perf_counter()
+        terms = list(dict.fromkeys(self.analyzer.tokenize(query)))
+        t1 = time.perf_counter()
+        idfs = {
+            t: bm25_idf(self.df(t), self.n_docs, self.params)
+            for t in terms
+        }
+        t2 = time.perf_counter()
+        parts_d, parts_s = [], []
+        if terms:
+            for r in self.readers:
+                d, s = _score_segment(
+                    r, terms, idfs, self.avgdl, mode, filters,
+                    self.params, k=k,
+                )
+                if d.size:
+                    dk, sk = topk_select(d, s, k)
+                    parts_d.append(dk)
+                    parts_s.append(sk)
+        t3 = time.perf_counter()
+        if parts_d:
+            d, s = topk_select(
+                np.concatenate(parts_d), np.concatenate(parts_s), k
+            )
+        else:
+            d = np.empty(0, dtype=np.int64)
+            s = np.empty(0, dtype=np.float64)
+        t4 = time.perf_counter()
+        result = pa.table(
+            {
+                "doc_id": pa.array(d, type=pa.int64()),
+                "score": pa.array(s, type=pa.float64()),
+            }
+        )
+        profile = pa.table(
+            {
+                "phase": pa.array(
+                    [
+                        "analyze",
+                        "stats",
+                        "score_segments",
+                        "merge_topk",
+                    ],
+                    type=pa.string(),
+                ),
+                "ms": pa.array(
+                    [
+                        (t1 - t0) * 1e3,
+                        (t2 - t1) * 1e3,
+                        (t3 - t2) * 1e3,
+                        (t4 - t3) * 1e3,
+                    ],
+                    type=pa.float64(),
+                ),
+            }
+        )
+        return result, profile
+
     def search_with_synonyms(
         self,
         query: str,

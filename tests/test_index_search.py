@@ -766,3 +766,30 @@ def test_get_source_from_index(ray_session, tmp_path):
 
     with _pytest.raises(KeyError, match="store_source"):
         SearchEngine(idx2).get_source([0])
+
+
+def test_profile_search_rank_identical(ray_session, tmp_path):
+    """ES profile-API analog: same primitives as search, so the result
+    is rank-identical; all four phases report non-negative wall time."""
+    from datamart_ray.corpus import generate_corpus
+    from datamart_ray.index.build import IndexConfig, build_index
+    from datamart_ray.search.engine import SearchEngine
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, n_files=120, vocab_size=600, n_output_files=2)
+    idx = str(tmp_path / "idx")
+    build_index(corpus, idx, IndexConfig(docs_per_spec=40, segment_docs=60))
+    eng = SearchEngine(idx)
+    for q, mode in (
+        ("qzcommonneedle", "or"),
+        ("qzcommonneedle qzpairneedlea", "and"),
+        ("", "or"),
+    ):
+        res, prof = eng.profile_search(q, k=20, mode=mode)
+        want = eng.search(q, k=20, mode=mode)
+        assert res["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+        assert res["score"].to_pylist() == want["score"].to_pylist()
+        assert prof["phase"].to_pylist() == [
+            "analyze", "stats", "score_segments", "merge_topk",
+        ]
+        assert all(m >= 0 for m in prof["ms"].to_pylist())
