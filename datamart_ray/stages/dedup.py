@@ -1738,3 +1738,130 @@ def minhash_survivors_sql(threshold: float = 0.5, shingle_n: int = 3) -> str:
         HAVING MIN(r) < doc
         ORDER BY doc_id
     """
+
+
+def _pair_containment_kernel(threshold: float):
+    """Vectorized exact max-containment over a batch of attached pairs:
+    C(a,b) = |A∩B| / min(|A|, |B|) — the asymmetric quote/subset
+    signal (a small doc fully contained in a big one scores 1.0 even
+    though its Jaccard is tiny). Same lexsort intersection count as the
+    Jaccard kernel."""
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "containment": pd.Series([], dtype="float64"),
+            }
+        )
+        n = len(df)
+        if n == 0:
+            return empty
+        sa = df["pl_a"].tolist()
+        sb = df["pl_b"].tolist()
+        na = np.fromiter((len(x) for x in sa), dtype=np.int64, count=n) // 8
+        nb = np.fromiter((len(x) for x in sb), dtype=np.int64, count=n) // 8
+        flat = np.frombuffer(b"".join(sa) + b"".join(sb), dtype=np.uint64)
+        idx = np.concatenate(
+            [np.repeat(np.arange(n), na), np.repeat(np.arange(n), nb)]
+        )
+        order = np.lexsort((flat, idx))
+        v, p = flat[order], idx[order]
+        dup = np.zeros(v.size, dtype=bool)
+        if v.size > 1:
+            dup[1:] = (v[1:] == v[:-1]) & (p[1:] == p[:-1])
+        inter = np.bincount(p[dup], minlength=n)
+        den = np.minimum(na, nb)
+        c = np.where(den > 0, inter / np.maximum(den, 1), 0.0)
+        keep = c >= threshold
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "doc_a": df["doc_a"].to_numpy()[keep].astype("int64"),
+                "doc_b": df["doc_b"].to_numpy()[keep].astype("int64"),
+                "containment": round_away(c[keep], 4),
+            }
+        )
+
+    return kernel
+
+
+def containment_near_dups(
+    sf_dir: str,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    sample_rate: float = 1.0,
+    pair_cap: int = BUCKET_PAIR_CAP,
+) -> pd.DataFrame:
+    """Max-containment near-duplicate pairs over `documents` — the
+    quote/subset-detection modality Jaccard misses: a short doc whose
+    shingles all appear in a long doc scores containment 1.0 at
+    near-zero Jaccard. Candidates come from the EXACT shingle inverted
+    index (deterministic recall — any pair with C ≥ t > 0 shares a
+    shingle), verification is the shared distributed payload-join with
+    the containment kernel. Output (doc_a, doc_b,
+    containment≥threshold), gated by the exhaustive all-pairs twin."""
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    cand = ngram_candidate_pairs_ds(
+        ds, shingle_n=shingle_n, sample_rate=sample_rate, pair_cap=pair_cap
+    )
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "containment": pd.Series([], dtype="float64"),
+        }
+    )
+    stage = _ShingleSetStage("doc_id", "text", shingle_n, {})
+    raw = rd.read_parquet(path, columns=["doc_id", "text"])
+    out_ds = attach_pair_payloads(
+        cand,
+        raw,
+        _pair_containment_kernel(threshold),
+        id_col="doc_id",
+        payload_stage=stage,
+    )
+    if out_ds is None:
+        return empty
+    out = out_ds.to_pandas()
+    if out.empty:
+        return empty
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def containment_sql(threshold: float = 0.8, shingle_n: int = 3) -> str:
+    """Exhaustive all-pairs max-containment twin (same shingles as the
+    Jaccard twin, denominator = the smaller shingle-set size)."""
+    toks = Analyzer().sql_tokens_expr("text")
+    concat = " || ' ' || ".join(
+        f"ts[i+{j}]" if j else "ts[i]" for j in range(shingle_n)
+    )
+    return f"""
+        WITH toks AS (SELECT doc_id, {toks} AS ts FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(ts) >= {shingle_n}
+                        THEN list_distinct(
+                            [{concat} FOR i IN range(1, len(ts) - {shingle_n - 2})]
+                        )
+                        ELSE list_distinct(ts) END AS shingles
+            FROM toks
+        ),
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        sizes AS (SELECT doc_id, len(shingles) AS m FROM sh),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               ROUND(i * 1.0 / least(sa.m, sb.m), 4) AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = inter.doc_a
+        JOIN sizes sb ON sb.doc_id = inter.doc_b
+        WHERE i * 1.0 / least(sa.m, sb.m) >= {threshold}
+        ORDER BY doc_a, doc_b
+    """
