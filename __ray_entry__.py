@@ -296,10 +296,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["sa_temperature_mix"] = temperature_mix_sample
     # deterministic train/val/test split (per-row id arithmetic)
     out["sa_split_counts"] = split_assign
-    from datamart_ray.stages.dedup import containment_near_dups
+    from datamart_ray.stages.dedup import (
+        containment_dedup_survivors,
+        containment_near_dups,
+    )
 
     # asymmetric quote/subset detection (containment, not Jaccard)
     out["dd_containment_pairs"] = containment_near_dups
+    out["dd_containment_survivors"] = containment_dedup_survivors
     # (rj_interval_join registered EARLY, inside the 50-entry window)
 
     # ---- entries below here may fall outside the driver's 50-entry
@@ -565,9 +569,13 @@ def oracle_sql() -> dict[str, str]:
 
     out["sa_temperature_mix"] = temperature_mix_sql()
     out["sa_split_counts"] = split_assign_sql()
-    from datamart_ray.stages.dedup import containment_sql
+    from datamart_ray.stages.dedup import (
+        containment_sql,
+        containment_survivors_sql,
+    )
 
     out["dd_containment_pairs"] = containment_sql()
+    out["dd_containment_survivors"] = containment_survivors_sql()
 
     from datamart_ray.pipelines.joins import RJ_WINDOWS_SQL
 

@@ -1865,3 +1865,156 @@ def containment_sql(threshold: float = 0.8, shingle_n: int = 3) -> str:
         WHERE i * 1.0 / least(sa.m, sb.m) >= {threshold}
         ORDER BY doc_a, doc_b
     """
+
+
+def _pair_containment_sized_kernel(threshold: float):
+    """Containment kernel variant that also emits both sides' set
+    sizes — the survivor rule needs them to decide dominance."""
+    base = _pair_containment_kernel(threshold)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "containment": pd.Series([], dtype="float64"),
+                "m_a": pd.Series([], dtype="int64"),
+                "m_b": pd.Series([], dtype="int64"),
+            }
+        )
+        if n == 0:
+            return empty
+        out = base(df)
+        if out.empty:
+            return empty
+        sizes_a = {
+            int(d): len(p) // 8
+            for d, p in zip(df["doc_a"].to_numpy(), df["pl_a"].tolist())
+        }
+        sizes_b = {
+            int(d): len(p) // 8
+            for d, p in zip(df["doc_b"].to_numpy(), df["pl_b"].tolist())
+        }
+        out = out.copy()
+        out["m_a"] = out["doc_a"].map(sizes_a).astype("int64")
+        out["m_b"] = out["doc_b"].map(sizes_b).astype("int64")
+        return out
+
+    return kernel
+
+
+def containment_dedup_survivors(
+    sf_dir: str,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    sample_rate: float = 1.0,
+    pair_cap: int = BUCKET_PAIR_CAP,
+) -> pd.DataFrame:
+    """Containment-based removal manifest — the "drop the quoted/subset
+    copy, keep the superset" rule: for every verified pair the doc with
+    the SMALLER shingle set (tie → larger doc_id) is dropped; its
+    kept_id is the largest containing partner observed (tie → smallest
+    id). Containment is transitive enough that chains resolve to the
+    top superset (A⊆B⊆C yields the (a,c) pair too, so A's kept_id is
+    C). Output (doc_id, kept_id) sorted, one row per dropped doc —
+    pair volume is candidate-bounded, so the final argmax runs on the
+    verified pairs only."""
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    cand = ngram_candidate_pairs_ds(
+        ds, shingle_n=shingle_n, sample_rate=sample_rate, pair_cap=pair_cap
+    )
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "kept_id": pd.Series([], dtype="int64"),
+        }
+    )
+    stage = _ShingleSetStage("doc_id", "text", shingle_n, {})
+    raw = rd.read_parquet(path, columns=["doc_id", "text"])
+    out_ds = attach_pair_payloads(
+        cand,
+        raw,
+        _pair_containment_sized_kernel(threshold),
+        id_col="doc_id",
+        payload_stage=stage,
+    )
+    if out_ds is None:
+        return empty
+    pairs = out_ds.to_pandas()
+    if pairs.empty:
+        return empty
+    a_loses = (pairs["m_a"] < pairs["m_b"]) | (
+        (pairs["m_a"] == pairs["m_b"]) & (pairs["doc_a"] > pairs["doc_b"])
+    )
+    edges = pd.DataFrame(
+        {
+            "doc_id": np.where(a_loses, pairs["doc_a"], pairs["doc_b"]),
+            "kept_id": np.where(a_loses, pairs["doc_b"], pairs["doc_a"]),
+            "wm": np.where(a_loses, pairs["m_b"], pairs["m_a"]),
+        }
+    )
+    edges = edges.sort_values(
+        ["doc_id", "wm", "kept_id"], ascending=[True, False, True]
+    )
+    out = edges.groupby("doc_id", as_index=False).first()[
+        ["doc_id", "kept_id"]
+    ]
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["kept_id"] = out["kept_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def containment_survivors_sql(
+    threshold: float = 0.8, shingle_n: int = 3
+) -> str:
+    toks = Analyzer().sql_tokens_expr("text")
+    concat = " || ' ' || ".join(
+        f"ts[i+{j}]" if j else "ts[i]" for j in range(shingle_n)
+    )
+    return f"""
+        WITH toks AS (SELECT doc_id, {toks} AS ts FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(ts) >= {shingle_n}
+                        THEN list_distinct(
+                            [{concat} FOR i IN range(1, len(ts) - {shingle_n - 2})]
+                        )
+                        ELSE list_distinct(ts) END AS shingles
+            FROM toks
+        ),
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        sizes AS (SELECT doc_id, len(shingles) AS m FROM sh),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b, sa.m AS ma, sb.m AS mb
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = inter.doc_a
+            JOIN sizes sb ON sb.doc_id = inter.doc_b
+            WHERE i * 1.0 / least(sa.m, sb.m) >= {threshold}
+        ),
+        edges AS (
+            SELECT CASE WHEN ma < mb OR (ma = mb AND doc_a > doc_b)
+                        THEN doc_a ELSE doc_b END AS doc_id,
+                   CASE WHEN ma < mb OR (ma = mb AND doc_a > doc_b)
+                        THEN doc_b ELSE doc_a END AS kept_id,
+                   CASE WHEN ma < mb OR (ma = mb AND doc_a > doc_b)
+                        THEN mb ELSE ma END AS wm
+            FROM pairs
+        )
+        SELECT doc_id, kept_id
+        FROM (
+            SELECT doc_id, kept_id,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY wm DESC, kept_id
+                   ) AS rn
+            FROM edges
+        )
+        WHERE rn = 1
+        ORDER BY doc_id
+    """
