@@ -1475,6 +1475,70 @@ def _multimatch_cross_sql(query: str, k: int, boost: float) -> str:
     """
 
 
+def ft_top_metrics(sf_dir: str) -> pd.DataFrame:
+    """ES ``top_metrics`` aggregation analog: per lang bucket, the
+    n_chars metric of that bucket's top-ranked match (rank = rounded
+    score desc, docID asc — pinned so the twin's window function
+    reproduces the pick). Built on the grouped-top-hits machinery
+    (per_group=1) plus one docmeta gather."""
+    import numpy as np
+
+    eng = get_engine(sf_dir)
+    d, s, v = eng._score_all_with_meta(BM25_QUERY, "lang", "and", None)
+    full = pd.DataFrame(
+        {
+            "lang": v.to_pandas(),
+            "doc_id": d.astype("int64"),
+            # head pick runs on the ROUNDED score (docID tiebreak) so
+            # the twin's window function reproduces it bit-for-bit
+            "score": round_away(s, 4),
+        }
+    )
+    heads = (
+        full.sort_values(
+            ["lang", "score", "doc_id"], ascending=[True, False, True]
+        )
+        .groupby("lang", as_index=False)
+        .first()
+    )
+    nch = {}
+    for r in eng.readers:
+        ids = r._doc_ids
+        c = r._meta["n_chars"].to_numpy(zero_copy_only=False)
+        for dd in heads["doc_id"].to_numpy():
+            pos = np.searchsorted(ids, dd)
+            if pos < ids.size and ids[pos] == dd:
+                nch[int(dd)] = int(c[pos])
+    out = pd.DataFrame(
+        {
+            "lang": heads["lang"],
+            "doc_id": heads["doc_id"].astype("int64"),
+            "score": heads["score"],
+            "n_chars": heads["doc_id"].map(nch).astype("int64"),
+        }
+    ).sort_values("lang").reset_index(drop=True)
+    return out
+
+
+def _top_metrics_sql(query: str) -> str:
+    # full-match BM25 scores + per-lang head by (rounded score, doc_id)
+    inner = _bm25_sql(query, 10_000_000)
+    return f"""
+        WITH scored_all AS ({inner}),
+        ranked AS (
+            SELECT d.lang, s.doc_id, s.score, d.n_chars,
+                   row_number() OVER (
+                       PARTITION BY d.lang
+                       ORDER BY s.score DESC, s.doc_id
+                   ) AS rn
+            FROM scored_all s JOIN documents d USING (doc_id)
+        )
+        SELECT lang, doc_id, score, n_chars
+        FROM ranked WHERE rn = 1
+        ORDER BY lang
+    """
+
+
 def ft_ingest_pipeline(sf_dir: str) -> pd.DataFrame:
     """ES ingest-pipeline analog: a pinned processor chain applied to
     every document BEFORE indexing/counting — gsub (digit runs → '0'),
@@ -3865,6 +3929,7 @@ def build_sql() -> dict[str, str]:
             MULTI_QUERY, BM25_K, MULTI_BOOST
         ),
         "ft_ingest_pipeline": _ingest_pipeline_sql(),
+        "ft_top_metrics": _top_metrics_sql(BM25_QUERY),
     }
 
 
@@ -4032,6 +4097,7 @@ QUERIES = {
     "ft_script_fields": ft_script_fields,
     "ft_multimatch_blended_topk": ft_multimatch_blended_topk,
     "ft_ingest_pipeline": ft_ingest_pipeline,
+    "ft_top_metrics": ft_top_metrics,
 }
 
 SQL = build_sql()
