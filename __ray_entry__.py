@@ -265,6 +265,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     out["tw_moving_avg"] = moving_avg_daily
     out["tw_bucket_selector"] = bucket_selector_daily
+    from datamart_ray.pipelines.window import funnel_counts
+
+    # product-analytics sequence funnel (A then B within a window)
+    out["tw_funnel"] = funnel_counts
     out["sp_geo_bounds"] = geo_bounds_centroid
     from datamart_ray.pipelines.spatial import geo_distance_search
 
@@ -549,6 +553,9 @@ def oracle_sql() -> dict[str, str]:
 
     out["tw_moving_avg"] = moving_avg_sql()
     out["tw_bucket_selector"] = bucket_selector_sql()
+    from datamart_ray.pipelines.window import funnel_sql
+
+    out["tw_funnel"] = funnel_sql()
     out["sp_geo_bounds"] = geo_bounds_centroid_sql()
     from datamart_ray.pipelines.spatial import geo_distance_sql
 

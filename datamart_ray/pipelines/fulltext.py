@@ -2883,6 +2883,28 @@ def _percentile_ranks_sql(query: str, col: str, values: tuple) -> str:
     """
 
 
+def ft_percentile_ranks_dist(sf_dir: str) -> pd.DataFrame:
+    """Distributed percentile_ranks through the scorer-actor pool
+    (exact integer partials, per-probe division on the driver) — same
+    twin as the in-process entry."""
+    from datamart_ray.search.engine import DistributedSearchEngine
+
+    eng = get_engine(sf_dir)
+    index_dir = eng.readers[0].seg_dir.rsplit("/segments/", 1)[0]
+    deng = DistributedSearchEngine(
+        index_dir, max_actors=4,
+        filter_cols=("lang", "source", "n_chars"),
+    )
+    try:
+        out = deng.matched_percentile_ranks(
+            BM25_QUERY, "n_chars", PCTRANK_VALUES, mode="and"
+        ).to_pandas()
+    finally:
+        deng.shutdown()
+    out["rank_pct"] = round_away(out["rank_pct"], 4)
+    return out
+
+
 def ft_msearch(sf_dir: str) -> pd.DataFrame:
     """ES ``_msearch`` analog: one pipelined batch of queries through
     the scorer-actor pool (one df round for the union of terms, all
@@ -3930,6 +3952,9 @@ def build_sql() -> dict[str, str]:
         ),
         "ft_ingest_pipeline": _ingest_pipeline_sql(),
         "ft_top_metrics": _top_metrics_sql(BM25_QUERY),
+        "ft_percentile_ranks_dist": _percentile_ranks_sql(
+            BM25_QUERY, "n_chars", PCTRANK_VALUES
+        ),
     }
 
 
@@ -4098,6 +4123,7 @@ QUERIES = {
     "ft_multimatch_blended_topk": ft_multimatch_blended_topk,
     "ft_ingest_pipeline": ft_ingest_pipeline,
     "ft_top_metrics": ft_top_metrics,
+    "ft_percentile_ranks_dist": ft_percentile_ranks_dist,
 }
 
 SQL = build_sql()

@@ -357,3 +357,127 @@ def bucket_selector_sql() -> str:
         WHERE n * (SELECT count(*) FROM b) > (SELECT sum(n) FROM b)
         ORDER BY day
     """
+
+
+FUNNEL_A = "view"
+FUNNEL_B = "purchase"
+FUNNEL_WINDOW_SEC = 3600 * 24
+
+
+def funnel_counts(
+    sf_dir: str,
+    step_a: str = FUNNEL_A,
+    step_b: str = FUNNEL_B,
+    window_sec: int = FUNNEL_WINDOW_SEC,
+) -> pd.DataFrame:
+    """Event-funnel conversion — the product-analytics sequence
+    operator: step 1 = users with a `step_a` event, step 2 = users
+    with a `step_b` event at most `window_sec` AFTER one of their
+    `step_a` events (0 ≤ Δt ≤ window). Timestamps compare as integer
+    epoch microseconds (no float edges).
+
+    Ray shape: the event scan is pruned to the two step types, ONE
+    user-hash shard shuffle co-locates each user's events (~4×CPUs
+    groups, never per-user dispatch), each shard answers its users
+    with two sorts + one vectorized searchsorted per user segment,
+    and only two integers per shard ride back to the driver."""
+    ensure_fast_shuffle()
+    from datamart_ray.stages.dedup import _num_shards
+
+    n_shards = _num_shards()
+    window_us = np.int64(window_sec) * np.int64(1_000_000)
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.is_in(
+            t["event_type"],
+            value_set=pa.array(sorted({step_a, step_b})),
+        )
+        t = t.filter(pc.fill_null(m, False))
+        users = t["user_id"].to_numpy(zero_copy_only=False)
+        shard = (
+            pd.util.hash_array(users.astype(np.int64)) % n_shards
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "is_a": pc.equal(t["event_type"], step_a),
+                "ts_us": pc.cast(
+                    pc.cast(t["ts"], pa.timestamp("us")), pa.int64()
+                ),
+                "shard": pa.array(shard),
+            }
+        )
+
+    def shard_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us"], kind="mergesort")
+        users = g["user_id"].to_numpy()
+        is_a = g["is_a"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        n_a_users = 0
+        n_conv = 0
+        bounds = np.flatnonzero(
+            np.concatenate([[True], users[1:] != users[:-1]])
+        )
+        ends = np.append(bounds[1:], users.size)
+        for lo, hi in zip(bounds, ends):
+            a_ts = ts[lo:hi][is_a[lo:hi]]
+            if not a_ts.size:
+                continue
+            n_a_users += 1
+            b_ts = ts[lo:hi][~is_a[lo:hi]]
+            if not b_ts.size:
+                continue
+            # any B in [a, a+window] for some a: vectorized window probe
+            j = np.searchsorted(b_ts, a_ts)  # first B >= a
+            ok = (j < b_ts.size) & (b_ts[np.minimum(j, b_ts.size - 1)]
+                                    <= a_ts + window_us)
+            if ok.any():
+                n_conv += 1
+        return pd.DataFrame({"n_a": [n_a_users], "n_conv": [n_conv]})
+
+    parts = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_counts)
+        .to_pandas()
+    )
+    n_a = int(parts["n_a"].sum())
+    n_conv = int(parts["n_conv"].sum())
+    return pd.DataFrame(
+        {
+            "step": [step_a, f"{step_a}->{step_b}"],
+            "n_users": pd.array([n_a, n_conv], dtype="int64"),
+        }
+    )
+
+
+def funnel_sql(
+    step_a: str = FUNNEL_A,
+    step_b: str = FUNNEL_B,
+    window_sec: int = FUNNEL_WINDOW_SEC,
+) -> str:
+    return f"""
+        WITH a AS (
+            SELECT user_id, ts FROM events
+            WHERE event_type = '{step_a}'
+        ),
+        b AS (
+            SELECT user_id, ts FROM events
+            WHERE event_type = '{step_b}'
+        ),
+        conv AS (
+            SELECT DISTINCT a.user_id
+            FROM a JOIN b ON a.user_id = b.user_id
+                 AND b.ts >= a.ts
+                 AND b.ts <= a.ts + INTERVAL {window_sec} SECOND
+        )
+        SELECT '{step_a}' AS step,
+               (SELECT count(DISTINCT user_id) FROM a)::BIGINT AS n_users
+        UNION ALL
+        SELECT '{step_a}->{step_b}',
+               (SELECT count(*) FROM conv)::BIGINT
+    """

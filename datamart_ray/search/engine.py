@@ -3467,6 +3467,32 @@ class SegmentScorer:
             sw += int(w.sum())
         return n, svw, sw
 
+    def pctrank_partial(
+        self,
+        terms: list[str],
+        idfs: dict[str, float],
+        avgdl: float,
+        col: str,
+        values: tuple,
+        mode: str,
+        filters: dict[str, str] | None,
+        params: BM25Params,
+    ) -> tuple:
+        """Per-actor percentile_ranks partial: exact (n, counts≤probe)
+        integers — O(probes) traffic per actor."""
+        _, _, v = _collect_matches_with_meta(
+            self.readers, terms, idfs, avgdl, col, mode, filters, params
+        )
+        arr = v.drop_null()
+        x = (
+            np.sort(arr.to_numpy(zero_copy_only=False).astype(np.int64))
+            if len(arr)
+            else np.empty(0, dtype=np.int64)
+        )
+        probes = np.asarray(values, dtype=np.int64)
+        le = np.searchsorted(x, probes, side="right")
+        return int(x.size), [int(c) for c in le]
+
     def range_partial(
         self,
         terms: list[str],
@@ -3911,6 +3937,45 @@ class DistributedSearchEngine:
                 "bucket": pa.array(names, type=pa.string()),
                 "n": pa.array(ns, type=pa.int64()),
                 "avg": pa.array(avgs, type=pa.float64()),
+            }
+        )
+
+    def matched_percentile_ranks(
+        self,
+        query: str,
+        col: str,
+        values: tuple,
+        mode: str = "and",
+        filters: dict[str, str] | None = None,
+    ) -> pa.Table:
+        """Distributed ES percentile_ranks: per-actor exact integer
+        (n, counts≤probe) partials merged by addition; one float
+        division per probe on the merged sums — identical output to
+        the in-process method at any actor count."""
+        terms, idfs = self._agg_round(query)
+        probes = np.asarray(values, dtype=np.int64)
+        n = 0
+        counts = np.zeros(probes.size, dtype=np.int64)
+        if terms:
+            parts = ray.get(
+                [
+                    a.pctrank_partial.remote(
+                        terms, idfs, self.avgdl, col, values, mode,
+                        filters, self.params,
+                    )
+                    for a in self.actors
+                ]
+            )
+            for pn, pc_ in parts:
+                n += pn
+                counts += np.asarray(pc_, dtype=np.int64)
+        ranks = [
+            (100.0 * int(c)) / n if n else None for c in counts
+        ]
+        return pa.table(
+            {
+                "value": pa.array(probes, type=pa.int64()),
+                "rank_pct": pa.array(ranks, type=pa.float64()),
             }
         )
 
