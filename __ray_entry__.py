@@ -269,6 +269,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # product-analytics sequence funnel (A then B within a window)
     out["tw_funnel"] = funnel_counts
+    from datamart_ray.pipelines.window import retention_cohorts
+
+    out["tw_retention"] = retention_cohorts
     out["sp_geo_bounds"] = geo_bounds_centroid
     from datamart_ray.pipelines.spatial import geo_distance_search
 
@@ -556,6 +559,9 @@ def oracle_sql() -> dict[str, str]:
     from datamart_ray.pipelines.window import funnel_sql
 
     out["tw_funnel"] = funnel_sql()
+    from datamart_ray.pipelines.window import retention_cohorts_sql
+
+    out["tw_retention"] = retention_cohorts_sql()
     out["sp_geo_bounds"] = geo_bounds_centroid_sql()
     from datamart_ray.pipelines.spatial import geo_distance_sql
 

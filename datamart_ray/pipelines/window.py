@@ -481,3 +481,133 @@ def funnel_sql(
         SELECT '{step_a}->{step_b}',
                (SELECT count(*) FROM conv)::BIGINT
     """
+
+
+COHORT_WEEK_US = np.int64(7 * 24 * 3600) * np.int64(1_000_000)
+COHORT_MAX_WEEKS = 4
+
+
+def retention_cohorts(
+    sf_dir: str,
+    max_weeks: int = COHORT_MAX_WEEKS,
+) -> pd.DataFrame:
+    """Retention-cohort matrix — the standard activity-retention
+    analysis: users are cohorted by the WEEK of their first event
+    (floor(first_ts / 7d) in epoch weeks), and each later event marks
+    its user active in week Δ = floor((ts − first_ts)/7d) since entry.
+    Output one row per (cohort_week, week_offset ≤ max_weeks):
+    distinct active users.
+
+    Ray shape: one user-hash shard shuffle co-locates each user's
+    events; per shard one sort finds first_ts per user vectorized and
+    the (cohort, offset) pairs reduce to per-shard partial DISTINCT
+    counts — the exchange back to the driver is O(cohorts × weeks)
+    integers per shard, never events."""
+    ensure_fast_shuffle()
+    from datamart_ray.stages.dedup import _num_shards
+
+    n_shards = _num_shards()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        e = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        users = t["user_id"].to_numpy(zero_copy_only=False)
+        shard = (
+            pd.util.hash_array(users.astype(np.int64)) % n_shards
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": e,
+                "shard": pa.array(shard),
+            }
+        )
+
+    def shard_cohorts(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "cohort_week": pd.Series([], dtype=np.int64),
+                "week_offset": pd.Series([], dtype=np.int64),
+                "n_users": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["user_id", "ts_us"], kind="mergesort")
+        users = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        starts = np.concatenate(
+            [[True], users[1:] != users[:-1]]
+        )
+        first_idx = np.maximum.accumulate(
+            np.where(starts, np.arange(users.size), 0)
+        )
+        first_ts = ts[first_idx]
+        cohort = first_ts // COHORT_WEEK_US
+        offset = (ts - first_ts) // COHORT_WEEK_US
+        keep = offset <= max_weeks
+        df = pd.DataFrame(
+            {
+                "cohort_week": cohort[keep],
+                "week_offset": offset[keep],
+                "user_id": users[keep],
+            }
+        )
+        # per-shard DISTINCT: users are shard-local, so distinct here
+        # is globally distinct
+        out = (
+            df.drop_duplicates()
+            .groupby(["cohort_week", "week_offset"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+        return out.astype(
+            {
+                "cohort_week": np.int64,
+                "week_offset": np.int64,
+                "n_users": np.int64,
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_cohorts, batch_format="pandas")
+        .to_pandas()
+        .groupby(["cohort_week", "week_offset"], as_index=False)["n_users"]
+        .sum()
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    for c in ("cohort_week", "week_offset", "n_users"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def retention_cohorts_sql(max_weeks: int = COHORT_MAX_WEEKS) -> str:
+    # epoch-week arithmetic on integer microseconds, like the engine
+    week = int(COHORT_WEEK_US)
+    return f"""
+        WITH ev AS (
+            SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us FROM events
+        ),
+        firsts AS (
+            SELECT user_id, min(ts_us) AS first_us FROM ev GROUP BY 1
+        ),
+        marks AS (
+            SELECT DISTINCT
+                   f.first_us // {week} AS cohort_week,
+                   (e.ts_us - f.first_us) // {week} AS week_offset,
+                   e.user_id
+            FROM ev e JOIN firsts f USING (user_id)
+            WHERE (e.ts_us - f.first_us) // {week} <= {max_weeks}
+        )
+        SELECT cohort_week::BIGINT AS cohort_week,
+               week_offset::BIGINT AS week_offset,
+               count(*)::BIGINT AS n_users
+        FROM marks
+        GROUP BY 1, 2
+        ORDER BY cohort_week, week_offset
+    """
