@@ -1475,6 +1475,85 @@ def _multimatch_cross_sql(query: str, k: int, boost: float) -> str:
     """
 
 
+RARE_MAX_DOC_COUNT = 2
+RARE_SIZE = 30
+
+
+def ft_rare_terms(sf_dir: str) -> pd.DataFrame:
+    """ES ``rare_terms`` aggregation analog: the long-tail buckets a
+    terms agg hides — terms appearing in at most RARE_MAX_DOC_COUNT of
+    the docs matching the AND query, ordered (doc count asc, term
+    asc), first RARE_SIZE. Exact counts (ES uses a CuckooFilter
+    approximation — pinned deviation for SQL matchability). Same
+    distributed shape as significant_terms: match set from the index,
+    broadcast once; per-batch distinct (doc, term) partials; one
+    vocabulary-bounded groupby."""
+    import ray as _ray
+
+    eng = get_engine(sf_dir)
+    ids = eng.match_docs(BM25_QUERY, mode="and")
+    empty = pd.DataFrame(
+        {
+            "term": pd.Series([], dtype="object"),
+            "n": pd.Series([], dtype="int64"),
+        }
+    )
+    if not ids.size:
+        return empty
+    ids_ref = _ray.put(ids)
+
+    def fg_counts(batch: pa.Table) -> pa.Table:
+        matched = _ray.get(ids_ref)
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(matched, d), 0, matched.size - 1)
+        keep = matched[pos] == d
+        if not keep.any():
+            return pa.table(
+                {
+                    "term": pa.array([], type=pa.string()),
+                    "fg": pa.array([], type=pa.int64()),
+                }
+            )
+        tf, _ = ANALYZER.term_frequencies(
+            batch.filter(pa.array(keep))["text"]
+        )
+        part = tf.group_by("term").aggregate([("row_idx", "count")])
+        return part.rename_columns(["term", "fg"])
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        rd.read_parquet(
+            _docs_path(sf_dir), columns=["doc_id", "text"]
+        )
+        .map_batches(fg_counts, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("fg", alias_name="n"))
+        .to_pandas()
+    )
+    out = counts[counts["n"] <= RARE_MAX_DOC_COUNT]
+    out = out.sort_values(["n", "term"]).head(RARE_SIZE).reset_index(
+        drop=True
+    )
+    out["n"] = out["n"].astype("int64")
+    return out[["term", "n"]]
+
+
+def _rare_terms_sql(query: str, max_dc: int, size: int) -> str:
+    return f"""
+        WITH {_matched_cte(query)},
+        fg AS (
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS n
+            FROM tok JOIN matched USING (doc_id)
+            GROUP BY term
+        )
+        SELECT term, n FROM fg
+        WHERE n <= {max_dc}
+        ORDER BY n, term
+        LIMIT {size}
+    """
+
+
 def ft_top_metrics(sf_dir: str) -> pd.DataFrame:
     """ES ``top_metrics`` aggregation analog: per lang bucket, the
     n_chars metric of that bucket's top-ranked match (rank = rounded
@@ -3955,6 +4034,9 @@ def build_sql() -> dict[str, str]:
         "ft_percentile_ranks_dist": _percentile_ranks_sql(
             BM25_QUERY, "n_chars", PCTRANK_VALUES
         ),
+        "ft_rare_terms": _rare_terms_sql(
+            BM25_QUERY, RARE_MAX_DOC_COUNT, RARE_SIZE
+        ),
     }
 
 
@@ -4124,6 +4206,7 @@ QUERIES = {
     "ft_ingest_pipeline": ft_ingest_pipeline,
     "ft_top_metrics": ft_top_metrics,
     "ft_percentile_ranks_dist": ft_percentile_ranks_dist,
+    "ft_rare_terms": ft_rare_terms,
 }
 
 SQL = build_sql()
