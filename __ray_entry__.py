@@ -269,9 +269,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # product-analytics sequence funnel (A then B within a window)
     out["tw_funnel"] = funnel_counts
-    from datamart_ray.pipelines.window import retention_cohorts
+    from datamart_ray.pipelines.window import (
+        normalize_daily,
+        retention_cohorts,
+        serial_diff_daily,
+    )
 
     out["tw_retention"] = retention_cohorts
+    out["tw_serial_diff"] = serial_diff_daily
+    out["tw_normalize"] = normalize_daily
     out["sp_geo_bounds"] = geo_bounds_centroid
     from datamart_ray.pipelines.spatial import geo_distance_search
 
@@ -559,9 +565,15 @@ def oracle_sql() -> dict[str, str]:
     from datamart_ray.pipelines.window import funnel_sql
 
     out["tw_funnel"] = funnel_sql()
-    from datamart_ray.pipelines.window import retention_cohorts_sql
+    from datamart_ray.pipelines.window import (
+        normalize_sql,
+        retention_cohorts_sql,
+        serial_diff_sql,
+    )
 
     out["tw_retention"] = retention_cohorts_sql()
+    out["tw_serial_diff"] = serial_diff_sql()
+    out["tw_normalize"] = normalize_sql()
     out["sp_geo_bounds"] = geo_bounds_centroid_sql()
     from datamart_ray.pipelines.spatial import geo_distance_sql
 

@@ -1475,6 +1475,183 @@ def _multimatch_cross_sql(query: str, k: int, boost: float) -> str:
     """
 
 
+def ft_boxplot(sf_dir: str) -> pd.DataFrame:
+    """ES ``boxplot`` aggregation: min / q1 / median / q3 / max of
+    n_chars over every AND match — exact linear-interpolation
+    quantiles (quantile_cont parity; ES uses TDigest — same pinned
+    deviation as the percentiles entry)."""
+    eng = get_engine(sf_dir)
+    t = eng.matched_percentiles(
+        BM25_QUERY, "n_chars", (0.0, 0.25, 0.5, 0.75, 1.0), mode="and"
+    ).to_pandas()
+    vals = round_away(t["value"], 4)
+    return pd.DataFrame(
+        {
+            "stat": ["min", "q1", "median", "q3", "max"],
+            "value": vals.to_numpy(),
+        }
+    )
+
+
+def _boxplot_sql(query: str, col: str) -> str:
+    stats = [
+        ("min", 0.0), ("q1", 0.25), ("median", 0.5),
+        ("q3", 0.75), ("max", 1.0),
+    ]
+    parts = [
+        f"""SELECT '{name}' AS stat,
+            ROUND(quantile_cont(v, {q}), 4) AS value FROM vals"""
+        for name, q in stats
+    ]
+    body = "\n        UNION ALL\n".join(parts)
+    return f"""
+        WITH {_matched_cte(query)},
+        vals AS (
+            SELECT d.{col}::DOUBLE AS v
+            FROM matched m JOIN documents d USING (doc_id)
+            WHERE d.{col} IS NOT NULL
+        )
+        {body}
+    """
+
+
+def ft_string_stats(sf_dir: str) -> pd.DataFrame:
+    """ES ``string_stats`` aggregation (with show_distribution's
+    Shannon entropy) over the `lang` keyword of every AND match:
+    count, min/max/avg length, and the character-distribution entropy
+    −Σ p·log2(p). Entropy sums run over characters in ascending code
+    order (pinned, matching the twin's ORDER BY)."""
+    import math
+
+    eng = get_engine(sf_dir)
+    _, _, v = eng._score_all_with_meta(BM25_QUERY, "lang", "and", None)
+    vals = [x for x in v.to_pylist() if x is not None]
+    n = len(vals)
+    lens = [len(x) for x in vals]
+    from collections import Counter
+
+    chars = Counter()
+    for x in vals:
+        chars.update(x)
+    total = sum(chars.values())
+    ent = 0.0
+    for c in sorted(chars):  # ascending char order == twin ORDER BY
+        p = chars[c] / total
+        ent -= p * math.log2(p)
+    return pd.DataFrame(
+        {
+            "n": pd.array([n], dtype="int64"),
+            "min_len": pd.array([min(lens)], dtype="int64"),
+            "max_len": pd.array([max(lens)], dtype="int64"),
+            "avg_len": [
+                round_away(pd.Series([sum(lens) / n]), 4)[0]
+            ],
+            "entropy": [round_away(pd.Series([ent]), 4)[0]],
+        }
+    )
+
+
+def _string_stats_sql(query: str, col: str) -> str:
+    return f"""
+        WITH {_matched_cte(query)},
+        vals AS (
+            SELECT d.{col} AS v
+            FROM matched m JOIN documents d USING (doc_id)
+            WHERE d.{col} IS NOT NULL
+        ),
+        chars AS (
+            SELECT unnest(string_split(v, '')) AS c FROM vals
+        ),
+        dist AS (
+            SELECT c, count(*)::BIGINT AS cnt FROM chars GROUP BY c
+        ),
+        tot AS (SELECT sum(cnt)::DOUBLE AS t FROM dist)
+        SELECT (SELECT count(*) FROM vals)::BIGINT AS n,
+               (SELECT min(len(v)) FROM vals)::BIGINT AS min_len,
+               (SELECT max(len(v)) FROM vals)::BIGINT AS max_len,
+               (SELECT ROUND(sum(len(v))::DOUBLE / count(*), 4)
+                FROM vals) AS avg_len,
+               (SELECT ROUND(
+                    -sum((cnt / t.t) * log2(cnt / t.t) ORDER BY c), 4)
+                FROM dist CROSS JOIN tot t) AS entropy
+    """
+
+
+TTEST_GROUPS = ("en", "de")  # compare n_chars between two lang filters
+
+
+def ft_t_test(sf_dir: str) -> pd.DataFrame:
+    """ES ``t_test`` aggregation (heteroscedastic/Welch): the
+    t-statistic of n_chars between two keyword-filtered match groups.
+    Each group contributes exact int64 (n, Σv, Σv²); the statistic
+    derives once from the six integers with the pinned formula
+    t = (m1−m2) / sqrt(s1²/n1 + s2²/n2), sample variances
+    s² = (Σv² − (Σv)²/n)/(n−1) — the twin spells the same chain."""
+    import math
+
+    eng = get_engine(sf_dir)
+    stats = []
+    for lang in TTEST_GROUPS:
+        _, _, v = eng._score_all_with_meta(
+            BM25_QUERY, "n_chars", "and", {"lang": lang}
+        )
+        arr = v.drop_null()
+        import numpy as np
+
+        x = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        stats.append((int(x.size), int(x.sum()), int((x * x).sum())))
+    (n1, s1, q1), (n2, s2, q2) = stats
+    m1 = s1 / n1
+    m2 = s2 / n2
+    var1 = (q1 - (s1 * s1) / n1) / (n1 - 1)
+    var2 = (q2 - (s2 * s2) / n2) / (n2 - 1)
+    t = (m1 - m2) / math.sqrt(var1 / n1 + var2 / n2)
+    return pd.DataFrame(
+        {
+            "n_a": pd.array([n1], dtype="int64"),
+            "n_b": pd.array([n2], dtype="int64"),
+            "t_stat": [round_away(pd.Series([t]), 4)[0]],
+        }
+    )
+
+
+def _t_test_sql(query: str, col: str, groups: tuple) -> str:
+    ga, gb = groups
+    return f"""
+        WITH {_matched_cte(query)},
+        j AS (
+            SELECT d.lang, d.{col}::BIGINT AS v
+            FROM matched m JOIN documents d USING (doc_id)
+            WHERE d.{col} IS NOT NULL
+        ),
+        s AS (
+            SELECT lang, count(*)::BIGINT AS n, sum(v)::BIGINT AS sv,
+                   sum(v * v)::BIGINT AS sq
+            FROM j WHERE lang IN ('{ga}', '{gb}') GROUP BY lang
+        ),
+        w AS (
+            SELECT
+                (SELECT n FROM s WHERE lang = '{ga}') AS n1,
+                (SELECT sv FROM s WHERE lang = '{ga}') AS s1,
+                (SELECT sq FROM s WHERE lang = '{ga}') AS q1,
+                (SELECT n FROM s WHERE lang = '{gb}') AS n2,
+                (SELECT sv FROM s WHERE lang = '{gb}') AS s2,
+                (SELECT sq FROM s WHERE lang = '{gb}') AS q2
+        )
+        SELECT n1::BIGINT AS n_a, n2::BIGINT AS n_b,
+               ROUND(
+                   (s1::DOUBLE / n1 - s2::DOUBLE / n2)
+                   / sqrt(
+                       ((q1::DOUBLE - (s1::DOUBLE * s1::DOUBLE) / n1)
+                        / (n1 - 1)) / n1
+                       + ((q2::DOUBLE - (s2::DOUBLE * s2::DOUBLE) / n2)
+                          / (n2 - 1)) / n2
+                   ), 4
+               ) AS t_stat
+        FROM w
+    """
+
+
 RARE_MAX_DOC_COUNT = 2
 RARE_SIZE = 30
 
@@ -4037,6 +4214,9 @@ def build_sql() -> dict[str, str]:
         "ft_rare_terms": _rare_terms_sql(
             BM25_QUERY, RARE_MAX_DOC_COUNT, RARE_SIZE
         ),
+        "ft_boxplot": _boxplot_sql(BM25_QUERY, "n_chars"),
+        "ft_string_stats": _string_stats_sql(BM25_QUERY, "lang"),
+        "ft_t_test": _t_test_sql(BM25_QUERY, "n_chars", TTEST_GROUPS),
     }
 
 
@@ -4207,6 +4387,9 @@ QUERIES = {
     "ft_top_metrics": ft_top_metrics,
     "ft_percentile_ranks_dist": ft_percentile_ranks_dist,
     "ft_rare_terms": ft_rare_terms,
+    "ft_boxplot": ft_boxplot,
+    "ft_string_stats": ft_string_stats,
+    "ft_t_test": ft_t_test,
 }
 
 SQL = build_sql()

@@ -611,3 +611,75 @@ def retention_cohorts_sql(max_weeks: int = COHORT_MAX_WEEKS) -> str:
         GROUP BY 1, 2
         ORDER BY cohort_week, week_offset
     """
+
+
+SERIAL_DIFF_LAG = 7  # weekly seasonality differencing
+
+
+def serial_diff_daily(sf_dir: str, lag: int = SERIAL_DIFF_LAG) -> pd.DataFrame:
+    """ES ``serial_diff`` pipeline aggregation: lag-`lag` differencing
+    of the daily purchase counts (the seasonality-removal transform;
+    first `lag` buckets are NULL as in ES). Integer-exact."""
+    base = date_hist_pipeline(sf_dir)[["day", "n"]]
+    n = base["n"].to_numpy(dtype=np.int64)
+    out = base.copy()
+    diff = np.full(n.size, np.nan)
+    if n.size > lag:
+        diff[lag:] = (n[lag:] - n[:-lag]).astype(np.float64)
+    out["diff"] = pd.array(
+        [None if np.isnan(x) else int(x) for x in diff], dtype="Int64"
+    )
+    return out
+
+
+def serial_diff_sql(lag: int = SERIAL_DIFF_LAG) -> str:
+    return f"""
+        WITH b AS (
+            SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n
+            FROM events
+            WHERE event_type = 'purchase'
+            GROUP BY 1
+        )
+        SELECT day, n,
+               (n - LAG(n, {lag}) OVER (ORDER BY day))::BIGINT AS diff
+        FROM b
+        ORDER BY day
+    """
+
+
+def normalize_daily(sf_dir: str) -> pd.DataFrame:
+    """ES ``normalize`` pipeline aggregation (method range): daily
+    purchase counts rescaled to [0, 1] by (n − min) / (max − min)
+    over the sibling bucket list. Integer numerator/denominator, one
+    division per bucket, rounded like every float twin."""
+    from datamart_ray.util import round_away
+
+    base = date_hist_pipeline(sf_dir)[["day", "n"]]
+    n = base["n"].to_numpy(dtype=np.int64)
+    lo, hi = int(n.min()), int(n.max())
+    out = base.copy()
+    if hi > lo:
+        out["norm"] = round_away(
+            pd.Series((n - lo).astype(np.float64) / float(hi - lo)), 4
+        )
+    else:
+        out["norm"] = 0.0
+    return out
+
+
+def normalize_sql() -> str:
+    return """
+        WITH b AS (
+            SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n
+            FROM events
+            WHERE event_type = 'purchase'
+            GROUP BY 1
+        ),
+        mm AS (SELECT min(n) AS lo, max(n) AS hi FROM b)
+        SELECT day, n,
+               CASE WHEN hi > lo
+                    THEN ROUND((n - lo)::DOUBLE / (hi - lo), 4)
+                    ELSE 0.0 END AS norm
+        FROM b CROSS JOIN mm
+        ORDER BY day
+    """
