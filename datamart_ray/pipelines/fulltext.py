@@ -1577,6 +1577,77 @@ def _string_stats_sql(query: str, col: str) -> str:
     """
 
 
+def ft_mad(sf_dir: str) -> pd.DataFrame:
+    """ES ``median_absolute_deviation`` aggregation over n_chars of
+    every AND match — EXACT (median of |v − median|, linear
+    interpolation both times; ES's TDigest approximation is the same
+    pinned deviation as the percentiles entry)."""
+    import numpy as np
+
+    eng = get_engine(sf_dir)
+    _, _, v = eng._score_all_with_meta(BM25_QUERY, "n_chars", "and", None)
+    x = v.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+    med = float(np.quantile(x, 0.5, method="linear"))
+    mad = float(np.quantile(np.abs(x - med), 0.5, method="linear"))
+    return pd.DataFrame(
+        {
+            "median": [round_away(pd.Series([med]), 4)[0]],
+            "mad": [round_away(pd.Series([mad]), 4)[0]],
+        }
+    )
+
+
+def _mad_sql(query: str, col: str) -> str:
+    return f"""
+        WITH {_matched_cte(query)},
+        vals AS (
+            SELECT d.{col}::DOUBLE AS v
+            FROM matched m JOIN documents d USING (doc_id)
+            WHERE d.{col} IS NOT NULL
+        ),
+        med AS (SELECT quantile_cont(v, 0.5) AS m FROM vals)
+        SELECT ROUND((SELECT m FROM med), 4) AS median,
+               ROUND(
+                   (SELECT quantile_cont(abs(v - med.m), 0.5)
+                    FROM vals CROSS JOIN med), 4
+               ) AS mad
+    """
+
+
+MULTI_TERMS_SIZE = 10
+
+
+def ft_multi_terms(sf_dir: str) -> pd.DataFrame:
+    """ES ``multi_terms`` aggregation: compound (lang, source) buckets
+    over the AND match set ordered by DOC COUNT desc (the difference
+    from `composite`, which orders by key for pagination), ties by
+    (lang, source) asc, top MULTI_TERMS_SIZE."""
+    eng = get_engine(sf_dir)
+    t = eng.matched_composite(
+        BM25_QUERY, ("lang", "source"), size=10_000_000, mode="and"
+    ).to_pandas()
+    out = (
+        t.sort_values(
+            ["n", "lang", "source"], ascending=[False, True, True]
+        )
+        .head(MULTI_TERMS_SIZE)
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def _multi_terms_sql(query: str, size: int) -> str:
+    return f"""
+        WITH {_matched_cte(query)}
+        SELECT d.lang, d.source, count(*)::BIGINT AS n
+        FROM matched m JOIN documents d USING (doc_id)
+        GROUP BY d.lang, d.source
+        ORDER BY n DESC, d.lang, d.source
+        LIMIT {size}
+    """
+
+
 TTEST_GROUPS = ("en", "de")  # compare n_chars between two lang filters
 
 
@@ -4217,6 +4288,8 @@ def build_sql() -> dict[str, str]:
         "ft_boxplot": _boxplot_sql(BM25_QUERY, "n_chars"),
         "ft_string_stats": _string_stats_sql(BM25_QUERY, "lang"),
         "ft_t_test": _t_test_sql(BM25_QUERY, "n_chars", TTEST_GROUPS),
+        "ft_mad": _mad_sql(BM25_QUERY, "n_chars"),
+        "ft_multi_terms": _multi_terms_sql(BM25_QUERY, MULTI_TERMS_SIZE),
     }
 
 
@@ -4390,6 +4463,8 @@ QUERIES = {
     "ft_boxplot": ft_boxplot,
     "ft_string_stats": ft_string_stats,
     "ft_t_test": ft_t_test,
+    "ft_mad": ft_mad,
+    "ft_multi_terms": ft_multi_terms,
 }
 
 SQL = build_sql()
