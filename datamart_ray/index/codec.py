@@ -215,8 +215,12 @@ def bp128_encode(values: np.ndarray) -> bytes:
     widths[nz] = np.floor(np.log2(maxes[nz].astype(np.float64))).astype(
         np.int64
     ) + 1
-    # float log2 can under-report at 2^k boundaries — repair exactly
-    bad = nz & (maxes >> widths.astype(np.uint64) > 0)
+    # float log2 can under-report at 2^k boundaries — repair exactly.
+    # Clamp the shift to 63: shifting a uint64 by 64 is C-level UB
+    # (platform-dependent in numpy), and a width-64 block can never need
+    # the repair anyway, so those lanes are masked out.
+    shift = np.minimum(widths, 63).astype(np.uint64)
+    bad = nz & (widths < 64) & ((maxes >> shift) > 0)
     widths[bad] += 1
     out_parts: list[bytes] = []
     block_bytes = np.where(widths > 0, (BP_BLOCK * widths + 7) // 8, 0)

@@ -10,12 +10,12 @@ materializing the corpus on the driver:
   3. deterministic stratified sampling (per-row arithmetic),
   4. sequence packing (distributed prefix scan).
 
-The drop-id sets (removal manifest + quality rejects) are
-decision-OUTPUT-sized, not corpus-sized on real data, so they broadcast
-via ``ray.put`` below ``BROADCAST_IDS_CAP`` and fall back to the
-vectorized anti-filter shape above it (same adaptive pattern as
-``dedup.semi_filter_payload``). Sampling and packing then run over the
-surviving Dataset only.
+The drop-id set (removal manifest ∪ quality rejects) stays a DATASET
+end-to-end: it feeds :func:`datamart_ray.stages.dedup.anti_filter_ids`,
+which broadcasts the sorted ids once below ``BROADCAST_IDS_CAP`` and
+runs one bucketed hash-shuffle anti join above it — the corpus never
+materializes on the driver on either side of the cap. Sampling and
+packing then run over the surviving Dataset only.
 
 The DuckDB twin composes the SAME stage twins as nested CTE subqueries,
 so the whole pipeline — not just each stage — is hash-gated.
@@ -26,14 +26,18 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
 
 from datamart_ray.stages.dedup import (
     BROADCAST_IDS_CAP,
-    minhash_dedup_survivors,
+    anti_filter_ids,
+    minhash_candidate_pairs_ds,
     minhash_survivors_sql,
+    removal_manifest_ds,
+    verified_pairs_ds,
 )
 from datamart_ray.stages.packing import (
     packed_windows_from_counts,
@@ -45,10 +49,9 @@ from datamart_ray.stages.sampling import (
     stratified_sample_sql,
 )
 from datamart_ray.stages.textstats import (
-    rare_token_ratio,
+    rare_token_ratio_ds,
     rare_token_ratio_sql,
 )
-from datamart_ray.util import isin_sorted
 
 DEFAULT_RATES = {"en": 0.5, "de": 0.25}
 
@@ -60,35 +63,37 @@ def clean_pack_pipeline(
     rates: dict[str, float] | None = None,
     default_rate: float = 0.1,
     threshold: float = 0.5,
+    cap: int = BROADCAST_IDS_CAP,
 ) -> pd.DataFrame:
     """Run the full clean→sample→pack pipeline over `documents`; output
     the packed-window stats (window_id, n_docs, n_tokens) of the
-    CLEANED corpus."""
+    CLEANED corpus. `cap` selects anti_filter_ids' broadcast vs
+    hash-join path (tests force cap=0 to exercise the distributed
+    shape; the output is pinned identical)."""
     if rates is None:
         rates = dict(DEFAULT_RATES)
     path = f"{sf_dir}/documents.parquet"
 
-    removed = minhash_dedup_survivors(sf_dir, threshold=threshold)[
-        "doc_id"
-    ].to_numpy(np.int64)
-    rr = rare_token_ratio(sf_dir)
-    bad = rr.loc[rr["rare_ratio"] > rare_thr, "doc_id"].to_numpy(np.int64)
-    drop = np.unique(np.concatenate([removed, bad]))
-    if drop.size > BROADCAST_IDS_CAP:
-        raise NotImplementedError(
-            "drop set exceeds the broadcast cap — route through the "
-            "anti hash join (dedup.semi_filter_payload shape)"
-        )
-    dref = ray.put(np.sort(drop))
+    # removal manifest as a DATASET (dedup.removal_manifest_ds — the
+    # 100-TB consumption path the r3 verdict asked this pipeline to use)
+    docs = rd.read_parquet(path, columns=["doc_id", "text"])
+    cand = minhash_candidate_pairs_ds(docs)
+    verified = verified_pairs_ds(path, cand, 3, threshold)
+    removed = removal_manifest_ds(verified)
 
-    def drop_filter(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        mask = ~isin_sorted(ray.get(dref), ids)
-        return t.filter(pa.array(mask))
+    def rare_ids(t: pa.Table) -> pa.Table:
+        bad = t.filter(pc.greater(t["rare_ratio"], rare_thr))
+        return bad.select(["doc_id"])
+
+    drop = rare_token_ratio_ds(sf_dir).map_batches(
+        rare_ids, batch_format="pyarrow"
+    )
+    if removed is not None:
+        drop = drop.union(removed.drop_columns(["kept_id"]))
 
     ds = rd.read_parquet(path, columns=["doc_id", "lang", "text"])
     kept = stratified_sample_ds(
-        ds.map_batches(drop_filter, batch_format="pyarrow"),
+        anti_filter_ids(ds, drop, "doc_id", cap=cap),
         rates,
         default_rate,
     )

@@ -1825,7 +1825,9 @@ def ft_top_metrics(sf_dir: str) -> pd.DataFrame:
         full.sort_values(
             ["lang", "score", "doc_id"], ascending=[True, False, True]
         )
-        .groupby("lang", as_index=False)
+        # dropna=False: a null-lang bucket must surface like the twin's
+        # NULL partition row (PARTITION BY d.lang keeps NULLs)
+        .groupby("lang", as_index=False, dropna=False)
         .first()
     )
     nch = {}

@@ -117,7 +117,11 @@ def write_parquet_resumable(
 
 
 def read_resumable_output(out_dir: str) -> rd.Dataset:
-    """Read back a committed resumable output (only committed shards)."""
+    """Read back a committed resumable output (only committed shards).
+
+    Raises ValueError (not rd.read_parquet's opaque empty-path error)
+    when the directory holds no committed shards — a fresh or
+    fully-crashed output dir is a caller bug, not an empty dataset."""
     done = committed_shards(out_dir)
     paths = []
     for s in sorted(done):
@@ -128,4 +132,10 @@ def read_resumable_output(out_dir: str) -> rd.Dataset:
                 for f in sorted(os.listdir(part_dir))
                 if f.endswith(".parquet")
             )
+    if not paths:
+        raise ValueError(
+            f"no committed shards under {out_dir!r}: the resumable write "
+            "never committed (fresh dir, or every shard crashed before "
+            "its marker) — re-run write_resumable() first"
+        )
     return rd.read_parquet(paths)

@@ -220,6 +220,82 @@ def semi_filter_payload(
     return hash_join(payload, need, left_on=id_col)
 
 
+def anti_filter_ids(
+    payload: rd.Dataset,
+    drop: rd.Dataset,
+    id_col: str,
+    cap: int = BROADCAST_IDS_CAP,
+) -> rd.Dataset:
+    """payload rows whose `id_col` does NOT appear in the `drop` id
+    Dataset — the complement of :func:`semi_filter_payload`, with the
+    same size-adaptive discipline: |drop| ≤ cap broadcasts the sorted id
+    array once (`ray.put`) and anti-filters per batch with zero
+    shuffles; above the cap, one bucketed hash-shuffle anti join runs
+    fully distributed (payload rows move exactly once; the drop side
+    ships only its id column). Duplicate drop ids are harmless (pure
+    membership test), so callers need not pre-dedupe."""
+    from datamart_ray.pipelines.joins import _default_num_buckets
+    from datamart_ray.util import ensure_fast_shuffle, isin_sorted
+
+    drop = drop.materialize()
+    if drop.count() <= cap:
+        ids = np.sort(
+            drop.to_pandas()[id_col].to_numpy().astype(np.int64)
+        )
+        ref = ray.put(ids)
+
+        def keep(t: pa.Table) -> pa.Table:
+            dropped = ray.get(ref)
+            vals = t[id_col].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            return t.filter(pa.array(~isin_sorted(dropped, vals)))
+
+        return payload.map_batches(keep, batch_format="pyarrow")
+
+    ensure_fast_shuffle()
+    B = _default_num_buckets()
+    cols = payload.schema().names
+    int_cols = [
+        n
+        for n, typ in zip(payload.schema().names, payload.schema().types)
+        if isinstance(typ, pa.DataType) and pa.types.is_integer(typ)
+    ]
+
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            h = pd.util.hash_pandas_object(
+                df[[id_col]], index=False
+            ).to_numpy()
+            df["__bucket"] = (h % B).astype("int64")
+            df["__side"] = side
+            return df.reindex(columns=cols + ["__bucket", "__side"])
+
+        return fn
+
+    tagged = payload.map_batches(tag(0), batch_format="pandas").union(
+        drop.select_columns([id_col]).map_batches(
+            tag(1), batch_format="pandas"
+        )
+    )
+
+    def anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = g[g["__side"] == 0]
+        banned = g.loc[g["__side"] == 1, id_col].to_numpy()
+        out = rows.loc[~rows[id_col].isin(banned), cols].copy()
+        # drop-side pad rows turned int payload columns into float64 in
+        # this bucket's frame; kept rows are payload-side (no NaN) so
+        # the cast is lossless
+        for c in int_cols:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return tagged.groupby("__bucket").map_groups(
+        anti_bucket, batch_format="pandas"
+    )
+
+
 # Fast-path cap: a pair list of ≤ this many (int64, int64) rows is ~32 MB
 # on the driver — the same bounded-memory class as CC_DRIVER_PAIRS_CAP.
 # Above it, the fully distributed dedupe + double hash join runs instead.
@@ -1254,7 +1330,13 @@ def duplicated_window_stats(
     only windows with count ≥ 2 — the DUPLICATED set, a small fraction
     of a real corpus — come back to the driver (capped) and broadcast;
     pass 2 re-streams the windows and scores each doc with one sorted
-    membership probe. No corpus row ever shuffles."""
+    membership probe. No corpus row ever shuffles.
+
+    Above the cap the duplicated set never touches the driver: the
+    (win, doc_id) window stream hash-joins the dup-window Dataset (one
+    bucketed shuffle of the stream), per-doc dup counts come from a
+    small groupby, and a left hash join stitches them onto the per-doc
+    window totals. Same output bit-for-bit (pytest-pinned at cap=0)."""
     from ray.data.aggregate import Sum
 
     from datamart_ray.util import isin_sorted, round_away
@@ -1277,18 +1359,16 @@ def duplicated_window_stats(
     def only_dup(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater_equal(t["cnt"], 2))
 
-    dup_pd = (
+    dup_ds = (
         ds.map_batches(partial_counts, batch_format="pyarrow")
         .groupby("win")
         .aggregate(Sum("cnt", alias_name="cnt"))
         .map_batches(only_dup, batch_format="pyarrow")
-        .to_pandas()
+        .materialize()
     )
-    if len(dup_pd) > cap:
-        raise NotImplementedError(
-            f"{len(dup_pd)} duplicated windows exceed the broadcast cap"
-            " — shuffle-join the window stream instead"
-        )
+    if dup_ds.count() > cap:
+        return _dup_window_stats_shuffled(ds, dup_ds, an, window)
+    dup_pd = dup_ds.to_pandas()
     dup = np.sort(dup_pd["win"].to_numpy(np.int64).view(np.uint64))
     dref = ray.put(dup)
 
@@ -1315,6 +1395,73 @@ def duplicated_window_stats(
     return (
         ds.map_batches(score, batch_format="pyarrow")
         .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _dup_window_stats_shuffled(
+    ds: rd.Dataset,
+    dup_ds: rd.Dataset,
+    an: Analyzer,
+    window: int,
+) -> pd.DataFrame:
+    """duplicated_window_stats above the broadcast cap: the duplicated
+    window set stays a Dataset. The (win, doc_id) window stream — one
+    row per token position, the corpus-proportional side — moves through
+    exactly ONE bucketed hash-join shuffle against the dup windows;
+    per-doc dup counts are a small groupby; a left hash join stitches
+    them onto the per-doc totals (which never shuffle)."""
+    from ray.data.aggregate import Count
+
+    from datamart_ray.pipelines.joins import hash_join
+    from datamart_ray.util import round_away
+
+    def emit(t: pa.Table) -> pa.Table:
+        vals, parents = _window_stream(an.token_lists(t["text"]), window)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "win": pa.array(vals.view(np.int64)),
+                "doc_id": pa.array(ids[parents]),
+            }
+        )
+
+    stream = ds.map_batches(emit, batch_format="pyarrow")
+    hits = hash_join(
+        stream, dup_ds.drop_columns(["cnt"]), left_on="win"
+    )
+    ndup = hits.groupby("doc_id").aggregate(
+        Count(alias_name="n_dup_windows")
+    )
+
+    def totals(t: pa.Table) -> pa.Table:
+        _, parents = _window_stream(an.token_lists(t["text"]), window)
+        n_win = np.bincount(parents, minlength=t.num_rows)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = n_win > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep]),
+                "n_windows": pa.array(n_win[keep].astype(np.int64)),
+            }
+        )
+
+    tot = ds.map_batches(totals, batch_format="pyarrow")
+    out = hash_join(
+        tot, ndup, left_on="doc_id", how="left"
+    ).to_pandas()
+    out["n_dup_windows"] = (
+        out["n_dup_windows"].fillna(0).astype("int64")
+    )
+    out["n_windows"] = out["n_windows"].astype("int64")
+    out["dup_frac"] = round_away(
+        out["n_dup_windows"].to_numpy(np.float64)
+        / out["n_windows"].to_numpy(np.float64),
+        4,
+    )
+    return (
+        out[["doc_id", "n_windows", "n_dup_windows", "dup_frac"]]
         .sort_values("doc_id")
         .reset_index(drop=True)
     )

@@ -153,7 +153,13 @@ def temperature_mix_sample(
     )
     cnt = cnt_pd["cnt"].to_numpy(dtype=np.float64)
     total = float(cnt.sum())
-    sp = float(np.sum(cnt**alpha))
+    # sp accumulates SEQUENTIALLY in lang order (not np.sum's pairwise
+    # tree) and the twin pins the same order with `ORDER BY lang` — a
+    # 1-ulp pairwise-vs-sequential gap could flip floor(rate*MOD) at a
+    # 9-decimal rounding boundary
+    sp = 0.0
+    for v in cnt:
+        sp += float(v) ** alpha
     from datamart_ray.util import round_away
 
     # float-op order mirrors the SQL twin exactly; half-AWAY rounding
@@ -198,7 +204,7 @@ def temperature_mix_sql(
         ),
         tot AS (
             SELECT sum(cnt)::DOUBLE AS total,
-                   sum(pow(cnt::DOUBLE, {alpha})) AS sp
+                   sum(pow(cnt::DOUBLE, {alpha}) ORDER BY lang) AS sp
             FROM c
         ),
         thr AS (

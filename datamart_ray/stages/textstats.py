@@ -383,6 +383,22 @@ def rare_token_ratio(
     min_df_den: int = 10,
     ndigits: int = 4,
 ) -> pd.DataFrame:
+    """Driver-DataFrame convenience over :func:`rare_token_ratio_ds`
+    (docstring there); the oracle-entry shape."""
+    return (
+        rare_token_ratio_ds(sf_dir, min_df_num, min_df_den, ndigits)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def rare_token_ratio_ds(
+    sf_dir: str,
+    min_df_num: int = 1,
+    min_df_den: int = 10,
+    ndigits: int = 4,
+) -> rd.Dataset:
     """Rare-token (OOV-style) quality signal — the CCNet/Gopher-family
     filter "how much of this document is vocabulary the corpus barely
     uses", with integer-exact semantics (no transcendental float in the
@@ -398,8 +414,9 @@ def rare_token_ratio(
     scores every doc with a single vectorized Arrow `is_in` per batch —
     exact string membership, no hashing, no shuffle of the corpus.
 
-    Output (doc_id, n_tokens, n_rare, rare_ratio) for docs with ≥1
-    token, sorted by doc_id."""
+    Output Dataset (doc_id, n_tokens, n_rare, rare_ratio) for docs with
+    ≥1 token — stays distributed so downstream consumers (cleanpack's
+    anti-join drop set) never pull it to the driver."""
     import ray
 
     from ray.data.aggregate import Sum
@@ -468,12 +485,7 @@ def rare_token_ratio(
             }
         )
 
-    return (
-        ds.map_batches(score, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
+    return ds.map_batches(score, batch_format="pyarrow")
 
 
 def rare_token_ratio_sql(

@@ -1297,6 +1297,65 @@ def test_duplicated_window_stats_planted(ray_session, tmp_path):
     assert out.loc[out.doc_id == 2, "dup_frac"].iloc[0] == 0.0
 
 
+def test_duplicated_window_stats_above_cap_path(ray_session, tmp_path):
+    """cap=0 forces the shuffle-join fallback (dup windows never touch
+    the driver); output must be bit-identical to the broadcast path."""
+    import pyarrow.parquet as pq_
+
+    from datamart_ray.stages.dedup import duplicated_window_stats
+
+    rep = " ".join(f"s{j}" for j in range(8))
+    texts = [
+        rep + " " + rep,
+        "copya " + rep,
+        " ".join(f"u{j}" for j in range(20)),
+        "short doc",
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq_.write_table(t, str(d / "documents.parquet"))
+    fast = duplicated_window_stats(str(d), window=8)
+    slow = duplicated_window_stats(str(d), window=8, cap=0)
+    pd.testing.assert_frame_equal(fast, slow)
+    assert list(slow.dtypes[:3].astype(str)) == ["int64"] * 3
+
+
+def test_anti_filter_ids_both_paths(ray_session):
+    """anti_filter_ids: broadcast and hash-join paths agree, preserve
+    int dtypes, and tolerate duplicate drop ids."""
+    from datamart_ray.stages.dedup import anti_filter_ids
+
+    payload = rd.from_items(
+        [{"doc_id": i, "n": i * 10, "s": f"x{i}"} for i in range(50)]
+    )
+    drop = rd.from_items(
+        [{"doc_id": i} for i in (3, 7, 7, 11, 49, 99)]
+    )
+    want = sorted(set(range(50)) - {3, 7, 11, 49})
+    for cap in (1_000_000, 0):
+        out = (
+            anti_filter_ids(payload, drop, "doc_id", cap=cap)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == want
+        assert str(out["n"].dtype) == "int64"
+        assert out["s"].tolist() == [f"x{i}" for i in want]
+
+
+def test_clean_pack_above_cap_path(ray_session):
+    """pl_clean_pack with cap=0 routes the drop set through the anti
+    hash join; result pinned identical to the broadcast path."""
+    from datamart_ray.pipelines.cleanpack import clean_pack_pipeline
+
+    sf = "/root/testdata/sf0.001"
+    fast = clean_pack_pipeline(sf)
+    slow = clean_pack_pipeline(sf, cap=0)
+    pd.testing.assert_frame_equal(fast, slow)
+
+
 def test_removal_manifest_ds_matches_driver_core(ray_session, tmp_path):
     """The Dataset-shaped manifest equals the driver convenience output."""
     import pyarrow.parquet as pq_
