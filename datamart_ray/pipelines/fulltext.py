@@ -21,7 +21,11 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from datamart_ray.util import ensure_fast_shuffle, round_away
+from datamart_ray.util import (
+    artifact_root,
+    ensure_fast_shuffle,
+    round_away,
+)
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from datamart_ray.analyzer import Analyzer
@@ -73,7 +77,7 @@ def get_engine(sf_dir: str) -> SearchEngine:
     key = hashlib.sha1(
         f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}:m2".encode()
     ).hexdigest()[:12]
-    index_dir = f"/tmp/datamart_ray_idx/{key}"
+    index_dir = f"{artifact_root(src)}/idx/{key}"
     cfg = IndexConfig(
         analyzer=ANALYZER,
         content_col="text",
@@ -102,7 +106,7 @@ def get_field_engine(sf_dir: str, col: str) -> SearchEngine:
     key = hashlib.sha1(
         f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}:f-{col}".encode()
     ).hexdigest()[:12]
-    index_dir = f"/tmp/datamart_ray_idx/{key}"
+    index_dir = f"{artifact_root(src)}/idx/{key}"
     cfg = IndexConfig(
         analyzer=ANALYZER,
         content_col=col,
@@ -126,7 +130,7 @@ def get_pos_engine(sf_dir: str) -> SearchEngine:
     key = hashlib.sha1(
         f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}:pos".encode()
     ).hexdigest()[:12]
-    index_dir = f"/tmp/datamart_ray_idx/{key}"
+    index_dir = f"{artifact_root(src)}/idx/{key}"
     cfg = IndexConfig(
         analyzer=ANALYZER,
         content_col="text",
@@ -4336,7 +4340,7 @@ def ft_delta_df_top_terms(sf_dir: str) -> pd.DataFrame:
     key = hashlib.sha1(
         f"delta:{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}".encode()
     ).hexdigest()[:12]
-    base_dir = f"/tmp/datamart_ray_delta/{key}"
+    base_dir = f"{artifact_root(src)}/delta/{key}"
     half_a = os.path.join(base_dir, "half_a.parquet")
     half_b = os.path.join(base_dir, "half_b.parquet")
     index_dir = os.path.join(base_dir, "idx")

@@ -146,7 +146,10 @@ def _index_artifact_path(sf_dir: str) -> str:
     key = hashlib.sha256(
         f"{sf_dir}|v{_INDEX_VERSION}|{JOIN_COLUMNS}".encode()
     ).hexdigest()[:16]
-    return f"/tmp/graft_profile_index/{key}/ranges.parquet"
+    from datamart_ray.util import artifact_root
+
+    root = artifact_root(f"{sf_dir}/documents.parquet")
+    return f"{root}/profile_index/{key}/ranges.parquet"
 
 
 def _epoch_expr(column: str) -> str:
@@ -814,7 +817,10 @@ def keyword_search_bm25(
     key = hashlib.sha256(
         (json.dumps(texts, sort_keys=True) + f"|v{_KW_VERSION}").encode()
     ).hexdigest()[:16]
-    root = f"/tmp/graft_kwindex/{key}"
+    from datamart_ray.util import artifact_root
+
+    root_base = artifact_root(f"{sf_dir}/documents.parquet")
+    root = f"{root_base}/kwindex/{key}"
     if not os.path.isdir(root):
         # atomic dir commit: build every field index under a
         # process-unique staging dir, then one rename — two concurrent

@@ -699,7 +699,10 @@ def _centroid_artifact_path(
     if variant:  # default '' keeps pre-existing driver-trainer keys valid
         base += f"|{variant}"
     key = hashlib.sha256(base.encode()).hexdigest()[:16]
-    return f"/tmp/graft_ivf_centroids/{key}/centroids.parquet"
+    from datamart_ray.util import artifact_root
+
+    root = artifact_root(path)
+    return f"{root}/ivf_centroids/{key}/centroids.parquet"
 
 
 def _persist_centroids(art: str, C: np.ndarray) -> None:
@@ -1080,7 +1083,10 @@ def _pq_codebook_path(
     base = f"{os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}"
     base += f"|pq{m}x{n_codes}|i{iters}|s{stride}"
     key = hashlib.sha256(base.encode()).hexdigest()[:16]
-    return f"/tmp/graft_pq_codebooks/{key}/codebook.parquet"
+    from datamart_ray.util import artifact_root
+
+    root = artifact_root(path)
+    return f"{root}/pq_codebooks/{key}/codebook.parquet"
 
 
 def pq_codebooks(
