@@ -568,6 +568,34 @@ def _phrase_slop_match_segment(
     return docids, ptf.astype(np.int64)
 
 
+def _phrase_match_memo(
+    r: SegmentReader, terms: list[str], slop: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Bounded per-reader memo over the segment phrase match — the
+    positional analog of the term_chunks decode memo. Stores the RAW
+    (pre-tombstone) match, so later delete_by_query tombstones stay
+    correct: callers apply the tombstone filter on every hit. Keyed on
+    (token tuple, slop); LRU-evicted at 8 entries (each entry is two
+    df-sized int64 arrays). This is what collapses rescore/phrase p50
+    for repeated phrases — the position decode + m-way intersection is
+    the cost driver and is identical call to call."""
+    key = (tuple(terms), slop)
+    memo = getattr(r, "_phrase_memo", None)
+    if memo is None:
+        memo = r._phrase_memo = {}
+    hit = memo.pop(key, None)
+    if hit is None:
+        hit = (
+            _phrase_slop_match_segment(r, terms, slop)
+            if slop > 0
+            else _phrase_match_segment(r, terms)
+        )
+        while len(memo) >= 8:
+            memo.pop(next(iter(memo)))
+    memo[key] = hit
+    return hit
+
+
 def _bool_score_segment(
     reader: SegmentReader,
     must: list[str],
@@ -766,13 +794,46 @@ def _segment_regexp_terms(reader: SegmentReader, pattern: str) -> list[str]:
     return [str(t) for t in v[lo:hi][mask]]
 
 
+def _lev_leq_matrix(qb: np.ndarray, m: np.ndarray, k: int) -> np.ndarray:
+    """Boolean mask of byte-matrix rows within `k` Levenshtein edits of
+    the query bytes `qb` — the textbook DP with the CANDIDATE axis
+    vectorized (one (n, Lc+1) distance row per query character). The
+    insertion term's in-row left-to-right dependency
+    (cur[j] = min(pre[j], cur[j-1]+1)) unrolls to a running minimum:
+    cur[j] = min over j'≤j of pre[j'] + (j-j'), computed as
+    (pre - j).cummin + j. Exact for any k — replaces the per-term
+    Python DP that dominated suggest/fuzzy(max_edits≥2) latency."""
+    n, Lc = m.shape
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    steps = np.arange(Lc + 1, dtype=np.int32)
+    prev = np.broadcast_to(steps, (n, Lc + 1)).astype(np.int32).copy()
+    for i in range(1, qb.size + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        np.minimum(
+            prev[:, :-1] + (m != qb[i - 1]),
+            prev[:, 1:] + 1,
+            out=cur[:, 1:],
+        )
+        cur -= steps
+        np.minimum.accumulate(cur, axis=1, out=cur)
+        cur += steps
+        prev = cur
+    return prev[:, -1] <= k
+
+
 def _segment_fuzzy_terms(
     r: SegmentReader, qterm: str, max_edits: int
 ) -> set:
     """Dictionary terms of ONE segment within `max_edits` Levenshtein
     edits of `qterm` — the per-reader core shared by the in-process
     engine and the scorer actors (see SearchEngine._fuzzy_candidates'
-    docstring for the algorithm and its scale path)."""
+    docstring for the algorithm and its scale path). ASCII queries run
+    the exact vectorized DP (_lev_leq_matrix) over the per-length byte
+    matrices; non-ASCII dictionary terms (excluded from those matrices)
+    and non-ASCII queries take the char-space Python DP over the
+    length band."""
     if max_edits == 1:
         try:
             return _segment_fuzzy1_terms(r, qterm)
@@ -780,12 +841,35 @@ def _segment_fuzzy_terms(
             pass  # non-ASCII query → generic DP path
     from datamart_ray.pipelines.matching import levenshtein
 
-    vocab = r._dict_terms
-    lens = SearchEngine._dict_lens(r)
-    band = np.abs(lens - len(qterm)) <= max_edits
-    return {
-        str(t) for t in vocab[band] if levenshtein(qterm, t) <= max_edits
-    }
+    try:
+        qb = np.frombuffer(qterm.encode("ascii"), np.uint8)
+    except UnicodeEncodeError:
+        vocab = r._dict_terms
+        lens = SearchEngine._dict_lens(r)
+        band = np.abs(lens - len(qterm)) <= max_edits
+        return {
+            str(t)
+            for t in vocab[band]
+            if levenshtein(qterm, t) <= max_edits
+        }
+    out: set = set()
+    for lc in range(
+        max(1, len(qterm) - max_edits), len(qterm) + max_edits + 1
+    ):
+        terms, m = SearchEngine._dict_bylen(r, lc)
+        if terms.size:
+            out.update(
+                str(t) for t in terms[_lev_leq_matrix(qb, m, max_edits)]
+            )
+    na_terms, na_lens = SearchEngine._dict_nonascii(r)
+    if na_terms.size:
+        band = np.abs(na_lens - len(qterm)) <= max_edits
+        out.update(
+            str(t)
+            for t in na_terms[band]
+            if levenshtein(qterm, str(t)) <= max_edits
+        )
+    return out
 
 
 def _segment_fuzzy1_terms(r: SegmentReader, qterm: str) -> set:
@@ -1548,18 +1632,25 @@ class SearchEngine:
                     "score": pa.array([], type=pa.float64()),
                 }
             )
+        return self._score_phrase_parts(
+            self._phrase_match_parts(terms, slop), k
+        )
+
+    def _phrase_match_parts(
+        self, terms: list[str], slop: int = 0
+    ) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Per-segment (docids, match_tf, doclen) triples of the phrase
+        match, memoized per reader (_phrase_match_memo) with tombstones
+        applied fresh on every call."""
         parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         for r in self.readers:
-            if slop > 0:
-                d, ptf = _phrase_slop_match_segment(r, terms, slop)
-            else:
-                d, ptf = _phrase_match_segment(r, terms)
+            d, ptf = _phrase_match_memo(r, terms, slop)
             if r._tombstones.size and d.size:
                 keep = ~_isin_sorted(r._tombstones, d)
                 d, ptf = d[keep], ptf[keep]
             if d.size:
                 parts.append((d, ptf, r.doclen_of(d)))
-        return self._score_phrase_parts(parts, k)
+        return parts
 
     def phrase_prefix_search(self, phrase: str, k: int = TOP_K_SIZE) -> pa.Table:
         """match_phrase_prefix: the leading query tokens must appear
@@ -3088,14 +3179,45 @@ class SearchEngine:
         bm25 + rescore_query_weight × phrase_bm25), re-rank, return
         top-k. Docs outside the window are never promoted — exactly
         ES's window semantics. Requires a positional index (the phrase
-        leg)."""
+        leg). The phrase leg scores the full match set UNRANKED —
+        _combine_rescore only probes window docs, so phrase_search's
+        k=n_docs global top-k sort would be wasted work; df/idf/scores
+        are identical to phrase_search's."""
         base = self.search(query, k=window_size, mode=mode)
         ph = (
-            self.phrase_search(phrase, k=self.n_docs)
+            self._phrase_match_table(phrase)
             if base.num_rows
             else base
         )
         return _combine_rescore(base, ph, query_weight, rescore_weight, k)
+
+    def _phrase_match_table(self, phrase: str) -> pa.Table:
+        """Every phrase match with its BM25 phrase score, unranked —
+        the rescore phrase leg. Same global-df idf and per-doc scores
+        as phrase_search; only the final top-k sort is skipped."""
+        terms = self.analyzer.tokenize(phrase)
+        parts = self._phrase_match_parts(terms) if terms else []
+        if not parts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
+        df = sum(p[0].size for p in parts)
+        idf = bm25_idf(df, self.n_docs, self.params)
+        all_d = np.concatenate([p[0] for p in parts])
+        all_tf = np.concatenate([p[1] for p in parts])
+        all_dl = np.concatenate([p[2] for p in parts])
+        scores = idf * bm25_tf_norm(
+            all_tf.astype(np.float64), all_dl, self.avgdl, self.params
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(all_d, type=pa.int64()),
+                "score": pa.array(scores, type=pa.float64()),
+            }
+        )
 
     def search_many(self, queries: list[dict]) -> list[pa.Table]:
         """Batch API parity with DistributedSearchEngine.search_many —
@@ -3194,7 +3316,7 @@ class SegmentScorer:
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         ds_, tf_, dl_ = [], [], []
         for r in self.readers:
-            d, ptf = _phrase_match_segment(r, terms)
+            d, ptf = _phrase_match_memo(r, terms)
             if r._tombstones.size and d.size:
                 keep = ~_isin_sorted(r._tombstones, d)
                 d, ptf = d[keep], ptf[keep]
