@@ -571,7 +571,22 @@ def build_index(
     index_dir: str,
     config: IndexConfig | None = None,
 ) -> dict:
-    """Build (or resume) the full index; returns the global manifest."""
+    """Build (or resume) the full index; returns the global manifest.
+
+    Holds the index write lock for the whole build: concurrent
+    build/delta/compact on one index dir serialize instead of racing on
+    segment names, docID bases and index.json."""
+    from datamart_ray.index.manifest import index_write_lock
+
+    with index_write_lock(index_dir):
+        return _build_index_locked(paths, index_dir, config)
+
+
+def _build_index_locked(
+    paths: str | list[str],
+    index_dir: str,
+    config: IndexConfig | None = None,
+) -> dict:
     config = config or IndexConfig()
     files = _expand_paths(paths)
     if not files:
@@ -687,15 +702,17 @@ def build_index(
         build_segment(seg_specs, seg_files, seg_name, index_dir, config)
         built.append(seg_name)
 
-    global_manifest = {
-        "segments": [s[0] for s in segments] + preserved,
-        "config": config.to_json(),
-        "built": built,
-        "resumed_skipped": skipped,
-        "preserved": preserved,
-        "n_files": len(files) + preserved_files,
-    }
-    atomic_write_json(
-        os.path.join(index_dir, INDEX_MANIFEST_NAME), global_manifest
+    from datamart_ray.index.manifest import write_index_manifest
+
+    global_manifest = write_index_manifest(
+        index_dir,
+        {
+            "segments": [s[0] for s in segments] + preserved,
+            "config": config.to_json(),
+            "built": built,
+            "resumed_skipped": skipped,
+            "preserved": preserved,
+            "n_files": len(files) + preserved_files,
+        },
     )
     return global_manifest

@@ -32,15 +32,35 @@ from datamart_ray.index.build import (
 )
 from datamart_ray.index.manifest import (
     INDEX_MANIFEST_NAME,
+    WRITE_LOCK_NAME,
     active_segments,
     atomic_write_bytes,
     atomic_write_json,
+    index_write_lock,
     list_committed_segments,
     read_manifest,
     segment_is_committed,
+    write_index_manifest,
 )
 
 TOMBSTONE_NAME = "tombstones.parquet"
+
+
+def _locked(shared: bool = False):
+    """Serialize an index mutator (first arg = index dir) under the
+    per-index advisory lock; ``shared`` for consistent readers
+    (snapshot) that must only exclude compaction's dir deletion."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(index_dir, *args, **kwargs):
+            with index_write_lock(index_dir, shared=shared):
+                return fn(index_dir, *args, **kwargs)
+
+        return wrapper
+
+    return deco
 
 
 def _segment_doc_ids(seg_dir: str) -> np.ndarray:
@@ -81,6 +101,7 @@ def read_tombstones(seg_dir: str) -> np.ndarray:
     return pq.read_table(path)["doc_id"].to_numpy()
 
 
+@_locked()
 def delete_docs(index_dir: str, doc_ids) -> int:
     """Tombstone the given docIDs in whichever segments hold them.
     Returns the number of newly deleted docs. Idempotent."""
@@ -180,6 +201,7 @@ def delete_where(index_dir: str, column: str, value) -> int:
     return delete_docs(index_dir, targets) if targets else 0
 
 
+@_locked()
 def compact_segments(
     index_dir: str,
     config: IndexConfig | None = None,
@@ -504,8 +526,8 @@ def compact_segments(
     kept_files = sum(
         len(read_manifest(d)["files"]) for d in kept_dirs
     )
-    atomic_write_json(
-        os.path.join(index_dir, INDEX_MANIFEST_NAME),
+    write_index_manifest(
+        index_dir,
         {
             "segments": kept_names + [seg_name],
             "config": config.to_json(),
@@ -520,6 +542,7 @@ def compact_segments(
     return manifest
 
 
+@_locked()
 def ingest_delta(
     index_dir: str,
     new_paths: str | list[str],
@@ -564,8 +587,8 @@ def ingest_delta(
     manifest = build_segment(specs, file_infos, seg_name, index_dir, config)
 
     segments = [os.path.basename(d) for d in existing] + [seg_name]
-    atomic_write_json(
-        os.path.join(index_dir, INDEX_MANIFEST_NAME),
+    write_index_manifest(
+        index_dir,
         {
             "segments": segments,
             "config": config.to_json(),
@@ -638,6 +661,7 @@ def verify_index_invariant(index_dir: str) -> dict:
 SNAPSHOT_MANIFEST_NAME = "snapshot.json"
 
 
+@_locked(shared=True)
 def snapshot_index(index_dir: str, snap_dir: str) -> dict:
     """ES snapshot-API analog: a point-in-time copy of the index's
     ACTIVE view. Committed segments are immutable (compaction commits
@@ -703,29 +727,34 @@ def restore_index(snap_dir: str, dest_dir: str) -> dict:
         )
     with open(snap_manifest_path) as f:
         manifest = json.load(f)
-    if os.path.exists(dest_dir) and os.listdir(dest_dir):
+    # the advisory lock file does not make a destination "non-empty"
+    if os.path.exists(dest_dir) and set(os.listdir(dest_dir)) - {
+        WRITE_LOCK_NAME
+    }:
         raise ValueError(f"restore target {dest_dir} is not empty")
     for name in manifest["segments"]:
         seg = os.path.join(snap_dir, "segments", name)
         if not segment_is_committed(seg):
             raise ValueError(f"snapshot segment {name} missing/uncommitted")
-    os.makedirs(os.path.join(dest_dir, "segments"), exist_ok=True)
-    for name in manifest["segments"]:
-        shutil.copytree(
-            os.path.join(snap_dir, "segments", name),
-            os.path.join(dest_dir, "segments", name),
+    with index_write_lock(dest_dir):
+        os.makedirs(os.path.join(dest_dir, "segments"), exist_ok=True)
+        for name in manifest["segments"]:
+            shutil.copytree(
+                os.path.join(snap_dir, "segments", name),
+                os.path.join(dest_dir, "segments", name),
+            )
+            got = read_manifest(os.path.join(dest_dir, "segments", name))
+            want = manifest["sha256_rollups"][name]
+            if got["sha256_rollup"] != want:
+                raise ValueError(f"restored segment {name} rollup mismatch")
+        shutil.copy2(
+            os.path.join(snap_dir, INDEX_MANIFEST_NAME),
+            os.path.join(dest_dir, INDEX_MANIFEST_NAME),
         )
-        got = read_manifest(os.path.join(dest_dir, "segments", name))
-        want = manifest["sha256_rollups"][name]
-        if got["sha256_rollup"] != want:
-            raise ValueError(f"restored segment {name} rollup mismatch")
-    shutil.copy2(
-        os.path.join(snap_dir, INDEX_MANIFEST_NAME),
-        os.path.join(dest_dir, INDEX_MANIFEST_NAME),
-    )
     return manifest
 
 
+@_locked()
 def tiered_merge(
     index_dir: str,
     max_segments: int = 8,

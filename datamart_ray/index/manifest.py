@@ -9,12 +9,89 @@ resume = "skip any segment whose manifest is committed".
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
+import threading
 
 MANIFEST_NAME = "MANIFEST.json"
 INDEX_MANIFEST_NAME = "index.json"
+WRITE_LOCK_NAME = ".write.lock"
+
+
+class _IndexLock:
+    __slots__ = ("tlock", "fd", "depth")
+
+    def __init__(self) -> None:
+        self.tlock = threading.RLock()
+        self.fd: int | None = None
+        self.depth = 0
+
+
+_LOCKS: dict[str, _IndexLock] = {}
+_LOCKS_GUARD = threading.Lock()
+
+
+@contextlib.contextmanager
+def index_write_lock(index_dir: str, shared: bool = False):
+    """Advisory lock serializing index mutators across threads AND
+    processes (the reference guards its shared FS cache the same way:
+    lib_core/datamart_core/fscache.py flock discipline). Mutators
+    (build/delta/compact/delete/restore) take it exclusive; consistent
+    point-in-time copiers (snapshot) take it ``shared`` so they exclude
+    compaction's segment-dir deletion without excluding each other.
+
+    Reentrant per thread (tiered_merge → compact_segments); the flock is
+    held on ``index_dir/.write.lock`` for the outermost scope only."""
+    import fcntl
+
+    key = os.path.realpath(index_dir)
+    with _LOCKS_GUARD:
+        lk = _LOCKS.setdefault(key, _IndexLock())
+    lk.tlock.acquire()
+    try:
+        if lk.depth == 0:
+            os.makedirs(index_dir, exist_ok=True)
+            lk.fd = os.open(
+                os.path.join(index_dir, WRITE_LOCK_NAME),
+                os.O_CREAT | os.O_RDWR,
+                0o644,
+            )
+            fcntl.flock(
+                lk.fd, fcntl.LOCK_SH if shared else fcntl.LOCK_EX
+            )
+        lk.depth += 1
+        yield
+    finally:
+        lk.depth -= 1
+        if lk.depth == 0 and lk.fd is not None:
+            fcntl.flock(lk.fd, fcntl.LOCK_UN)
+            os.close(lk.fd)
+            lk.fd = None
+        lk.tlock.release()
+
+
+def current_index_version(index_dir: str) -> int:
+    """Monotonic mutation counter carried in index.json (0 = no
+    manifest yet). Every committed mutation bumps it, so a reader or
+    cache can detect that the active view changed without diffing
+    segment listings."""
+    idx_path = os.path.join(index_dir, INDEX_MANIFEST_NAME)
+    if not os.path.isfile(idx_path):
+        return 0
+    with open(idx_path) as f:
+        return int(json.load(f).get("version", 0))
+
+
+def write_index_manifest(index_dir: str, obj: dict) -> dict:
+    """Atomically publish index.json with the version bumped."""
+    obj = dict(obj)
+    obj["version"] = current_index_version(index_dir) + 1
+    atomic_write_json(
+        os.path.join(index_dir, INDEX_MANIFEST_NAME), obj
+    )
+    return obj
 
 
 def atomic_write_json(path: str, obj: dict) -> None:

@@ -136,6 +136,14 @@ class SegmentReader:
         from datamart_ray.index.maintain import read_tombstones
 
         self._tombstones = np.sort(read_tombstones(seg_dir))
+        if not lazy:
+            # Load postings NOW, not at first search: the open defines a
+            # point-in-time view, so a concurrent compaction deleting
+            # this dir after the open cannot tear a later query (lazy
+            # mode is equally safe via the mmap'd heap sidecar — POSIX
+            # keeps the unlinked file alive for the open mapping; only
+            # the no-sidecar filtered-read fallback re-touches the dir).
+            self._ensure_postings()
 
     def df(self, term: str) -> int:
         i = int(np.searchsorted(self._dict_terms, term))
@@ -1248,12 +1256,28 @@ class SearchEngine:
         lazy: bool | str = "auto",
         warm_terms: int = 0,
     ):
-        self.manifest, self.analyzer, seg_dirs = _alias_union(index_dir)
+        # Opening races with a concurrent compaction's swap: index.json
+        # is re-pointed BEFORE the superseded dirs are deleted, so a
+        # listing taken just before the repoint can name a dir deleted
+        # just after. A vanished dir means a newer committed view exists
+        # — re-list and reopen (bounded; each retry observes a strictly
+        # newer manifest).
+        for attempt in range(5):
+            try:
+                self.manifest, self.analyzer, seg_dirs = _alias_union(
+                    index_dir
+                )
+                self.readers = [
+                    SegmentReader(
+                        d, filter_cols, lazy=_resolve_lazy(d, lazy)
+                    )
+                    for d in seg_dirs
+                ]
+                break
+            except FileNotFoundError:
+                if attempt == 4:
+                    raise
         self.params = params
-        self.readers = [
-            SegmentReader(d, filter_cols, lazy=_resolve_lazy(d, lazy))
-            for d in seg_dirs
-        ]
         self.n_docs = sum(r.n_docs for r in self.readers)
         self.total_doclen = sum(r.total_doclen for r in self.readers)
         self.avgdl = (
