@@ -221,6 +221,30 @@ def main(argv: list[str] | None = None) -> int:
     )
     hp.add_argument("--index", required=True)
 
+    pr = sub.add_parser(
+        "prune",
+        help="evict oldest rebuildable disk state (ANN artifacts, heap "
+        "sidecars, optionally snapshots) once over the byte budget",
+    )
+    pr.add_argument(
+        "--artifacts", action="append", default=[],
+        help="artifact root dir (repeatable)",
+    )
+    pr.add_argument(
+        "--index", action="append", default=[],
+        help="index dir whose heap sidecars are evictable (repeatable)",
+    )
+    pr.add_argument(
+        "--snapshots", action="append", default=[],
+        help="dir of snapshot dirs — EXPLICIT opt-in (repeatable)",
+    )
+    pr.add_argument(
+        "--max-bytes", type=int, default=None,
+        help="high-water mark (default $DATAMART_RAY_MAX_CACHE_BYTES "
+        "or 100 GB)",
+    )
+    pr.add_argument("--dry-run", action="store_true")
+
     args = ap.parse_args(argv)
 
     import ray
@@ -542,6 +566,18 @@ def _run(args) -> int:
             build_posting_heap(d) for d in active_segments(args.index)
         ]
         print(json.dumps({"heaps": built}))
+        return 0
+    if args.cmd == "prune":
+        from datamart_ray.prune import prune_state
+
+        report = prune_state(
+            artifact_roots=args.artifacts,
+            index_dirs=args.index,
+            snapshot_dirs=args.snapshots,
+            high_bytes=args.max_bytes,
+            dry_run=args.dry_run,
+        )
+        print(json.dumps(report))
         return 0
     raise SystemExit(f"unknown command {args.cmd}")
 
