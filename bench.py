@@ -426,6 +426,195 @@ def run_scaling() -> dict:
     }
 
 
+SOAK_DIR = os.environ.get("GRAFT_SOAK_DIR", "/tmp/graft_soak")
+SOAK_SHARDS = int(os.environ.get("GRAFT_SOAK_SHARDS", "10"))
+
+
+def run_soak() -> dict:
+    """sf1 soak (VERDICT r3 "Next round" #9): the same headline stages at
+    10x the bench corpus — 1.2M docs in 10 deterministic 120k-doc shards
+    (seeds 42..51; the planted markers recur per shard, so BM25 serving
+    and the cross-shard TIE_CONTENT dup group stay meaningful) — with a
+    memory high-water sampler and an object-spill check. One segment at
+    this size crosses AUTO_LAZY_POSTINGS, so serving exercises the
+    giant-segment mmap heap path end-to-end."""
+    import threading
+
+    hw = {"used_bytes": 0}
+    stop = threading.Event()
+
+    def _sample():
+        while not stop.is_set():
+            m = {}
+            with open("/proc/meminfo") as f:
+                for ln in f:
+                    k, v = ln.split(":", 1)
+                    m[k] = int(v.split()[0])
+            used = (m["MemTotal"] - m["MemAvailable"]) * 1024
+            hw["used_bytes"] = max(hw["used_bytes"], used)
+            stop.wait(0.5)
+
+    sampler = threading.Thread(target=_sample, daemon=True)
+    sampler.start()
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from datamart_ray.corpus import generate_corpus, reference_queries
+    from datamart_ray.index.build import IndexConfig, build_index
+    from datamart_ray.search.engine import SearchEngine
+
+    timings: dict[str, float] = {}
+    extra: dict = {}
+    n_docs = CORPUS_FILES * SOAK_SHARDS
+
+    # --- corpus: 10 cached deterministic shards ---------------------------
+    t0 = time.time()
+    shard_dirs = []
+    for j in range(SOAK_SHARDS):
+        d = os.path.join(SOAK_DIR, f"shard-{j:02d}")
+        marker = os.path.join(d, ".complete")
+        if not os.path.exists(marker):
+            shutil.rmtree(d, ignore_errors=True)
+            generate_corpus(
+                d,
+                n_files=CORPUS_FILES,
+                vocab_size=30000,
+                n_repos=400,
+                avg_tokens=CORPUS_TOKENS,
+                n_output_files=32,
+                seed=42 + j,
+                big_outliers=16,
+            )
+            open(marker, "w").write("ok")
+        shard_dirs.append(d)
+    extra["corpus_gen_sec"] = round(time.time() - t0, 3)
+    extra["soak_docs"] = n_docs
+
+    # --- index build (single run; one segment > AUTO_LAZY_POSTINGS) ------
+    index_dir = os.path.join(SOAK_DIR, "index")
+    shutil.rmtree(index_dir, ignore_errors=True)
+    t0 = time.time()
+    manifest = build_index(shard_dirs, index_dir, IndexConfig())
+    timings["index_build"] = round(time.time() - t0, 3)
+    extra["docs_per_sec"] = round(n_docs / timings["index_build"], 1)
+    extra["segments"] = len(manifest["segments"])
+
+    # --- serving (lazy/mmap path; first open builds the heap sidecar) ----
+    t0 = time.time()
+    eng = SearchEngine(index_dir, warm_terms=64)
+    extra["engine_open_sec"] = round(time.time() - t0, 3)
+    lat = []
+    qset = reference_queries()
+    for _ in range(3):
+        for q in qset:
+            t0 = time.time()
+            eng.search(
+                q["query"],
+                k=50,
+                mode=q["mode"],
+                filters={"lang": q["lang"]} if "lang" in q else None,
+            )
+            lat.append(time.time() - t0)
+    timings["bm25_p50"] = round(statistics.median(lat), 4)
+    extra["bm25_p95"] = round(sorted(lat)[int(len(lat) * 0.95)], 4)
+
+    # --- dedup end-to-end: LSH candidates + exact-Jaccard verification ---
+    import pandas as _pd
+    import pyarrow as _pa
+
+    import ray.data as rd
+
+    from datamart_ray.stages.dedup import (
+        minhash_candidate_pairs_ds,
+        verify_pairs_jaccard_ds,
+    )
+
+    norm = os.path.join(SOAK_DIR, "docs")
+    if not os.path.exists(os.path.join(norm, ".complete")):
+        shutil.rmtree(norm, ignore_errors=True)
+        for j, d in enumerate(shard_dirs):
+            prefix = f"{j:02d}:"
+
+            def add_ids(t: _pa.Table, _p=prefix) -> _pa.Table:
+                keys = _p + _pd.Series(
+                    t["path"].to_numpy(zero_copy_only=False)
+                ).astype(str)
+                h = _pd.util.hash_array(keys.to_numpy()).view("int64")
+                return _pa.table(
+                    {"doc_id": _pa.array(h), "text": t["content"]}
+                )
+
+            rd.read_parquet(d, columns=["path", "content"]).map_batches(
+                add_ids, batch_format="pyarrow"
+            ).write_parquet(norm)
+        open(os.path.join(norm, ".complete"), "w").write("ok")
+
+    t0 = time.time()
+    cand = minhash_candidate_pairs_ds(
+        rd.read_parquet(norm, columns=["doc_id", "text"])
+    )
+    verified = verify_pairs_jaccard_ds(norm, cand, 3, 0.5)
+    timings["dedup_verified_e2e"] = round(time.time() - t0, 3)
+    extra["dedup_docs_per_sec"] = round(
+        n_docs / timings["dedup_verified_e2e"], 1
+    )
+    extra["verified_pairs"] = int(len(verified))
+    # the cross-shard TIE_CONTENT copies (docs 20/21 x SOAK_SHARDS) must
+    # all be found: C(2*shards, 2) exact-dup pairs is the floor
+    ties = 2 * SOAK_SHARDS
+    extra["verified_pairs_floor"] = ties * (ties - 1) // 2
+    extra["verified_pairs_floor_ok"] = bool(
+        len(verified) >= extra["verified_pairs_floor"]
+    )
+
+    # --- memory + spill ----------------------------------------------------
+    stop.set()
+    sampler.join()
+    spilled = 0
+    sess = "/tmp/ray/session_latest"
+    if os.path.isdir(sess):
+        for dirpath, dirnames, filenames in os.walk(
+            os.path.realpath(sess)
+        ):
+            if "spill" in os.path.basename(dirpath).lower():
+                for f in filenames:
+                    try:
+                        spilled += os.path.getsize(
+                            os.path.join(dirpath, f)
+                        )
+                    except OSError:
+                        pass
+    with open("/proc/self/status") as f:
+        vmhwm_kb = next(
+            int(ln.split()[1]) for ln in f if ln.startswith("VmHWM")
+        )
+    ray.shutdown()
+    value = round(sum(timings.values()), 3)
+    return {
+        "metric": "sf1 soak seconds (1.2M docs: build + BM25 + verified dedup)",
+        "value": value,
+        "unit": "sec",
+        "queries": timings,
+        "sf": "sf1-synthetic(10x bench corpus)",
+        "num_cpus": NUM_CPUS,
+        "mem_high_water_gb": round(hw["used_bytes"] / 2**30, 2),
+        "driver_peak_rss_gb": round(vmhwm_kb * 1024 / 2**30, 2),
+        "object_spilled_gb": round(spilled / 2**30, 2),
+        **extra,
+    }
+
+
 def run_skew() -> dict:
     """Skew-join micro-bench: a probe table where ONE key holds half the
     rows, inner-joined against a small build table, unsalted vs salted
@@ -487,6 +676,8 @@ if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--soak" in sys.argv:
+        print(json.dumps(run_soak()))
     elif "--skew" in sys.argv:
         print(json.dumps(run_skew()))
     else:

@@ -53,6 +53,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--distributed", action="store_true")
     s.add_argument("--lazy", action="store_true")
     s.add_argument("--json", action="store_true")
+    s.add_argument(
+        "--ingest-from", action="append", default=[],
+        help="source root(s) to sweep for never-seen parquet files and "
+        "delta-ingest BEFORE serving (on-demand discovery analog)",
+    )
 
     d = sub.add_parser("delta", help="ingest new files as a delta segment")
     d.add_argument("--index", required=True)
@@ -283,6 +288,10 @@ def _run(args) -> int:
             SearchEngine,
         )
 
+        if args.ingest_from:
+            from datamart_ray.index.maintain import ingest_delta
+
+            ingest_delta(args.index, args.ingest_from)
         if args.distributed:
             eng = DistributedSearchEngine(args.index, lazy=args.lazy)
         else:

@@ -600,6 +600,36 @@ def ingest_delta(
     return {"added": [seg_name], "manifest": manifest}
 
 
+def search_on_demand(
+    index_dir: str,
+    sources: str | list[str],
+    query: str,
+    k: int = 50,
+    mode: str = "and",
+    filters: dict | None = None,
+    config: IndexConfig | None = None,
+):
+    """Query-triggered ingest: the batch analog of the reference's
+    on-demand discovery loop (lib_core/datamart_core/discovery.py:
+    106-127 — a query fans out to discoverers whose new datasets join
+    the same profiling pipeline). Here the "discoverer" is a sweep of
+    the registered source roots: any parquet file the index has never
+    seen becomes a delta segment BEFORE the query is served, so the
+    answer always reflects the current lake. A sweep with nothing new
+    is metadata-only (ingest_delta's known-file skip) — the steady-state
+    query pays one manifest read, no build.
+
+    Returns ``(results_table, ingest_report)``."""
+    report = ingest_delta(index_dir, sources, config)
+    from datamart_ray.search.engine import SearchEngine
+
+    eng = SearchEngine(index_dir)
+    return (
+        eng.search(query, k=k, mode=mode, filters=filters),
+        report,
+    )
+
+
 def verify_index_invariant(index_dir: str) -> dict:
     """Audit the per-row content-sha256 invariant: recompute each active
     segment's sha rollup from its docmeta partitions AND re-hash the

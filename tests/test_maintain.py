@@ -572,3 +572,33 @@ def test_lineage_records_cover_active_segments(ray_session, tmp_path):
     assert int(t["n_tombstones"].sum()) == 3
     assert (t["sha256_rollup"].str.len() == 64).all()
     assert (t["n_source_files"] > 0).all()
+
+
+def test_search_on_demand_ingests_then_serves(ray_session, tmp_path):
+    """Query-triggered ingest (the reference's on-demand discovery
+    analog): never-seen source files become a delta segment before the
+    query is answered; a steady-state repeat is metadata-only."""
+    from datamart_ray.index.maintain import search_on_demand
+
+    corpus_a = str(tmp_path / "a")
+    corpus_b = str(tmp_path / "b")
+    generate_corpus(corpus_a, n_files=60, vocab_size=600, n_output_files=2)
+    generate_corpus(corpus_b, n_files=40, vocab_size=600, n_output_files=2)
+    idx = str(tmp_path / "idx")
+    build_index(corpus_a, idx, IndexConfig(docs_per_spec=50))
+    n_before = SearchEngine(idx).search("qzcommonneedle", k=500).num_rows
+
+    t, report = search_on_demand(
+        idx, [corpus_a, corpus_b], "qzcommonneedle", k=500
+    )
+    assert len(report["added"]) == 1
+    assert t.num_rows > n_before  # corpus_b's marker docs are served
+    assert SearchEngine(idx).n_docs == 100
+
+    # steady state: everything known -> no new segment, same answer
+    t2, report2 = search_on_demand(
+        idx, [corpus_a, corpus_b], "qzcommonneedle", k=500
+    )
+    assert report2["added"] == []
+    assert t2["doc_id"].to_pylist() == t["doc_id"].to_pylist()
+    assert t2["score"].to_pylist() == t["score"].to_pylist()
