@@ -35,11 +35,13 @@ segments — the "pending index + freshen" semantics of the reference
 
 from __future__ import annotations
 
+import glob
 import hashlib
 import json
 import os
 import shutil
 import time
+import uuid
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -425,9 +427,19 @@ def build_segment(
     seg_root = os.path.join(index_dir, "segments")
     os.makedirs(seg_root, exist_ok=True)
     final_dir = os.path.join(seg_root, seg_name)
-    tmp_dir = os.path.join(seg_root, f".tmp-{seg_name}")
-    if os.path.exists(tmp_dir):
-        shutil.rmtree(tmp_dir)
+    # Unique-per-attempt temp dir: a SIGKILLed prior builder's Ray WORKERS
+    # can outlive their driver by seconds and flush straggler posting files
+    # after it died. With a deterministic ".tmp-<seg>" path those stragglers
+    # land inside a concurrently resuming build's temp dir and duplicate
+    # postings (docmeta is overwritten idempotently, so n_docs/doclen stay
+    # equal and only n_postings inflates — observed as a resume-vs-fresh
+    # mismatch). A per-attempt suffix means zombie writes go to the dead
+    # attempt's dir, which is swept below / by the next build.
+    for stale in glob.glob(os.path.join(seg_root, f".tmp-{seg_name}.*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    tmp_dir = os.path.join(
+        seg_root, f".tmp-{seg_name}.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    )
     docmeta_dir = os.path.join(tmp_dir, "docmeta")
     postings_dir = os.path.join(tmp_dir, "postings")
     os.makedirs(docmeta_dir)

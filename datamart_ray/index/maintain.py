@@ -270,11 +270,18 @@ def compact_segments(
     tombs_list = tombs.tolist()
 
     seg_root = os.path.join(index_dir, "segments")
-    tmp_dir = os.path.join(seg_root, ".tmp-compact")
+    # Unique-per-attempt temp dir (same rationale as build_segment): a dead
+    # compactor's zombie workers must not flush stragglers into a live
+    # attempt's temp dir. Stale attempts are swept best-effort here.
+    import glob as _glob
     import shutil
+    import uuid as _uuid
 
-    if os.path.exists(tmp_dir):
-        shutil.rmtree(tmp_dir)
+    for stale in _glob.glob(os.path.join(seg_root, ".tmp-compact*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    tmp_dir = os.path.join(
+        seg_root, f".tmp-compact.{os.getpid()}.{_uuid.uuid4().hex[:8]}"
+    )
     os.makedirs(os.path.join(tmp_dir, "docmeta"))
 
     # The compacted segment gets a FRESH name (never reuses an active one):
