@@ -529,6 +529,55 @@ def run_soak() -> dict:
     timings["bm25_p50"] = round(statistics.median(lat), 4)
     extra["bm25_p95"] = round(sorted(lat)[int(len(lat) * 0.95)], 4)
 
+    # --- sharded serving: the 100-TB shape at sf1 ------------------------
+    # The single-segment p95 above is posting-length-bound (head terms
+    # carry ~400k postings at 10x df). At cluster scale the same corpus
+    # is built into many segments served by scorer actors; prove that
+    # shape here: segment_docs = one shard -> 10 segments, served by
+    # DistributedSearchEngine, rank-identical to the single-segment
+    # engine (global-stats protocol) with per-actor posting lengths back
+    # at sf0.1 scale.
+    from datamart_ray.search.engine import DistributedSearchEngine
+
+    sharded_dir = os.path.join(SOAK_DIR, "index_sharded")
+    shutil.rmtree(sharded_dir, ignore_errors=True)
+    t0 = time.time()
+    sharded_manifest = build_index(
+        shard_dirs, sharded_dir, IndexConfig(segment_docs=CORPUS_FILES)
+    )
+    timings["index_build_sharded"] = round(time.time() - t0, 3)
+    extra["segments_sharded"] = len(sharded_manifest["segments"])
+    t0 = time.time()
+    deng = DistributedSearchEngine(sharded_dir)
+    extra["dist_engine_open_sec"] = round(time.time() - t0, 3)
+    dlat = []
+    rank_identical = True
+    for rep in range(3):
+        for q in qset:
+            t0 = time.time()
+            dres = deng.search(
+                q["query"],
+                k=50,
+                mode=q["mode"],
+                filters={"lang": q["lang"]} if "lang" in q else None,
+            )
+            dlat.append(time.time() - t0)
+            if rep == 0:
+                sres = eng.search(
+                    q["query"],
+                    k=50,
+                    mode=q["mode"],
+                    filters={"lang": q["lang"]} if "lang" in q else None,
+                )
+                if dres.column("doc_id").to_pylist() != sres.column(
+                    "doc_id"
+                ).to_pylist():
+                    rank_identical = False
+    extra["bm25_sharded_p50"] = round(statistics.median(dlat), 4)
+    extra["bm25_sharded_p95"] = round(sorted(dlat)[int(len(dlat) * 0.95)], 4)
+    extra["sharded_rank_identical"] = rank_identical
+    del deng
+
     # --- dedup end-to-end: LSH candidates + exact-Jaccard verification ---
     import pandas as _pd
     import pyarrow as _pa
