@@ -243,10 +243,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     from datamart_ray.pipelines.ranges import (
         coverage_ranges,
+        kmeans_ranges,
         range_overlap_scores,
     )
 
     out["rg_coverage_ranges"] = coverage_ranges
+    # NEW r4: ST4 at FULL parity — true weighted 1-D Lloyd KMeans in
+    # exact fixed-point integer arithmetic, gated by a recursive-CTE
+    # DuckDB twin running the identical iteration (in-window below)
+    out["rg_kmeans_ranges"] = kmeans_ranges
 
     from datamart_ray.pipelines.window import (
         date_hist_pipeline,
@@ -399,6 +404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_knn_sq8",
         "sim_knn_pq",
         "sim_knn_ivfpq",
+        "rg_kmeans_ranges",  # NEW r4: exact-Lloyd KMeans ranges (ST4)
         # never driver-witnessed until now:
         "dd_containment_pairs",
         "dd_containment_survivors",
@@ -435,7 +441,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_collapse_source_topk",
         "ft_nchars_percentiles",
         "ft_span_near_topk",
-        "ft_extended_stats",
+        # (ft_extended_stats rotated to the oracle-gated tail to make
+        # room for rg_kmeans_ranges)
     ]
     assert len(_r4_window) == 50, len(_r4_window)
     _missing = [k for k in _r4_window if k not in out]
@@ -575,10 +582,12 @@ def oracle_sql() -> dict[str, str]:
 
     from datamart_ray.pipelines.ranges import (
         coverage_ranges_sql,
+        kmeans_ranges_sql,
         range_overlap_sql,
     )
 
     out["rg_coverage_ranges"] = coverage_ranges_sql()
+    out["rg_kmeans_ranges"] = kmeans_ranges_sql()
     out["rg_overlap_scores"] = range_overlap_sql()
 
     from datamart_ray.pipelines.window import (

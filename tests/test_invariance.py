@@ -90,3 +90,38 @@ def test_tercile_ranges_block_invariance(ray_session):
         "l_quantity",
     )
     assert a == b == c
+
+
+def test_kmeans_ranges_block_and_cap_invariance(ray_session, monkeypatch):
+    """Exact-Lloyd KMeans ranges are identical across block layouts AND
+    across the driver-local vs distributed-probe paths (cap=0 forces the
+    per-iteration remote-probe path the 100-TB shape uses)."""
+    import ray.data as rd
+
+    from datamart_ray.pipelines import ranges as rmod
+
+    path = "/root/testdata/sf0.001/orders.parquet"
+    ds = lambda: rd.read_parquet(path, columns=["o_totalprice"])  # noqa: E731
+    a = rmod.kmeans_1d_ranges(ds(), "o_totalprice")
+    b = rmod.kmeans_1d_ranges(ds().repartition(7), "o_totalprice")
+    monkeypatch.setattr(rmod, "KM_DISTINCT_CAP", 0)
+    c = rmod.kmeans_1d_ranges(ds(), "o_totalprice")
+    assert a == b == c
+    assert len(a) == 3 and all(r["gte"] <= r["lte"] for r in a)
+
+
+def test_kmeans_ranges_small_cluster_dropped(ray_session):
+    """The reference's 10%-minimum rule: a tight 3-cluster synthetic with
+    one cluster under 10% drops that cluster (float idiom mirrored)."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from datamart_ray.pipelines.ranges import kmeans_1d_ranges
+
+    vals = [1.0] * 50 + [100.0] * 45 + [1000.0] * 5
+    ds = rd.from_pandas(pd.DataFrame({"x": vals}))
+    out = kmeans_1d_ranges(ds, "x")
+    assert [r["n"] for r in out] == [50, 45]
+    assert out[0]["gte"] == out[0]["lte"] == 1.0
+    assert out[1]["gte"] == out[1]["lte"] == 100.0
