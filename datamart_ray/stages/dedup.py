@@ -255,12 +255,21 @@ def anti_filter_ids(
 
     ensure_fast_shuffle()
     B = _default_num_buckets()
-    cols = payload.schema().names
-    int_cols = [
-        n
-        for n, typ in zip(payload.schema().names, payload.schema().types)
-        if isinstance(typ, pa.DataType) and pa.types.is_integer(typ)
-    ]
+    schema = payload.schema()
+    cols = schema.names
+    # drop-side pad rows (reindex-added NaN columns) upcast payload
+    # dtypes in the concatenated bucket frame (int->float64, bool->object,
+    # ts->object); kept rows are payload-side (never padded), so casting
+    # back to the declared schema is lossless
+    restore_dtypes = {}
+    for name, typ in zip(schema.names, schema.types):
+        if not isinstance(typ, pa.DataType):
+            continue
+        try:
+            if not pa.types.is_string(typ) and not pa.types.is_binary(typ):
+                restore_dtypes[name] = typ.to_pandas_dtype()
+        except NotImplementedError:
+            pass
 
     def tag(side: int):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -284,11 +293,9 @@ def anti_filter_ids(
         rows = g[g["__side"] == 0]
         banned = g.loc[g["__side"] == 1, id_col].to_numpy()
         out = rows.loc[~rows[id_col].isin(banned), cols].copy()
-        # drop-side pad rows turned int payload columns into float64 in
-        # this bucket's frame; kept rows are payload-side (no NaN) so
-        # the cast is lossless
-        for c in int_cols:
-            out[c] = out[c].astype("int64")
+        for c, dt in restore_dtypes.items():
+            if out[c].dtype != dt:
+                out[c] = out[c].astype(dt)
         return out
 
     return tagged.groupby("__bucket").map_groups(

@@ -1326,9 +1326,15 @@ def test_anti_filter_ids_both_paths(ray_session):
     int dtypes, and tolerate duplicate drop ids."""
     from datamart_ray.stages.dedup import anti_filter_ids
 
-    payload = rd.from_items(
-        [{"doc_id": i, "n": i * 10, "s": f"x{i}"} for i in range(50)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(50), type=pa.int64()),
+            "n": pa.array([i * 10 for i in range(50)], type=pa.int32()),
+            "s": pa.array([f"x{i}" for i in range(50)]),
+            "b": pa.array([i % 2 == 0 for i in range(50)]),
+        }
     )
+    payload = rd.from_arrow(t)
     drop = rd.from_items(
         [{"doc_id": i} for i in (3, 7, 7, 11, 49, 99)]
     )
@@ -1341,7 +1347,11 @@ def test_anti_filter_ids_both_paths(ray_session):
             .reset_index(drop=True)
         )
         assert out["doc_id"].tolist() == want
-        assert str(out["n"].dtype) == "int64"
+        # declared schema survives the drop-side NaN padding, including
+        # narrow ints and bools
+        assert str(out["n"].dtype) == "int32"
+        assert str(out["b"].dtype) == "bool"
+        assert out["b"].tolist() == [i % 2 == 0 for i in want]
         assert out["s"].tolist() == [f"x{i}" for i in want]
 
 
