@@ -440,8 +440,25 @@ def run_soak() -> dict:
     giant-segment mmap heap path end-to-end."""
     import threading
 
-    hw = {"used_bytes": 0}
+    hw = {"used_bytes": 0, "spill_bytes": 0}
     stop = threading.Event()
+
+    def _spill_bytes() -> int:
+        # Ray unlinks spill files as objects are restored/freed, so an
+        # end-of-run walk sees nothing — sample DURING the run and keep
+        # the high-water. Default spill home: ray_spilled_objects under
+        # the session dir.
+        import glob as _glob
+
+        total = 0
+        for d in _glob.glob("/tmp/ray/session_latest/ray_spilled_objects*"):
+            for dirpath, _, filenames in os.walk(os.path.realpath(d)):
+                for f in filenames:
+                    try:
+                        total += os.path.getsize(os.path.join(dirpath, f))
+                    except OSError:
+                        pass
+        return total
 
     def _sample():
         while not stop.is_set():
@@ -452,6 +469,10 @@ def run_soak() -> dict:
                     m[k] = int(v.split()[0])
             used = (m["MemTotal"] - m["MemAvailable"]) * 1024
             hw["used_bytes"] = max(hw["used_bytes"], used)
+            try:
+                hw["spill_bytes"] = max(hw["spill_bytes"], _spill_bytes())
+            except OSError:
+                pass
             stop.wait(0.5)
 
     sampler = threading.Thread(target=_sample, daemon=True)
@@ -630,20 +651,9 @@ def run_soak() -> dict:
     # --- memory + spill ----------------------------------------------------
     stop.set()
     sampler.join()
-    spilled = 0
-    sess = "/tmp/ray/session_latest"
-    if os.path.isdir(sess):
-        for dirpath, dirnames, filenames in os.walk(
-            os.path.realpath(sess)
-        ):
-            if "spill" in os.path.basename(dirpath).lower():
-                for f in filenames:
-                    try:
-                        spilled += os.path.getsize(
-                            os.path.join(dirpath, f)
-                        )
-                    except OSError:
-                        pass
+    # high-water sampled during the run (files are unlinked as objects
+    # free) plus a final sweep for anything still on disk
+    spilled = max(hw["spill_bytes"], _spill_bytes())
     with open("/proc/self/status") as f:
         vmhwm_kb = next(
             int(ln.split()[1]) for ln in f if ln.startswith("VmHWM")

@@ -435,6 +435,12 @@ def build_segment(
     # equal and only n_postings inflates — observed as a resume-vs-fresh
     # mismatch). A per-attempt suffix means zombie writes go to the dead
     # attempt's dir, which is swept below / by the next build.
+    # the exact ".tmp-<seg>" path also sweeps the legacy deterministic
+    # dir a pre-suffix crashed build may have left behind (a bare "*"
+    # suffix would cross segment names once ids outgrow their zero-pad)
+    shutil.rmtree(
+        os.path.join(seg_root, f".tmp-{seg_name}"), ignore_errors=True
+    )
     for stale in glob.glob(os.path.join(seg_root, f".tmp-{seg_name}.*")):
         shutil.rmtree(stale, ignore_errors=True)
     tmp_dir = os.path.join(

@@ -38,6 +38,7 @@ from datamart_ray.index.manifest import (
     atomic_write_json,
     index_write_lock,
     list_committed_segments,
+    current_index_version,
     read_manifest,
     segment_is_committed,
     write_index_manifest,
@@ -626,15 +627,29 @@ def search_on_demand(
     is metadata-only (ingest_delta's known-file skip) — the steady-state
     query pays one manifest read, no build.
 
-    Returns ``(results_table, ingest_report)``."""
+    Returns ``(results_table, ingest_report)``.
+
+    The opened SearchEngine is cached per index dir and reopened only
+    when index.json's version counter says a mutation committed —
+    engine open re-reads every below-cap segment's postings (seconds on
+    a large index), which must not be paid per steady-state query."""
     report = ingest_delta(index_dir, sources, config)
     from datamart_ray.search.engine import SearchEngine
 
-    eng = SearchEngine(index_dir)
+    key = os.path.realpath(index_dir)
+    version = current_index_version(index_dir)
+    cached = _ON_DEMAND_ENGINES.get(key)
+    if cached is None or cached[0] != version:
+        _ON_DEMAND_ENGINES[key] = (version, SearchEngine(index_dir))
+    eng = _ON_DEMAND_ENGINES[key][1]
     return (
         eng.search(query, k=k, mode=mode, filters=filters),
         report,
     )
+
+
+# search_on_demand's per-index engine cache: {realpath: (version, engine)}
+_ON_DEMAND_ENGINES: dict = {}
 
 
 def verify_index_invariant(index_dir: str) -> dict:
@@ -764,16 +779,18 @@ def restore_index(snap_dir: str, dest_dir: str) -> dict:
         )
     with open(snap_manifest_path) as f:
         manifest = json.load(f)
-    # the advisory lock file does not make a destination "non-empty"
-    if os.path.exists(dest_dir) and set(os.listdir(dest_dir)) - {
-        WRITE_LOCK_NAME
-    }:
-        raise ValueError(f"restore target {dest_dir} is not empty")
     for name in manifest["segments"]:
         seg = os.path.join(snap_dir, "segments", name)
         if not segment_is_committed(seg):
             raise ValueError(f"snapshot segment {name} missing/uncommitted")
     with index_write_lock(dest_dir):
+        # emptiness must be checked UNDER the lock: a concurrent
+        # build/delta into dest_dir could commit between an early check
+        # and the copy, and the copytree below would silently bury it
+        # (the advisory lock file itself does not make a destination
+        # "non-empty")
+        if set(os.listdir(dest_dir)) - {WRITE_LOCK_NAME}:
+            raise ValueError(f"restore target {dest_dir} is not empty")
         os.makedirs(os.path.join(dest_dir, "segments"), exist_ok=True)
         for name in manifest["segments"]:
             shutil.copytree(

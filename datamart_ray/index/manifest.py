@@ -50,18 +50,30 @@ def index_write_lock(index_dir: str, shared: bool = False):
     with _LOCKS_GUARD:
         lk = _LOCKS.setdefault(key, _IndexLock())
     lk.tlock.acquire()
+    # acquisition failures (ENOLCK, EMFILE, ENOSPC, …) must leave the
+    # depth counter untouched — a decrement-without-increment would go
+    # negative and make every LATER scope skip the flock silently
     try:
         if lk.depth == 0:
             os.makedirs(index_dir, exist_ok=True)
-            lk.fd = os.open(
+            fd = os.open(
                 os.path.join(index_dir, WRITE_LOCK_NAME),
                 os.O_CREAT | os.O_RDWR,
                 0o644,
             )
-            fcntl.flock(
-                lk.fd, fcntl.LOCK_SH if shared else fcntl.LOCK_EX
-            )
+            try:
+                fcntl.flock(
+                    fd, fcntl.LOCK_SH if shared else fcntl.LOCK_EX
+                )
+            except BaseException:
+                os.close(fd)
+                raise
+            lk.fd = fd
         lk.depth += 1
+    except BaseException:
+        lk.tlock.release()
+        raise
+    try:
         yield
     finally:
         lk.depth -= 1

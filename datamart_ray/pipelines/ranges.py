@@ -284,7 +284,10 @@ def _prep_vc_block(t: pa.Table, column: str) -> dict | None:
     if t.num_rows == 0:
         return None
     vals = t.column(0).to_numpy(zero_copy_only=False).astype(np.float64)
-    v = np.round(vals * KM_UNITS).astype(np.int64)
+    # half-away-from-zero, matching the twin's CAST(round(x*U) AS
+    # HUGEINT): np.round is half-to-even and diverges on exact .5
+    # products (e.g. 0.125 * 100)
+    v = round_away(vals * KM_UNITS, 0).astype(np.int64)
     n = t.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
     tot_n = int(n.sum(dtype=np.int64))
     pn = np.cumsum(n)
@@ -451,6 +454,16 @@ def kmeans_ranges(sf_dir: str) -> pd.DataFrame:
         )
         for r in kmeans_1d_ranges(ds, column):
             rows.append({"column": label, **r})
+    if not rows:  # every column all-NULL/empty → the twin's zero rows
+        return pd.DataFrame(
+            {
+                "column": pd.Series(dtype="object"),
+                "rng": pd.Series(dtype="int64"),
+                "gte": pd.Series(dtype="float64"),
+                "lte": pd.Series(dtype="float64"),
+                "n": pd.Series(dtype="int64"),
+            }
+        )
     out = pd.DataFrame(rows)
     out["rng"] = out["rng"].astype("int64")
     out["n"] = out["n"].astype("int64")

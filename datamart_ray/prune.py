@@ -13,9 +13,15 @@ reference's CACHE_LOW).
 
 What is evictable:
 
-- **artifacts** — every regular file under an artifact root. Safe:
-  trainers re-derive them on demand (atomic-commit, keyed on corpus
-  identity).
+- **artifacts** — entries under an artifact root. The real layout is
+  two-level (``{root}/{family}/{key}/...`` — ivf_centroids,
+  pq_codebooks, profile_index, idx), so the eviction UNIT is the whole
+  ``{key}`` directory: removing a single file inside a cached index or
+  a multi-file artifact would corrupt it, while removing the key dir is
+  always safe — trainers/builders re-derive the artifact on demand
+  (atomic-commit, keyed on corpus identity). Top-level regular files
+  and single-level ``{family}/file`` layouts are also inventoried for
+  flat roots.
 - **sidecars** — ``postings.arrows`` + ``postings_heapidx.parquet``
   pairs inside an index's segment dirs. Safe: rebuilt atomically on the
   next lazy open (or ``python -m datamart_ray heap``); a process
@@ -37,26 +43,32 @@ DEFAULT_HIGH_BYTES = 100_000_000_000  # the reference's 100 GB default
 DEFAULT_LOW_FRAC = 0.33
 
 
-def _tree_size(path: str) -> int:
+def _tree_stat(path: str) -> tuple[int, float]:
+    """(total bytes, newest mtime) over a file or directory tree — for a
+    directory entry the newest CONTAINED file mtime drives LRU recency
+    (the dir's own mtime only reflects entry creation)."""
+    st = os.stat(path)
     if os.path.isfile(path):
-        return os.path.getsize(path)
-    total = 0
+        return st.st_size, st.st_mtime
+    total, newest = 0, st.st_mtime
     for dirpath, _, filenames in os.walk(path):
         for name in filenames:
             try:
-                total += os.path.getsize(os.path.join(dirpath, name))
+                fst = os.stat(os.path.join(dirpath, name))
             except OSError:
-                pass
-    return total
+                continue
+            total += fst.st_size
+            newest = max(newest, fst.st_mtime)
+    return total, newest
 
 
 def _entry(kind: str, path: str, index_dir: str | None = None) -> dict:
-    st = os.stat(path)
+    size, mtime = _tree_stat(path)
     return {
         "kind": kind,
         "path": path,
-        "bytes": _tree_size(path),
-        "mtime": st.st_mtime,
+        "bytes": size,
+        "mtime": mtime,
         "index_dir": index_dir,
     }
 
@@ -77,8 +89,28 @@ def scan_state(
             continue
         for name in sorted(os.listdir(root)):
             path = os.path.join(root, name)
-            if os.path.isfile(path) and not name.startswith(".tmp"):
+            if ".tmp" in name:
+                continue
+            if os.path.isfile(path):
                 entries.append(_entry("artifact", path))
+                continue
+            if os.path.isfile(
+                os.path.join(path, SNAPSHOT_MANIFEST_NAME)
+            ):
+                # a snapshot dir inside an artifact root: snapshots are
+                # backups — evicted only via snapshot_dirs, never as
+                # artifact collateral
+                continue
+            # family dir ({root}/ivf_centroids, /pq_codebooks, /idx, …):
+            # each keyed child is ONE evictable unit — a key DIRECTORY
+            # is removed whole (partial removal would corrupt the
+            # artifact); stray files directly under the family dir are
+            # individual entries
+            for child in sorted(os.listdir(path)):
+                cpath = os.path.join(path, child)
+                if ".tmp" in child:
+                    continue
+                entries.append(_entry("artifact", cpath))
     for idx in index_dirs:
         for seg_dir in active_segments(idx):
             heap = os.path.join(seg_dir, HEAP_FILE)

@@ -163,28 +163,53 @@ dist_shuffle = run_shuffles()
 
 # evidence the Dataset stages really spanned both raylets: an
 # actor-pool map stage with 3 × 1-CPU actors cannot fit on one 2-CPU
-# node, so the pool spans both (4 actors would reserve every cluster
-# CPU and starve the read/shuffle tasks — deadlock); stamp each batch
-# with its executing node id and count distinct (tiny-task locality
-# kept a plain SPREAD task stage on one raylet — actor placement is
-# deterministic)
+# node, so the POOL spans both deterministically (4 actors would
+# reserve every cluster CPU and starve the read/shuffle tasks —
+# deadlock). Each __call__ stamps its node id and sleeps briefly so
+# the per-actor in-flight cap forces dispatch to spill onto the
+# remote actor once the local pair saturates; a bounded retry absorbs
+# the one racy case (all tiny batches draining before the second
+# node's actor finishes registering). pool_nodes is the deterministic
+# placement fact; data_nodes evidences batches EXECUTING on both.
+import time
 class StampNode:
     def __call__(self, df):
+        time.sleep(0.1)
         df["node"] = ray.get_runtime_context().get_node_id()
         return df
-data_nodes = set(
-    rd.read_parquet(corpus, override_num_blocks=32)
-    .map_batches(
-        StampNode,
-        batch_format="pandas",
-        batch_size=20,
-        concurrency=3,
-        num_cpus=1,
+
+def stamp_nodes():
+    return set(
+        rd.read_parquet(corpus, override_num_blocks=32)
+        .map_batches(
+            StampNode,
+            batch_format="pandas",
+            batch_size=7,
+            concurrency=3,
+            num_cpus=1,
+        )
+        .groupby("node")
+        .count()
+        .to_pandas()["node"]
     )
-    .groupby("node")
-    .count()
-    .to_pandas()["node"]
-)
+
+data_nodes = stamp_nodes()
+for _ in range(2):
+    if len(data_nodes) >= 2:
+        break
+    data_nodes = stamp_nodes()
+try:
+    from ray.util.state import list_actors
+    # pools are torn down when the dataset completes — DEAD actors
+    # still record the node they were placed on, which is the fact
+    # we're asserting
+    pool_nodes = len({
+        a.node_id
+        for a in list_actors()
+        if "StampNode" in (a.class_name or "") and a.node_id
+    }) or len(data_nodes)
+except Exception:
+    pool_nodes = len(data_nodes)
 ray.shutdown()
 c.shutdown()
 
@@ -198,6 +223,7 @@ print("RESULT:" + json.dumps({
     "approx_exact": approx_exact,
     "shuffle_match": dist_shuffle == local_shuffle,
     "data_nodes": len(data_nodes),
+    "pool_nodes": pool_nodes,
 }))
 """
 
@@ -227,6 +253,9 @@ def test_scorer_actors_spread_and_rank_identity(tmp_path):
     assert r["approx_exact"], "generous-shard approx facet not exact"
     assert r["shuffle_match"], (
         "cross-node Ray Data groupby/hash_join differs from single-node"
+    )
+    assert r["pool_nodes"] == 2, (
+        "actor pool did not span both raylets"
     )
     assert r["data_nodes"] == 2, (
         "Dataset map tasks did not span both raylets"

@@ -49,6 +49,46 @@ def test_prune_evicts_oldest_until_low_water(tmp_path):
     assert rep2["evicted"] == []
 
 
+def test_prune_nested_key_dirs(tmp_path):
+    """The REAL artifact layout is {root}/{family}/{key}/file.parquet
+    (ivf_centroids, pq_codebooks, profile_index, idx): each key dir is
+    ONE eviction unit, removed whole — never a file inside it."""
+    root = str(tmp_path / "artifacts")
+    key_dirs = []
+    for i, (fam, key) in enumerate(
+        [
+            ("ivf_centroids", "aaaa"),
+            ("pq_codebooks", "bbbb"),
+            ("idx", "cccc"),
+        ]
+    ):
+        d = os.path.join(root, fam, key)
+        _write_artifact(d, "part0.parquet", 600, 1_000_000 + 2 * i)
+        _write_artifact(d, "part1.parquet", 400, 1_000_000 + 2 * i + 1)
+        key_dirs.append(d)
+    # in-flight temp entries directly under a family dir are invisible
+    _write_artifact(
+        os.path.join(root, "ivf_centroids"),
+        "stray.tmp.123", 10_000, 1_000_000,
+    )
+
+    entries = scan_state(artifact_roots=[root])
+    assert {e["path"] for e in entries} == set(key_dirs)
+    assert all(e["bytes"] == 1000 for e in entries)
+    # recency = newest contained file, so key_dirs[2] is newest;
+    # low = 0.5 * 2500 = 1250 keeps exactly the newest key dir
+    rep = prune_state(
+        artifact_roots=[root], high_bytes=2500, low_frac=0.5
+    )
+    evicted = {e["path"] for e in rep["evicted"]}
+    assert evicted == set(key_dirs[:2]), rep
+    assert not os.path.isdir(key_dirs[0]) and not os.path.isdir(key_dirs[1])
+    # survivor kept INTACT — both files present
+    assert sorted(os.listdir(key_dirs[2])) == [
+        "part0.parquet", "part1.parquet"
+    ]
+
+
 def test_prune_dry_run_and_env_budget(tmp_path, monkeypatch):
     root = str(tmp_path / "artifacts")
     paths = [
