@@ -191,13 +191,26 @@ def run_bench() -> dict:
         f"{MARKER_COMMON} {MARKER_COMMON}",
         f"{MARKER_PAIR_A} {MARKER_PAIR_B}",
     ]
-    plat = []
+    # the per-reader phrase memo absorbs repeated identical phrases —
+    # real, but a DISTINCT-phrase workload never hits it. The headline
+    # p50 is measured cold (memo cleared before every call); the warm
+    # number (repeat-phrase steady state) is reported separately.
+    def _clear_phrase_memo(e):
+        for r in e.readers:
+            getattr(r, "_phrase_memo", {}).clear()
+
+    plat, plat_warm = [], []
     for _ in range(3):
         for p in phrases:
+            _clear_phrase_memo(peng)
             t0 = time.time()
             peng.phrase_search(p, k=50)
             plat.append(time.time() - t0)
+            t0 = time.time()
+            peng.phrase_search(p, k=50)
+            plat_warm.append(time.time() - t0)
     extra["phrase_p50"] = round(statistics.median(plat), 4)
+    extra["phrase_warm_p50"] = round(statistics.median(plat_warm), 4)
     flat_ = []
     fuzzies = [MARKER_COMMON[:-1], MARKER_PAIR_A[:-1]]
     for _ in range(3):
@@ -215,8 +228,9 @@ def run_bench() -> dict:
     extra["prefix_p50"] = round(statistics.median(prlat), 4)
     # rescore API: OR window (block-max pruned) + phrase leg over the
     # window docs only — the phrase decode volume is the cost driver
-    rslat = []
+    rslat, rslat_warm = [], []
     for _ in range(6):
+        _clear_phrase_memo(peng)
         t0 = time.time()
         peng.rescore_search(
             f"{MARKER_HEAD} {MARKER_COMMON}",
@@ -226,7 +240,17 @@ def run_bench() -> dict:
             rescore_weight=2.0,
         )
         rslat.append(time.time() - t0)
+        t0 = time.time()
+        peng.rescore_search(
+            f"{MARKER_HEAD} {MARKER_COMMON}",
+            f"{MARKER_HEAD} {MARKER_COMMON}",
+            window_size=50,
+            k=50,
+            rescore_weight=2.0,
+        )
+        rslat_warm.append(time.time() - t0)
     extra["rescore_p50"] = round(statistics.median(rslat), 4)
+    extra["rescore_warm_p50"] = round(statistics.median(rslat_warm), 4)
     del peng
 
     # bool / more_like_this serving (round 3 late): bool rides the same

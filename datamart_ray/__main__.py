@@ -289,9 +289,20 @@ def _run(args) -> int:
         )
 
         if args.ingest_from:
+            import os
+
+            from datamart_ray.index.build import _expand_paths
             from datamart_ray.index.maintain import ingest_delta
 
-            ingest_delta(args.index, args.ingest_from)
+            # empty/not-yet-created watch roots are steady state for a
+            # query-triggered sweep — serve from the existing index
+            swept = [
+                f
+                for f in _expand_paths(args.ingest_from)
+                if os.path.isfile(f)
+            ]
+            if swept:
+                ingest_delta(args.index, swept)
         if args.distributed:
             eng = DistributedSearchEngine(args.index, lazy=args.lazy)
         else:

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import json
 import os
+import threading
+from collections import OrderedDict
 
 import numpy as np
 import pyarrow as pa
@@ -36,6 +38,7 @@ from datamart_ray.index.manifest import (
     active_segments,
     atomic_write_bytes,
     atomic_write_json,
+    bump_index_version,
     index_write_lock,
     list_committed_segments,
     current_index_version,
@@ -129,6 +132,13 @@ def delete_docs(index_dir: str, doc_ids) -> int:
         atomic_write_bytes(
             os.path.join(seg_dir, TOMBSTONE_NAME), buf.getvalue()
         )
+    if deleted:
+        # tombstones change the served view without touching the
+        # segment list — bump index.json's mutation counter so
+        # version-keyed engine caches reopen instead of serving
+        # deleted docs (manifest.py's "every committed mutation
+        # bumps it" invariant)
+        bump_index_version(index_dir)
     return deleted
 
 
@@ -579,7 +589,14 @@ def ingest_delta(
         # reuse surviving doc IDs across segments (corrupting merges).
         base = max(base, _segment_max_doc_id(seg_dir) + 1)
         known_files.extend(f["path"] for f in m["files"])
-    new_files = [f for f in files if f not in set(known_files)]
+    # compare canonical paths, not raw spellings: the same file swept
+    # as ./incoming/x.parquet and /data/incoming/x.parquet (or via a
+    # symlink) must NOT re-ingest as a duplicate segment — duplicate
+    # docs silently double every match and skew df/idf
+    known_real = {os.path.realpath(p) for p in known_files}
+    new_files = [
+        f for f in files if os.path.realpath(f) not in known_real
+    ]
     if not new_files:
         return {"added": [], "skipped_known": files}
 
@@ -633,23 +650,50 @@ def search_on_demand(
     when index.json's version counter says a mutation committed —
     engine open re-reads every below-cap segment's postings (seconds on
     a large index), which must not be paid per steady-state query."""
-    report = ingest_delta(index_dir, sources, config)
+    from datamart_ray.index.build import _expand_paths
+
+    # an empty (or not-yet-created) watch root is the NORMAL steady
+    # state of an on-demand loop, not an error: serve the query from
+    # the existing index rather than letting ingest_delta raise
+    swept = [f for f in _expand_paths(sources) if os.path.isfile(f)]
+    if swept:
+        report = ingest_delta(index_dir, swept, config)
+    else:
+        report = {"added": [], "skipped_known": []}
     from datamart_ray.search.engine import SearchEngine
 
     key = os.path.realpath(index_dir)
     version = current_index_version(index_dir)
-    cached = _ON_DEMAND_ENGINES.get(key)
-    if cached is None or cached[0] != version:
-        _ON_DEMAND_ENGINES[key] = (version, SearchEngine(index_dir))
-    eng = _ON_DEMAND_ENGINES[key][1]
+    with _ON_DEMAND_GUARD:
+        cached = _ON_DEMAND_ENGINES.get(key)
+        if cached is not None and cached[0] == version:
+            _ON_DEMAND_ENGINES.move_to_end(key)
+            eng = cached[1]
+        else:
+            eng = None
+    if eng is None:
+        # open OUTSIDE the guard (postings load takes seconds on a big
+        # index — don't serialize unrelated indices behind it; a racing
+        # duplicate open is wasted work, not corruption)
+        eng = SearchEngine(index_dir)
+        with _ON_DEMAND_GUARD:
+            _ON_DEMAND_ENGINES[key] = (version, eng)
+            _ON_DEMAND_ENGINES.move_to_end(key)
+            while len(_ON_DEMAND_ENGINES) > ON_DEMAND_ENGINE_CAP:
+                _ON_DEMAND_ENGINES.popitem(last=False)
     return (
         eng.search(query, k=k, mode=mode, filters=filters),
         report,
     )
 
 
-# search_on_demand's per-index engine cache: {realpath: (version, engine)}
-_ON_DEMAND_ENGINES: dict = {}
+# search_on_demand's per-index engine cache, LRU-bounded:
+# {realpath: (version, engine)}. Engines pin every below-cap segment's
+# postings in memory, so the cache must not grow with the number of
+# distinct indices a long-lived process sweeps.
+ON_DEMAND_ENGINE_CAP = 8
+_ON_DEMAND_ENGINES: "OrderedDict[str, tuple]" = OrderedDict()
+_ON_DEMAND_GUARD = threading.Lock()
 
 
 def verify_index_invariant(index_dir: str) -> dict:

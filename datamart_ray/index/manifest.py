@@ -106,6 +106,23 @@ def write_index_manifest(index_dir: str, obj: dict) -> dict:
     return obj
 
 
+def bump_index_version(index_dir: str) -> int:
+    """Republish index.json unchanged except version+1 — for committed
+    mutations that don't alter the segment list (tombstone deletes).
+    Without the bump, version-keyed caches (search_on_demand's engine
+    cache) would keep serving deleted docs forever. No-op (returns 0)
+    when no manifest exists yet: nothing can have cached such an index.
+    Call under the index write lock."""
+    idx_path = os.path.join(index_dir, INDEX_MANIFEST_NAME)
+    if not os.path.isfile(idx_path):
+        return 0
+    with open(idx_path) as f:
+        obj = json.load(f)
+    obj["version"] = int(obj.get("version", 0)) + 1
+    atomic_write_json(idx_path, obj)
+    return obj["version"]
+
+
 def atomic_write_json(path: str, obj: dict) -> None:
     tmp = path + ".tmp"
     with open(tmp, "w") as f:

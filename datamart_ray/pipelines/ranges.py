@@ -23,10 +23,13 @@
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data as rd
 from ray.data.aggregate import Count
 
@@ -315,6 +318,13 @@ def _block_le(blk: dict, t12: int, t23: int) -> tuple:
     return tuple(out)
 
 
+# module-level remote (registered once) — a per-call @ray.remote inside
+# le() re-exported a fresh closure every Lloyd iteration (~31/run)
+@ray.remote
+def _block_le_remote(b: dict, t12: int, t23: int) -> tuple:
+    return _block_le(b, t12, t23)
+
+
 class _ExactVC:
     """Exact rank/interval arithmetic over the sorted distinct-value
     blocks of one column, local or distributed (same kernel both ways)."""
@@ -338,9 +348,12 @@ class _ExactVC:
 
         @ray.remote
         def meta(b):
+            # one round collects (first value, weighted count, distinct
+            # count) together — a separate distinct-size task per block
+            # would double the scheduling round trips
             if b is None:
                 return None
-            return (int(b["v"][0]), int(b["pn"][-1]))
+            return (int(b["v"][0]), int(b["pn"][-1]), len(b["v"]))
 
         metas = ray.get([meta.remote(p) for p in prepped_refs])
         order = sorted(
@@ -351,18 +364,15 @@ class _ExactVC:
         self.n_total = sum(self._counts)
         self._cum = np.cumsum(np.array(self._counts, dtype=np.int64))
         self._refs = [prepped_refs[i] for i in order]
-
-        @ray.remote
-        def distinct_size(b) -> int:
-            return len(b["v"])
-
-        self.n_distinct = sum(
-            ray.get([distinct_size.remote(p) for p in self._refs])
-        )
+        self.n_distinct = sum(metas[i][2] for i in order)
         # local fast path: pull blocks when the distinct table is small
         self._local = None
         if self.n_distinct <= KM_DISTINCT_CAP:
             self._local = ray.get(self._refs)
+        # above-cap: the same 2-3 blocks get probed across ~31 Lloyd
+        # iterations as thresholds converge — keep a tiny LRU so
+        # value_at_rank doesn't re-ship a full prefix block per call
+        self._blk_cache: "OrderedDict[int, dict]" = OrderedDict()
 
     def le(self, t12: int, t23: int) -> tuple:
         """Global exact (n<=t12, s<=t12, n<=t23, s<=t23)."""
@@ -371,12 +381,12 @@ class _ExactVC:
         if self._local is not None:
             parts = [_block_le(b, t12, t23) for b in self._local]
         else:
-
-            @ray.remote
-            def probe(b):
-                return _block_le(b, t12, t23)
-
-            parts = ray.get([probe.remote(r) for r in self._refs])
+            parts = ray.get(
+                [
+                    _block_le_remote.remote(r, t12, t23)
+                    for r in self._refs
+                ]
+            )
         n12 = sum(p[0] for p in parts)
         s12 = sum(p[1] for p in parts)
         n23 = sum(p[2] for p in parts)
@@ -389,11 +399,16 @@ class _ExactVC:
 
         bi = int(np.searchsorted(self._cum, r, side="right"))
         base = int(self._cum[bi] - self._counts[bi])
-        b = (
-            self._local[bi]
-            if self._local is not None
-            else ray.get(self._refs[bi])
-        )
+        if self._local is not None:
+            b = self._local[bi]
+        elif bi in self._blk_cache:
+            b = self._blk_cache[bi]
+            self._blk_cache.move_to_end(bi)
+        else:
+            b = ray.get(self._refs[bi])
+            self._blk_cache[bi] = b
+            while len(self._blk_cache) > 4:
+                self._blk_cache.popitem(last=False)
         j = int(np.searchsorted(b["pn"], r - base, side="right"))
         return int(b["v"][j])
 

@@ -1700,11 +1700,14 @@ class SearchEngine:
     def _score_phrase_parts(
         self,
         parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
-        k: int,
+        k: int | None,
     ) -> pa.Table:
         """Global df → idf → BM25 → top-k over per-segment
         (docids, match_tf, doclen) triples — shared by the exact, slop
-        and phrase-prefix match paths."""
+        and phrase-prefix match paths. ``k=None`` returns EVERY match
+        unranked (the rescore phrase leg, where only window docs are
+        probed and a global sort would be wasted) — one body, so
+        rescore scores can never drift from phrase_search scores."""
         if not parts:
             return pa.table(
                 {
@@ -1720,7 +1723,10 @@ class SearchEngine:
         scores = idf * bm25_tf_norm(
             all_tf.astype(np.float64), all_dl, self.avgdl, self.params
         )
-        out_ids, out_scores = topk_select(all_d, scores, k)
+        if k is None:
+            out_ids, out_scores = all_d, scores
+        else:
+            out_ids, out_scores = topk_select(all_d, scores, k)
         return pa.table(
             {
                 "doc_id": pa.array(out_ids, type=pa.int64()),
@@ -3217,31 +3223,12 @@ class SearchEngine:
 
     def _phrase_match_table(self, phrase: str) -> pa.Table:
         """Every phrase match with its BM25 phrase score, unranked —
-        the rescore phrase leg. Same global-df idf and per-doc scores
-        as phrase_search; only the final top-k sort is skipped."""
+        the rescore phrase leg. Delegates to _score_phrase_parts
+        (k=None skips only the final top-k sort), so df/idf/scores are
+        the same code path phrase_search runs."""
         terms = self.analyzer.tokenize(phrase)
         parts = self._phrase_match_parts(terms) if terms else []
-        if not parts:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], type=pa.int64()),
-                    "score": pa.array([], type=pa.float64()),
-                }
-            )
-        df = sum(p[0].size for p in parts)
-        idf = bm25_idf(df, self.n_docs, self.params)
-        all_d = np.concatenate([p[0] for p in parts])
-        all_tf = np.concatenate([p[1] for p in parts])
-        all_dl = np.concatenate([p[2] for p in parts])
-        scores = idf * bm25_tf_norm(
-            all_tf.astype(np.float64), all_dl, self.avgdl, self.params
-        )
-        return pa.table(
-            {
-                "doc_id": pa.array(all_d, type=pa.int64()),
-                "score": pa.array(scores, type=pa.float64()),
-            }
-        )
+        return self._score_phrase_parts(parts, k=None)
 
     def search_many(self, queries: list[dict]) -> list[pa.Table]:
         """Batch API parity with DistributedSearchEngine.search_many —
@@ -3719,7 +3706,6 @@ class DistributedSearchEngine:
         # list = ES index alias (see SearchEngine): union of segments,
         # global stats across aliased indices — same shared resolution
         # + contract checks as the in-process engine
-        self.manifest, self.analyzer, seg_dirs = _alias_union(index_dir)
         self.params = params
         if max_actors is None:
             try:
@@ -3728,20 +3714,45 @@ class DistributedSearchEngine:
                 )
             except Exception:
                 max_actors = 4
-        n_actors = min(len(seg_dirs), max_actors)
-        groups: list[list[str]] = [[] for _ in range(n_actors)]
-        for i, d in enumerate(seg_dirs):  # round-robin packing
-            groups[i % n_actors].append(d)
-        # SPREAD: scorer actors hold segment postings in heap memory, so
-        # on a multi-node cluster they must land on distinct nodes (memory
-        # balance + per-node read IO) rather than pack onto one
-        self.actors = [
-            SegmentScorer.options(scheduling_strategy="SPREAD").remote(
-                g, filter_cols=filter_cols, lazy=lazy
-            )
-            for g in groups
-        ]
-        stats = ray.get([a.stats.remote() for a in self.actors])
+        # Same compaction race as SearchEngine.__init__: a listed
+        # segment dir can vanish between _alias_union and the scorer
+        # actors' eager postings load, surfacing as RayActorError from
+        # the constructor. A vanished dir means a newer committed view
+        # exists — kill the half-built pool, re-list, reopen (bounded).
+        from ray.exceptions import RayActorError
+
+        for attempt in range(5):
+            actors: list = []
+            try:
+                self.manifest, self.analyzer, seg_dirs = _alias_union(
+                    index_dir
+                )
+                n_actors = min(len(seg_dirs), max_actors)
+                groups: list[list[str]] = [[] for _ in range(n_actors)]
+                for i, d in enumerate(seg_dirs):  # round-robin packing
+                    groups[i % n_actors].append(d)
+                # SPREAD: scorer actors hold segment postings in heap
+                # memory, so on a multi-node cluster they must land on
+                # distinct nodes (memory balance + per-node read IO)
+                # rather than pack onto one
+                actors = [
+                    SegmentScorer.options(
+                        scheduling_strategy="SPREAD"
+                    ).remote(g, filter_cols=filter_cols, lazy=lazy)
+                    for g in groups
+                ]
+                stats = ray.get([a.stats.remote() for a in actors])
+            except (RayActorError, FileNotFoundError):
+                for a in actors:
+                    try:
+                        ray.kill(a)
+                    except Exception:
+                        pass
+                if attempt == 4:
+                    raise
+                continue
+            self.actors = actors
+            break
         self.n_docs = sum(n for n, _ in stats)
         total_dl = sum(dl for _, dl in stats)
         self.avgdl = total_dl / self.n_docs if self.n_docs else 0.0

@@ -256,50 +256,59 @@ def anti_filter_ids(
     ensure_fast_shuffle()
     B = _default_num_buckets()
     schema = payload.schema()
-    cols = schema.names
-    # drop-side pad rows (reindex-added NaN columns) upcast payload
-    # dtypes in the concatenated bucket frame (int->float64, bool->object,
-    # ts->object); kept rows are payload-side (never padded), so casting
-    # back to the declared schema is lossless
-    restore_dtypes = {}
-    for name, typ in zip(schema.names, schema.types):
-        if not isinstance(typ, pa.DataType):
-            continue
-        try:
-            if not pa.types.is_string(typ) and not pa.types.is_binary(typ):
-                restore_dtypes[name] = typ.to_pandas_dtype()
-        except NotImplementedError:
-            pass
+    cols = list(schema.names)
+    types = list(schema.types)
+    # Arrow-native union: drop-side pad columns are TYPED NULLS, so no
+    # dtype ever upcasts (a pandas reindex here turned nullable int64
+    # payloads into float64 — crashing the restore cast on genuine
+    # nulls and silently corrupting values >= 2^53)
 
     def tag(side: int):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            h = pd.util.hash_pandas_object(
-                df[[id_col]], index=False
-            ).to_numpy()
-            df["__bucket"] = (h % B).astype("int64")
-            df["__side"] = side
-            return df.reindex(columns=cols + ["__bucket", "__side"])
+        def fn(t: pa.Table) -> pa.Table:
+            ids = (
+                t[id_col]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            bucket = (
+                _mix64(ids.view(np.uint64)) % np.uint64(B)
+            ).astype(np.int64)
+            arrays: list = []
+            for name, typ in zip(cols, types):
+                if name in t.column_names:
+                    col = t[name]
+                    if col.type != typ:
+                        col = col.cast(typ)
+                    arrays.append(col)
+                else:
+                    arrays.append(pa.nulls(t.num_rows, type=typ))
+            arrays.append(pa.array(bucket))
+            arrays.append(
+                pa.array(np.full(t.num_rows, side, dtype=np.int8))
+            )
+            return pa.table(
+                arrays, names=cols + ["__bucket", "__side"]
+            )
 
         return fn
 
-    tagged = payload.map_batches(tag(0), batch_format="pandas").union(
+    tagged = payload.map_batches(tag(0), batch_format="pyarrow").union(
         drop.select_columns([id_col]).map_batches(
-            tag(1), batch_format="pandas"
+            tag(1), batch_format="pyarrow"
         )
     )
 
-    def anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        rows = g[g["__side"] == 0]
-        banned = g.loc[g["__side"] == 1, id_col].to_numpy()
-        out = rows.loc[~rows[id_col].isin(banned), cols].copy()
-        for c, dt in restore_dtypes.items():
-            if out[c].dtype != dt:
-                out[c] = out[c].astype(dt)
-        return out
+    def anti_bucket(g: pa.Table) -> pa.Table:
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        ids = (
+            g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        banned = np.unique(ids[side == 1])
+        keep = (side == 0) & ~isin_sorted(banned, ids)
+        return g.filter(pa.array(keep)).select(cols)
 
     return tagged.groupby("__bucket").map_groups(
-        anti_bucket, batch_format="pandas"
+        anti_bucket, batch_format="pyarrow"
     )
 
 

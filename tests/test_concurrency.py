@@ -16,6 +16,7 @@ r4 nothing pinned what happens when they OVERLAP. These tests pin:
   view changes without diffing segment listings.
 """
 
+import os
 import threading
 import time
 
@@ -176,3 +177,98 @@ def test_index_version_monotonic(ray_session, tmp_path):
     compact_segments(idx)
     v3 = current_index_version(idx)
     assert v3 > v2
+    # tombstone deletes change the served view without touching the
+    # segment list — they MUST bump too (version-keyed engine caches
+    # would otherwise serve deleted docs forever)
+    victim = _live_ids(idx)[:1]
+    assert delete_docs(idx, victim) == 1
+    v4 = current_index_version(idx)
+    assert v4 > v3
+    # idempotent re-delete commits nothing → no bump
+    assert delete_docs(idx, victim) == 0
+    assert current_index_version(idx) == v4
+
+
+def test_search_on_demand_cache_and_sweep(ray_session, tmp_path):
+    """search_on_demand: (a) an empty/missing watch root is steady
+    state, not an error; (b) the version-keyed engine cache reopens
+    after a tombstone delete; (c) the same file swept under a different
+    path spelling never re-ingests."""
+    from datamart_ray.index.maintain import search_on_demand
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, n_files=40, vocab_size=400, n_output_files=1)
+    idx = str(tmp_path / "idx")
+    build_index(corpus, idx, IndexConfig(docs_per_spec=50))
+
+    # (a) missing, then empty, watch roots: query served, no ingest
+    missing = str(tmp_path / "not_yet")
+    t, rep = search_on_demand(idx, missing, QUERY, k=500)
+    assert rep["added"] == [] and t.num_rows > 0
+    os.makedirs(missing)
+    t, rep = search_on_demand(idx, missing, QUERY, k=500)
+    assert rep["added"] == [] and t.num_rows > 0
+
+    # (c) re-sweeping the ALREADY-INDEXED corpus under ./relative and
+    # symlinked spellings: known-file skip, never a duplicate segment
+    link = str(tmp_path / "corpus_link")
+    os.symlink(corpus, link)
+    before = set(_live_ids(idx))
+    t1, rep = search_on_demand(idx, link, QUERY, k=500)
+    assert rep["added"] == [], rep
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        t1b, rep = search_on_demand(idx, "corpus", QUERY, k=500)
+    finally:
+        os.chdir(cwd)
+    assert rep["added"] == [], rep
+    assert set(_live_ids(idx)) == before
+    assert t1b["doc_id"].to_pylist() == t1["doc_id"].to_pylist()
+
+    # (b) delete a matching doc: the cached engine must be reopened
+    # (version bumped), so the doc disappears from the next answer
+    victims = t1["doc_id"].to_pylist()[:2]
+    assert delete_docs(idx, victims) == 2
+    t2, rep = search_on_demand(idx, missing, QUERY, k=500)
+    assert rep["added"] == []
+    assert not set(victims) & set(t2["doc_id"].to_pylist()), (
+        "stale cached engine served tombstoned docs"
+    )
+
+
+def test_distributed_open_retries_vanished_segment(
+    ray_session, tmp_path, monkeypatch
+):
+    """DistributedSearchEngine.__init__ vs the compaction swap: when a
+    listed segment dir vanishes before the scorer actors' eager load,
+    the open must re-list and succeed (not crash with RayActorError)."""
+    from datamart_ray.search import engine as eng_mod
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, n_files=60, vocab_size=400, n_output_files=2)
+    idx = str(tmp_path / "idx")
+    build_index(
+        corpus, idx, IndexConfig(docs_per_spec=30, segment_docs=30)
+    )
+    want = SearchEngine(idx).search(QUERY, k=500)
+
+    real = eng_mod._alias_union
+    calls = {"n": 0}
+
+    def stale_once(index_dir):
+        manifest, analyzer, seg_dirs = real(index_dir)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # simulate the superseded dir a compaction just deleted
+            seg_dirs = seg_dirs + [
+                os.path.join(idx, "segments", "seg-99999")
+            ]
+        return manifest, analyzer, seg_dirs
+
+    monkeypatch.setattr(eng_mod, "_alias_union", stale_once)
+    dist = eng_mod.DistributedSearchEngine(idx, max_actors=2)
+    got = dist.search(QUERY, k=500)
+    assert calls["n"] >= 2, "open never re-listed after the vanish"
+    assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+    assert got["score"].to_pylist() == want["score"].to_pylist()

@@ -1326,12 +1326,21 @@ def test_anti_filter_ids_both_paths(ray_session):
     int dtypes, and tolerate duplicate drop ids."""
     from datamart_ray.stages.dedup import anti_filter_ids
 
+    # big: > 2^53 (detects any float64 round-trip); nil: nullable int64
+    big0 = (1 << 60) + 1
     t = pa.table(
         {
             "doc_id": pa.array(range(50), type=pa.int64()),
             "n": pa.array([i * 10 for i in range(50)], type=pa.int32()),
             "s": pa.array([f"x{i}" for i in range(50)]),
             "b": pa.array([i % 2 == 0 for i in range(50)]),
+            "big": pa.array(
+                [big0 + i for i in range(50)], type=pa.int64()
+            ),
+            "nil": pa.array(
+                [None if i % 5 == 0 else i for i in range(50)],
+                type=pa.int64(),
+            ),
         }
     )
     payload = rd.from_arrow(t)
@@ -1347,12 +1356,22 @@ def test_anti_filter_ids_both_paths(ray_session):
             .reset_index(drop=True)
         )
         assert out["doc_id"].tolist() == want
-        # declared schema survives the drop-side NaN padding, including
-        # narrow ints and bools
+        # declared schema survives the drop-side typed-null padding,
+        # including narrow ints and bools
         assert str(out["n"].dtype) == "int32"
         assert str(out["b"].dtype) == "bool"
         assert out["b"].tolist() == [i % 2 == 0 for i in want]
         assert out["s"].tolist() == [f"x{i}" for i in want]
+        # int64 > 2^53 exact (no float64 round trip anywhere)
+        assert out["big"].tolist() == [big0 + i for i in want]
+        # genuinely-null int64 payload values survive (as NaN/NA in
+        # pandas) without crashing the distributed path
+        got_nil = [
+            None if pd.isna(v) else int(v) for v in out["nil"]
+        ]
+        assert got_nil == [
+            None if i % 5 == 0 else i for i in want
+        ]
 
 
 def test_clean_pack_above_cap_path(ray_session):
