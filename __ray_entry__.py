@@ -322,6 +322,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # asymmetric quote/subset detection (containment, not Jaccard)
     out["dd_containment_pairs"] = containment_near_dups
     out["dd_containment_survivors"] = containment_dedup_survivors
+
+    # content-level code search (NEW r4): trigram-filtered substring /
+    # regex with exact verify — Google-Code-Search/Zoekt design over
+    # Ray Data (index/trigram.py); all four are in-window below
+    from datamart_ray.pipelines import codesearch
+
+    out.update(codesearch.QUERIES)
     # (rj_interval_join registered EARLY, inside the 50-entry window)
 
     # ---- tail entries: registration order here no longer decides the
@@ -405,6 +412,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_knn_pq",
         "sim_knn_ivfpq",
         "rg_kmeans_ranges",  # NEW r4: exact-Lloyd KMeans ranges (ST4)
+        # NEW r4: trigram content search (substring/regex/full-scan)
+        "cs_substring_hits",
+        "cs_substring_rare_hits",
+        "cs_regex_hits",
+        "cs_regex_fullscan",
         # never driver-witnessed until now:
         "dd_containment_pairs",
         "dd_containment_survivors",
@@ -437,12 +449,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_constant_score",
         "ft_index_stats",
         "ft_percolate",
-        "ft_top_hits_per_lang",
-        "ft_collapse_source_topk",
-        "ft_nchars_percentiles",
-        "ft_span_near_topk",
         # (ft_extended_stats rotated to the oracle-gated tail to make
-        # room for rg_kmeans_ranges)
+        # room for rg_kmeans_ranges; ft_top_hits_per_lang,
+        # ft_collapse_source_topk, ft_nchars_percentiles and
+        # ft_span_near_topk rotated likewise for the cs_* family —
+        # all five stay oracle-gated in tests/test_entry.py)
     ]
     assert len(_r4_window) == 50, len(_r4_window)
     _missing = [k for k in _r4_window if k not in out]
@@ -648,6 +659,11 @@ def oracle_sql() -> dict[str, str]:
     from datamart_ray.pipelines.joins import RJ_WINDOWS_SQL
 
     out["rj_interval_join"] = RJ_WINDOWS_SQL
+
+    # trigram content search (NEW r4)
+    from datamart_ray.pipelines import codesearch
+
+    out.update(codesearch.SQL)
 
     from datamart_ray.pipelines.groupstats import (
         hist_quantiles_sql,

@@ -386,6 +386,38 @@ def run_bench() -> dict:
     extra["dedup_survivors_sec"] = round(time.time() - t0, 3)
     extra["dedup_survivors_removed"] = int(len(surv))
 
+    # trigram content index over the same 120k-doc code corpus (NEW r4):
+    # build = one bounded-keyspace shuffle (≤ 2^24 groups); queries =
+    # posting intersection + exact verify on candidates only. The rare
+    # needle shows the index path (ms); the common needle's cost is the
+    # candidate fetch+verify (~N/3 docs), the honest selectivity floor.
+    from datamart_ray.index.trigram import (
+        TrigramConfig,
+        TrigramIndex,
+        build_trigram_index,
+    )
+
+    tri_dir = f"/tmp/graft_bench_tri_{NUM_CPUS}"
+    shutil.rmtree(tri_dir, ignore_errors=True)
+    t0 = time.time()
+    build_trigram_index(
+        corpus, tri_dir, TrigramConfig(text_col="content")
+    )
+    timings["code_trigram_build"] = round(time.time() - t0, 3)
+    extra["trigram_docs_per_sec"] = round(
+        CORPUS_FILES / timings["code_trigram_build"], 1
+    )
+    tri = TrigramIndex(tri_dir, corpus)
+    t0 = time.time()
+    tri.substring_search("qzuniqueneedle")
+    extra["tri_substring_rare_sec"] = round(time.time() - t0, 4)
+    t0 = time.time()
+    tri.substring_search("qzcommonneedle")
+    extra["tri_substring_common_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    tri.regexp_search("(qzpairneedlea|qzpairneedleb) qz")
+    extra["tri_regex_sec"] = round(time.time() - t0, 3)
+
     ray.shutdown()
     value = round(sum(timings.values()), 3)
     # ambient host load at start, OUTSIDE this process (this sandbox shows

@@ -1,0 +1,718 @@
+"""Byte-trigram content index — substring / regex search over code.
+
+The reference's search core is term-level (ES ``match``/``wildcard``/
+``regexp`` over analyzed tokens — apiserver/apiserver/search/__init__.py);
+it has no content-level substring or regular-expression search. This module
+adds that capability for the code-search north star (BASELINE.json
+``north_rule``: source-code corpus at 10^12-file scale), following the
+public trigram-filter design of Google Code Search / Zoekt
+(R. Cox, "Regular Expression Matching with a Trigram Index", 2012):
+
+    a document can contain the byte string ``needle`` only if it contains
+    every 3-byte window of ``needle`` — so an inverted index from the
+    (≤ 2^24-entry) trigram space to docID lists turns substring search
+    into a posting-list intersection plus an exact verify over the
+    (usually tiny) candidate set, and regex search into the same after
+    extracting the pattern's REQUIRED literal runs.
+
+Build (Ray-Data-native, one shuffle per segment):
+
+    plan (driver, parquet footers only — reuses ``build.plan_specs``)
+      → read specs with deterministic file-offset docID bases
+    extract (stateless ``map_batches`` over zero-copy Arrow buffers)
+      rolling 3-byte windows over the UTF-8 value buffer of the content
+      column — pure numpy over the Arrow data buffer, no per-row Python —
+      deduplicated per doc → (tri:int32, doc_id:int64) pairs
+    shuffle (the one all-to-all exchange; push-based sort shuffle)
+      groupby on hash(tri) % B buckets, local sort per bucket, vectorized
+      run-length split → one row per distinct trigram:
+      (tri, df, delta-varbyte docID blob)
+    commit
+      postings parquet + manifest per segment, atomic rename
+      (index/manifest.py), resume skips committed segments.
+
+Scale notes: the shuffle KEY SPACE is bounded by 2^24 regardless of corpus
+size, and a head trigram's posting list is bounded by ``segment_docs``
+(docID ranges partition by segment), so no single group ever approaches
+corpus-proportional size. The verify stage never materializes candidate
+text on the driver above ``VERIFY_FETCH_CAP`` — it streams the corpus with
+a broadcast candidate-id filter and returns matching docIDs only.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from datamart_ray.index import codec
+from datamart_ray.index.build import plan_specs
+from datamart_ray.index.manifest import (
+    atomic_write_json,
+    commit_segment_dir,
+    segment_is_committed,
+)
+
+
+def _committed_tri_segments(index_dir: str) -> list[str]:
+    """Committed ``tri*`` segment dirs (manifest.list_committed_segments
+    only recognises the main index's ``seg-`` prefix)."""
+    seg_root = os.path.join(index_dir, "segments")
+    if not os.path.isdir(seg_root):
+        return []
+    return [
+        os.path.join(seg_root, name)
+        for name in sorted(os.listdir(seg_root))
+        if name.startswith("tri")
+        and segment_is_committed(os.path.join(seg_root, name))
+    ]
+
+TRI_POSTINGS_SCHEMA = pa.schema(
+    [
+        ("tri", pa.int32()),
+        ("df", pa.int32()),
+        ("docs", pa.binary()),
+    ]
+)
+
+# Above this many candidates the exact-verify stage stops fetching
+# candidate rows and instead streams the corpus with a broadcast id
+# filter (docIDs only ever return to the driver).
+VERIFY_FETCH_CAP = 200_000
+
+# DNF blow-up guard for regex literal extraction: more alternatives than
+# this → fall back to the honest full-scan verify.
+_DNF_CAP = 64
+
+
+@dataclass(frozen=True)
+class TrigramConfig:
+    text_col: str = "content"
+    id_col: str | None = None  # None → dense file-offset docIDs
+    docs_per_spec: int = 2048
+    segment_docs: int = 4_000_000
+    num_buckets: int | None = None  # default 4x cluster CPUs
+
+
+# ----------------------------------------------------------------------
+# Extraction: Arrow string column → distinct (tri, doc) pairs, vectorized
+# ----------------------------------------------------------------------
+
+def trigram_pairs(
+    texts: pa.ChunkedArray | pa.Array, ids_np: np.ndarray
+) -> pa.Table:
+    """Distinct (tri, doc_id) pairs for one batch — numpy over the
+    column's UTF-8 data buffer, no per-row Python. Null/short (<3 bytes)
+    docs contribute nothing."""
+    arr = texts.combine_chunks() if isinstance(
+        texts, pa.ChunkedArray
+    ) else texts
+    # large_string → int64 offsets unconditionally (zero-copy for
+    # large_string input, one buffer copy for string input)
+    arr = pc.cast(arr, pa.large_string())
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    lens = np.diff(offsets)
+    wc = np.maximum(lens - 2, 0)  # 3-byte windows per doc
+    total = int(wc.sum())
+    empty = pa.table(
+        {
+            "tri": pa.array([], type=pa.int32()),
+            "doc_id": pa.array([], type=pa.int64()),
+        }
+    )
+    if total == 0:
+        return empty
+    # window start byte positions: per-doc ranges [start, start+wc)
+    cum = np.cumsum(wc)
+    pos = np.repeat(offsets[:-1], wc) + (
+        np.arange(total, dtype=np.int64) - np.repeat(cum - wc, wc)
+    )
+    tri = (
+        (data[pos].astype(np.int64) << 16)
+        | (data[pos + 1].astype(np.int64) << 8)
+        | data[pos + 2].astype(np.int64)
+    )
+    # distinct per doc via ONE int64 sort: pack (batch-LOCAL row index,
+    # tri) into one key — the local index is < batch size, so the pack
+    # never overflows regardless of how large global docIDs get
+    local = np.repeat(
+        np.arange(len(ids_np), dtype=np.int64), wc
+    )
+    u = np.unique((local << 24) | tri)
+    return pa.table(
+        {
+            "tri": pa.array((u & 0xFFFFFF).astype(np.int32)),
+            "doc_id": pa.array(
+                ids_np.astype(np.int64)[u >> 24], type=pa.int64()
+            ),
+        }
+    )
+
+
+def string_trigrams(s: str) -> list[int]:
+    """The query-side twin of :func:`trigram_pairs` for one needle."""
+    b = s.encode("utf-8")
+    return sorted(
+        {
+            (b[i] << 16) | (b[i + 1] << 8) | b[i + 2]
+            for i in range(len(b) - 2)
+        }
+    )
+
+
+# ----------------------------------------------------------------------
+# Build
+# ----------------------------------------------------------------------
+
+def _cpus() -> int:
+    try:
+        return int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        return 8
+
+
+def _encode_bucket(t: pa.Table) -> pa.Table:
+    """Sort one bucket by (tri, doc) and split into per-trigram rows.
+
+    The python loop below runs once per DISTINCT trigram in the bucket
+    (bounded by 2^24 / B), never per posting; each ``encode_docids`` is
+    a vectorized delta+varbyte pass over that trigram's whole list."""
+    t = t.sort_by([("tri", "ascending"), ("doc_id", "ascending")])
+    tri = t["tri"].to_numpy(zero_copy_only=False)
+    doc = t["doc_id"].to_numpy(zero_copy_only=False)
+    if tri.size == 0:
+        return TRI_POSTINGS_SCHEMA.empty_table()
+    starts = np.flatnonzero(np.r_[True, tri[1:] != tri[:-1]])
+    ends = np.r_[starts[1:], tri.size]
+    blobs = [
+        codec.encode_docids(doc[s:e]) for s, e in zip(starts, ends)
+    ]
+    return pa.table(
+        {
+            "tri": pa.array(tri[starts], type=pa.int32()),
+            "df": pa.array((ends - starts).astype(np.int32)),
+            "docs": pa.array(blobs, type=pa.binary()),
+        }
+    )
+
+
+def build_trigram_index(
+    src: str | list[str], index_dir: str, config: TrigramConfig | None = None
+) -> dict:
+    """Build (or resume) the segmented trigram index for ``src``.
+
+    One segment per ``segment_docs``-doc range of the planned input;
+    committed segments are skipped on re-run (checkpoint-resume, same
+    contract as ``build.build_index``)."""
+    from datamart_ray.util import ensure_fast_shuffle
+
+    config = config or TrigramConfig()
+    if isinstance(src, str) and os.path.isdir(src):
+        files = sorted(
+            os.path.join(src, f)
+            for f in os.listdir(src)
+            if f.endswith(".parquet")
+        )
+    elif isinstance(src, str):
+        files = [src]
+    else:
+        files = sorted(src)
+    specs, file_infos = plan_specs(files, config.docs_per_spec)
+
+    # segment = contiguous run of specs covering ≤ segment_docs docs
+    seg_groups: list[list[dict]] = []
+    cur: list[dict] = []
+    cur_rows = 0
+    for s in specs:
+        if cur and cur_rows + s["n_rows"] > config.segment_docs:
+            seg_groups.append(cur)
+            cur, cur_rows = [], 0
+        cur.append(s)
+        cur_rows += s["n_rows"]
+    if cur:
+        seg_groups.append(cur)
+
+    os.makedirs(index_dir, exist_ok=True)
+    text_col, id_col = config.text_col, config.id_col
+    for gi, group in enumerate(seg_groups):
+        seg_name = f"tri{gi:05d}"
+        seg_root = os.path.join(index_dir, "segments")
+        os.makedirs(seg_root, exist_ok=True)
+        final_dir = os.path.join(seg_root, seg_name)
+        if segment_is_committed(final_dir):
+            continue
+        ensure_fast_shuffle()
+        t0 = time.time()
+        import glob
+        import shutil
+
+        for stale in glob.glob(
+            os.path.join(seg_root, f".tmp-{seg_name}*")
+        ):
+            shutil.rmtree(stale, ignore_errors=True)
+        tmp_dir = os.path.join(
+            seg_root,
+            f".tmp-{seg_name}.{os.getpid()}.{uuid.uuid4().hex[:8]}",
+        )
+        postings_dir = os.path.join(tmp_dir, "postings")
+        os.makedirs(tmp_dir)
+
+        def extract(batch: pa.Table):
+            for spec in batch.to_pylist():
+                pf = pq.ParquetFile(spec["path"])
+                want = [text_col] + ([id_col] if id_col else [])
+                rg_base = spec["base"]
+                for rg in range(spec["rg_start"], spec["rg_end"] + 1):
+                    t = pf.read_row_group(rg, columns=want)
+                    if id_col:
+                        ids_np = (
+                            pc.cast(t[id_col], pa.int64())
+                            .combine_chunks()
+                            .to_numpy(zero_copy_only=False)
+                        )
+                    else:
+                        ids_np = rg_base + np.arange(
+                            t.num_rows, dtype=np.int64
+                        )
+                    pairs = trigram_pairs(t[text_col], ids_np)
+                    rg_base += t.num_rows
+                    if pairs.num_rows:
+                        yield pairs
+
+        pairs = rd.from_items(group).map_batches(
+            extract, batch_size=1, batch_format="pyarrow", num_cpus=1
+        )
+        B = config.num_buckets or max(32, 4 * _cpus())
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            tri = t["tri"].to_numpy(zero_copy_only=False)
+            # multiplicative hash spreads the (clustered) ASCII trigram
+            # space over buckets
+            h = (tri.astype(np.uint64) * np.uint64(2654435761)) % B
+            return t.append_column(
+                "bucket", pa.array(h.astype(np.int64))
+            )
+
+        def encode(t: pa.Table) -> pa.Table:
+            return _encode_bucket(t.drop_columns(["bucket"]))
+
+        (
+            pairs.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(encode, batch_format="pyarrow")
+            .write_parquet(postings_dir, row_group_size=4096)
+        )
+        n_docs = sum(s["n_rows"] for s in group)
+        meta = pq.read_table(postings_dir, columns=["tri", "df"])
+        manifest = {
+            "segment": seg_name,
+            "n_docs": int(n_docs),
+            "doc_base": int(group[0]["base"]),
+            "n_tris": meta.num_rows,
+            "n_pairs": int(pc.sum(meta["df"]).as_py() or 0),
+            "text_col": text_col,
+            "id_col": id_col,
+            "build_seconds": round(time.time() - t0, 3),
+        }
+        atomic_write_json(
+            os.path.join(tmp_dir, "MANIFEST.json"), manifest
+        )
+        commit_segment_dir(tmp_dir, final_dir)
+
+    idx_manifest = {
+        "kind": "trigram",
+        "text_col": text_col,
+        "id_col": id_col,
+        "n_segments": len(seg_groups),
+        "files": file_infos,
+    }
+    atomic_write_json(
+        os.path.join(index_dir, "trigram_index.json"), idx_manifest
+    )
+    return idx_manifest
+
+
+# ----------------------------------------------------------------------
+# Regex literal extraction (Cox §"computing trigram queries", simplified
+# to required-literal DNF: a match must contain, for at least one
+# alternative, every literal in that alternative's set)
+# ----------------------------------------------------------------------
+
+def required_literals(pattern: str) -> list[set[str]] | None:
+    """DNF of required literal runs (≥3 bytes) for ``pattern``.
+
+    Returns None when the pattern can't be parsed or any alternative has
+    no usable literal — the caller must then verify by full scan. Sound
+    over-approximation only: every true match satisfies at least one
+    alternative's full literal set."""
+    try:
+        try:
+            import re._parser as sre_parse  # py3.11+
+        except ImportError:  # pragma: no cover - older pythons
+            import sre_parse
+        tree = sre_parse.parse(pattern)
+    except Exception:
+        return None
+
+    def walk(seq) -> list[set[str]] | None:
+        dnf: list[set[str]] = [set()]
+        run: list[str] = []
+
+        def flush():
+            if len(run) >= 3:
+                lit = "".join(run)
+                for s in dnf:
+                    s.add(lit)
+            run.clear()
+
+        for op, av in seq:
+            name = str(op)
+            if name == "LITERAL" and int(av) < 128:
+                run.append(chr(int(av)))
+                continue
+            flush()
+            if name == "BRANCH":
+                subs: list[set[str]] = []
+                for b in av[1]:
+                    sd = walk(b)
+                    if sd is None:
+                        return None
+                    subs.extend(sd)
+                dnf = [a | s for a in dnf for s in subs]
+            elif name == "SUBPATTERN":
+                sd = walk(av[3])
+                if sd is None:
+                    return None
+                dnf = [a | s for a in dnf for s in sd]
+            elif name in ("MAX_REPEAT", "MIN_REPEAT"):
+                mn, _mx, sub = av
+                if mn >= 1:
+                    sd = walk(sub)
+                    # a multi-alternative repeat adds no single
+                    # requirement (different iterations may take
+                    # different branches) — skip it, stay sound
+                    if sd is not None and len(sd) == 1:
+                        dnf = [a | sd[0] for a in dnf]
+            elif name == "AT":
+                pass  # anchors: no literal, doesn't invalidate
+            # ANY / IN / CATEGORY / GROUPREF …: break the run, require
+            # nothing
+            if len(dnf) > _DNF_CAP:
+                return None
+        flush()
+        return dnf
+
+    dnf = walk(tree)
+    if dnf is None:
+        return None
+    # an alternative with no ≥3-byte literal means the trigram filter
+    # can't bound that alternative → full scan
+    if any(not alt for alt in dnf):
+        return None
+    return dnf
+
+
+# ----------------------------------------------------------------------
+# Query
+# ----------------------------------------------------------------------
+
+class _TriSegment:
+    """Eager per-segment reader: tri-sorted dictionary arrays plus the
+    blob column (posting slices decode lazily per query)."""
+
+    def __init__(self, seg_dir: str):
+        t = pq.read_table(
+            os.path.join(seg_dir, "postings")
+        ).combine_chunks()
+        tri = t["tri"].to_numpy(zero_copy_only=False)
+        order = np.argsort(tri, kind="stable")
+        self.tri = tri[order]
+        self.df = t["df"].to_numpy(zero_copy_only=False)[order]
+        self.docs = t["docs"].take(pa.array(order))
+
+    def posting(self, tri: int) -> np.ndarray | None:
+        i = int(np.searchsorted(self.tri, tri))
+        if i >= self.tri.size or self.tri[i] != tri:
+            return None
+        return codec.decode_docids(self.docs[i].as_py())
+
+    def df_of(self, tri: int) -> int:
+        i = int(np.searchsorted(self.tri, tri))
+        if i >= self.tri.size or self.tri[i] != tri:
+            return 0
+        return int(self.df[i])
+
+    def intersect(self, tris: list[int]) -> np.ndarray:
+        """AND across the trigram set, rarest list first (early exit on
+        the first empty intersection)."""
+        if not tris:
+            return np.empty(0, dtype=np.int64)
+        by_df = sorted(tris, key=self.df_of)
+        if self.df_of(by_df[0]) == 0:
+            return np.empty(0, dtype=np.int64)
+        cand = self.posting(by_df[0])
+        for tr in by_df[1:]:
+            if cand.size == 0:
+                break
+            cand = np.intersect1d(
+                cand, self.posting(tr), assume_unique=True
+            )
+        return cand
+
+
+def _apply_kernel(t: pa.Table, kernel, id_col: str | None) -> pa.Table:
+    """Run the exact-match kernel over one table of candidate rows and
+    keep (doc_id, n_matches>0), sorted by doc_id. Module-level so verify
+    stages serialize only the kernel closure, never an index handle."""
+    text_col = t.column_names[0] if id_col is None else None
+    # the text column is whichever column isn't the id column
+    for c in t.column_names:
+        if c not in (id_col, "__rowid"):
+            text_col = c
+    counts = kernel(t[text_col])
+    counts = pc.fill_null(pc.cast(counts, pa.int64()), 0)
+    counts_np = counts.to_numpy(zero_copy_only=False)
+    idc = id_col or "__rowid"
+    ids_np = pc.cast(t[idc], pa.int64()).to_numpy(zero_copy_only=False)
+    m = counts_np > 0
+    order = np.argsort(ids_np[m], kind="stable")
+    return pa.table(
+        {
+            "doc_id": pa.array(ids_np[m][order], type=pa.int64()),
+            "n_matches": pa.array(counts_np[m][order], type=pa.int64()),
+        }
+    )
+
+
+class TrigramIndex:
+    """Query-side handle: candidate generation over the segments plus
+    exact verification against the source parquet."""
+
+    def __init__(self, index_dir: str, src: str | list[str]):
+        import json
+
+        with open(os.path.join(index_dir, "trigram_index.json")) as f:
+            self.manifest = json.load(f)
+        self.src = src
+        self.text_col = self.manifest["text_col"]
+        self.id_col = self.manifest["id_col"]
+        self.segments = [
+            _TriSegment(d) for d in _committed_tri_segments(index_dir)
+        ]
+
+    # -- candidates ----------------------------------------------------
+
+    def _candidates_all(self, tris: list[int]) -> np.ndarray:
+        parts = [s.intersect(tris) for s in self.segments]
+        parts = [p for p in parts if p.size]
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(parts))
+
+    def substring_candidates(self, needle: str) -> np.ndarray | None:
+        """Candidate docIDs for a substring query; None = needle too
+        short for the trigram filter (<3 bytes) → caller full-scans."""
+        tris = string_trigrams(needle)
+        if not tris:
+            return None
+        return self._candidates_all(tris)
+
+    def regex_candidates(self, pattern: str) -> np.ndarray | None:
+        """Candidate docIDs from the pattern's required-literal DNF;
+        None = no usable literals → caller full-scans."""
+        dnf = required_literals(pattern)
+        if dnf is None:
+            return None
+        parts = []
+        for alt in dnf:
+            tris = sorted(
+                {t for lit in alt for t in string_trigrams(lit)}
+            )
+            p = self._candidates_all(tris)
+            if p.size:
+                parts.append(p)
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(parts))
+
+    # -- exact verify ----------------------------------------------------
+
+    def _verify(
+        self,
+        cand: np.ndarray | None,
+        kernel,
+    ) -> pa.Table:
+        """Exact verify: returns (doc_id, n_matches) sorted by doc_id.
+
+        cand=None or above VERIFY_FETCH_CAP → stream the corpus with a
+        broadcast id filter inside map_batches (only matching docIDs and
+        counts return to the driver); small candidate sets use the
+        row-group-pruned fetch fast path."""
+        if cand is not None and cand.size == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_matches": pa.array([], type=pa.int64()),
+                }
+            )
+        if cand is not None and cand.size <= VERIFY_FETCH_CAP:
+            t = self._fetch(cand)
+            return _apply_kernel(t, kernel, self.id_col)
+
+        # the stage closure must capture only scalars + the broadcast
+        # ref — NOT self (shipping the posting arrays to every verify
+        # task would defeat the point of the index)
+        ref = ray.put(cand)  # may be None → no pre-filter
+        text_col, id_col = self.text_col, self.id_col
+
+        def stage(t: pa.Table) -> pa.Table:
+            from datamart_ray.util import isin_sorted
+
+            ids = ray.get(ref)
+            if ids is not None:
+                idc = id_col or "__rowid"
+                vals = pc.cast(t[idc], pa.int64()).to_numpy(
+                    zero_copy_only=False
+                )
+                t = t.filter(pa.array(isin_sorted(ids, vals)))
+            if t.num_rows == 0:
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], type=pa.int64()),
+                        "n_matches": pa.array([], type=pa.int64()),
+                    }
+                )
+            return _apply_kernel(t, kernel, id_col)
+
+        if self.id_col:
+            ds = rd.read_parquet(
+                self.src, columns=[self.id_col, self.text_col]
+            )
+            out = ds.map_batches(stage, batch_format="pyarrow")
+        else:
+            # dense file-offset ids: replay the planned spec order so
+            # docIDs match the build
+            specs, _ = plan_specs(
+                [f["path"] for f in self.manifest["files"]], 2048
+            )
+
+            def read_stage(batch: pa.Table):
+                for spec in batch.to_pylist():
+                    pf = pq.ParquetFile(spec["path"])
+                    rg_base = spec["base"]
+                    for rg in range(
+                        spec["rg_start"], spec["rg_end"] + 1
+                    ):
+                        t = pf.read_row_group(rg, columns=[text_col])
+                        t = t.append_column(
+                            "__rowid",
+                            pa.array(
+                                rg_base
+                                + np.arange(t.num_rows, dtype=np.int64)
+                            ),
+                        )
+                        rg_base += t.num_rows
+                        r = stage(t)
+                        if r.num_rows:
+                            yield r
+
+            out = rd.from_items(specs).map_batches(
+                read_stage,
+                batch_size=1,
+                batch_format="pyarrow",
+                num_cpus=1,
+            )
+        parts = [
+            p for p in ray.get(out.to_arrow_refs()) if p.num_rows
+        ]
+        if not parts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_matches": pa.array([], type=pa.int64()),
+                }
+            )
+        return (
+            pa.concat_tables(parts).combine_chunks().sort_by("doc_id")
+        )
+
+    def _fetch(self, ids: np.ndarray) -> pa.Table:
+        from datamart_ray.util import fetch_rows_by_ids
+
+        if self.id_col:
+            return fetch_rows_by_ids(
+                self.src,
+                self.id_col,
+                ids,
+                [self.id_col, self.text_col],
+            )
+        # dense ids: row-group-pruned read per file via the spec plan
+        out = []
+        for f in self.manifest["files"]:
+            lo, hi = f["base"], f["base"] + f["n_rows"]
+            want = ids[(ids >= lo) & (ids < hi)]
+            if want.size == 0:
+                continue
+            pf = pq.ParquetFile(f["path"])
+            rg_base = lo
+            for rg in range(pf.metadata.num_row_groups):
+                n = pf.metadata.row_group(rg).num_rows
+                sel = want[(want >= rg_base) & (want < rg_base + n)]
+                if sel.size:
+                    t = pf.read_row_group(rg, columns=[self.text_col])
+                    t = t.append_column(
+                        "__rowid",
+                        pa.array(
+                            rg_base + np.arange(n, dtype=np.int64)
+                        ),
+                    )
+                    t = t.take(pa.array(sel - rg_base))
+                    out.append(t)
+                rg_base += n
+        if not out:
+            return pa.table(
+                {
+                    self.text_col: pa.array([], type=pa.string()),
+                    "__rowid": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.concat_tables(out).combine_chunks()
+
+    # -- public search API ----------------------------------------------
+
+    def substring_search(self, needle: str) -> pa.Table:
+        """Exact substring search (case-sensitive, byte semantics —
+        DuckDB ``contains()`` twin): (doc_id, n_matches) sorted by id.
+        Occurrence counts are non-overlapping leftmost, identical to the
+        length-difference SQL idiom."""
+        cand = self.substring_candidates(needle)
+
+        def kernel(col: pa.ChunkedArray):
+            return pc.count_substring(col, needle)
+
+        return self._verify(cand, kernel)
+
+    def regexp_search(self, pattern: str) -> pa.Table:
+        """Regex content search (RE2 partial-match semantics — DuckDB
+        ``regexp_matches()`` twin): (doc_id, n_matches) where n_matches
+        counts non-overlapping matches."""
+        cand = self.regex_candidates(pattern)
+
+        def kernel(col: pa.ChunkedArray):
+            return pc.count_substring_regex(col, pattern)
+
+        return self._verify(cand, kernel)

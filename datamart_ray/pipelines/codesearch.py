@@ -1,0 +1,152 @@
+"""Content-level code search entries — trigram-filtered substring and
+regex search with exact verification.
+
+The reference's search surface is token-level only (ES ``match`` /
+``wildcard`` / ``regexp`` over analyzed terms,
+apiserver/apiserver/search/__init__.py:428-604); grep-style content
+search has no reference analog. This family exists for the code-search
+north star (BASELINE.json ``north_rule``) and follows the public trigram
+design of Google Code Search / Zoekt (R. Cox 2012) — see
+``index/trigram.py`` for the build/query pipeline.
+
+Every entry returns (doc_id, n_matches) with a DuckDB twin:
+
+    substring   WHERE contains(text, needle); n_matches via the
+                length-difference idiom (both sides count non-overlapping
+                leftmost occurrences)
+    regex       WHERE regexp_matches(text, pat); n_matches =
+                len(regexp_extract_all(...)) — DuckDB and Arrow both run
+                RE2 with identical partial-match + non-overlap semantics
+
+``cs_regex_fullscan`` pins the honest fallback: a pattern with no
+required literal ≥ 3 bytes cannot use the trigram filter, so the verify
+streams the corpus (distributed, docIDs-only to the driver).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pandas as pd
+
+from datamart_ray.index.trigram import (
+    TrigramConfig,
+    TrigramIndex,
+    build_trigram_index,
+)
+from datamart_ray.util import artifact_root
+
+# needles / patterns over the documents fixture vocabulary
+SUBSTR_NEEDLE = "hash scan"
+# three-word needle: df 4/2/10 at sf0.001/0.01/0.1 — selective but
+# non-vacuous at every sweep scale
+SUBSTR_RARE_NEEDLE = "order sort table"
+REGEX_PATTERN = "(hash|merge) (scan|join)"
+# character classes break every literal run below 3 bytes → trigram
+# filter unusable → full-scan verify path (still matches 'scan')
+REGEX_FULLSCAN_PATTERN = "s[co][ra]n"
+
+_INDEXES: dict[str, TrigramIndex] = {}
+
+
+def _docs_path(sf_dir: str) -> str:
+    return f"{sf_dir}/documents.parquet"
+
+
+def get_trigram_index(sf_dir: str) -> TrigramIndex:
+    """Build (resume) the documents trigram index and cache the handle.
+
+    Same on-disk cross-process cache contract as ``fulltext.get_engine``:
+    committed segments are skipped on rebuild, the artifact key pins the
+    source identity."""
+    sf_dir = os.path.abspath(sf_dir)
+    if sf_dir in _INDEXES:
+        return _INDEXES[sf_dir]
+    src = _docs_path(sf_dir)
+    key = hashlib.sha1(
+        f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}:tri".encode()
+    ).hexdigest()[:12]
+    index_dir = f"{artifact_root(src)}/tridx/{key}"
+    build_trigram_index(
+        src, index_dir, TrigramConfig(text_col="text", id_col="doc_id")
+    )
+    idx = TrigramIndex(index_dir, src)
+    _INDEXES[sf_dir] = idx
+    return idx
+
+
+def _hits_df(t) -> pd.DataFrame:
+    out = t.to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_matches"] = out["n_matches"].astype("int64")
+    return out
+
+
+def cs_substring_hits(sf_dir: str) -> pd.DataFrame:
+    """Substring content search through the trigram index: candidate
+    docIDs from posting-list intersection, exact verify + occurrence
+    count on candidates only."""
+    return _hits_df(
+        get_trigram_index(sf_dir).substring_search(SUBSTR_NEEDLE)
+    )
+
+
+def cs_substring_rare_hits(sf_dir: str) -> pd.DataFrame:
+    """Rarer multi-word needle — more trigrams, tighter candidate set
+    (exercises the rarest-first intersection order)."""
+    return _hits_df(
+        get_trigram_index(sf_dir).substring_search(SUBSTR_RARE_NEEDLE)
+    )
+
+
+def cs_regex_hits(sf_dir: str) -> pd.DataFrame:
+    """Regex content search: required-literal DNF → per-alternative
+    trigram intersection → union → exact RE2 verify on candidates."""
+    return _hits_df(
+        get_trigram_index(sf_dir).regexp_search(REGEX_PATTERN)
+    )
+
+
+def cs_regex_fullscan(sf_dir: str) -> pd.DataFrame:
+    """Regex with no usable literal — pins the distributed full-scan
+    verify fallback (same result contract, no trigram pruning)."""
+    return _hits_df(
+        get_trigram_index(sf_dir).regexp_search(REGEX_FULLSCAN_PATTERN)
+    )
+
+
+def _substring_sql(needle: str) -> str:
+    return f"""
+        SELECT doc_id,
+               CAST((length(text) - length(replace(text, '{needle}', '')))
+                    / length('{needle}') AS BIGINT) AS n_matches
+        FROM documents
+        WHERE contains(text, '{needle}')
+        ORDER BY doc_id
+    """
+
+
+def _regex_sql(pattern: str) -> str:
+    return f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{pattern}')) AS n_matches
+        FROM documents
+        WHERE regexp_matches(text, '{pattern}')
+        ORDER BY doc_id
+    """
+
+
+QUERIES = {
+    "cs_substring_hits": cs_substring_hits,
+    "cs_substring_rare_hits": cs_substring_rare_hits,
+    "cs_regex_hits": cs_regex_hits,
+    "cs_regex_fullscan": cs_regex_fullscan,
+}
+
+SQL = {
+    "cs_substring_hits": _substring_sql(SUBSTR_NEEDLE),
+    "cs_substring_rare_hits": _substring_sql(SUBSTR_RARE_NEEDLE),
+    "cs_regex_hits": _regex_sql(REGEX_PATTERN),
+    "cs_regex_fullscan": _regex_sql(REGEX_FULLSCAN_PATTERN),
+}

@@ -1,0 +1,190 @@
+"""Trigram content index: extraction, literal analysis, build/query,
+resume, and both verify paths (fetch fast path vs streaming full scan).
+"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from datamart_ray.index import trigram as tg
+
+
+def _brute_trigrams(s: str) -> set:
+    b = s.encode("utf-8")
+    return {
+        (b[i] << 16) | (b[i + 1] << 8) | b[i + 2]
+        for i in range(len(b) - 2)
+    }
+
+
+def test_trigram_pairs_matches_bruteforce():
+    texts = [
+        "hello world",
+        "",
+        None,
+        "ab",  # < 3 bytes → nothing
+        "aaa",  # repeated trigram → one pair
+        "naïve café ünïcode",  # multi-byte UTF-8 → byte trigrams
+        "x" * 1000,
+    ]
+    ids = np.arange(100, 100 + len(texts), dtype=np.int64)
+    t = tg.trigram_pairs(pa.array(texts, type=pa.string()), ids)
+    got = set(
+        zip(
+            t["tri"].to_numpy(zero_copy_only=False).tolist(),
+            t["doc_id"].to_numpy(zero_copy_only=False).tolist(),
+        )
+    )
+    want = set()
+    for i, s in enumerate(texts):
+        for tri in _brute_trigrams(s or ""):
+            want.add((tri, 100 + i))
+    assert got == want
+    # distinct per doc: no duplicate (tri, doc) rows
+    assert len(got) == t.num_rows
+
+
+def test_required_literals():
+    rl = tg.required_literals
+    assert rl("hello") == [{"hello"}]
+    assert rl("foo.*bar") == [{"foo", "bar"}]
+    # alternation → DNF union
+    assert sorted(map(sorted, rl("(abc|def)ghi"))) == [
+        ["abc", "ghi"],
+        ["def", "ghi"],
+    ]
+    # optional group contributes nothing; mandatory literal remains
+    assert rl("(xyz)?abcd") == [{"abcd"}]
+    # no literal ≥ 3 bytes anywhere → None (full scan)
+    assert rl("a[bc]d") is None
+    assert rl("[0-9]+") is None
+    # repeat with min ≥ 1 is required
+    assert rl("(abc)+tail") == [{"abc", "tail"}]
+    # unparseable → None, never raises
+    assert rl("(unclosed") is None
+
+
+@pytest.fixture(scope="module")
+def code_corpus(ray_session, tmp_path_factory):
+    """Small code-shaped corpus (repo/path/commit/lang/content, dense
+    file-offset docIDs — the BASELINE.json input_hint shape)."""
+    from datamart_ray.corpus import generate_corpus
+
+    d = str(tmp_path_factory.mktemp("tri_corpus"))
+    generate_corpus(d, n_files=300, vocab_size=500, n_repos=6, seed=7)
+    return d
+
+
+@pytest.fixture(scope="module")
+def tri_index(ray_session, code_corpus, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("tri_idx"))
+    tg.build_trigram_index(
+        code_corpus, idx, tg.TrigramConfig(text_col="content")
+    )
+    return tg.TrigramIndex(idx, code_corpus)
+
+
+def _expected(code_corpus, kernel):
+    files = sorted(
+        os.path.join(code_corpus, f)
+        for f in os.listdir(code_corpus)
+        if f.endswith(".parquet")
+    )
+    tables, base = [], 0
+    for f in files:
+        t = pq.read_table(f, columns=["content"])
+        tables.append((t, base))
+        base += t.num_rows
+    ids, counts = [], []
+    for t, b in tables:
+        c = pc.fill_null(kernel(t["content"]), 0).to_numpy(
+            zero_copy_only=False
+        )
+        m = c > 0
+        ids.append(b + np.flatnonzero(m))
+        counts.append(c[m])
+    ids = np.concatenate(ids)
+    counts = np.concatenate(counts)
+    order = np.argsort(ids, kind="stable")
+    return ids[order], counts[order].astype(np.int64)
+
+
+def test_substring_search_exact(code_corpus, tri_index):
+    for needle in ["alba", "qzcommonneedle", "totally-absent-needle"]:
+        got = tri_index.substring_search(needle)
+        eids, ecnt = _expected(
+            code_corpus, lambda col, n=needle: pc.count_substring(col, n)
+        )
+        assert got["doc_id"].to_numpy().tolist() == eids.tolist()
+        assert got["n_matches"].to_numpy().tolist() == ecnt.tolist()
+
+
+def test_regex_search_exact(code_corpus, tri_index):
+    pat = "(qzcommonneedle|qzpairneedlea)"
+    got = tri_index.regexp_search(pat)
+    eids, ecnt = _expected(
+        code_corpus,
+        lambda col: pc.count_substring_regex(col, pat),
+    )
+    assert got["doc_id"].to_numpy().tolist() == eids.tolist()
+    assert got["n_matches"].to_numpy().tolist() == ecnt.tolist()
+
+
+def test_fullscan_equals_filtered(code_corpus, tri_index):
+    """A pattern the literal extractor can't bound must return the same
+    rows through the streaming full-scan path as the trigram-filtered
+    equivalent substring query does."""
+    full = tri_index.regexp_search("qzcommonneedl[e]")  # no ≥3 literal?
+    # '[e]' may parse as LITERAL on some versions — force the honest
+    # comparison against the substring path either way
+    filt = tri_index.substring_search("qzcommonneedle")
+    assert full["doc_id"].to_numpy().tolist() == filt[
+        "doc_id"
+    ].to_numpy().tolist()
+
+
+def test_streaming_verify_above_cap(code_corpus, tri_index, monkeypatch):
+    """Forcing the fetch cap to 0 routes candidate verification through
+    the distributed broadcast-filter stream — results identical."""
+    fast = tri_index.substring_search("qzcommonneedle")
+    monkeypatch.setattr(tg, "VERIFY_FETCH_CAP", -1)
+    slow = tri_index.substring_search("qzcommonneedle")
+    assert fast.equals(slow)
+
+
+def test_build_resume_skips_committed(code_corpus, tmp_path):
+    idx = str(tmp_path / "idx")
+    tg.build_trigram_index(
+        code_corpus, idx, tg.TrigramConfig(text_col="content")
+    )
+    seg = tg._committed_tri_segments(idx)[0]
+    before = os.path.getmtime(os.path.join(seg, "MANIFEST.json"))
+    tg.build_trigram_index(
+        code_corpus, idx, tg.TrigramConfig(text_col="content")
+    )
+    after = os.path.getmtime(os.path.join(seg, "MANIFEST.json"))
+    assert before == after  # committed segment untouched on re-run
+
+
+def test_multi_segment_union(code_corpus, tmp_path):
+    """Tiny segment_docs → several segments; results must equal the
+    single-segment index (docID ranges partition across segments)."""
+    idx = str(tmp_path / "idx_multi")
+    tg.build_trigram_index(
+        code_corpus,
+        idx,
+        tg.TrigramConfig(text_col="content", segment_docs=64),
+    )
+    ti = tg.TrigramIndex(idx, code_corpus)
+    assert len(ti.segments) > 1
+    got = ti.substring_search("qzcommonneedle")
+    eids, ecnt = _expected(
+        code_corpus,
+        lambda col: pc.count_substring(col, "qzcommonneedle"),
+    )
+    assert got["doc_id"].to_numpy().tolist() == eids.tolist()
+    assert got["n_matches"].to_numpy().tolist() == ecnt.tolist()
