@@ -59,6 +59,32 @@ def main(argv: list[str] | None = None) -> int:
         "delta-ingest BEFORE serving (on-demand discovery analog)",
     )
 
+    tb = sub.add_parser(
+        "trigram-build",
+        help="build (or resume) a trigram content index",
+    )
+    tb.add_argument("--input", required=True)
+    tb.add_argument("--index", required=True)
+    tb.add_argument("--text-col", default="content")
+    tb.add_argument("--id-col", default=None)
+    tb.add_argument("--segment-docs", type=int, default=4_000_000)
+
+    gp = sub.add_parser(
+        "grep",
+        help="substring/regex content search via the trigram index",
+    )
+    gp.add_argument("--index", required=True)
+    gp.add_argument("--corpus", required=True)
+    gp.add_argument("--pattern", required=True)
+    gp.add_argument("--regex", action="store_true")
+    gp.add_argument(
+        "--lines",
+        action="store_true",
+        help="emit (doc_id, line_no, line) grep output instead of "
+        "per-doc hit counts",
+    )
+    gp.add_argument("--json", action="store_true")
+
     d = sub.add_parser("delta", help="ingest new files as a delta segment")
     d.add_argument("--index", required=True)
     d.add_argument("--input", required=True)
@@ -281,6 +307,44 @@ def _run(args) -> int:
         )
         manifest = build_index(args.input, args.index, cfg)
         print(json.dumps(manifest))
+        return 0
+    if args.cmd == "trigram-build":
+        from datamart_ray.index.trigram import (
+            TrigramConfig,
+            build_trigram_index,
+        )
+
+        manifest = build_trigram_index(
+            args.input,
+            args.index,
+            TrigramConfig(
+                text_col=args.text_col,
+                id_col=args.id_col,
+                segment_docs=args.segment_docs,
+            ),
+        )
+        print(json.dumps(manifest))
+        return 0
+    if args.cmd == "grep":
+        from datamart_ray.index.trigram import TrigramIndex
+
+        ti = TrigramIndex(args.index, args.corpus)
+        if args.lines:
+            t = ti.grep(args.pattern, regex=args.regex)
+        elif args.regex:
+            t = ti.regexp_search(args.pattern)
+        else:
+            t = ti.substring_search(args.pattern)
+        if args.json:
+            print(json.dumps(t.to_pylist()))
+        else:
+            for row in t.to_pylist():
+                if args.lines:
+                    print(
+                        f"{row['doc_id']}:{row['line_no']}:{row['line']}"
+                    )
+                else:
+                    print(f"{row['doc_id']}\t{row['n_matches']}")
         return 0
     if args.cmd == "search":
         from datamart_ray.search.engine import (

@@ -474,6 +474,93 @@ class _TriSegment:
         return cand
 
 
+_HITS_EMPTY = pa.table(
+    {
+        "doc_id": pa.array([], type=pa.int64()),
+        "n_matches": pa.array([], type=pa.int64()),
+    }
+)
+
+_GREP_EMPTY = pa.table(
+    {
+        "doc_id": pa.array([], type=pa.int64()),
+        "line_no": pa.array([], type=pa.int64()),
+        "line": pa.array([], type=pa.string()),
+        "n_matches": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def _text_col_of(t: pa.Table, id_col: str | None) -> str:
+    for c in t.column_names:
+        if c not in (id_col, "__rowid"):
+            return c
+    raise ValueError(f"no text column in {t.column_names}")
+
+
+def _grep_kernel(
+    t: pa.Table, pattern: str, regex: bool, id_col: str | None
+) -> pa.Table:
+    """Split candidate docs into lines and keep matching lines with
+    1-based line numbers — all Arrow kernels (split_pattern, flatten,
+    parent indices), vectorized across every line of every doc."""
+    text = pc.fill_null(
+        pc.cast(t[_text_col_of(t, id_col)], pa.string()), ""
+    )
+    idc = id_col or "__rowid"
+    ids_np = pc.cast(t[idc], pa.int64()).to_numpy(zero_copy_only=False)
+    lines = pc.split_pattern(text, "\n")
+    if isinstance(lines, pa.ChunkedArray):
+        # one contiguous Array so flat indices line up with parent/
+        # length arrays below (combine_chunks on a ChunkedArray yields
+        # a plain Array on this pyarrow)
+        combined = lines.combine_chunks()
+        lines = (
+            combined
+            if isinstance(combined, pa.Array)
+            else (
+                combined.chunk(0)
+                if combined.num_chunks
+                else pa.array([], type=lines.type)
+            )
+        )
+    flat = pc.list_flatten(lines)
+    parent = pc.list_parent_indices(lines).to_numpy(
+        zero_copy_only=False
+    )
+    n_lines = pc.list_value_length(lines).to_numpy(
+        zero_copy_only=False
+    )
+    # 1-based line number = global flat index - doc's first flat index
+    first = np.concatenate(
+        ([0], np.cumsum(n_lines[:-1]))
+    ) if n_lines.size else np.empty(0, dtype=np.int64)
+    line_no = (
+        np.arange(len(flat), dtype=np.int64) - first[parent] + 1
+    )
+    counts = (
+        pc.count_substring_regex(flat, pattern)
+        if regex
+        else pc.count_substring(flat, pattern)
+    )
+    counts_np = pc.fill_null(
+        pc.cast(counts, pa.int64()), 0
+    ).to_numpy(zero_copy_only=False)
+    m = counts_np > 0
+    sel = np.flatnonzero(m)
+    out_ids = ids_np[parent[sel]]
+    order = np.lexsort((line_no[sel], out_ids))
+    sel = sel[order]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids_np[parent[sel]], type=pa.int64()),
+            "line_no": pa.array(line_no[sel], type=pa.int64()),
+            "line": flat.take(pa.array(sel)),
+            "n_matches": pa.array(counts_np[sel], type=pa.int64()),
+        }
+    )
+
+
 def _apply_kernel(t: pa.Table, kernel, id_col: str | None) -> pa.Table:
     """Run the exact-match kernel over one table of candidate rows and
     keep (doc_id, n_matches>0), sorted by doc_id. Module-level so verify
@@ -554,24 +641,23 @@ class TrigramIndex:
     def _verify(
         self,
         cand: np.ndarray | None,
-        kernel,
+        table_kernel,
+        empty: pa.Table,
+        sort_keys: list[str] | None = None,
     ) -> pa.Table:
-        """Exact verify: returns (doc_id, n_matches) sorted by doc_id.
+        """Exact verify: runs ``table_kernel(candidate_rows, id_col)``
+        and returns its concatenated output, sorted by ``sort_keys``.
 
         cand=None or above VERIFY_FETCH_CAP → stream the corpus with a
-        broadcast id filter inside map_batches (only matching docIDs and
-        counts return to the driver); small candidate sets use the
+        broadcast id filter inside map_batches (only the kernel's output
+        rows return to the driver); small candidate sets use the
         row-group-pruned fetch fast path."""
+        sort_keys = sort_keys or ["doc_id"]
         if cand is not None and cand.size == 0:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], type=pa.int64()),
-                    "n_matches": pa.array([], type=pa.int64()),
-                }
-            )
+            return empty
         if cand is not None and cand.size <= VERIFY_FETCH_CAP:
             t = self._fetch(cand)
-            return _apply_kernel(t, kernel, self.id_col)
+            return table_kernel(t, self.id_col)
 
         # the stage closure must capture only scalars + the broadcast
         # ref — NOT self (shipping the posting arrays to every verify
@@ -590,13 +676,8 @@ class TrigramIndex:
                 )
                 t = t.filter(pa.array(isin_sorted(ids, vals)))
             if t.num_rows == 0:
-                return pa.table(
-                    {
-                        "doc_id": pa.array([], type=pa.int64()),
-                        "n_matches": pa.array([], type=pa.int64()),
-                    }
-                )
-            return _apply_kernel(t, kernel, id_col)
+                return empty
+            return table_kernel(t, id_col)
 
         if self.id_col:
             ds = rd.read_parquet(
@@ -640,14 +721,11 @@ class TrigramIndex:
             p for p in ray.get(out.to_arrow_refs()) if p.num_rows
         ]
         if not parts:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], type=pa.int64()),
-                    "n_matches": pa.array([], type=pa.int64()),
-                }
-            )
+            return empty
         return (
-            pa.concat_tables(parts).combine_chunks().sort_by("doc_id")
+            pa.concat_tables(parts)
+            .combine_chunks()
+            .sort_by([(k, "ascending") for k in sort_keys])
         )
 
     def _fetch(self, ids: np.ndarray) -> pa.Table:
@@ -701,10 +779,12 @@ class TrigramIndex:
         length-difference SQL idiom."""
         cand = self.substring_candidates(needle)
 
-        def kernel(col: pa.ChunkedArray):
-            return pc.count_substring(col, needle)
+        def table_kernel(t, idc, needle=needle):
+            return _apply_kernel(
+                t, lambda col: pc.count_substring(col, needle), idc
+            )
 
-        return self._verify(cand, kernel)
+        return self._verify(cand, table_kernel, _HITS_EMPTY)
 
     def regexp_search(self, pattern: str) -> pa.Table:
         """Regex content search (RE2 partial-match semantics — DuckDB
@@ -712,7 +792,31 @@ class TrigramIndex:
         counts non-overlapping matches."""
         cand = self.regex_candidates(pattern)
 
-        def kernel(col: pa.ChunkedArray):
-            return pc.count_substring_regex(col, pattern)
+        def table_kernel(t, idc, pattern=pattern):
+            return _apply_kernel(
+                t,
+                lambda col: pc.count_substring_regex(col, pattern),
+                idc,
+            )
 
-        return self._verify(cand, kernel)
+        return self._verify(cand, table_kernel, _HITS_EMPTY)
+
+    def grep(self, pattern: str, regex: bool = False) -> pa.Table:
+        """grep-style line output: (doc_id, line_no, line, n_matches)
+        for every line containing the pattern, sorted by (doc_id,
+        line_no). Line numbers are 1-based; candidates come from the
+        trigram filter exactly like the search methods, and line
+        splitting / matching is vectorized Arrow (split_pattern +
+        list_parent_indices), never a Python loop over lines."""
+        cand = (
+            self.regex_candidates(pattern)
+            if regex
+            else self.substring_candidates(pattern)
+        )
+
+        def table_kernel(t, idc, pattern=pattern, regex=regex):
+            return _grep_kernel(t, pattern, regex, idc)
+
+        return self._verify(
+            cand, table_kernel, _GREP_EMPTY, sort_keys=["doc_id", "line_no"]
+        )

@@ -156,6 +156,115 @@ def test_streaming_verify_above_cap(code_corpus, tri_index, monkeypatch):
     assert fast.equals(slow)
 
 
+def _brute_grep(code_corpus, pattern, regex):
+    import re as _re
+
+    files = sorted(
+        os.path.join(code_corpus, f)
+        for f in os.listdir(code_corpus)
+        if f.endswith(".parquet")
+    )
+    rows, base = [], 0
+    for f in files:
+        t = pq.read_table(f, columns=["content"])
+        for i, s in enumerate(t["content"].to_pylist()):
+            for ln, line in enumerate((s or "").split("\n"), 1):
+                n = (
+                    len(_re.findall(pattern, line))
+                    if regex
+                    else line.count(pattern)
+                )
+                if n:
+                    rows.append((base + i, ln, line, n))
+        base += t.num_rows
+    rows.sort()
+    return rows
+
+
+@pytest.mark.parametrize(
+    "pattern,regex",
+    [("qzcommonneedle", False), ("qzpairneedle[ab]", True)],
+)
+def test_grep_lines_exact(code_corpus, tri_index, pattern, regex):
+    got = tri_index.grep(pattern, regex=regex)
+    want = _brute_grep(code_corpus, pattern, regex)
+    assert (
+        list(
+            zip(
+                got["doc_id"].to_pylist(),
+                got["line_no"].to_pylist(),
+                got["line"].to_pylist(),
+                got["n_matches"].to_pylist(),
+            )
+        )
+        == want
+    )
+
+
+def test_grep_streaming_parity(code_corpus, tri_index, monkeypatch):
+    fast = tri_index.grep("qzcommonneedle")
+    monkeypatch.setattr(tg, "VERIFY_FETCH_CAP", -1)
+    slow = tri_index.grep("qzcommonneedle")
+    assert fast.equals(slow)
+
+
+def test_cli_trigram_build_and_grep(
+    code_corpus, tmp_path, capsys, ray_session
+):
+    from datamart_ray.__main__ import main
+
+    idx = str(tmp_path / "cli_tri")
+    assert (
+        main(
+            [
+                "trigram-build",
+                "--input",
+                code_corpus,
+                "--index",
+                idx,
+            ]
+        )
+        == 0
+    )
+    capsys.readouterr()
+    assert (
+        main(
+            [
+                "grep",
+                "--index",
+                idx,
+                "--corpus",
+                code_corpus,
+                "--pattern",
+                "qzuniqueneedle",
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1 and out[0].endswith("\t1")
+    assert (
+        main(
+            [
+                "grep",
+                "--index",
+                idx,
+                "--corpus",
+                code_corpus,
+                "--pattern",
+                "qzpairneedle[ab]",
+                "--regex",
+                "--lines",
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out.strip().splitlines()
+    want = _brute_grep(code_corpus, "qzpairneedle[ab]", True)
+    assert len(out) == len(want)
+    assert out[0] == f"{want[0][0]}:{want[0][1]}:{want[0][2]}"
+
+
 def test_build_resume_skips_committed(code_corpus, tmp_path):
     idx = str(tmp_path / "idx")
     tg.build_trigram_index(
