@@ -417,6 +417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cs_substring_rare_hits",
         "cs_regex_hits",
         "cs_regex_fullscan",
+        "cs_ident_token_counts",  # NEW r4: split_camel analyzer
         # never driver-witnessed until now:
         "dd_containment_pairs",
         "dd_containment_survivors",
@@ -448,12 +449,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_match_counts",
         "ft_constant_score",
         "ft_index_stats",
-        "ft_percolate",
         # (ft_extended_stats rotated to the oracle-gated tail to make
         # room for rg_kmeans_ranges; ft_top_hits_per_lang,
-        # ft_collapse_source_topk, ft_nchars_percentiles and
-        # ft_span_near_topk rotated likewise for the cs_* family —
-        # all five stay oracle-gated in tests/test_entry.py)
+        # ft_collapse_source_topk, ft_nchars_percentiles,
+        # ft_span_near_topk and ft_percolate rotated likewise for the
+        # cs_* family — all six stay oracle-gated in tests/test_entry.py)
     ]
     assert len(_r4_window) == 50, len(_r4_window)
     _missing = [k for k in _r4_window if k not in out]

@@ -26,6 +26,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _HTML_TAG_RE = r"<[^>]*>"
+# camelCase boundary rules (identifier splitting; pinned order 1 → 2)
+_CAMEL_RE1 = "([a-z0-9])([A-Z])"
+_CAMEL_RE2 = "([A-Z]+)([A-Z][a-z])"
 
 
 @dataclass(frozen=True)
@@ -41,6 +44,13 @@ class Analyzer:
     # ES "stop" token filter analog: tokens dropped AFTER lowercasing,
     # BEFORE stemming (ES's default filter order). SQL-reproducible.
     stopwords: tuple = ()
+    # Identifier-aware code tokenization (ES word_delimiter_graph
+    # analog): BEFORE lowercasing, insert a space at camelCase
+    # boundaries — rule 1 'getUser'→'get User', then rule 2 (acronym)
+    # 'HTTPServer'→'HTTP Server'; snake_case already splits because '_'
+    # is outside token_chars. Rule order is pinned and shared verbatim
+    # with the DuckDB twin (sql_tokens_expr), both RE2.
+    split_camel: bool = False
 
     def __post_init__(self):
         # per-instance stem memo (frozen dataclass → set via object)
@@ -73,7 +83,17 @@ class Analyzer:
             raise ValueError(
                 "stemming has no SQL twin — use the Python oracle instead"
             )
-        inner = f"lower({col})" if self.lowercase else col
+        base = col
+        if self.split_camel:
+            base = (
+                f"regexp_replace({base}, "
+                f"'{_CAMEL_RE1}', '\\1 \\2', 'g')"
+            )
+            base = (
+                f"regexp_replace({base}, "
+                f"'{_CAMEL_RE2}', '\\1 \\2', 'g')"
+            )
+        inner = f"lower({base})" if self.lowercase else base
         if self.html_strip:
             inner = f"regexp_replace({inner}, '{_HTML_TAG_RE}', ' ', 'g')"
         expr = f"regexp_extract_all({inner}, '{self.token_pattern}')"
@@ -96,6 +116,9 @@ class Analyzer:
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         s = pc.fill_null(col, "")
+        if self.split_camel:  # before lowercase (boundaries need case)
+            s = pc.replace_substring_regex(s, _CAMEL_RE1, r"\1 \2")
+            s = pc.replace_substring_regex(s, _CAMEL_RE2, r"\1 \2")
         if self.html_strip:
             s = pc.replace_substring_regex(s, _HTML_TAG_RE, " ")
         if self.lowercase:

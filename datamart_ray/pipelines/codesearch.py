@@ -116,6 +116,76 @@ def cs_regex_fullscan(sf_dir: str) -> pd.DataFrame:
     )
 
 
+# deterministic camelCase derivation for the identifier-splitting
+# entry: both sides apply the SAME replace chain to documents.text, so
+# the fixture (all-lowercase word soup) gains real camelCase/PascalCase
+# identifiers at corpus frequency. A broken split_camel would lowercase
+# 'hashScan' into the single term 'hashscan' and hash-mismatch.
+IDENT_REPLACES = (
+    ("hash scan", "hashScan"),
+    ("key order", "keyOrder"),
+    ("merge part", "MergePart"),
+)
+IDENT_TOP_K = 20
+
+
+def cs_ident_token_counts(sf_dir: str) -> pd.DataFrame:
+    """Identifier-aware code tokenization: camelCase-derived content →
+    Analyzer(split_camel=True) → global term counts, top 20 (n desc,
+    term asc). Distributed: per-batch Arrow hash-agg partials, one
+    vocabulary-bounded groupby."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from datamart_ray.analyzer import Analyzer
+    from datamart_ray.util import ensure_fast_shuffle
+
+    ensure_fast_shuffle()
+    an = Analyzer(split_camel=True)
+    ds = rd.read_parquet(_docs_path(sf_dir), columns=["text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(t["text"], "")
+        for old, new in IDENT_REPLACES:
+            s = pc.replace_substring(s, old, new)
+        flat = pc.list_flatten(an.token_lists(s))
+        return (
+            pa.table({"term": flat})
+            .group_by("term")
+            .aggregate([("term", "count")])
+            .rename_columns(["term", "n"])
+        )
+
+    out = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "term"], descending=[True, False])
+        .limit(IDENT_TOP_K)
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def _ident_sql() -> str:
+    from datamart_ray.analyzer import Analyzer
+
+    derived = "text"
+    for old, new in IDENT_REPLACES:
+        derived = f"replace({derived}, '{old}', '{new}')"
+    toks = Analyzer(split_camel=True).sql_tokens_expr("d.text")
+    return f"""
+        WITH d AS (SELECT {derived} AS text FROM documents),
+        t AS (SELECT unnest({toks}) AS term FROM d)
+        SELECT term, count(*)::BIGINT AS n FROM t
+        GROUP BY term ORDER BY n DESC, term LIMIT {IDENT_TOP_K}
+    """
+
+
 def _substring_sql(needle: str) -> str:
     return f"""
         SELECT doc_id,
@@ -142,9 +212,11 @@ QUERIES = {
     "cs_substring_rare_hits": cs_substring_rare_hits,
     "cs_regex_hits": cs_regex_hits,
     "cs_regex_fullscan": cs_regex_fullscan,
+    "cs_ident_token_counts": cs_ident_token_counts,
 }
 
 SQL = {
+    "cs_ident_token_counts": _ident_sql(),
     "cs_substring_hits": _substring_sql(SUBSTR_NEEDLE),
     "cs_substring_rare_hits": _substring_sql(SUBSTR_RARE_NEEDLE),
     "cs_regex_hits": _regex_sql(REGEX_PATTERN),

@@ -101,3 +101,39 @@ def test_stopwords_survive_index_config_roundtrip():
     obj = cfg.to_json()
     del obj["analyzer"]["stopwords"]
     assert IndexConfig.analyzer_from_json(obj).stopwords == ()
+
+
+def test_split_camel_tokenize():
+    a = Analyzer(split_camel=True)
+    assert a.tokenize("getUserName") == ["get", "user", "name"]
+    assert a.tokenize("HTTPServer") == ["http", "server"]
+    assert a.tokenize("XMLHttpRequest") == ["xml", "http", "request"]
+    assert a.tokenize("foo_bar x9Pro") == ["foo", "bar", "x9", "pro"]
+    # default analyzer keeps the mashed lowercase term
+    assert Analyzer().tokenize("getUserName") == ["getusername"]
+
+
+def test_split_camel_sql_parity():
+    import duckdb
+
+    a = Analyzer(split_camel=True)
+    texts = [
+        "getUserName HTTPServer",
+        "XMLHttpRequest foo_bar",
+        "x9Pro ABCDef plain lower",
+        "",
+    ]
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {a.sql_tokens_expr('t')} FROM (SELECT unnest(?) AS t)",
+        [texts],
+    ).fetchall()
+    for (sql_tokens,), text in zip(got, texts):
+        assert sql_tokens == a.tokenize(text)
+
+
+def test_split_camel_roundtrip_kwargs():
+    a = Analyzer(split_camel=True)
+    b = Analyzer(**a.to_kwargs())
+    assert b.split_camel is True
+    assert b.tokenize("getUserName") == ["get", "user", "name"]
