@@ -587,9 +587,20 @@ def _apply_kernel(t: pa.Table, kernel, id_col: str | None) -> pa.Table:
 
 class TrigramIndex:
     """Query-side handle: candidate generation over the segments plus
-    exact verification against the source parquet."""
+    exact verification against the source parquet.
+
+    Loads every segment's posting table eagerly on the driver — right
+    for single-node corpora, wrong past a handful of segments. At
+    cluster scale use :class:`DistributedTrigramIndex`, which holds
+    segments in a pool of actors (same results, pytest-pinned)."""
 
     def __init__(self, index_dir: str, src: str | list[str]):
+        self._load_manifest(index_dir, src)
+        self.segments = [
+            _TriSegment(d) for d in _committed_tri_segments(index_dir)
+        ]
+
+    def _load_manifest(self, index_dir: str, src) -> None:
         import json
 
         with open(os.path.join(index_dir, "trigram_index.json")) as f:
@@ -597,9 +608,6 @@ class TrigramIndex:
         self.src = src
         self.text_col = self.manifest["text_col"]
         self.id_col = self.manifest["id_col"]
-        self.segments = [
-            _TriSegment(d) for d in _committed_tri_segments(index_dir)
-        ]
 
     # -- candidates ----------------------------------------------------
 
@@ -820,3 +828,72 @@ class TrigramIndex:
         return self._verify(
             cand, table_kernel, _GREP_EMPTY, sort_keys=["doc_id", "line_no"]
         )
+
+
+# ----------------------------------------------------------------------
+# Distributed serving: segments resident in a pool of actors
+# ----------------------------------------------------------------------
+
+@ray.remote
+class _TriSegmentActor:
+    """Holds a round-robin slice of segments resident in actor memory
+    (the trigram analog of the BM25 scorer actors): the driver never
+    loads posting tables, only ships trigram lists and gets docID
+    arrays back — O(query) traffic, not O(index)."""
+
+    def __init__(self, seg_dirs: list[str]):
+        self.segments = [_TriSegment(d) for d in seg_dirs]
+
+    def intersect_all(self, tris: list[int]) -> np.ndarray:
+        parts = [s.intersect(tris) for s in self.segments]
+        parts = [p for p in parts if p.size]
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(parts))
+
+    def ping(self) -> bool:
+        return True
+
+
+class DistributedTrigramIndex(TrigramIndex):
+    """Cluster-scale serving handle: candidate generation fans out to a
+    segment-actor pool (posting tables never touch the driver); the
+    verify stage is the same distributed kernel as :class:`TrigramIndex`
+    — results are bit-identical (pytest-pinned)."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        src: str | list[str],
+        n_actors: int | None = None,
+    ):
+        self._load_manifest(index_dir, src)
+        self.segments = []  # never resident driver-side
+        seg_dirs = _committed_tri_segments(index_dir)
+        if not seg_dirs:
+            self.actors = []
+            return
+        n = max(1, min(n_actors or 8, len(seg_dirs)))
+        groups: list[list[str]] = [[] for _ in range(n)]
+        for i, d in enumerate(seg_dirs):
+            groups[i % n].append(d)
+        self.actors = [
+            _TriSegmentActor.remote(g) for g in groups if g
+        ]
+        ray.get([a.ping.remote() for a in self.actors])
+
+    def _candidates_all(self, tris: list[int]) -> np.ndarray:
+        if not tris or not self.actors:
+            return np.empty(0, dtype=np.int64)
+        parts = ray.get(
+            [a.intersect_all.remote(list(tris)) for a in self.actors]
+        )
+        parts = [p for p in parts if p.size]
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(parts))
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

@@ -297,3 +297,30 @@ def test_multi_segment_union(code_corpus, tmp_path):
     )
     assert got["doc_id"].to_numpy().tolist() == eids.tolist()
     assert got["n_matches"].to_numpy().tolist() == ecnt.tolist()
+
+
+def test_distributed_index_parity(code_corpus, tmp_path, ray_session):
+    """Actor-pool serving returns bit-identical results to the local
+    eager index across substring / regex / grep, including with several
+    segments spread over multiple actors."""
+    idx = str(tmp_path / "idx_dist")
+    tg.build_trigram_index(
+        code_corpus,
+        idx,
+        tg.TrigramConfig(text_col="content", segment_docs=64),
+    )
+    local = tg.TrigramIndex(idx, code_corpus)
+    dist = tg.DistributedTrigramIndex(idx, code_corpus, n_actors=3)
+    assert len(dist.actors) == 3
+    try:
+        for needle in ["qzcommonneedle", "qzuniqueneedle", "absent-x"]:
+            assert dist.substring_search(needle).equals(
+                local.substring_search(needle)
+            )
+        pat = "qzpairneedle[ab]"
+        assert dist.regexp_search(pat).equals(local.regexp_search(pat))
+        assert dist.grep("qzcommonneedle").equals(
+            local.grep("qzcommonneedle")
+        )
+    finally:
+        dist.shutdown()
