@@ -418,6 +418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cs_regex_hits",
         "cs_regex_fullscan",
         "cs_ident_token_counts",  # NEW r4: split_camel analyzer
+        "cs_substring_nocase",  # NEW r4: case-variant candidates
         # never driver-witnessed until now:
         "dd_containment_pairs",
         "dd_containment_survivors",
@@ -448,12 +449,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_function_score_topk",
         "ft_match_counts",
         "ft_constant_score",
-        "ft_index_stats",
         # (ft_extended_stats rotated to the oracle-gated tail to make
         # room for rg_kmeans_ranges; ft_top_hits_per_lang,
         # ft_collapse_source_topk, ft_nchars_percentiles,
-        # ft_span_near_topk and ft_percolate rotated likewise for the
-        # cs_* family — all six stay oracle-gated in tests/test_entry.py)
+        # ft_span_near_topk, ft_percolate and ft_index_stats rotated
+        # likewise for the cs_* family — all seven stay oracle-gated in
+        # tests/test_entry.py)
     ]
     assert len(_r4_window) == 50, len(_r4_window)
     _missing = [k for k in _r4_window if k not in out]

@@ -77,6 +77,7 @@ def main(argv: list[str] | None = None) -> int:
     gp.add_argument("--corpus", required=True)
     gp.add_argument("--pattern", required=True)
     gp.add_argument("--regex", action="store_true")
+    gp.add_argument("-i", "--ignore-case", action="store_true")
     gp.add_argument(
         "--lines",
         action="store_true",
@@ -330,11 +331,19 @@ def _run(args) -> int:
 
         ti = TrigramIndex(args.index, args.corpus)
         if args.lines:
-            t = ti.grep(args.pattern, regex=args.regex)
+            t = ti.grep(
+                args.pattern,
+                regex=args.regex,
+                ignore_case=args.ignore_case,
+            )
         elif args.regex:
-            t = ti.regexp_search(args.pattern)
+            t = ti.regexp_search(
+                args.pattern, ignore_case=args.ignore_case
+            )
         else:
-            t = ti.substring_search(args.pattern)
+            t = ti.substring_search(
+                args.pattern, ignore_case=args.ignore_case
+            )
         if args.json:
             print(json.dumps(t.to_pylist()))
         else:

@@ -473,6 +473,64 @@ class _TriSegment:
             )
         return cand
 
+    def union_posting(self, tris: list[int]) -> np.ndarray:
+        parts = [self.posting(t) for t in tris]
+        parts = [p for p in parts if p is not None and p.size]
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(parts))
+
+    def intersect_variants(
+        self, pos_variants: list[list[int]]
+    ) -> np.ndarray:
+        """Case-insensitive AND: for each trigram POSITION of the folded
+        needle, a doc must contain SOME case variant (union), and every
+        position must hold (intersection). Positions ordered by total
+        variant df, rarest first."""
+        if not pos_variants:
+            return np.empty(0, dtype=np.int64)
+        ordered = sorted(
+            pos_variants,
+            key=lambda vs: sum(self.df_of(t) for t in vs),
+        )
+        cand = self.union_posting(ordered[0])
+        for vs in ordered[1:]:
+            if cand.size == 0:
+                break
+            cand = np.intersect1d(
+                cand, self.union_posting(vs), assume_unique=True
+            )
+        return cand
+
+
+def case_variant_tris(needle: str) -> list[list[int]] | None:
+    """Per-position case-variant trigram codes for a case-folded needle.
+
+    Only ASCII letters fold byte-stably (UTF-8 case pairs can change
+    byte length); a needle with non-ASCII letters returns None and the
+    caller full-scans — the verify stage is still exact either way."""
+    if any(ord(ch) >= 128 and ch.isalpha() for ch in needle):
+        return None
+    b = needle.lower().encode("utf-8")
+    if len(b) < 3:
+        return None
+    out: list[list[int]] = []
+    for i in range(len(b) - 2):
+        win = b[i : i + 3]
+        variants = set()
+        for mask in range(8):
+            v = [
+                (
+                    win[j] ^ 0x20
+                    if (mask >> j) & 1 and 97 <= win[j] <= 122
+                    else win[j]
+                )
+                for j in range(3)
+            ]
+            variants.add((v[0] << 16) | (v[1] << 8) | v[2])
+        out.append(sorted(variants))
+    return out
+
 
 _HITS_EMPTY = pa.table(
     {
@@ -499,7 +557,11 @@ def _text_col_of(t: pa.Table, id_col: str | None) -> str:
 
 
 def _grep_kernel(
-    t: pa.Table, pattern: str, regex: bool, id_col: str | None
+    t: pa.Table,
+    pattern: str,
+    regex: bool,
+    id_col: str | None,
+    ignore_case: bool = False,
 ) -> pa.Table:
     """Split candidate docs into lines and keep matching lines with
     1-based line numbers — all Arrow kernels (split_pattern, flatten,
@@ -538,11 +600,17 @@ def _grep_kernel(
     line_no = (
         np.arange(len(flat), dtype=np.int64) - first[parent] + 1
     )
-    counts = (
-        pc.count_substring_regex(flat, pattern)
-        if regex
-        else pc.count_substring(flat, pattern)
-    )
+    if regex:
+        pat = f"(?i){pattern}" if ignore_case else pattern
+        counts = pc.count_substring_regex(flat, pat)
+    elif ignore_case:
+        # lower-both-sides, the exact SQL-twin idiom (not RE2
+        # case-folding) — parity with contains(lower(x), lower(n))
+        counts = pc.count_substring(
+            pc.utf8_lower(flat), pattern.lower()
+        )
+    else:
+        counts = pc.count_substring(flat, pattern)
     counts_np = pc.fill_null(
         pc.cast(counts, pa.int64()), 0
     ).to_numpy(zero_copy_only=False)
@@ -618,26 +686,61 @@ class TrigramIndex:
             return np.empty(0, dtype=np.int64)
         return np.unique(np.concatenate(parts))
 
-    def substring_candidates(self, needle: str) -> np.ndarray | None:
+    def _candidates_variants(
+        self, pos_variants: list[list[int]]
+    ) -> np.ndarray:
+        parts = [s.intersect_variants(pos_variants) for s in self.segments]
+        parts = [p for p in parts if p.size]
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(parts))
+
+    def substring_candidates(
+        self, needle: str, ignore_case: bool = False
+    ) -> np.ndarray | None:
         """Candidate docIDs for a substring query; None = needle too
-        short for the trigram filter (<3 bytes) → caller full-scans."""
+        short for the trigram filter (<3 bytes), or non-ASCII-foldable
+        under ignore_case → caller full-scans."""
+        if ignore_case:
+            pv = case_variant_tris(needle)
+            if pv is None:
+                return None
+            return self._candidates_variants(pv)
         tris = string_trigrams(needle)
         if not tris:
             return None
         return self._candidates_all(tris)
 
-    def regex_candidates(self, pattern: str) -> np.ndarray | None:
+    def regex_candidates(
+        self, pattern: str, ignore_case: bool = False
+    ) -> np.ndarray | None:
         """Candidate docIDs from the pattern's required-literal DNF;
-        None = no usable literals → caller full-scans."""
+        None = no usable literals → caller full-scans. Under
+        ignore_case each literal goes through the case-variant
+        intersection; any non-foldable literal degrades that
+        alternative to no-requirement → full scan (still exact)."""
         dnf = required_literals(pattern)
         if dnf is None:
             return None
         parts = []
         for alt in dnf:
-            tris = sorted(
-                {t for lit in alt for t in string_trigrams(lit)}
-            )
-            p = self._candidates_all(tris)
+            if ignore_case:
+                lit_cands = []
+                for lit in alt:
+                    pv = case_variant_tris(lit)
+                    if pv is None:
+                        return None  # can't bound this alternative
+                    lit_cands.append(self._candidates_variants(pv))
+                p = lit_cands[0]
+                for q in lit_cands[1:]:
+                    if p.size == 0:
+                        break
+                    p = np.intersect1d(p, q, assume_unique=True)
+            else:
+                tris = sorted(
+                    {t for lit in alt for t in string_trigrams(lit)}
+                )
+                p = self._candidates_all(tris)
             if p.size:
                 parts.append(p)
         if not parts:
@@ -780,36 +883,56 @@ class TrigramIndex:
 
     # -- public search API ----------------------------------------------
 
-    def substring_search(self, needle: str) -> pa.Table:
-        """Exact substring search (case-sensitive, byte semantics —
-        DuckDB ``contains()`` twin): (doc_id, n_matches) sorted by id.
-        Occurrence counts are non-overlapping leftmost, identical to the
-        length-difference SQL idiom."""
-        cand = self.substring_candidates(needle)
+    def substring_search(
+        self, needle: str, ignore_case: bool = False
+    ) -> pa.Table:
+        """Exact substring search (byte semantics — DuckDB
+        ``contains()`` twin; ignore_case = the lower-both-sides idiom,
+        ``contains(lower(text), lower(needle))``): (doc_id, n_matches)
+        sorted by id. Occurrence counts are non-overlapping leftmost,
+        identical to the length-difference SQL idiom. Case-insensitive
+        candidates come from per-position case-variant unions over the
+        SAME index — no second case-folded index to build or store."""
+        cand = self.substring_candidates(needle, ignore_case=ignore_case)
 
-        def table_kernel(t, idc, needle=needle):
-            return _apply_kernel(
-                t, lambda col: pc.count_substring(col, needle), idc
-            )
+        def table_kernel(t, idc, needle=needle, nocase=ignore_case):
+            if nocase:
+                kern = lambda col: pc.count_substring(  # noqa: E731
+                    pc.utf8_lower(col), needle.lower()
+                )
+            else:
+                kern = lambda col: pc.count_substring(  # noqa: E731
+                    col, needle
+                )
+            return _apply_kernel(t, kern, idc)
 
         return self._verify(cand, table_kernel, _HITS_EMPTY)
 
-    def regexp_search(self, pattern: str) -> pa.Table:
+    def regexp_search(
+        self, pattern: str, ignore_case: bool = False
+    ) -> pa.Table:
         """Regex content search (RE2 partial-match semantics — DuckDB
-        ``regexp_matches()`` twin): (doc_id, n_matches) where n_matches
-        counts non-overlapping matches."""
-        cand = self.regex_candidates(pattern)
+        ``regexp_matches()`` twin; ignore_case prefixes ``(?i)``, the
+        identical RE2 flag both sides): (doc_id, n_matches) where
+        n_matches counts non-overlapping matches."""
+        cand = self.regex_candidates(pattern, ignore_case=ignore_case)
+        pat = f"(?i){pattern}" if ignore_case else pattern
 
-        def table_kernel(t, idc, pattern=pattern):
+        def table_kernel(t, idc, pat=pat):
             return _apply_kernel(
                 t,
-                lambda col: pc.count_substring_regex(col, pattern),
+                lambda col: pc.count_substring_regex(col, pat),
                 idc,
             )
 
         return self._verify(cand, table_kernel, _HITS_EMPTY)
 
-    def grep(self, pattern: str, regex: bool = False) -> pa.Table:
+    def grep(
+        self,
+        pattern: str,
+        regex: bool = False,
+        ignore_case: bool = False,
+    ) -> pa.Table:
         """grep-style line output: (doc_id, line_no, line, n_matches)
         for every line containing the pattern, sorted by (doc_id,
         line_no). Line numbers are 1-based; candidates come from the
@@ -817,13 +940,19 @@ class TrigramIndex:
         splitting / matching is vectorized Arrow (split_pattern +
         list_parent_indices), never a Python loop over lines."""
         cand = (
-            self.regex_candidates(pattern)
+            self.regex_candidates(pattern, ignore_case=ignore_case)
             if regex
-            else self.substring_candidates(pattern)
+            else self.substring_candidates(
+                pattern, ignore_case=ignore_case
+            )
         )
 
-        def table_kernel(t, idc, pattern=pattern, regex=regex):
-            return _grep_kernel(t, pattern, regex, idc)
+        def table_kernel(
+            t, idc, pattern=pattern, regex=regex, nocase=ignore_case
+        ):
+            return _grep_kernel(
+                t, pattern, regex, idc, ignore_case=nocase
+            )
 
         return self._verify(
             cand, table_kernel, _GREP_EMPTY, sort_keys=["doc_id", "line_no"]
@@ -846,6 +975,17 @@ class _TriSegmentActor:
 
     def intersect_all(self, tris: list[int]) -> np.ndarray:
         parts = [s.intersect(tris) for s in self.segments]
+        parts = [p for p in parts if p.size]
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(parts))
+
+    def intersect_variants_all(
+        self, pos_variants: list[list[int]]
+    ) -> np.ndarray:
+        parts = [
+            s.intersect_variants(pos_variants) for s in self.segments
+        ]
         parts = [p for p in parts if p.size]
         if not parts:
             return np.empty(0, dtype=np.int64)
@@ -887,6 +1027,22 @@ class DistributedTrigramIndex(TrigramIndex):
             return np.empty(0, dtype=np.int64)
         parts = ray.get(
             [a.intersect_all.remote(list(tris)) for a in self.actors]
+        )
+        parts = [p for p in parts if p.size]
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(parts))
+
+    def _candidates_variants(
+        self, pos_variants: list[list[int]]
+    ) -> np.ndarray:
+        if not pos_variants or not self.actors:
+            return np.empty(0, dtype=np.int64)
+        parts = ray.get(
+            [
+                a.intersect_variants_all.remote(pos_variants)
+                for a in self.actors
+            ]
         )
         parts = [p for p in parts if p.size]
         if not parts:

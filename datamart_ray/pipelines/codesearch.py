@@ -108,6 +108,22 @@ def cs_regex_hits(sf_dir: str) -> pd.DataFrame:
     )
 
 
+NOCASE_NEEDLE = "HASH Scan"  # wrong-case needle over a lowercase corpus
+
+
+def cs_substring_nocase(sf_dir: str) -> pd.DataFrame:
+    """Case-insensitive substring search (grep -i): candidates from
+    per-position case-variant unions over the same index, verify via
+    the lower-both-sides idiom — twin `contains(lower(text), lower(n))`.
+    The needle's case is deliberately wrong for the fixture, so a broken
+    fold would return zero rows and fail the row-count gate."""
+    return _hits_df(
+        get_trigram_index(sf_dir).substring_search(
+            NOCASE_NEEDLE, ignore_case=True
+        )
+    )
+
+
 def cs_regex_fullscan(sf_dir: str) -> pd.DataFrame:
     """Regex with no usable literal — pins the distributed full-scan
     verify fallback (same result contract, no trigram pruning)."""
@@ -197,6 +213,19 @@ def _substring_sql(needle: str) -> str:
     """
 
 
+def _substring_nocase_sql(needle: str) -> str:
+    lo = needle.lower()
+    return f"""
+        SELECT doc_id,
+               CAST((length(lower(text))
+                     - length(replace(lower(text), '{lo}', '')))
+                    / length('{lo}') AS BIGINT) AS n_matches
+        FROM documents
+        WHERE contains(lower(text), '{lo}')
+        ORDER BY doc_id
+    """
+
+
 def _regex_sql(pattern: str) -> str:
     return f"""
         SELECT doc_id,
@@ -212,10 +241,12 @@ QUERIES = {
     "cs_substring_rare_hits": cs_substring_rare_hits,
     "cs_regex_hits": cs_regex_hits,
     "cs_regex_fullscan": cs_regex_fullscan,
+    "cs_substring_nocase": cs_substring_nocase,
     "cs_ident_token_counts": cs_ident_token_counts,
 }
 
 SQL = {
+    "cs_substring_nocase": _substring_nocase_sql(NOCASE_NEEDLE),
     "cs_ident_token_counts": _ident_sql(),
     "cs_substring_hits": _substring_sql(SUBSTR_NEEDLE),
     "cs_substring_rare_hits": _substring_sql(SUBSTR_RARE_NEEDLE),

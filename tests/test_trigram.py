@@ -324,3 +324,53 @@ def test_distributed_index_parity(code_corpus, tmp_path, ray_session):
         )
     finally:
         dist.shutdown()
+
+
+def test_case_variant_tris():
+    # 'abc' folds over {a,A}x{b,B}x{c,C} = 8 variants per position
+    pv = tg.case_variant_tris("AbC")
+    assert pv is not None and len(pv) == 1 and len(pv[0]) == 8
+    # digits/punct are case-stable → single variant
+    pv = tg.case_variant_tris("1+2")
+    assert pv == [[tg.string_trigrams("1+2")[0]]]
+    # non-ASCII letters don't fold byte-stably → None (full scan)
+    assert tg.case_variant_tris("naïve") is None
+    assert tg.case_variant_tris("ab") is None
+
+
+def test_ignore_case_search(code_corpus, tri_index):
+    """Wrong-case needles must match the lowercase corpus under
+    ignore_case (and miss without it); counts equal the
+    lower-both-sides brute force."""
+    got = tri_index.substring_search("QZCOMMONNEEDLE", ignore_case=True)
+    want = tri_index.substring_search("qzcommonneedle")
+    assert got.equals(want)
+    assert (
+        tri_index.substring_search("QZCOMMONNEEDLE").num_rows == 0
+    )
+    got = tri_index.regexp_search("QZPAIRNEEDLE[AB]", ignore_case=True)
+    want = tri_index.regexp_search("qzpairneedle[ab]")
+    assert got.equals(want)
+    g = tri_index.grep("QZUNIQUENEEDLE", ignore_case=True)
+    assert g.num_rows == tri_index.grep("qzuniqueneedle").num_rows == 1
+
+
+def test_ignore_case_distributed_parity(
+    code_corpus, tmp_path, ray_session
+):
+    idx = str(tmp_path / "idx_nc")
+    tg.build_trigram_index(
+        code_corpus,
+        idx,
+        tg.TrigramConfig(text_col="content", segment_docs=64),
+    )
+    local = tg.TrigramIndex(idx, code_corpus)
+    dist = tg.DistributedTrigramIndex(idx, code_corpus, n_actors=2)
+    try:
+        assert dist.substring_search(
+            "QZCOMMONNEEDLE", ignore_case=True
+        ).equals(
+            local.substring_search("QZCOMMONNEEDLE", ignore_case=True)
+        )
+    finally:
+        dist.shutdown()
