@@ -419,6 +419,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cs_regex_fullscan",
         "cs_ident_token_counts",  # NEW r4: split_camel analyzer
         "cs_substring_nocase",  # NEW r4: case-variant candidates
+        "cs_substring_lang_filter",  # NEW r4: scoped search
+        "cs_match_stats_by_lang",  # NEW r4: per-group rollup
         # never driver-witnessed until now:
         "dd_containment_pairs",
         "dd_containment_survivors",
@@ -447,13 +449,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_autocomplete",
         "ft_boosting_topk",
         "ft_function_score_topk",
-        "ft_match_counts",
-        "ft_constant_score",
         # (ft_extended_stats rotated to the oracle-gated tail to make
         # room for rg_kmeans_ranges; ft_top_hits_per_lang,
         # ft_collapse_source_topk, ft_nchars_percentiles,
-        # ft_span_near_topk, ft_percolate and ft_index_stats rotated
-        # likewise for the cs_* family — all seven stay oracle-gated in
+        # ft_span_near_topk, ft_percolate, ft_index_stats,
+        # ft_match_counts and ft_constant_score rotated likewise for
+        # the nine-entry cs_* family — all stay oracle-gated in
         # tests/test_entry.py)
     ]
     assert len(_r4_window) == 50, len(_r4_window)

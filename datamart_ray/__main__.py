@@ -79,6 +79,19 @@ def main(argv: list[str] | None = None) -> int:
     gp.add_argument("--regex", action="store_true")
     gp.add_argument("-i", "--ignore-case", action="store_true")
     gp.add_argument(
+        "--filter",
+        action="append",
+        default=[],
+        dest="tri_filter",
+        help="metadata equality filter col=value (repeatable)",
+    )
+    gp.add_argument(
+        "--stats-by",
+        default=None,
+        help="emit per-group (n_docs, n_matches) rollup for this "
+        "metadata column instead of hits",
+    )
+    gp.add_argument(
         "--lines",
         action="store_true",
         help="emit (doc_id, line_no, line) grep output instead of "
@@ -330,22 +343,49 @@ def _run(args) -> int:
         from datamart_ray.index.trigram import TrigramIndex
 
         ti = TrigramIndex(args.index, args.corpus)
-        if args.lines:
+        flt = (
+            {
+                k: v
+                for k, v in (
+                    f.split("=", 1) for f in args.tri_filter
+                )
+            }
+            or None
+        )
+        if args.stats_by:
+            t = ti.match_stats_by(
+                args.pattern,
+                args.stats_by,
+                regex=args.regex,
+                ignore_case=args.ignore_case,
+            )
+        elif args.lines:
             t = ti.grep(
                 args.pattern,
                 regex=args.regex,
                 ignore_case=args.ignore_case,
+                filters=flt,
             )
         elif args.regex:
             t = ti.regexp_search(
-                args.pattern, ignore_case=args.ignore_case
+                args.pattern,
+                ignore_case=args.ignore_case,
+                filters=flt,
             )
         else:
             t = ti.substring_search(
-                args.pattern, ignore_case=args.ignore_case
+                args.pattern,
+                ignore_case=args.ignore_case,
+                filters=flt,
             )
         if args.json:
             print(json.dumps(t.to_pylist()))
+        elif args.stats_by:
+            for row in t.to_pylist():
+                print(
+                    f"{row[args.stats_by]}\t{row['n_docs']}"
+                    f"\t{row['n_matches']}"
+                )
         else:
             for row in t.to_pylist():
                 if args.lines:

@@ -556,16 +556,33 @@ def _text_col_of(t: pa.Table, id_col: str | None) -> str:
     raise ValueError(f"no text column in {t.column_names}")
 
 
+def _filter_rows(t: pa.Table, filters: dict | None) -> pa.Table:
+    """Equality metadata filters (repo/lang/… — the Zoekt-style scoped
+    grep), AND-combined, applied before the match kernel."""
+    if not filters:
+        return t
+    mask = None
+    for col, val in sorted(filters.items()):
+        m = pc.equal(t[col], val)
+        m = pc.fill_null(m, False)
+        mask = m if mask is None else pc.and_(mask, m)
+    return t.filter(mask)
+
+
 def _grep_kernel(
     t: pa.Table,
     pattern: str,
     regex: bool,
     id_col: str | None,
     ignore_case: bool = False,
+    filters: dict | None = None,
 ) -> pa.Table:
     """Split candidate docs into lines and keep matching lines with
     1-based line numbers — all Arrow kernels (split_pattern, flatten,
     parent indices), vectorized across every line of every doc."""
+    t = _filter_rows(t, filters)
+    if t.num_rows == 0:
+        return _GREP_EMPTY
     text = pc.fill_null(
         pc.cast(t[_text_col_of(t, id_col)], pa.string()), ""
     )
@@ -629,14 +646,24 @@ def _grep_kernel(
     )
 
 
-def _apply_kernel(t: pa.Table, kernel, id_col: str | None) -> pa.Table:
+def _apply_kernel(
+    t: pa.Table,
+    kernel,
+    id_col: str | None,
+    filters: dict | None = None,
+    group_col: str | None = None,
+) -> pa.Table:
     """Run the exact-match kernel over one table of candidate rows and
-    keep (doc_id, n_matches>0), sorted by doc_id. Module-level so verify
-    stages serialize only the kernel closure, never an index handle."""
-    text_col = t.column_names[0] if id_col is None else None
-    # the text column is whichever column isn't the id column
+    keep (doc_id, n_matches>0) (+ the group column when requested),
+    sorted by doc_id. Module-level so verify stages serialize only the
+    kernel closure, never an index handle."""
+    t = _filter_rows(t, filters)
+    non_text = {id_col, "__rowid", group_col} | set(
+        (filters or {}).keys()
+    )
+    text_col = None
     for c in t.column_names:
-        if c not in (id_col, "__rowid"):
+        if c not in non_text:
             text_col = c
     counts = kernel(t[text_col])
     counts = pc.fill_null(pc.cast(counts, pa.int64()), 0)
@@ -645,12 +672,14 @@ def _apply_kernel(t: pa.Table, kernel, id_col: str | None) -> pa.Table:
     ids_np = pc.cast(t[idc], pa.int64()).to_numpy(zero_copy_only=False)
     m = counts_np > 0
     order = np.argsort(ids_np[m], kind="stable")
-    return pa.table(
-        {
-            "doc_id": pa.array(ids_np[m][order], type=pa.int64()),
-            "n_matches": pa.array(counts_np[m][order], type=pa.int64()),
-        }
-    )
+    cols = {
+        "doc_id": pa.array(ids_np[m][order], type=pa.int64()),
+        "n_matches": pa.array(counts_np[m][order], type=pa.int64()),
+    }
+    if group_col is not None:
+        sel = np.flatnonzero(m)[order]
+        cols[group_col] = t[group_col].take(pa.array(sel))
+    return pa.table(cols)
 
 
 class TrigramIndex:
@@ -755,9 +784,12 @@ class TrigramIndex:
         table_kernel,
         empty: pa.Table,
         sort_keys: list[str] | None = None,
+        extra_cols: tuple = (),
     ) -> pa.Table:
         """Exact verify: runs ``table_kernel(candidate_rows, id_col)``
         and returns its concatenated output, sorted by ``sort_keys``.
+        ``extra_cols`` (metadata filters / group columns) ride the same
+        pruned reads — never a second corpus pass.
 
         cand=None or above VERIFY_FETCH_CAP → stream the corpus with a
         broadcast id filter inside map_batches (only the kernel's output
@@ -767,7 +799,7 @@ class TrigramIndex:
         if cand is not None and cand.size == 0:
             return empty
         if cand is not None and cand.size <= VERIFY_FETCH_CAP:
-            t = self._fetch(cand)
+            t = self._fetch(cand, extra_cols)
             return table_kernel(t, self.id_col)
 
         # the stage closure must capture only scalars + the broadcast
@@ -775,6 +807,7 @@ class TrigramIndex:
         # task would defeat the point of the index)
         ref = ray.put(cand)  # may be None → no pre-filter
         text_col, id_col = self.text_col, self.id_col
+        extra = tuple(extra_cols)
 
         def stage(t: pa.Table) -> pa.Table:
             from datamart_ray.util import isin_sorted
@@ -792,7 +825,8 @@ class TrigramIndex:
 
         if self.id_col:
             ds = rd.read_parquet(
-                self.src, columns=[self.id_col, self.text_col]
+                self.src,
+                columns=[self.id_col, self.text_col, *extra_cols],
             )
             out = ds.map_batches(stage, batch_format="pyarrow")
         else:
@@ -809,7 +843,9 @@ class TrigramIndex:
                     for rg in range(
                         spec["rg_start"], spec["rg_end"] + 1
                     ):
-                        t = pf.read_row_group(rg, columns=[text_col])
+                        t = pf.read_row_group(
+                            rg, columns=[text_col, *extra]
+                        )
                         t = t.append_column(
                             "__rowid",
                             pa.array(
@@ -839,7 +875,9 @@ class TrigramIndex:
             .sort_by([(k, "ascending") for k in sort_keys])
         )
 
-    def _fetch(self, ids: np.ndarray) -> pa.Table:
+    def _fetch(
+        self, ids: np.ndarray, extra_cols: tuple = ()
+    ) -> pa.Table:
         from datamart_ray.util import fetch_rows_by_ids
 
         if self.id_col:
@@ -847,7 +885,7 @@ class TrigramIndex:
                 self.src,
                 self.id_col,
                 ids,
-                [self.id_col, self.text_col],
+                [self.id_col, self.text_col, *extra_cols],
             )
         # dense ids: row-group-pruned read per file via the spec plan
         out = []
@@ -862,7 +900,9 @@ class TrigramIndex:
                 n = pf.metadata.row_group(rg).num_rows
                 sel = want[(want >= rg_base) & (want < rg_base + n)]
                 if sel.size:
-                    t = pf.read_row_group(rg, columns=[self.text_col])
+                    t = pf.read_row_group(
+                        rg, columns=[self.text_col, *extra_cols]
+                    )
                     t = t.append_column(
                         "__rowid",
                         pa.array(
@@ -873,18 +913,25 @@ class TrigramIndex:
                     out.append(t)
                 rg_base += n
         if not out:
-            return pa.table(
-                {
-                    self.text_col: pa.array([], type=pa.string()),
-                    "__rowid": pa.array([], type=pa.int64()),
-                }
-            )
+            sch = pq.ParquetFile(
+                self.manifest["files"][0]["path"]
+            ).schema_arrow
+            cols = {
+                self.text_col: pa.array([], type=pa.string()),
+                "__rowid": pa.array([], type=pa.int64()),
+            }
+            for c in extra_cols:
+                cols[c] = pa.array([], type=sch.field(c).type)
+            return pa.table(cols)
         return pa.concat_tables(out).combine_chunks()
 
     # -- public search API ----------------------------------------------
 
     def substring_search(
-        self, needle: str, ignore_case: bool = False
+        self,
+        needle: str,
+        ignore_case: bool = False,
+        filters: dict | None = None,
     ) -> pa.Table:
         """Exact substring search (byte semantics — DuckDB
         ``contains()`` twin; ignore_case = the lower-both-sides idiom,
@@ -895,7 +942,9 @@ class TrigramIndex:
         SAME index — no second case-folded index to build or store."""
         cand = self.substring_candidates(needle, ignore_case=ignore_case)
 
-        def table_kernel(t, idc, needle=needle, nocase=ignore_case):
+        def table_kernel(
+            t, idc, needle=needle, nocase=ignore_case, flt=filters
+        ):
             if nocase:
                 kern = lambda col: pc.count_substring(  # noqa: E731
                     pc.utf8_lower(col), needle.lower()
@@ -904,12 +953,20 @@ class TrigramIndex:
                 kern = lambda col: pc.count_substring(  # noqa: E731
                     col, needle
                 )
-            return _apply_kernel(t, kern, idc)
+            return _apply_kernel(t, kern, idc, filters=flt)
 
-        return self._verify(cand, table_kernel, _HITS_EMPTY)
+        return self._verify(
+            cand,
+            table_kernel,
+            _HITS_EMPTY,
+            extra_cols=tuple(sorted(filters)) if filters else (),
+        )
 
     def regexp_search(
-        self, pattern: str, ignore_case: bool = False
+        self,
+        pattern: str,
+        ignore_case: bool = False,
+        filters: dict | None = None,
     ) -> pa.Table:
         """Regex content search (RE2 partial-match semantics — DuckDB
         ``regexp_matches()`` twin; ignore_case prefixes ``(?i)``, the
@@ -918,20 +975,27 @@ class TrigramIndex:
         cand = self.regex_candidates(pattern, ignore_case=ignore_case)
         pat = f"(?i){pattern}" if ignore_case else pattern
 
-        def table_kernel(t, idc, pat=pat):
+        def table_kernel(t, idc, pat=pat, flt=filters):
             return _apply_kernel(
                 t,
                 lambda col: pc.count_substring_regex(col, pat),
                 idc,
+                filters=flt,
             )
 
-        return self._verify(cand, table_kernel, _HITS_EMPTY)
+        return self._verify(
+            cand,
+            table_kernel,
+            _HITS_EMPTY,
+            extra_cols=tuple(sorted(filters)) if filters else (),
+        )
 
     def grep(
         self,
         pattern: str,
         regex: bool = False,
         ignore_case: bool = False,
+        filters: dict | None = None,
     ) -> pa.Table:
         """grep-style line output: (doc_id, line_no, line, n_matches)
         for every line containing the pattern, sorted by (doc_id,
@@ -948,14 +1012,89 @@ class TrigramIndex:
         )
 
         def table_kernel(
-            t, idc, pattern=pattern, regex=regex, nocase=ignore_case
+            t,
+            idc,
+            pattern=pattern,
+            regex=regex,
+            nocase=ignore_case,
+            flt=filters,
         ):
             return _grep_kernel(
-                t, pattern, regex, idc, ignore_case=nocase
+                t, pattern, regex, idc, ignore_case=nocase, filters=flt
             )
 
         return self._verify(
-            cand, table_kernel, _GREP_EMPTY, sort_keys=["doc_id", "line_no"]
+            cand,
+            table_kernel,
+            _GREP_EMPTY,
+            sort_keys=["doc_id", "line_no"],
+            extra_cols=tuple(sorted(filters)) if filters else (),
+        )
+
+    def match_stats_by(
+        self,
+        pattern: str,
+        group_col: str,
+        regex: bool = False,
+        ignore_case: bool = False,
+    ) -> pa.Table:
+        """Per-group match rollup (grep -c per repo/lang/…): for every
+        value of ``group_col``, the number of matching docs and total
+        occurrences — (group, n_docs, n_matches) sorted by group. The
+        group column rides the same pruned verify reads; the rollup is
+        over hit rows only (hits-bounded, never corpus-bounded)."""
+        if regex:
+            cand = self.regex_candidates(pattern, ignore_case=ignore_case)
+            pat = f"(?i){pattern}" if ignore_case else pattern
+            kern = lambda col: pc.count_substring_regex(  # noqa: E731
+                col, pat
+            )
+        else:
+            cand = self.substring_candidates(
+                pattern, ignore_case=ignore_case
+            )
+            if ignore_case:
+                kern = lambda col: pc.count_substring(  # noqa: E731
+                    pc.utf8_lower(col), pattern.lower()
+                )
+            else:
+                kern = lambda col: pc.count_substring(  # noqa: E731
+                    col, pattern
+                )
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_matches": pa.array([], type=pa.int64()),
+                group_col: pa.array([], type=pa.string()),
+            }
+        )
+
+        def table_kernel(t, idc, kern=kern, gc=group_col):
+            return _apply_kernel(t, kern, idc, group_col=gc)
+
+        hits = self._verify(
+            cand, table_kernel, empty, extra_cols=(group_col,)
+        )
+        if hits.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], type=pa.string()),
+                    "n_docs": pa.array([], type=pa.int64()),
+                    "n_matches": pa.array([], type=pa.int64()),
+                }
+            )
+        agg = (
+            hits.group_by(group_col)
+            .aggregate([("doc_id", "count"), ("n_matches", "sum")])
+            .rename_columns([group_col, "n_docs", "n_matches"])
+            .sort_by(group_col)
+        )
+        return pa.table(
+            {
+                group_col: agg[group_col],
+                "n_docs": pc.cast(agg["n_docs"], pa.int64()),
+                "n_matches": pc.cast(agg["n_matches"], pa.int64()),
+            }
         )
 
 

@@ -109,6 +109,31 @@ def cs_regex_hits(sf_dir: str) -> pd.DataFrame:
 
 
 NOCASE_NEEDLE = "HASH Scan"  # wrong-case needle over a lowercase corpus
+FILTER_LANG = "en"  # lang filter for the scoped-search entry
+
+
+def cs_substring_lang_filter(sf_dir: str) -> pd.DataFrame:
+    """Scoped content search (Zoekt-style lang/repo filter): metadata
+    equality filters ride the same pruned verify reads — never a second
+    corpus pass or join."""
+    return _hits_df(
+        get_trigram_index(sf_dir).substring_search(
+            SUBSTR_NEEDLE, filters={"lang": FILTER_LANG}
+        )
+    )
+
+
+def cs_match_stats_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Per-group match rollup (grep -c per lang): (lang, n_docs,
+    n_matches); rollup is over hit rows only, hits-bounded."""
+    out = (
+        get_trigram_index(sf_dir)
+        .match_stats_by(SUBSTR_NEEDLE, "lang")
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_matches"] = out["n_matches"].astype("int64")
+    return out
 
 
 def cs_substring_nocase(sf_dir: str) -> pd.DataFrame:
@@ -213,6 +238,31 @@ def _substring_sql(needle: str) -> str:
     """
 
 
+def _substring_filter_sql(needle: str, lang: str) -> str:
+    return f"""
+        SELECT doc_id,
+               CAST((length(text) - length(replace(text, '{needle}', '')))
+                    / length('{needle}') AS BIGINT) AS n_matches
+        FROM documents
+        WHERE contains(text, '{needle}') AND lang = '{lang}'
+        ORDER BY doc_id
+    """
+
+
+def _match_stats_sql(needle: str) -> str:
+    return f"""
+        SELECT lang,
+               count(*)::BIGINT AS n_docs,
+               CAST(sum((length(text)
+                         - length(replace(text, '{needle}', '')))
+                        / length('{needle}')) AS BIGINT) AS n_matches
+        FROM documents
+        WHERE contains(text, '{needle}')
+        GROUP BY lang
+        ORDER BY lang
+    """
+
+
 def _substring_nocase_sql(needle: str) -> str:
     lo = needle.lower()
     return f"""
@@ -242,11 +292,17 @@ QUERIES = {
     "cs_regex_hits": cs_regex_hits,
     "cs_regex_fullscan": cs_regex_fullscan,
     "cs_substring_nocase": cs_substring_nocase,
+    "cs_substring_lang_filter": cs_substring_lang_filter,
+    "cs_match_stats_by_lang": cs_match_stats_by_lang,
     "cs_ident_token_counts": cs_ident_token_counts,
 }
 
 SQL = {
     "cs_substring_nocase": _substring_nocase_sql(NOCASE_NEEDLE),
+    "cs_substring_lang_filter": _substring_filter_sql(
+        SUBSTR_NEEDLE, FILTER_LANG
+    ),
+    "cs_match_stats_by_lang": _match_stats_sql(SUBSTR_NEEDLE),
     "cs_ident_token_counts": _ident_sql(),
     "cs_substring_hits": _substring_sql(SUBSTR_NEEDLE),
     "cs_substring_rare_hits": _substring_sql(SUBSTR_RARE_NEEDLE),

@@ -374,3 +374,57 @@ def test_ignore_case_distributed_parity(
         )
     finally:
         dist.shutdown()
+
+
+def test_filters_and_match_stats(code_corpus, tri_index, monkeypatch):
+    """Metadata equality filters + per-group rollup, fetch AND streaming
+    paths, against a brute force over (content, lang)."""
+    files = sorted(
+        os.path.join(code_corpus, f)
+        for f in os.listdir(code_corpus)
+        if f.endswith(".parquet")
+    )
+    texts, langs = [], []
+    for f in files:
+        t = pq.read_table(f, columns=["content", "lang"])
+        texts += t["content"].to_pylist()
+        langs += t["lang"].to_pylist()
+    needle = "qzcommonneedle"
+    want_ids = [
+        i
+        for i, (s, lg) in enumerate(zip(texts, langs))
+        if needle in (s or "") and lg == "python"
+    ]
+    got = tri_index.substring_search(needle, filters={"lang": "python"})
+    assert got["doc_id"].to_pylist() == want_ids
+
+    stats = tri_index.match_stats_by(needle, "lang")
+    want = {}
+    for s, lg in zip(texts, langs):
+        n = (s or "").count(needle)
+        if n:
+            d, m = want.get(lg, (0, 0))
+            want[lg] = (d + 1, m + n)
+    got_stats = {
+        r["lang"]: (r["n_docs"], r["n_matches"])
+        for r in stats.to_pylist()
+    }
+    assert got_stats == want
+    assert stats["lang"].to_pylist() == sorted(want)
+
+    # streaming path parity for both
+    monkeypatch.setattr(tg, "VERIFY_FETCH_CAP", -1)
+    assert tri_index.substring_search(
+        needle, filters={"lang": "python"}
+    ).equals(got)
+    assert tri_index.match_stats_by(needle, "lang").equals(stats)
+
+
+def test_grep_with_filter(code_corpus, tri_index):
+    full = tri_index.grep("qzcommonneedle")
+    scoped = tri_index.grep(
+        "qzcommonneedle", filters={"lang": "python"}
+    )
+    assert 0 < scoped.num_rows < full.num_rows
+    ids = set(scoped["doc_id"].to_pylist())
+    assert ids <= set(full["doc_id"].to_pylist())
