@@ -421,6 +421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cs_substring_nocase",  # NEW r4: case-variant candidates
         "cs_substring_lang_filter",  # NEW r4: scoped search
         "cs_match_stats_by_lang",  # NEW r4: per-group rollup
+        "cs_like_search",  # NEW r4: LIKE-wildcard search
         # never driver-witnessed until now:
         "dd_containment_pairs",
         "dd_containment_survivors",
@@ -448,14 +449,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_facet_cardinality",
         "ft_autocomplete",
         "ft_boosting_topk",
-        "ft_function_score_topk",
         # (ft_extended_stats rotated to the oracle-gated tail to make
         # room for rg_kmeans_ranges; ft_top_hits_per_lang,
         # ft_collapse_source_topk, ft_nchars_percentiles,
         # ft_span_near_topk, ft_percolate, ft_index_stats,
-        # ft_match_counts and ft_constant_score rotated likewise for
-        # the nine-entry cs_* family — all stay oracle-gated in
-        # tests/test_entry.py)
+        # ft_match_counts, ft_constant_score and
+        # ft_function_score_topk rotated likewise for the ten-entry
+        # cs_* family — all stay oracle-gated in tests/test_entry.py)
     ]
     assert len(_r4_window) == 50, len(_r4_window)
     _missing = [k for k in _r4_window if k not in out]

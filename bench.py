@@ -704,6 +704,43 @@ def run_soak() -> dict:
         len(verified) >= extra["verified_pairs_floor"]
     )
 
+    # --- trigram content index at sf1 (r4) --------------------------------
+    # 300k-doc segments: the pair exchange is bounded per segment
+    # (~5.5 GB each) instead of one 22 GB all-at-once — the designed
+    # mitigation for the single-node object store, same lesson as the
+    # sharded BM25 build above. Serving goes through the actor-pool
+    # handle (posting tables never on the driver at this size).
+    from datamart_ray.index.trigram import (
+        DistributedTrigramIndex,
+        TrigramConfig,
+        build_trigram_index,
+    )
+
+    tri_dir = os.path.join(SOAK_DIR, "tri_index")
+    shutil.rmtree(tri_dir, ignore_errors=True)
+    t0 = time.time()
+    build_trigram_index(
+        shard_dirs,
+        tri_dir,
+        TrigramConfig(text_col="content", segment_docs=300_000),
+    )
+    timings["trigram_build"] = round(time.time() - t0, 3)
+    extra["trigram_docs_per_sec"] = round(
+        n_docs / timings["trigram_build"], 1
+    )
+    t0 = time.time()
+    tri = DistributedTrigramIndex(tri_dir, shard_dirs, n_actors=4)
+    extra["tri_dist_open_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    hits = tri.substring_search("qzuniqueneedle")
+    extra["tri_substring_rare_sec"] = round(time.time() - t0, 4)
+    # one planted unique doc per shard
+    extra["tri_rare_hits_ok"] = bool(hits.num_rows == SOAK_SHARDS)
+    t0 = time.time()
+    tri.substring_search("qzpairneedlea qz")
+    extra["tri_substring_mid_sec"] = round(time.time() - t0, 3)
+    tri.shutdown()
+
     # --- memory + spill ----------------------------------------------------
     stop.set()
     sampler.join()

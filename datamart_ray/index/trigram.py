@@ -55,7 +55,7 @@ import ray
 import ray.data as rd
 
 from datamart_ray.index import codec
-from datamart_ray.index.build import plan_specs
+from datamart_ray.index.build import _expand_paths, plan_specs
 from datamart_ray.index.manifest import (
     atomic_write_json,
     commit_segment_dir,
@@ -221,16 +221,9 @@ def build_trigram_index(
     from datamart_ray.util import ensure_fast_shuffle
 
     config = config or TrigramConfig()
-    if isinstance(src, str) and os.path.isdir(src):
-        files = sorted(
-            os.path.join(src, f)
-            for f in os.listdir(src)
-            if f.endswith(".parquet")
-        )
-    elif isinstance(src, str):
-        files = [src]
-    else:
-        files = sorted(src)
+    files = _expand_paths(src)
+    if not files:
+        raise ValueError(f"no parquet files under {src!r}")
     specs, file_infos = plan_specs(files, config.docs_per_spec)
 
     # segment = contiguous run of specs covering ≤ segment_docs docs
@@ -1030,6 +1023,38 @@ class TrigramIndex:
             sort_keys=["doc_id", "line_no"],
             extra_cols=tuple(sorted(filters)) if filters else (),
         )
+
+    def like_search(self, pattern: str) -> pa.Table:
+        """SQL LIKE content search (``%``/``_`` wildcards, no ESCAPE
+        clause — DuckDB ``LIKE`` twin): (doc_id, n_matches=1) for
+        matching docs. Candidates: every literal run (between
+        wildcards) of ≥3 bytes must be present, so the trigram AND
+        covers all runs at once; a pattern with no such run full-scans.
+        Verify is Arrow ``match_like`` — the same SQL semantics
+        (anchored: a pattern without leading/trailing ``%`` must match
+        the whole string)."""
+        import re as _re
+
+        lits = [
+            run
+            for run in _re.split(r"[%_]", pattern)
+            if len(run) >= 3
+        ]
+        tris = sorted(
+            {t for lit in lits for t in string_trigrams(lit)}
+        )
+        cand = self._candidates_all(tris) if tris else None
+
+        def table_kernel(t, idc, pattern=pattern):
+            return _apply_kernel(
+                t,
+                lambda col: pc.cast(
+                    pc.match_like(col, pattern), pa.int64()
+                ),
+                idc,
+            )
+
+        return self._verify(cand, table_kernel, _HITS_EMPTY)
 
     def match_stats_by(
         self,

@@ -157,6 +157,26 @@ def cs_regex_fullscan(sf_dir: str) -> pd.DataFrame:
     )
 
 
+LIKE_PATTERN = "%hash scan%order%"  # ordered multi-literal LIKE
+
+
+def cs_like_search(sf_dir: str) -> pd.DataFrame:
+    """SQL LIKE content search: trigram AND over every ≥3-byte literal
+    run between wildcards, Arrow match_like verify — DuckDB LIKE twin."""
+    return _hits_df(
+        get_trigram_index(sf_dir).like_search(LIKE_PATTERN)
+    )
+
+
+def _like_sql(pattern: str) -> str:
+    return f"""
+        SELECT doc_id, 1::BIGINT AS n_matches
+        FROM documents
+        WHERE text LIKE '{pattern}'
+        ORDER BY doc_id
+    """
+
+
 # deterministic camelCase derivation for the identifier-splitting
 # entry: both sides apply the SAME replace chain to documents.text, so
 # the fixture (all-lowercase word soup) gains real camelCase/PascalCase
@@ -294,10 +314,12 @@ QUERIES = {
     "cs_substring_nocase": cs_substring_nocase,
     "cs_substring_lang_filter": cs_substring_lang_filter,
     "cs_match_stats_by_lang": cs_match_stats_by_lang,
+    "cs_like_search": cs_like_search,
     "cs_ident_token_counts": cs_ident_token_counts,
 }
 
 SQL = {
+    "cs_like_search": _like_sql(LIKE_PATTERN),
     "cs_substring_nocase": _substring_nocase_sql(NOCASE_NEEDLE),
     "cs_substring_lang_filter": _substring_filter_sql(
         SUBSTR_NEEDLE, FILTER_LANG

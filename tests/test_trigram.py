@@ -428,3 +428,44 @@ def test_grep_with_filter(code_corpus, tri_index):
     assert 0 < scoped.num_rows < full.num_rows
     ids = set(scoped["doc_id"].to_pylist())
     assert ids <= set(full["doc_id"].to_pylist())
+
+
+def test_like_search(code_corpus, tri_index):
+    """LIKE semantics parity against a regex translation of the
+    pattern (fullmatch, % -> .*, _ -> .), including the anchored
+    (no leading %) case."""
+    import re as _re
+
+    files = sorted(
+        os.path.join(code_corpus, f)
+        for f in os.listdir(code_corpus)
+        if f.endswith(".parquet")
+    )
+    texts = []
+    for f in files:
+        texts += pq.read_table(f, columns=["content"])[
+            "content"
+        ].to_pylist()
+
+    def like_re(pattern):
+        out = ""
+        for ch in pattern:
+            out += (
+                ".*" if ch == "%" else "." if ch == "_"
+                else _re.escape(ch)
+            )
+        return _re.compile(out, _re.DOTALL)
+
+    for pattern in [
+        "%qzcommonneedle%qzpairneedlea%",
+        "%qzuniqueneedle%",
+        "qzneverstarts%",
+    ]:
+        got = tri_index.like_search(pattern)["doc_id"].to_pylist()
+        rx = like_re(pattern)
+        want = [
+            i
+            for i, s in enumerate(texts)
+            if rx.fullmatch(s or "")
+        ]
+        assert got == want, pattern
