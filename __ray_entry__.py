@@ -454,7 +454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ft_collapse_source_topk, ft_nchars_percentiles,
         # ft_span_near_topk, ft_percolate, ft_index_stats,
         # ft_match_counts, ft_constant_score and
-        # ft_function_score_topk rotated likewise for the ten-entry
+        # ft_function_score_topk rotated likewise for the nine-entry
         # cs_* family — all stay oracle-gated in tests/test_entry.py)
     ]
     assert len(_r4_window) == 50, len(_r4_window)

@@ -358,6 +358,7 @@ def _run(args) -> int:
                 args.stats_by,
                 regex=args.regex,
                 ignore_case=args.ignore_case,
+                filters=flt,
             )
         elif args.lines:
             t = ti.grep(

@@ -55,7 +55,7 @@ import ray
 import ray.data as rd
 
 from datamart_ray.index import codec
-from datamart_ray.index.build import _expand_paths, plan_specs
+from datamart_ray.index.build import _cpus, _expand_paths, plan_specs
 from datamart_ray.index.manifest import (
     atomic_write_json,
     commit_segment_dir,
@@ -178,13 +178,6 @@ def string_trigrams(s: str) -> list[int]:
 # Build
 # ----------------------------------------------------------------------
 
-def _cpus() -> int:
-    try:
-        return int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        return 8
-
-
 def _encode_bucket(t: pa.Table) -> pa.Table:
     """Sort one bucket by (tri, doc) and split into per-trigram rows.
 
@@ -217,7 +210,13 @@ def build_trigram_index(
 
     One segment per ``segment_docs``-doc range of the planned input;
     committed segments are skipped on re-run (checkpoint-resume, same
-    contract as ``build.build_index``)."""
+    contract as ``build.build_index``, including the per-index write
+    lock serializing concurrent builders). Segment names carry their
+    (doc_base, n_docs) range, so a re-run with a different
+    ``segment_docs`` produces fresh names instead of silently skipping
+    ranges under a stale name; ``trigram_index.json`` records the
+    active segment list and the reader serves only those."""
+    from datamart_ray.index.manifest import index_write_lock
     from datamart_ray.util import ensure_fast_shuffle
 
     config = config or TrigramConfig()
@@ -241,8 +240,27 @@ def build_trigram_index(
 
     os.makedirs(index_dir, exist_ok=True)
     text_col, id_col = config.text_col, config.id_col
-    for gi, group in enumerate(seg_groups):
-        seg_name = f"tri{gi:05d}"
+    with index_write_lock(index_dir):
+        return _build_segments(
+            index_dir, seg_groups, file_infos, config
+        )
+
+
+def _build_segments(
+    index_dir: str,
+    seg_groups: list,
+    file_infos: list,
+    config: TrigramConfig,
+) -> dict:
+    from datamart_ray.util import ensure_fast_shuffle
+
+    text_col, id_col = config.text_col, config.id_col
+    seg_names = []
+    for group in seg_groups:
+        base = int(group[0]["base"])
+        n_docs = int(sum(s["n_rows"] for s in group))
+        seg_name = f"tri-{base:012d}-{n_docs:09d}"
+        seg_names.append(seg_name)
         seg_root = os.path.join(index_dir, "segments")
         os.makedirs(seg_root, exist_ok=True)
         final_dir = os.path.join(seg_root, seg_name)
@@ -309,7 +327,18 @@ def build_trigram_index(
             .map_groups(encode, batch_format="pyarrow")
             .write_parquet(postings_dir, row_group_size=4096)
         )
-        n_docs = sum(s["n_rows"] for s in group)
+        import glob as _glob
+
+        if not _glob.glob(os.path.join(postings_dir, "*.parquet")):
+            # every doc in the range was null/shorter than 3 bytes —
+            # commit an honestly-empty segment instead of crashing on
+            # the empty dir read (Ray skips even the dir creation when
+            # the dataset produced zero blocks)
+            os.makedirs(postings_dir, exist_ok=True)
+            pq.write_table(
+                TRI_POSTINGS_SCHEMA.empty_table(),
+                os.path.join(postings_dir, "empty.parquet"),
+            )
         meta = pq.read_table(postings_dir, columns=["tri", "df"])
         manifest = {
             "segment": seg_name,
@@ -331,6 +360,7 @@ def build_trigram_index(
         "text_col": text_col,
         "id_col": id_col,
         "n_segments": len(seg_groups),
+        "segments": seg_names,
         "files": file_infos,
     }
     atomic_write_json(
@@ -352,6 +382,8 @@ def required_literals(pattern: str) -> list[set[str]] | None:
     no usable literal — the caller must then verify by full scan. Sound
     over-approximation only: every true match satisfies at least one
     alternative's full literal set."""
+    import re as _re
+
     try:
         try:
             import re._parser as sre_parse  # py3.11+
@@ -359,6 +391,11 @@ def required_literals(pattern: str) -> list[set[str]] | None:
             import sre_parse
         tree = sre_parse.parse(pattern)
     except Exception:
+        return None
+    # a global inline flag like (?i) makes every literal case-insensitive
+    # while this extractor works on raw bytes — requiring the literals
+    # as written would silently drop matches. Full scan instead.
+    if getattr(tree.state, "flags", 0) & _re.IGNORECASE:
         return None
 
     def walk(seq) -> list[set[str]] | None:
@@ -387,6 +424,11 @@ def required_literals(pattern: str) -> list[set[str]] | None:
                     subs.extend(sd)
                 dnf = [a | s for a in dnf for s in subs]
             elif name == "SUBPATTERN":
+                add_flags = int(av[1] or 0)
+                if add_flags & _re.IGNORECASE:
+                    # (?i:...) group: its literals aren't case-stable;
+                    # require nothing from it (sound over-approximation)
+                    continue
                 sd = walk(av[3])
                 if sd is None:
                     return None
@@ -614,10 +656,10 @@ def _grep_kernel(
         pat = f"(?i){pattern}" if ignore_case else pattern
         counts = pc.count_substring_regex(flat, pat)
     elif ignore_case:
-        # lower-both-sides, the exact SQL-twin idiom (not RE2
-        # case-folding) — parity with contains(lower(x), lower(n))
+        # ASCII lower-both-sides — byte-stable, matching the
+        # case-variant candidate filter (see substring_search)
         counts = pc.count_substring(
-            pc.utf8_lower(flat), pattern.lower()
+            pc.ascii_lower(flat), pattern.lower()
         )
     else:
         counts = pc.count_substring(flat, pattern)
@@ -687,8 +729,30 @@ class TrigramIndex:
     def __init__(self, index_dir: str, src: str | list[str]):
         self._load_manifest(index_dir, src)
         self.segments = [
-            _TriSegment(d) for d in _committed_tri_segments(index_dir)
+            _TriSegment(d) for d in self._active_segment_dirs(index_dir)
         ]
+
+    def _active_segment_dirs(self, index_dir: str) -> list[str]:
+        """Committed segment dirs listed in trigram_index.json — the
+        manifest is the authority, so a committed dir left by an older
+        plan (different segment_docs → different range-names) is never
+        served; falls back to the directory scan for pre-manifest
+        indexes."""
+        listed = self.manifest.get("segments")
+        if not listed:
+            return _committed_tri_segments(index_dir)
+        seg_root = os.path.join(index_dir, "segments")
+        out = []
+        for name in listed:
+            d = os.path.join(seg_root, name)
+            if not segment_is_committed(d):
+                raise ValueError(
+                    f"trigram segment {name} listed in "
+                    f"trigram_index.json is not committed under "
+                    f"{seg_root} — incomplete build?"
+                )
+            out.append(d)
+        return out
 
     def _load_manifest(self, index_dir: str, src) -> None:
         import json
@@ -737,32 +801,26 @@ class TrigramIndex:
         self, pattern: str, ignore_case: bool = False
     ) -> np.ndarray | None:
         """Candidate docIDs from the pattern's required-literal DNF;
-        None = no usable literals → caller full-scans. Under
-        ignore_case each literal goes through the case-variant
-        intersection; any non-foldable literal degrades that
-        alternative to no-requirement → full scan (still exact)."""
+        None = no usable literals → caller full-scans.
+
+        ignore_case returns None unconditionally: the verify runs RE2
+        ``(?i)``, whose case folding is Unicode-aware (KELVIN SIGN
+        folds to ``k``), while trigram postings hold raw document
+        bytes — ASCII case-variant expansion of the literals cannot
+        soundly over-approximate that fold, so the honest answer is
+        the distributed full scan (the substring path keeps its fast
+        variants because its kernel folds ASCII-only)."""
+        if ignore_case:
+            return None
         dnf = required_literals(pattern)
         if dnf is None:
             return None
         parts = []
         for alt in dnf:
-            if ignore_case:
-                lit_cands = []
-                for lit in alt:
-                    pv = case_variant_tris(lit)
-                    if pv is None:
-                        return None  # can't bound this alternative
-                    lit_cands.append(self._candidates_variants(pv))
-                p = lit_cands[0]
-                for q in lit_cands[1:]:
-                    if p.size == 0:
-                        break
-                    p = np.intersect1d(p, q, assume_unique=True)
-            else:
-                tris = sorted(
-                    {t for lit in alt for t in string_trigrams(lit)}
-                )
-                p = self._candidates_all(tris)
+            tris = sorted(
+                {t for lit in alt for t in string_trigrams(lit)}
+            )
+            p = self._candidates_all(tris)
             if p.size:
                 parts.append(p)
         if not parts:
@@ -939,8 +997,13 @@ class TrigramIndex:
             t, idc, needle=needle, nocase=ignore_case, flt=filters
         ):
             if nocase:
+                # ASCII folding (ascii_lower), matching the candidate
+                # generator's byte-stable variants — a unicode fold
+                # (utf8_lower) would accept docs the trigram filter
+                # can't see (e.g. KELVIN SIGN → k) and silently split
+                # results between the two paths
                 kern = lambda col: pc.count_substring(  # noqa: E731
-                    pc.utf8_lower(col), needle.lower()
+                    pc.ascii_lower(col), needle.lower()
                 )
             else:
                 kern = lambda col: pc.count_substring(  # noqa: E731
@@ -1035,10 +1098,16 @@ class TrigramIndex:
         the whole string)."""
         import re as _re
 
+        # a backslash escapes the following wildcard for match_like,
+        # so a run containing one does not appear verbatim in matching
+        # text — exclude such runs from the trigram requirement (sound;
+        # the verify is exact either way). NB the DuckDB twin is only
+        # equivalent for backslash-free patterns (LIKE without ESCAPE
+        # treats backslash literally).
         lits = [
             run
             for run in _re.split(r"[%_]", pattern)
-            if len(run) >= 3
+            if len(run) >= 3 and "\\" not in run
         ]
         tris = sorted(
             {t for lit in lits for t in string_trigrams(lit)}
@@ -1062,6 +1131,7 @@ class TrigramIndex:
         group_col: str,
         regex: bool = False,
         ignore_case: bool = False,
+        filters: dict | None = None,
     ) -> pa.Table:
         """Per-group match rollup (grep -c per repo/lang/…): for every
         value of ``group_col``, the number of matching docs and total
@@ -1080,7 +1150,7 @@ class TrigramIndex:
             )
             if ignore_case:
                 kern = lambda col: pc.count_substring(  # noqa: E731
-                    pc.utf8_lower(col), pattern.lower()
+                    pc.ascii_lower(col), pattern.lower()
                 )
             else:
                 kern = lambda col: pc.count_substring(  # noqa: E731
@@ -1094,12 +1164,15 @@ class TrigramIndex:
             }
         )
 
-        def table_kernel(t, idc, kern=kern, gc=group_col):
-            return _apply_kernel(t, kern, idc, group_col=gc)
+        def table_kernel(t, idc, kern=kern, gc=group_col, flt=filters):
+            return _apply_kernel(
+                t, kern, idc, filters=flt, group_col=gc
+            )
 
-        hits = self._verify(
-            cand, table_kernel, empty, extra_cols=(group_col,)
+        extra = tuple(
+            sorted(set(filters or ()) | {group_col})
         )
+        hits = self._verify(cand, table_kernel, empty, extra_cols=extra)
         if hits.num_rows == 0:
             return pa.table(
                 {
@@ -1173,7 +1246,7 @@ class DistributedTrigramIndex(TrigramIndex):
     ):
         self._load_manifest(index_dir, src)
         self.segments = []  # never resident driver-side
-        seg_dirs = _committed_tri_segments(index_dir)
+        seg_dirs = self._active_segment_dirs(index_dir)
         if not seg_dirs:
             self.actors = []
             return

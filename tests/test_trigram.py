@@ -469,3 +469,81 @@ def test_like_search(code_corpus, tri_index):
             if rx.fullmatch(s or "")
         ]
         assert got == want, pattern
+
+
+def test_inline_ignorecase_flag_fullscans(code_corpus, tri_index):
+    """(?i) inline flag: literals are not case-stable, so the extractor
+    must require nothing (full scan) rather than emit case-sensitive
+    candidates that drop matches."""
+    assert tg.required_literals("(?i)qzcommonneedle") is None
+    got = tri_index.regexp_search("(?i)QZCOMMONNEEDLE")
+    want = tri_index.substring_search("qzcommonneedle")
+    assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+    # scoped group: the group's literals are skipped, the rest required
+    assert tg.required_literals("(?i:foo)barbaz") == [{"barbaz"}]
+
+
+def test_resume_with_changed_segment_docs(code_corpus, tmp_path):
+    """Re-running with a different segment_docs must serve the NEW
+    plan's segments (range-named + manifest-listed), never skip ranges
+    under a stale name."""
+    idx = str(tmp_path / "idx_replan")
+    tg.build_trigram_index(
+        code_corpus,
+        idx,
+        tg.TrigramConfig(text_col="content", segment_docs=64),
+    )
+    before = tg.TrigramIndex(idx, code_corpus)
+    n_before = len(before.segments)
+    assert n_before > 1
+    hits_before = before.substring_search("qzcommonneedle")
+    tg.build_trigram_index(
+        code_corpus, idx, tg.TrigramConfig(text_col="content")
+    )
+    after = tg.TrigramIndex(idx, code_corpus)
+    assert len(after.segments) == 1  # the new single-segment plan
+    assert after.substring_search("qzcommonneedle").equals(hits_before)
+
+
+def test_all_short_docs_commits_empty_segment(tmp_path, ray_session):
+    src = str(tmp_path / "short.parquet")
+    pq.write_table(
+        pa.table({"content": pa.array(["a", "bb", None, ""])}), src
+    )
+    idx = str(tmp_path / "idx_short")
+    tg.build_trigram_index(
+        src, idx, tg.TrigramConfig(text_col="content")
+    )
+    ti = tg.TrigramIndex(idx, src)
+    assert len(ti.segments) == 1
+    assert ti.substring_search("abc").num_rows == 0
+
+
+def test_match_stats_filters(code_corpus, tri_index):
+    full = tri_index.match_stats_by("qzcommonneedle", "lang")
+    only = tri_index.match_stats_by(
+        "qzcommonneedle", "lang", filters={"lang": "python"}
+    )
+    assert only["lang"].to_pylist() == ["python"]
+    frow = full.to_pylist()
+    want = next(r for r in frow if r["lang"] == "python")
+    assert only.to_pylist()[0] == want
+
+
+def test_like_backslash_escape(tmp_path, ray_session):
+    """A backslash-escaped %: match_like treats it as a literal '%';
+    runs containing the backslash must not poison the trigram filter."""
+    src = str(tmp_path / "pct.parquet")
+    pq.write_table(
+        pa.table(
+            {"content": pa.array(["abcdef%ghijkl", "abcdefghijkl"])}
+        ),
+        src,
+    )
+    idx = str(tmp_path / "idx_pct")
+    tg.build_trigram_index(
+        src, idx, tg.TrigramConfig(text_col="content")
+    )
+    ti = tg.TrigramIndex(idx, src)
+    got = ti.like_search(r"%abcdef\%ghijkl%")
+    assert got["doc_id"].to_pylist() == [0]
