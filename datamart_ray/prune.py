@@ -15,7 +15,7 @@ What is evictable:
 
 - **artifacts** — entries under an artifact root. The real layout is
   two-level (``{root}/{family}/{key}/...`` — ivf_centroids,
-  pq_codebooks, profile_index, idx), so the eviction UNIT is the whole
+  pq_codebooks, profile_index, idx, tridx), so the eviction UNIT is the whole
   ``{key}`` directory: removing a single file inside a cached index or
   a multi-file artifact would corrupt it, while removing the key dir is
   always safe — trainers/builders re-derive the artifact on demand
