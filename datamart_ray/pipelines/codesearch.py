@@ -139,9 +139,14 @@ def cs_match_stats_by_lang(sf_dir: str) -> pd.DataFrame:
 def cs_substring_nocase(sf_dir: str) -> pd.DataFrame:
     """Case-insensitive substring search (grep -i): candidates from
     per-position case-variant unions over the same index, verify via
-    the lower-both-sides idiom — twin `contains(lower(text), lower(n))`.
-    The needle's case is deliberately wrong for the fixture, so a broken
-    fold would return zero rows and fail the row-count gate."""
+    the lower-both-sides idiom. PINNED DEVIATION: the engine folds
+    ASCII only (``ascii_lower`` — byte-stable, so the trigram
+    candidate filter provably covers the kernel), while the DuckDB
+    twin's ``lower()`` is Unicode; they agree on any ASCII corpus
+    (this fixture) and diverge only on non-ASCII cased characters,
+    where the engine is deliberately conservative. The needle's case
+    is wrong for the fixture, so a broken fold returns zero rows and
+    fails the row-count gate."""
     return _hits_df(
         get_trigram_index(sf_dir).substring_search(
             NOCASE_NEEDLE, ignore_case=True
