@@ -22,7 +22,11 @@ Build (Ray-Data-native, one shuffle per segment):
     extract (stateless ``map_batches`` over zero-copy Arrow buffers)
       rolling 3-byte windows over the UTF-8 value buffer of the content
       column — pure numpy over the Arrow data buffer, no per-row Python —
-      deduplicated per doc → (tri:int32, doc_id:int64) pairs
+      deduplicated per doc → (tri:int32, doc_id) pairs — int32
+      in-segment offsets on dense-id builds (a third fewer exchange
+      bytes; measured neutral on one node where the sort is row-count
+      bound, but exchange bytes are what cross the network on a real
+      cluster)
     shuffle (the one all-to-all exchange; push-based sort shuffle)
       groupby on hash(tri) % B buckets, local sort per bucket, vectorized
       run-length split → one row per distinct trigram:
@@ -178,15 +182,21 @@ def string_trigrams(s: str) -> list[int]:
 # Build
 # ----------------------------------------------------------------------
 
-def _encode_bucket(t: pa.Table) -> pa.Table:
+def _encode_bucket(t: pa.Table, base: int = 0) -> pa.Table:
     """Sort one bucket by (tri, doc) and split into per-trigram rows.
 
-    The python loop below runs once per DISTINCT trigram in the bucket
-    (bounded by 2^24 / B), never per posting; each ``encode_docids`` is
-    a vectorized delta+varbyte pass over that trigram's whole list."""
+    ``base`` restores absolute docIDs when the pair exchange carried
+    int32 in-segment offsets (dense-id builds: a segment spans
+    ≤ segment_docs < 2^31 docs, and shipping 8 fewer bytes per pair
+    cuts the one wide exchange by a third). The python loop below runs
+    once per DISTINCT trigram in the bucket (bounded by 2^24 / B),
+    never per posting; each ``encode_docids`` is a vectorized
+    delta+varbyte pass over that trigram's whole list."""
     t = t.sort_by([("tri", "ascending"), ("doc_id", "ascending")])
     tri = t["tri"].to_numpy(zero_copy_only=False)
-    doc = t["doc_id"].to_numpy(zero_copy_only=False)
+    doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if base:
+        doc = doc + base
     if tri.size == 0:
         return TRI_POSTINGS_SCHEMA.empty_table()
     starts = np.flatnonzero(np.r_[True, tri[1:] != tri[:-1]])
@@ -282,6 +292,8 @@ def _build_segments(
         postings_dir = os.path.join(tmp_dir, "postings")
         os.makedirs(tmp_dir)
 
+        off_base = None if id_col else int(group[0]["base"])
+
         def extract(batch: pa.Table):
             for spec in batch.to_pylist():
                 pf = pq.ParquetFile(spec["path"])
@@ -300,6 +312,20 @@ def _build_segments(
                             t.num_rows, dtype=np.int64
                         )
                     pairs = trigram_pairs(t[text_col], ids_np)
+                    if off_base is not None:
+                        # dense ids: ship int32 in-segment offsets
+                        # through the exchange (restored in encode)
+                        pairs = pa.table(
+                            {
+                                "tri": pairs["tri"],
+                                "doc_id": pc.cast(
+                                    pc.subtract(
+                                        pairs["doc_id"], off_base
+                                    ),
+                                    pa.int32(),
+                                ),
+                            }
+                        )
                     rg_base += t.num_rows
                     if pairs.num_rows:
                         yield pairs
@@ -318,8 +344,12 @@ def _build_segments(
                 "bucket", pa.array(h.astype(np.int64))
             )
 
+        seg_base = int(off_base or 0)
+
         def encode(t: pa.Table) -> pa.Table:
-            return _encode_bucket(t.drop_columns(["bucket"]))
+            return _encode_bucket(
+                t.drop_columns(["bucket"]), base=seg_base
+            )
 
         (
             pairs.map_batches(add_bucket, batch_format="pyarrow")
