@@ -69,6 +69,13 @@ def main(argv: list[str] | None = None) -> int:
     tb.add_argument("--id-col", default=None)
     tb.add_argument("--segment-docs", type=int, default=4_000_000)
 
+    td = sub.add_parser(
+        "trigram-delta",
+        help="append never-seen parquet files to a trigram index",
+    )
+    td.add_argument("--index", required=True)
+    td.add_argument("--input", action="append", required=True)
+
     gp = sub.add_parser(
         "grep",
         help="substring/regex content search via the trigram index",
@@ -338,6 +345,11 @@ def _run(args) -> int:
             ),
         )
         print(json.dumps(manifest))
+        return 0
+    if args.cmd == "trigram-delta":
+        from datamart_ray.index.trigram import trigram_ingest_delta
+
+        print(json.dumps(trigram_ingest_delta(args.index, args.input)))
         return 0
     if args.cmd == "grep":
         from datamart_ray.index.trigram import TrigramIndex

@@ -261,11 +261,17 @@ def _build_segments(
     seg_groups: list,
     file_infos: list,
     config: TrigramConfig,
+    prior_manifest: dict | None = None,
 ) -> dict:
     from datamart_ray.util import ensure_fast_shuffle
 
     text_col, id_col = config.text_col, config.id_col
-    seg_names = []
+    seg_names = list(
+        (prior_manifest or {}).get("segments") or []
+    )
+    file_infos = list(
+        (prior_manifest or {}).get("files") or []
+    ) + list(file_infos)
     for group in seg_groups:
         base = int(group[0]["base"])
         n_docs = int(sum(s["n_rows"] for s in group))
@@ -389,7 +395,7 @@ def _build_segments(
         "kind": "trigram",
         "text_col": text_col,
         "id_col": id_col,
-        "n_segments": len(seg_groups),
+        "n_segments": len(seg_names),
         "segments": seg_names,
         "files": file_infos,
     }
@@ -397,6 +403,69 @@ def _build_segments(
         os.path.join(index_dir, "trigram_index.json"), idx_manifest
     )
     return idx_manifest
+
+
+def trigram_ingest_delta(
+    index_dir: str, new_files: str | list[str]
+) -> dict:
+    """Append never-seen parquet files as fresh delta segment(s) — the
+    trigram analog of ``maintain.ingest_delta``. New docs get dense ids
+    continuing after the current plan's last base (dense-id indexes);
+    already-ingested paths (canonical-path compare) are skipped, the
+    merged file list + segment list commit atomically under the
+    per-index write lock, and open readers keep serving the old
+    committed view until they reopen."""
+    import json
+
+    from datamart_ray.index.manifest import index_write_lock
+
+    with index_write_lock(index_dir):
+        man_path = os.path.join(index_dir, "trigram_index.json")
+        with open(man_path) as f:
+            man = json.load(f)
+        known = {
+            os.path.realpath(fi["path"]) for fi in man["files"]
+        }
+        files = [
+            f
+            for f in _expand_paths(new_files)
+            if os.path.realpath(f) not in known
+        ]
+        if not files:
+            return man
+        if man["id_col"]:
+            raise ValueError(
+                "delta ingest requires dense file-offset docIDs; an "
+                "id_col index derives ids from the data — rebuild "
+                "instead"
+            )
+        next_base = max(
+            (fi["base"] + fi["n_rows"] for fi in man["files"]),
+            default=0,
+        )
+        config = TrigramConfig(
+            text_col=man["text_col"], id_col=man["id_col"]
+        )
+        specs, file_infos = plan_specs(files, config.docs_per_spec)
+        for sp in specs:
+            sp["base"] += next_base
+        for fi in file_infos:
+            fi["base"] += next_base
+        seg_groups: list[list[dict]] = []
+        cur: list[dict] = []
+        cur_rows = 0
+        for sp in specs:
+            if cur and cur_rows + sp["n_rows"] > config.segment_docs:
+                seg_groups.append(cur)
+                cur, cur_rows = [], 0
+            cur.append(sp)
+            cur_rows += sp["n_rows"]
+        if cur:
+            seg_groups.append(cur)
+        return _build_segments(
+            index_dir, seg_groups, file_infos, config,
+            prior_manifest=man,
+        )
 
 
 # ----------------------------------------------------------------------

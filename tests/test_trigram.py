@@ -547,3 +547,46 @@ def test_like_backslash_escape(tmp_path, ray_session):
     ti = tg.TrigramIndex(idx, src)
     got = ti.like_search(r"%abcdef\%ghijkl%")
     assert got["doc_id"].to_pylist() == [0]
+
+
+def test_trigram_ingest_delta(code_corpus, tmp_path, ray_session):
+    """Delta ingest appends a fresh segment with continuing dense ids;
+    search spans old + new docs; re-ingesting the same path is a no-op
+    (canonical-path dedup)."""
+    idx = str(tmp_path / "idx_delta")
+    tg.build_trigram_index(
+        code_corpus, idx, tg.TrigramConfig(text_col="content")
+    )
+    before = tg.TrigramIndex(idx, code_corpus)
+    n_before = before.substring_search("qzcommonneedle").num_rows
+
+    delta = str(tmp_path / "delta.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "content": pa.array(
+                    ["brand new qzcommonneedle delta doc", "other"]
+                )
+            }
+        ),
+        delta,
+    )
+    man = tg.trigram_ingest_delta(idx, delta)
+    assert len(man["segments"]) == 2
+    src_all = [f["path"] for f in man["files"]]
+    after = tg.TrigramIndex(idx, src_all)
+    hits = after.substring_search("qzcommonneedle")
+    assert hits.num_rows == n_before + 1
+    # the delta doc's id continues after the original corpus
+    files = sorted(
+        os.path.join(code_corpus, f)
+        for f in os.listdir(code_corpus)
+        if f.endswith(".parquet")
+    )
+    n_orig = sum(
+        pq.ParquetFile(f).metadata.num_rows for f in files
+    )
+    assert hits["doc_id"].to_pylist()[-1] == n_orig
+    # idempotent re-ingest
+    man2 = tg.trigram_ingest_delta(idx, delta)
+    assert man2["segments"] == man["segments"]
