@@ -265,7 +265,10 @@ def date_hist_pipeline(sf_dir: str) -> pd.DataFrame:
     )
     pdf["n"] = pdf["n"].astype("int64")
     pdf["cum_n"] = pdf["n"].cumsum().astype("int64")
-    pdf["deriv"] = pdf["n"].diff().astype("Int64")
+    # float64/NaN, NOT nullable Int64/pd.NA: DuckDB's .df() materializes
+    # the twin's (n - LAG(n))::BIGINT NULL as float64 NaN, and the
+    # driver's value-hash distinguishes the two representations.
+    pdf["deriv"] = pdf["n"].diff().astype("float64")
     return pdf
 
 
@@ -626,9 +629,9 @@ def serial_diff_daily(sf_dir: str, lag: int = SERIAL_DIFF_LAG) -> pd.DataFrame:
     diff = np.full(n.size, np.nan)
     if n.size > lag:
         diff[lag:] = (n[lag:] - n[:-lag]).astype(np.float64)
-    out["diff"] = pd.array(
-        [None if np.isnan(x) else int(x) for x in diff], dtype="Int64"
-    )
+    # float64/NaN matches DuckDB's .df() materialization of the twin's
+    # ::BIGINT NULL column (nullable Int64/pd.NA hashes differently).
+    out["diff"] = diff
     return out
 
 

@@ -44,6 +44,56 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _assert_repr_equal(got: pd.DataFrame, want: pd.DataFrame, name: str):
+    """Driver-faithful compare: the real gate value-hashes canonical
+    representations, so dtype KIND must match exactly — a nullable
+    Int64/pd.NA column and DuckDB's float64/NaN materialization of a
+    NULL BIGINT hash differently even though assert_frame_equal
+    (check_dtype=False) calls them equal (the round-4 red-row bug)."""
+    import numpy as np
+
+    for c in got.columns:
+        g, w = got[c], want[c]
+        gk = g.dtype.kind if hasattr(g.dtype, "kind") else "X"
+        wk = w.dtype.kind if hasattr(w.dtype, "kind") else "X"
+        # pandas extension dtypes (Int64, boolean, string) have kind but
+        # are NOT the numpy representation DuckDB's .df() emits — treat
+        # any extension dtype as a representation mismatch.
+        g_ext = pd.api.types.is_extension_array_dtype(g.dtype)
+        w_ext = pd.api.types.is_extension_array_dtype(w.dtype)
+        assert g_ext == w_ext and gk == wk, (
+            f"{name}.{c}: representation mismatch "
+            f"{g.dtype!r} vs oracle {w.dtype!r} — the driver's value-hash "
+            "distinguishes these even when values compare equal"
+        )
+        if gk == "f":
+            ga, wa = g.to_numpy(np.float64), w.to_numpy(np.float64)
+            both_nan = np.isnan(ga) & np.isnan(wa)
+            close = np.isclose(ga, wa, rtol=0, atol=1e-9)
+            assert bool(np.all(both_nan | close)), f"{name}.{c}: values differ"
+        elif gk in "iub":
+            assert (g.to_numpy() == w.to_numpy()).all(), (
+                f"{name}.{c}: values differ"
+            )
+        else:
+            pd.testing.assert_series_equal(
+                g, w, check_dtype=False, check_names=False, obj=f"{name}.{c}"
+            )
+
+
+def test_gate_flags_nullable_int_vs_float_nan():
+    """Regression for the round-4 red driver rows: the gate must FAIL a
+    nullable Int64/pd.NA engine column against the oracle's float64/NaN
+    (the driver's value-hash distinguishes them; the old
+    check_dtype=False compare did not)."""
+    got = pd.DataFrame({"v": pd.array([1, None, 3], dtype="Int64")})
+    want = pd.DataFrame({"v": [1.0, float("nan"), 3.0]})
+    with pytest.raises(AssertionError, match="representation mismatch"):
+        _assert_repr_equal(got, want, "regress")
+    # and equal representations pass, NaN-for-NaN
+    _assert_repr_equal(want.copy(), want, "regress_ok")
+
+
 NAMES = sorted(entrymod.queries().keys())
 
 
@@ -60,9 +110,7 @@ def test_query_matches_oracle(ray_session, con, name):
     want = _normalize(con.execute(sqls[name]).df())
     assert list(got.columns) == list(want.columns), name
     assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
-    pd.testing.assert_frame_equal(
-        got, want, check_dtype=False, check_exact=False, rtol=0, atol=1e-9
-    )
+    _assert_repr_equal(got, want, name)
 
 
 def test_entry_smoke(ray_session):
