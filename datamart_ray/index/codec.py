@@ -23,19 +23,26 @@ _VB_THRESHOLDS = [np.uint64(1) << np.uint64(7 * k) for k in range(1, 10)]
 
 
 def _varbyte_emit(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Shared varbyte kernel: encode a non-empty uint64 array into a flat
-    byte buffer. Returns (uint8 byte buffer, per-value END offsets) so
-    callers can slice the stream per value/group. The only Python loop
-    runs once per BYTE POSITION (≤10 iterations), never per value."""
+    """Shared varbyte kernel: encode a non-empty unsigned array into a
+    flat byte buffer. Returns (uint8 byte buffer, per-value END offsets)
+    so callers can slice the stream per value/group. The only Python
+    loop runs once per OCCUPIED byte position (≤10 iterations, usually
+    1-3 — the threshold scan stops at the array max, and uint32 input
+    stays uint32, so small-delta posting streams touch a fraction of
+    the memory the unconditional uint64 version did)."""
+    amax = a.max()
     nbytes = np.ones(a.size, dtype=np.int64)
     for t in _VB_THRESHOLDS:
-        nbytes += a >= t
+        if amax < t:
+            break
+        nbytes += a >= a.dtype.type(t)
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
     out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    dt = a.dtype.type
     for j in range(int(nbytes.max())):
         mask = nbytes > j
-        chunk = (a[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        chunk = (a[mask] >> dt(7 * j)) & dt(0x7F)
         more = (nbytes[mask] - 1) > j
         out[starts[mask] + j] = chunk.astype(np.uint8) | (
             more.astype(np.uint8) << 7
@@ -110,7 +117,9 @@ def varbyte_encode_grouped(
 
     go = np.ascontiguousarray(group_offsets, dtype=np.int64)
     n_groups = int(go.size - 1)
-    a = np.ascontiguousarray(values, dtype=np.uint64)
+    a = np.ascontiguousarray(values)
+    if a.dtype not in (np.dtype(np.uint32), np.dtype(np.uint64)):
+        a = a.astype(np.uint64)  # uint32 passes through un-upcast
     if a.size == 0:
         return pa.array([b""] * n_groups, type=pa.binary())
     out, ends = _varbyte_emit(a)

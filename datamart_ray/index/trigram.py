@@ -22,15 +22,18 @@ Build (Ray-Data-native, one shuffle per segment):
     extract (stateless ``map_batches`` over zero-copy Arrow buffers)
       rolling 3-byte windows over the UTF-8 value buffer of the content
       column — pure numpy over the Arrow data buffer, no per-row Python —
-      deduplicated per doc → (tri:int32, doc_id) pairs — int32
-      in-segment offsets on dense-id builds (a third fewer exchange
-      bytes; measured neutral on one node where the sort is row-count
-      bound, but exchange bytes are what cross the network on a real
-      cluster)
+      deduplicated per doc, then PARTIAL-ENCODED per spec: one row per
+      distinct trigram of the block, (tri, lo, df, delta-varbyte docID
+      blob). The exchange ships these partial posting rows, NOT raw
+      (tri, doc) pairs — ~df-fold fewer rows cross the one all-to-all
+      (round-4 measured 182M raw pairs / 2.2 GB at sf0.1; the partial
+      rows are what fixed the 0.663 single-node build scaling).
     shuffle (the one all-to-all exchange; push-based sort shuffle)
-      groupby on hash(tri) % B buckets, local sort per bucket, vectorized
-      run-length split → one row per distinct trigram:
-      (tri, df, delta-varbyte docID blob)
+      groupby on hash(tri) % B buckets; the merge is ONE grouped varbyte
+      decode + segmented-cumsum restore + ONE grouped re-encode per
+      bucket (codec.varbyte_encode_grouped / decode_grouped_positions —
+      no per-trigram Python loop anywhere in the build) → one row per
+      distinct trigram: (tri, df, delta-varbyte docID blob)
     commit
       postings parquet + manifest per segment, atomic rename
       (index/manifest.py), resume skips committed segments.
@@ -182,33 +185,268 @@ def string_trigrams(s: str) -> list[int]:
 # Build
 # ----------------------------------------------------------------------
 
-def _encode_bucket(t: pa.Table, base: int = 0) -> pa.Table:
-    """Sort one bucket by (tri, doc) and split into per-trigram rows.
+# One row per distinct trigram of one extract block: lo/hi = the
+# partial's first/last docID (merge ordering + splice keys), docs =
+# delta-varbyte blob of the partial's docIDs (first value absolute).
+TRI_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("tri", pa.int32()),
+        ("lo", pa.int64()),
+        ("hi", pa.int64()),
+        ("df", pa.int32()),
+        ("docs", pa.binary()),
+    ]
+)
 
-    ``base`` restores absolute docIDs when the pair exchange carried
-    int32 in-segment offsets (dense-id builds: a segment spans
-    ≤ segment_docs < 2^31 docs, and shipping 8 fewer bytes per pair
-    cuts the one wide exchange by a third). The python loop below runs
-    once per DISTINCT trigram in the bucket (bounded by 2^24 / B),
-    never per posting; each ``encode_docids`` is a vectorized
-    delta+varbyte pass over that trigram's whole list."""
-    t = t.sort_by([("tri", "ascending"), ("doc_id", "ascending")])
-    tri = t["tri"].to_numpy(zero_copy_only=False)
-    doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    if base:
-        doc = doc + base
-    if tri.size == 0:
-        return TRI_POSTINGS_SCHEMA.empty_table()
+
+def _partials_from_sorted(
+    tri: np.ndarray, doc: np.ndarray
+) -> pa.Table:
+    """Partial rows from pairs ALREADY sorted by (tri, doc): run split
+    + one grouped varbyte emit (the blob column slices a single shared
+    byte buffer zero-copy)."""
     starts = np.flatnonzero(np.r_[True, tri[1:] != tri[:-1]])
     ends = np.r_[starts[1:], tri.size]
-    blobs = [
-        codec.encode_docids(doc[s:e]) for s, e in zip(starts, ends)
-    ]
+    # uint32 deltas when every value fits (in-segment offsets always
+    # do): the varbyte emit then streams half the bytes
+    small = bool(doc.max() < (1 << 32)) and bool(doc.min() >= 0)
+    dt = np.uint32 if small else np.uint64
+    deltas = np.empty(doc.size, dtype=dt)
+    if doc.size > 1:
+        deltas[1:] = (doc[1:] - doc[:-1]).astype(dt)
+    deltas[starts] = doc[starts].astype(dt)
+    blobs = codec.varbyte_encode_grouped(
+        deltas, np.r_[starts, doc.size]
+    )
     return pa.table(
         {
-            "tri": pa.array(tri[starts], type=pa.int32()),
+            "tri": pa.array(tri[starts].astype(np.int32)),
+            "lo": pa.array(doc[starts], type=pa.int64()),
+            "hi": pa.array(doc[ends - 1], type=pa.int64()),
             "df": pa.array((ends - starts).astype(np.int32)),
-            "docs": pa.array(blobs, type=pa.binary()),
+            "docs": blobs,
+        }
+    )
+
+
+def partial_posting_rows(
+    tri: np.ndarray, doc: np.ndarray
+) -> pa.Table:
+    """Partial-encode one block's distinct (tri, doc) pairs into per-
+    trigram posting rows BEFORE the exchange — ~df(block)-fold fewer
+    rows cross the one all-to-all shuffle than raw pairs. Fully
+    vectorized: one lexsort + one grouped varbyte emit per block."""
+    if tri.size == 0:
+        return TRI_PARTIAL_SCHEMA.empty_table()
+    order = np.lexsort((doc, tri))
+    tri = np.ascontiguousarray(tri, dtype=np.int64)[order]
+    doc = np.ascontiguousarray(doc, dtype=np.int64)[order]
+    return _partials_from_sorted(tri, doc)
+
+
+# ≤256 docs per dedup chunk so (tri<<8 | local) packs into uint32: the
+# per-doc-distinct sort runs on a ~4x-smaller, mostly-cache-resident
+# key array instead of a DRAM-streaming int64 one — critical because
+# 32 concurrent extract tasks on one node share memory bandwidth.
+_DEDUP_CHUNK = int(os.environ.get("GRAFT_TRI_DEDUP_CHUNK", "256"))
+
+
+def dense_partials(texts: pa.ChunkedArray | pa.Array, doc_base: int) -> pa.Table:
+    """Partial posting rows for one batch of DENSE-id docs (ids =
+    doc_base + row offset) — the whole extract kernel in uint32.
+
+    Per ≤256-doc chunk: rolling 3-byte windows over the column's UTF-8
+    buffer (numpy gathers, no per-row Python), then ONE np.unique over
+    packed uint32 (tri<<8 | local) keys gives per-doc dedup AND
+    (tri, doc) sort order in a single cache-friendly pass — no int64
+    lexsort anywhere. Chunks emit independent partial rows; the bucket
+    merge concatenates their disjoint ascending doc ranges."""
+    arr = texts.combine_chunks() if isinstance(
+        texts, pa.ChunkedArray
+    ) else texts
+    arr = pc.cast(arr, pa.large_string())
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    n = len(arr)
+    parts: list[pa.Table] = []
+    # int32 window positions when the batch's byte extent fits (a
+    # parquet row group always does) — half the index-array traffic
+    pos_dt = np.int32 if int(offsets[-1]) < (1 << 31) else np.int64
+    for c0 in range(0, n, _DEDUP_CHUNK):
+        c1 = min(c0 + _DEDUP_CHUNK, n)
+        offs = offsets[c0 : c1 + 1].astype(pos_dt)
+        lens = np.diff(offs)
+        wc = np.maximum(lens - 2, 0)
+        total = int(wc.sum())
+        if total == 0:
+            continue
+        cum = np.cumsum(wc, dtype=pos_dt)
+        pos = np.repeat(offs[:-1], wc) + (
+            np.arange(total, dtype=pos_dt) - np.repeat(cum - wc, wc)
+        )
+        tri = (
+            (data[pos].astype(np.uint32) << 8)
+            | data[pos + 1].astype(np.uint32)
+        ) << 8 | data[pos + 2]
+        local = np.repeat(
+            np.arange(c1 - c0, dtype=np.uint32), wc
+        )
+        u = np.unique((tri << np.uint32(8)) | local)
+        tri_u = (u >> np.uint32(8)).astype(np.int64)
+        doc_u = (u & np.uint32(0xFF)).astype(np.int64) + (
+            doc_base + c0
+        )
+        parts.append(_partials_from_sorted(tri_u, doc_u))
+    if not parts:
+        return TRI_PARTIAL_SCHEMA.empty_table()
+    return pa.concat_tables(parts)
+
+
+def _blob_buffers(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(value offsets, byte buffer) views of one binary array."""
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32)[
+        col.offset : col.offset + len(col) + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    return offs, data
+
+
+def _ramp_indices(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Flat gather indices covering [starts[i], starts[i]+lens[i]) for
+    every i — the repeat+arange multi-range trick (int64)."""
+    total = int(lens.sum())
+    cum = np.cumsum(lens)
+    return np.repeat(starts, lens) + (
+        np.arange(total, dtype=np.int64) - np.repeat(cum - lens, lens)
+    )
+
+
+def _merge_bucket(t: pa.Table, base: int = 0) -> pa.Table:
+    """Merge one bucket of partial posting rows into final per-trigram
+    rows by VARBYTE SPLICE: partials of one trigram hold disjoint
+    ascending docID ranges (dense builds), so the merged delta stream
+    differs from the concatenated partial blobs ONLY in each partial's
+    first varbyte (absolute lo → delta from the previous partial's hi,
+    + ``base`` on the first). The merge therefore re-encodes just one
+    value per partial ROW and bulk-copies every other byte with two
+    vectorized multi-range gathers — no decode of the posting values at
+    all. Interleaved ranges (arbitrary id_col ids) fall back to the
+    exact decode → sort → re-encode path."""
+    if t.num_rows == 0:
+        return TRI_POSTINGS_SCHEMA.empty_table()
+    t = t.sort_by([("tri", "ascending"), ("lo", "ascending")])
+    tri_r = t["tri"].to_numpy(zero_copy_only=False).astype(np.int64)
+    df_r = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lo = t["lo"].to_numpy(zero_copy_only=False)
+    hi = t["hi"].to_numpy(zero_copy_only=False)
+    col = t["docs"].combine_chunks()
+    offs, data = _blob_buffers(col)
+    n = t.num_rows
+    is_first = np.r_[True, tri_r[1:] != tri_r[:-1]]
+    prev_hi = np.empty(n, dtype=np.int64)
+    prev_hi[0] = 0
+    prev_hi[1:] = hi[:-1]
+    cont = ~is_first
+    if not bool(np.all(lo[cont] > prev_hi[cont])):
+        return _merge_bucket_decode(
+            tri_r, df_r, offs, data, base
+        )
+    first_delta = np.where(
+        is_first, lo + base, lo - prev_hi
+    ).astype(np.uint64)
+    nf_buf, nf_ends = codec._varbyte_emit(first_delta)
+    nf_len = np.diff(np.r_[0, nf_ends])
+    # old first-varbyte length per row: bytes until continuation clear
+    starts_b = offs[:-1]
+    fl = np.ones(n, dtype=np.int64)
+    alive = np.flatnonzero((data[starts_b] & 0x80) != 0)
+    step = 1
+    while alive.size:
+        fl[alive] += 1
+        step += 1
+        alive = alive[
+            (data[starts_b[alive] + (step - 1)] & 0x80) != 0
+        ]
+    tail_len = (offs[1:] - starts_b) - fl
+    out_len = nf_len + tail_len
+    dest_end = np.cumsum(out_len)
+    dest_start = dest_end - out_len
+    out = np.empty(int(dest_end[-1]) if n else 0, dtype=np.uint8)
+    out[_ramp_indices(dest_start, nf_len)] = nf_buf[
+        _ramp_indices(nf_ends - nf_len, nf_len)
+    ]
+    out[_ramp_indices(dest_start + nf_len, tail_len)] = data[
+        _ramp_indices(starts_b + fl, tail_len)
+    ]
+    rs = np.flatnonzero(is_first)
+    byte_offsets = np.r_[dest_start[rs], dest_end[-1]].astype(np.int32)
+    if int(dest_end[-1]) >= (1 << 31):
+        raise ValueError("bucket posting stream exceeds 2 GiB")
+    blobs = pa.Array.from_buffers(
+        pa.binary(),
+        rs.size,
+        [
+            None,
+            pa.py_buffer(byte_offsets.tobytes()),
+            pa.py_buffer(out.tobytes()),
+        ],
+    )
+    df_final = np.add.reduceat(df_r, rs)
+    return pa.table(
+        {
+            "tri": pa.array(tri_r[rs].astype(np.int32)),
+            "df": pa.array(df_final.astype(np.int32)),
+            "docs": blobs,
+        }
+    )
+
+
+def _merge_bucket_decode(
+    tri_r: np.ndarray,
+    df_r: np.ndarray,
+    offs: np.ndarray,
+    data: np.ndarray,
+    base: int,
+) -> pa.Table:
+    """Exact fallback merge: decode every partial, restore absolutes,
+    sort, re-encode. Used when partial ranges interleave (arbitrary
+    id_col ids)."""
+    buf = np.ascontiguousarray(data[offs[0] : offs[-1]])
+    vals = codec.decode_grouped_positions(buf, df_r)
+    tri_v = np.repeat(tri_r, df_r)
+    if vals.size > 1:
+        order = np.lexsort((vals, tri_v))
+        vals = vals[order]
+        tri_v = tri_v[order]
+        starts = np.flatnonzero(
+            np.r_[True, tri_v[1:] != tri_v[:-1]]
+        )
+    else:
+        starts = np.zeros(min(1, vals.size), dtype=np.int64)
+    if base:
+        vals = vals + base
+    ends = np.r_[starts[1:], vals.size]
+    deltas = np.empty(vals.size, dtype=np.uint64)
+    if vals.size > 1:
+        deltas[1:] = (vals[1:] - vals[:-1]).astype(np.uint64)
+    deltas[starts] = vals[starts].astype(np.uint64)
+    blobs = codec.varbyte_encode_grouped(
+        deltas, np.r_[starts, vals.size]
+    )
+    return pa.table(
+        {
+            "tri": pa.array(tri_v[starts].astype(np.int32)),
+            "df": pa.array((ends - starts).astype(np.int32)),
+            "docs": blobs,
         }
     )
 
@@ -301,42 +539,62 @@ def _build_segments(
         off_base = None if id_col else int(group[0]["base"])
 
         def extract(batch: pa.Table):
+            # one PARTIAL posting table per spec (typed-empty when every
+            # doc is null/short, so downstream blocks never lose schema)
             for spec in batch.to_pylist():
                 pf = pq.ParquetFile(spec["path"])
                 want = [text_col] + ([id_col] if id_col else [])
                 rg_base = spec["base"]
+                tables: list[pa.Table] = []
+                tri_parts: list[np.ndarray] = []
+                doc_parts: list[np.ndarray] = []
                 for rg in range(spec["rg_start"], spec["rg_end"] + 1):
                     t = pf.read_row_group(rg, columns=want)
                     if id_col:
+                        # arbitrary ids: distinct pairs + per-spec
+                        # lexsort (ids may be non-monotonic in row
+                        # order, so the uint32 fast path can't apply)
                         ids_np = (
                             pc.cast(t[id_col], pa.int64())
                             .combine_chunks()
                             .to_numpy(zero_copy_only=False)
                         )
+                        pairs = trigram_pairs(t[text_col], ids_np)
+                        if pairs.num_rows:
+                            tri_parts.append(
+                                pairs["tri"].to_numpy(
+                                    zero_copy_only=False
+                                )
+                            )
+                            doc_parts.append(
+                                pairs["doc_id"].to_numpy(
+                                    zero_copy_only=False
+                                )
+                            )
                     else:
-                        ids_np = rg_base + np.arange(
-                            t.num_rows, dtype=np.int64
+                        # dense ids: the uint32 chunk kernel, with
+                        # blobs carrying in-segment offsets (restored
+                        # in _merge_bucket) — smaller deltas, fewer
+                        # exchange bytes, cache-resident dedup sort
+                        p = dense_partials(
+                            t[text_col], rg_base - off_base
                         )
-                    pairs = trigram_pairs(t[text_col], ids_np)
-                    if off_base is not None:
-                        # dense ids: ship int32 in-segment offsets
-                        # through the exchange (restored in encode)
-                        pairs = pa.table(
-                            {
-                                "tri": pairs["tri"],
-                                "doc_id": pc.cast(
-                                    pc.subtract(
-                                        pairs["doc_id"], off_base
-                                    ),
-                                    pa.int32(),
-                                ),
-                            }
-                        )
+                        if p.num_rows:
+                            tables.append(p)
                     rg_base += t.num_rows
-                    if pairs.num_rows:
-                        yield pairs
+                if tri_parts:
+                    tables.append(
+                        partial_posting_rows(
+                            np.concatenate(tri_parts),
+                            np.concatenate(doc_parts),
+                        )
+                    )
+                if tables:
+                    yield pa.concat_tables(tables)
+                else:
+                    yield TRI_PARTIAL_SCHEMA.empty_table()
 
-        pairs = rd.from_items(group).map_batches(
+        partials = rd.from_items(group).map_batches(
             extract, batch_size=1, batch_format="pyarrow", num_cpus=1
         )
         B = config.num_buckets or max(32, 4 * _cpus())
@@ -353,12 +611,12 @@ def _build_segments(
         seg_base = int(off_base or 0)
 
         def encode(t: pa.Table) -> pa.Table:
-            return _encode_bucket(
+            return _merge_bucket(
                 t.drop_columns(["bucket"]), base=seg_base
             )
 
         (
-            pairs.map_batches(add_bucket, batch_format="pyarrow")
+            partials.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(encode, batch_format="pyarrow")
             .write_parquet(postings_dir, row_group_size=4096)

@@ -21,6 +21,107 @@ def _brute_trigrams(s: str) -> set:
     }
 
 
+def _brute_postings(tri: np.ndarray, doc: np.ndarray, base: int = 0):
+    """Reference result: {tri: sorted docID list} from raw pairs."""
+    out = {}
+    for t_, d_ in zip(tri.tolist(), doc.tolist()):
+        out.setdefault(int(t_), []).append(int(d_) + base)
+    return {k: sorted(v) for k, v in out.items()}
+
+
+@pytest.mark.parametrize("dense", [True, False])
+def test_partial_posting_exchange_matches_bruteforce(dense):
+    """The build exchange ships partial-encoded posting rows; splitting
+    the pairs into arbitrary blocks, partial-encoding each, shuffling
+    the row order, and merging per bucket must reproduce the exact
+    brute-force postings — for dense (disjoint ascending ranges) AND
+    arbitrary interleaved docIDs (the id_col lexsort-repair path)."""
+    from datamart_ray.index import codec
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    tri = rng.integers(0, 300, n).astype(np.int64)
+    if dense:
+        doc = np.arange(n, dtype=np.int64) // 4  # ascending, dup tris ok
+    else:
+        doc = rng.integers(0, 10_000_000, n).astype(np.int64)
+    # distinct (tri, doc) pairs, like trigram_pairs guarantees
+    u = np.unique(tri * (1 << 32) + doc)
+    tri, doc = u >> 32, u & 0xFFFFFFFF
+    want = _brute_postings(tri, doc, base=17)
+
+    # split into blocks: dense → contiguous doc ranges (the spec
+    # layout); arbitrary → random interleaved blocks
+    if dense:
+        order = np.argsort(doc, kind="stable")
+        blocks = np.array_split(order, 7)
+    else:
+        perm = rng.permutation(tri.size)
+        blocks = np.array_split(perm, 7)
+    parts = [
+        tg.partial_posting_rows(tri[b], doc[b]) for b in blocks
+    ]
+    exchanged = pa.concat_tables([p for p in parts if p.num_rows])
+    # shuffle exchange row order (the all-to-all gives no ordering)
+    idx = rng.permutation(exchanged.num_rows)
+    exchanged = exchanged.take(pa.array(idx))
+    merged = tg._merge_bucket(exchanged, base=17)
+    got = {
+        int(t_): codec.decode_docids(b_).tolist()
+        for t_, b_ in zip(
+            merged["tri"].to_pylist(), merged["docs"].to_pylist()
+        )
+    }
+    assert got == want
+    assert merged["df"].to_pylist() == [
+        len(want[t_]) for t_ in merged["tri"].to_pylist()
+    ]
+
+
+def test_dense_partials_matches_bruteforce():
+    """The uint32 chunk kernel (dense ids) must agree with the raw
+    trigram_pairs + lexsort path across chunk boundaries, nulls, short
+    docs, and multi-byte UTF-8."""
+    from datamart_ray.index import codec
+
+    rng = np.random.default_rng(11)
+    texts = []
+    toks = ["foo", "barbaz", "qux()", "naïve", "x", "", "zz"]
+    for i in range(700):  # > 2 chunks of 256
+        k = int(rng.integers(0, 9))
+        texts.append(
+            " ".join(
+                toks[int(j)] for j in rng.integers(0, len(toks), k)
+            )
+            or None
+        )
+    arr = pa.array(texts, type=pa.string())
+    base = 5000
+    got_t = tg.dense_partials(arr, base)
+    merged = tg._merge_bucket(got_t)
+    got = {
+        int(t_): codec.decode_docids(b_).tolist()
+        for t_, b_ in zip(
+            merged["tri"].to_pylist(), merged["docs"].to_pylist()
+        )
+    }
+    ids = base + np.arange(len(texts), dtype=np.int64)
+    pairs = tg.trigram_pairs(arr, ids)
+    want = _brute_postings(
+        pairs["tri"].to_numpy(zero_copy_only=False),
+        pairs["doc_id"].to_numpy(zero_copy_only=False),
+    )
+    assert got == want
+
+
+def test_partial_posting_rows_empty_is_typed():
+    t = tg.partial_posting_rows(
+        np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    )
+    assert t.schema.equals(tg.TRI_PARTIAL_SCHEMA)
+    assert tg._merge_bucket(t).schema.equals(tg.TRI_POSTINGS_SCHEMA)
+
+
 def test_trigram_pairs_matches_bruteforce():
     texts = [
         "hello world",
