@@ -69,6 +69,35 @@ def main(argv: list[str] | None = None) -> int:
     tb.add_argument("--id-col", default=None)
     tb.add_argument("--segment-docs", type=int, default=4_000_000)
 
+    tx = sub.add_parser(
+        "trigram-delete",
+        help="tombstone documents in a trigram index",
+    )
+    tx.add_argument("--index", required=True)
+    tx.add_argument("--ids", default=None)
+    tx.add_argument(
+        "--pattern",
+        default=None,
+        help="delete every doc whose content matches (substring; "
+        "--regex for RE2)",
+    )
+    tx.add_argument("--corpus", default=None, help="source parquet "
+                    "(required with --pattern)")
+    tx.add_argument("--regex", action="store_true")
+
+    tc = sub.add_parser(
+        "trigram-compact",
+        help="merge trigram segments, drop tombstones",
+    )
+    tc.add_argument("--index", required=True)
+    tc.add_argument(
+        "--max-segments",
+        type=int,
+        default=1,
+        help="keep at most N segments, merging the smallest first "
+        "(default 1: full compaction)",
+    )
+
     td = sub.add_parser(
         "trigram-delta",
         help="append never-seen parquet files to a trigram index",
@@ -345,6 +374,41 @@ def _run(args) -> int:
             ),
         )
         print(json.dumps(manifest))
+        return 0
+    if args.cmd == "trigram-delete":
+        from datamart_ray.index.trigram_maintain import (
+            trigram_delete_docs,
+            trigram_delete_matching,
+        )
+
+        if args.ids:
+            n = trigram_delete_docs(
+                args.index, [int(x) for x in args.ids.split(",")]
+            )
+        elif args.pattern:
+            if not args.corpus:
+                raise SystemExit(
+                    "trigram-delete --pattern needs --corpus"
+                )
+            n = trigram_delete_matching(
+                args.index,
+                args.corpus,
+                args.pattern,
+                regex=args.regex,
+            )
+        else:
+            raise SystemExit(
+                "trigram-delete needs --ids or --pattern"
+            )
+        print(json.dumps({"deleted": n}))
+        return 0
+    if args.cmd == "trigram-compact":
+        from datamart_ray.index.trigram_maintain import trigram_compact
+
+        out = trigram_compact(
+            args.index, max_segments=args.max_segments
+        )
+        print(json.dumps(out, default=str))
         return 0
     if args.cmd == "trigram-delta":
         from datamart_ray.index.trigram import trigram_ingest_delta

@@ -656,6 +656,9 @@ def _build_segments(
         "n_segments": len(seg_names),
         "segments": seg_names,
         "files": file_infos,
+        # every committed mutation bumps the version so version-keyed
+        # caches reopen (same invariant as index/manifest.py)
+        "version": int((prior_manifest or {}).get("version", 0)) + 1,
     }
     atomic_write_json(
         os.path.join(index_dir, "trigram_index.json"), idx_manifest
@@ -1114,11 +1117,19 @@ class TrigramIndex:
     def _load_manifest(self, index_dir: str, src) -> None:
         import json
 
+        from datamart_ray.index.trigram_maintain import (
+            read_tri_tombstones,
+        )
+
         with open(os.path.join(index_dir, "trigram_index.json")) as f:
             self.manifest = json.load(f)
         self.src = src
         self.text_col = self.manifest["text_col"]
         self.id_col = self.manifest["id_col"]
+        # tombstoned docIDs are filtered out of every search path (the
+        # postings keep them until trigram_compact makes the delete
+        # physical — the Lucene discipline, same as index/maintain.py)
+        self.tombstones = read_tri_tombstones(index_dir)
 
     # -- candidates ----------------------------------------------------
 
@@ -1203,7 +1214,12 @@ class TrigramIndex:
         broadcast id filter inside map_batches (only the kernel's output
         rows return to the driver); small candidate sets use the
         row-group-pruned fetch fast path."""
+        from datamart_ray.util import isin_sorted
+
         sort_keys = sort_keys or ["doc_id"]
+        tombs = self.tombstones
+        if cand is not None and tombs.size:
+            cand = cand[~isin_sorted(tombs, cand)]
         if cand is not None and cand.size == 0:
             return empty
         if cand is not None and cand.size <= VERIFY_FETCH_CAP:
@@ -1213,20 +1229,27 @@ class TrigramIndex:
         # the stage closure must capture only scalars + the broadcast
         # ref — NOT self (shipping the posting arrays to every verify
         # task would defeat the point of the index)
-        ref = ray.put(cand)  # may be None → no pre-filter
+        ref = ray.put((cand, tombs))  # cand may be None → no pre-filter
         text_col, id_col = self.text_col, self.id_col
         extra = tuple(extra_cols)
 
         def stage(t: pa.Table) -> pa.Table:
             from datamart_ray.util import isin_sorted
 
-            ids = ray.get(ref)
-            if ids is not None:
-                idc = id_col or "__rowid"
+            ids, tombs = ray.get(ref)
+            idc = id_col or "__rowid"
+            if ids is not None or tombs.size:
                 vals = pc.cast(t[idc], pa.int64()).to_numpy(
                     zero_copy_only=False
                 )
-                t = t.filter(pa.array(isin_sorted(ids, vals)))
+                keep = (
+                    isin_sorted(ids, vals)
+                    if ids is not None
+                    else np.ones(vals.size, dtype=bool)
+                )
+                if tombs.size:
+                    keep &= ~isin_sorted(tombs, vals)
+                t = t.filter(pa.array(keep))
             if t.num_rows == 0:
                 return empty
             return table_kernel(t, id_col)

@@ -1,0 +1,333 @@
+"""Trigram-index lifecycle: tombstone deletes and segment compaction.
+
+Mirrors the BM25 sibling (``index/maintain.py``; reference analog:
+delete-by-query across ALL indexes,
+lib_core/datamart_core/common.py:280-317) for the content-search index:
+
+- **delete**: docIDs land in ONE index-level tombstone file
+  (``tri_tombstones.parquet``, atomic replace). Serving filters
+  tombstoned ids out of both the candidate fast path and the streaming
+  full-scan verify (``TrigramIndex._verify``), so a deleted doc is
+  invisible to substring/regex/LIKE/grep immediately — postings stay
+  untouched until compaction, exactly like Lucene.
+- **compact**: merge committed segments into one fresh segment with
+  tombstoned docs physically dropped. The merge pipeline REUSES the
+  build exchange: posting rows decode to (tri, doc) pairs per batch,
+  strip, partial-encode, and flow through the same bucket
+  groupby → splice merge (``_merge_bucket``). Fresh-name commit →
+  manifest repoint → superseded-dir delete, in that order, so a crash
+  anywhere leaves a servable index (the ``maintain.compact_segments``
+  swap discipline). ``max_segments`` bounds delta-ingest segment
+  accumulation by merging the smallest segments first (tiered flavor).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from datamart_ray.index.manifest import (
+    atomic_write_bytes,
+    atomic_write_json,
+    commit_segment_dir,
+    index_write_lock,
+)
+
+TRI_TOMBSTONE_NAME = "tri_tombstones.parquet"
+
+
+def read_tri_tombstones(index_dir: str) -> np.ndarray:
+    """Sorted tombstoned docIDs for the whole trigram index."""
+    path = os.path.join(index_dir, TRI_TOMBSTONE_NAME)
+    if not os.path.exists(path):
+        return np.empty(0, dtype=np.int64)
+    return np.sort(pq.read_table(path)["doc_id"].to_numpy())
+
+
+def _write_tombstones(index_dir: str, ids: np.ndarray) -> None:
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(np.sort(ids), type=pa.int64())}),
+        buf,
+    )
+    atomic_write_bytes(
+        os.path.join(index_dir, TRI_TOMBSTONE_NAME), buf.getvalue()
+    )
+
+
+def _load_tri_manifest(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "trigram_index.json")) as f:
+        return json.load(f)
+
+
+def _bump_tri_version(index_dir: str, man: dict | None = None) -> dict:
+    """Republish trigram_index.json with version+1 — every committed
+    mutation (delete/compact/delta) bumps it so version-keyed caches
+    reopen instead of serving a stale view."""
+    man = dict(man if man is not None else _load_tri_manifest(index_dir))
+    man["version"] = int(man.get("version", 0)) + 1
+    atomic_write_json(
+        os.path.join(index_dir, "trigram_index.json"), man
+    )
+    return man
+
+
+def trigram_delete_docs(index_dir: str, doc_ids) -> int:
+    """Tombstone the given docIDs. Returns the number of NEWLY deleted
+    docs (dense-id indexes verify range membership against the planned
+    files; id_col indexes count newly-added tombstones). Idempotent."""
+    targets = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    with index_write_lock(index_dir):
+        man = _load_tri_manifest(index_dir)
+        if not man.get("id_col"):
+            in_range = np.zeros(targets.size, dtype=bool)
+            for fi in man["files"]:
+                lo, hi = fi["base"], fi["base"] + fi["n_rows"]
+                in_range |= (targets >= lo) & (targets < hi)
+            targets = targets[in_range]
+        existing = read_tri_tombstones(index_dir)
+        merged = np.unique(np.concatenate([existing, targets]))
+        deleted = int(merged.size - existing.size)
+        if deleted:
+            _write_tombstones(index_dir, merged)
+            _bump_tri_version(index_dir, man)
+    return deleted
+
+
+def trigram_delete_matching(
+    index_dir: str,
+    src,
+    pattern: str,
+    regex: bool = False,
+    ignore_case: bool = False,
+    filters: dict | None = None,
+) -> int:
+    """Delete-by-content analog of ``maintain.delete_by_query``:
+    tombstone every doc whose content matches the pattern (the exact
+    match set of substring/regexp search — candidates via the index,
+    verify exact). Only matched docIDs ever reach the driver."""
+    from datamart_ray.index.trigram import TrigramIndex
+
+    idx = TrigramIndex(index_dir, src)
+    hits = (
+        idx.regexp_search(pattern, ignore_case=ignore_case, filters=filters)
+        if regex
+        else idx.substring_search(
+            pattern, ignore_case=ignore_case, filters=filters
+        )
+    )
+    ids = hits["doc_id"].to_numpy(zero_copy_only=False)
+    return trigram_delete_docs(index_dir, ids) if ids.size else 0
+
+
+def trigram_compact(
+    index_dir: str, max_segments: int = 1
+) -> dict:
+    """Merge committed trigram segments down to ``max_segments``,
+    making tombstoned deletes permanent. Merges the SMALLEST segments
+    first (by n_docs), so delta-heavy ingest with a periodic
+    ``trigram_compact(max_segments=K)`` keeps a bounded segment count
+    without repeatedly rewriting the big base segment — unless
+    tombstones exist, in which case every segment holding a tombstoned
+    range joins the merge so the delete becomes physical."""
+    import time
+
+    import ray.data as rd
+
+    from datamart_ray.index.manifest import segment_is_committed
+    from datamart_ray.index.trigram import (
+        TRI_POSTINGS_SCHEMA,
+        _merge_bucket,
+        partial_posting_rows,
+    )
+    from datamart_ray.util import ensure_fast_shuffle
+
+    t0 = time.time()
+    with index_write_lock(index_dir):
+        man = _load_tri_manifest(index_dir)
+        seg_root = os.path.join(index_dir, "segments")
+        names = list(man["segments"])
+        tombs = read_tri_tombstones(index_dir)
+        seg_meta = {}
+        for name in names:
+            with open(
+                os.path.join(seg_root, name, "MANIFEST.json")
+            ) as f:
+                seg_meta[name] = json.load(f)
+
+        def seg_ranges(m: dict) -> list[list[int]]:
+            """Exact docID ranges a segment covers. Build/delta
+            segments are contiguous; merged segments carry their
+            (possibly non-contiguous) constituent ranges explicitly —
+            a hull would wrongly claim docs of kept segments nested
+            between merged ones."""
+            if "ranges" in m:
+                return m["ranges"]
+            return [[m["doc_base"], m["doc_base"] + m["n_docs"]]]
+
+        def holds_tombstone(name: str) -> bool:
+            if tombs.size == 0:
+                return False
+            if man.get("id_col"):
+                return True  # ranges unknown: always strip
+            for lo, hi in seg_ranges(seg_meta[name]):
+                i = int(np.searchsorted(tombs, lo))
+                if i < tombs.size and tombs[i] < hi:
+                    return True
+            return False
+
+        by_size = sorted(names, key=lambda n: seg_meta[n]["n_docs"])
+        merge = set()
+        if len(names) > max_segments:
+            merge.update(by_size[: len(names) - max_segments + 1])
+        merge.update(n for n in names if holds_tombstone(n))
+        if len(merge) == 1 and not any(
+            holds_tombstone(n) for n in merge
+        ):
+            merge.clear()
+        if not merge:
+            return {**man, "merged": [], "seconds": 0.0}
+
+        ensure_fast_shuffle()
+        merge_dirs = [os.path.join(seg_root, n) for n in sorted(merge)]
+        kept = [n for n in names if n not in merge]
+        tombs_list = tombs.tolist()
+
+        def to_partials(t: pa.Table) -> pa.Table:
+            """Posting rows → tombstone-stripped partial rows (decode
+            once, vectorized; the batch is bounded by the read)."""
+            from datamart_ray.index import codec
+            from datamart_ray.index.trigram import _blob_buffers
+            from datamart_ray.util import isin_sorted
+
+            tri = t["tri"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            df = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+            col = t["docs"].combine_chunks()
+            offs, data = _blob_buffers(col)
+            buf = np.ascontiguousarray(data[offs[0] : offs[-1]])
+            vals = codec.decode_grouped_positions(buf, df)
+            tri_v = np.repeat(tri, df)
+            tl = np.asarray(tombs_list, dtype=np.int64)
+            if tl.size:
+                keep = ~isin_sorted(tl, vals)
+                tri_v, vals = tri_v[keep], vals[keep]
+            return partial_posting_rows(tri_v, vals)
+
+        from datamart_ray.index.build import _cpus
+
+        B = max(32, 4 * _cpus())
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            tri = t["tri"].to_numpy(zero_copy_only=False)
+            h = (
+                tri.astype(np.uint64) * np.uint64(2654435761)
+            ) % B
+            return t.append_column(
+                "bucket", pa.array(h.astype(np.int64))
+            )
+
+        def encode(t: pa.Table) -> pa.Table:
+            return _merge_bucket(t.drop_columns(["bucket"]))
+
+        new_name = f"tri-merged-{uuid.uuid4().hex[:10]}"
+        for stale in [
+            d
+            for d in os.listdir(seg_root)
+            if d.startswith(".tmp-tri-merged")
+        ]:
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(seg_root, d), ignore_errors=True
+            )
+        tmp_dir = os.path.join(
+            seg_root,
+            f".tmp-tri-merged.{os.getpid()}.{uuid.uuid4().hex[:8]}",
+        )
+        postings_dir = os.path.join(tmp_dir, "postings")
+        os.makedirs(tmp_dir)
+        posting_files = [
+            os.path.join(d, "postings", f)
+            for d in merge_dirs
+            for f in sorted(os.listdir(os.path.join(d, "postings")))
+            if f.endswith(".parquet")
+        ]
+        (
+            rd.read_parquet(posting_files)
+            .map_batches(to_partials, batch_format="pyarrow")
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(encode, batch_format="pyarrow")
+            .write_parquet(postings_dir, row_group_size=4096)
+        )
+        import glob as _glob
+
+        if not _glob.glob(os.path.join(postings_dir, "*.parquet")):
+            os.makedirs(postings_dir, exist_ok=True)
+            pq.write_table(
+                TRI_POSTINGS_SCHEMA.empty_table(),
+                os.path.join(postings_dir, "empty.parquet"),
+            )
+        meta = pq.read_table(postings_dir, columns=["tri", "df"])
+        merged_ranges = sorted(
+            r for n in merge for r in seg_ranges(seg_meta[n])
+        )
+        merged_meta = {
+            "segment": new_name,
+            "n_docs": int(
+                sum(seg_meta[n]["n_docs"] for n in merge)
+            ),
+            "doc_base": int(
+                min(seg_meta[n]["doc_base"] for n in merge)
+            ),
+            "ranges": merged_ranges,
+            "n_tris": meta.num_rows,
+            "n_pairs": int(pc.sum(meta["df"]).as_py() or 0),
+            "text_col": man["text_col"],
+            "id_col": man["id_col"],
+            "merged_from": sorted(merge),
+            "build_seconds": round(time.time() - t0, 3),
+        }
+        atomic_write_json(
+            os.path.join(tmp_dir, "MANIFEST.json"), merged_meta
+        )
+        final_dir = os.path.join(seg_root, new_name)
+        commit_segment_dir(tmp_dir, final_dir)
+        assert segment_is_committed(final_dir)
+
+        new_names = kept + [new_name]
+        man["segments"] = new_names
+        man["n_segments"] = len(new_names)
+        # tombstones physically dropped from the merged ranges; for
+        # dense indexes, keep only ids outside every merged range (a
+        # kept segment may still hold them); id_col: everything merged
+        # → all physical, clear
+        if tombs.size:
+            if man.get("id_col"):
+                remaining = np.empty(0, dtype=np.int64)
+            else:
+                covered = np.zeros(tombs.size, dtype=bool)
+                for lo, hi in merged_ranges:
+                    covered |= (tombs >= lo) & (tombs < hi)
+                remaining = tombs[~covered]
+            _write_tombstones(index_dir, remaining)
+        man = _bump_tri_version(index_dir, man)
+        import shutil
+
+        for d in merge_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+    return {
+        **man,
+        "merged": sorted(merge),
+        "new_segment": new_name,
+        "seconds": round(time.time() - t0, 3),
+    }

@@ -1,0 +1,206 @@
+"""Trigram-index lifecycle: tombstone deletes, compaction, tiered
+merge bounding delta-segment accumulation, and serving consistency
+through a live compaction (the test_concurrency.py pattern)."""
+
+import os
+import threading
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from datamart_ray.corpus import generate_corpus
+from datamart_ray.index import trigram as tg
+from datamart_ray.index.trigram_maintain import (
+    read_tri_tombstones,
+    trigram_compact,
+    trigram_delete_docs,
+    trigram_delete_matching,
+)
+
+NEEDLE = "qzcommonneedle"
+
+
+@pytest.fixture()
+def built(ray_session, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, n_files=200, vocab_size=500, n_repos=6,
+                    seed=7, n_output_files=2)
+    idx = str(tmp_path / "idx")
+    # several segments so compaction is a real multi-dir merge
+    tg.build_trigram_index(
+        corpus, idx,
+        tg.TrigramConfig(text_col="content", segment_docs=60),
+    )
+    return corpus, idx
+
+
+def _hit_ids(idx_dir, corpus, **kw):
+    t = tg.TrigramIndex(idx_dir, corpus).substring_search(NEEDLE, **kw)
+    return t["doc_id"].to_pylist()
+
+
+def test_delete_hides_doc_pre_and_post_compaction(built):
+    corpus, idx = built
+    before = _hit_ids(idx, corpus)
+    assert len(before) > 3
+    victims = before[:2]
+    assert trigram_delete_docs(idx, victims) == 2
+    assert trigram_delete_docs(idx, victims) == 0  # idempotent
+    live = [d for d in before if d not in victims]
+
+    # pre-compaction: tombstone filter on every search path
+    handle = tg.TrigramIndex(idx, corpus)
+    assert handle.substring_search(NEEDLE)["doc_id"].to_pylist() == live
+    assert (
+        handle.regexp_search("qzcommonneedl[e]")["doc_id"].to_pylist()
+        == live
+    )
+    g = handle.grep(NEEDLE)
+    assert set(g["doc_id"].to_pylist()) == set(live)
+    # streaming full-scan verify path filters too
+    import datamart_ray.index.trigram as tgmod
+
+    old_cap = tgmod.VERIFY_FETCH_CAP
+    try:
+        tgmod.VERIFY_FETCH_CAP = -1
+        assert (
+            handle.substring_search(NEEDLE)["doc_id"].to_pylist()
+            == live
+        )
+    finally:
+        tgmod.VERIFY_FETCH_CAP = old_cap
+
+    # compaction makes the delete physical
+    out = trigram_compact(idx)
+    assert out["merged"]
+    assert read_tri_tombstones(idx).size == 0
+    assert _hit_ids(idx, corpus) == live
+    # postings no longer contain the victims at all
+    seg_root = os.path.join(idx, "segments")
+    import json
+
+    with open(os.path.join(idx, "trigram_index.json")) as f:
+        man = json.load(f)
+    assert len(man["segments"]) == 1
+    pt = pq.read_table(
+        os.path.join(seg_root, man["segments"][0], "postings")
+    )
+    from datamart_ray.index import codec
+
+    for blob in pt["docs"].to_pylist():
+        ids = codec.decode_docids(blob)
+        assert not np.isin(np.asarray(victims), ids).any()
+
+
+def test_delete_matching_and_out_of_range_ids(built):
+    corpus, idx = built
+    before = _hit_ids(idx, corpus)
+    n = trigram_delete_matching(idx, corpus, "qzuniqueneedle")
+    assert n == 1
+    # dense indexes ignore ids outside every planned file range
+    assert trigram_delete_docs(idx, [10_000_000]) == 0
+    assert len(_hit_ids(idx, corpus)) == len(before)
+
+
+def test_tiered_compact_bounds_delta_segments(ray_session, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, n_files=120, vocab_size=400, seed=3,
+                    n_output_files=1)
+    idx = str(tmp_path / "idx")
+    tg.build_trigram_index(
+        corpus, idx, tg.TrigramConfig(text_col="content")
+    )
+    # delta-heavy ingest: 4 extra single-file deltas
+    import json
+
+    for i in range(4):
+        d = str(tmp_path / f"delta{i}")
+        generate_corpus(d, n_files=30, vocab_size=400, seed=50 + i,
+                        n_output_files=1)
+        tg.trigram_ingest_delta(idx, d)
+    with open(os.path.join(idx, "trigram_index.json")) as f:
+        man = json.load(f)
+    assert len(man["segments"]) == 5
+    srcs = [corpus] + [str(tmp_path / f"delta{i}") for i in range(4)]
+    before = tg.TrigramIndex(idx, srcs).substring_search(NEEDLE)
+
+    out = trigram_compact(idx, max_segments=2)
+    with open(os.path.join(idx, "trigram_index.json")) as f:
+        man2 = json.load(f)
+    assert len(man2["segments"]) == 2
+    # the big base segment was NOT rewritten (smallest-first merge)
+    assert man["segments"][0] in man2["segments"]
+    after = tg.TrigramIndex(idx, srcs).substring_search(NEEDLE)
+    assert after.equals(before)
+    # a second tiered pass is a no-op
+    out2 = trigram_compact(idx, max_segments=2)
+    assert out2["merged"] == []
+
+
+def test_search_during_trigram_compaction_consistent(built):
+    corpus, idx = built
+    before = _hit_ids(idx, corpus)
+    victims = before[:2]
+    trigram_delete_docs(idx, victims)
+    live = [d for d in before if d not in victims]
+
+    pre = tg.TrigramIndex(idx, corpus)  # opened before the compaction
+    base = pre.substring_search(NEEDLE)
+    assert base["doc_id"].to_pylist() == live
+
+    err = []
+
+    def compact():
+        try:
+            trigram_compact(idx)
+        except Exception as e:  # pragma: no cover
+            err.append(e)
+
+    t = threading.Thread(target=compact)
+    t.start()
+    while t.is_alive():
+        # pre-opened reader: bit-identical through the swap
+        r = pre.substring_search(NEEDLE)
+        assert r.equals(base)
+        # fresh reader mid-swap: always a full consistent live set
+        got = _hit_ids(idx, corpus)
+        assert got == live, f"torn view: {got} vs {live}"
+    t.join()
+    assert not err, err
+    assert _hit_ids(idx, corpus) == live
+
+
+def test_cli_trigram_delete_compact(ray_session, tmp_path, capsys):
+    import json
+
+    from datamart_ray.__main__ import main
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, n_files=80, vocab_size=400, seed=5,
+                    n_output_files=1)
+    idx = str(tmp_path / "idx")
+    assert main(["trigram-build", "--input", corpus, "--index", idx,
+                 "--text-col", "content"]) == 0
+    capsys.readouterr()
+    assert main(["grep", "--index", idx, "--corpus", corpus,
+                 "--pattern", NEEDLE, "--json"]) == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    victim = hits[0]["doc_id"]
+    assert main(["trigram-delete", "--index", idx,
+                 "--ids", str(victim)]) == 0
+    assert json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    ) == {"deleted": 1}
+    assert main(["trigram-compact", "--index", idx]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["merged"]
+    assert main(["grep", "--index", idx, "--corpus", corpus,
+                 "--pattern", NEEDLE, "--json"]) == 0
+    hits2 = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )
+    assert victim not in [h["doc_id"] for h in hits2]
+    assert len(hits2) == len(hits) - sum(
+        1 for h in hits if h["doc_id"] == victim
+    )
