@@ -384,84 +384,80 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["tr_histogram_temporal"] = histogram_temporal
     out["tr_top5_words"] = top5_words
 
-    # ---- round-4 correctness-window rotation (VERDICT r3 #1) --------
+    # ---- round-5 correctness-window rotation (VERDICT r4 #5) --------
     # The driver's harness records CORRECTNESS rows for only the FIRST
-    # 50 dict entries. 86 of the 180 entries have never had a driver
-    # row (they rest on the pytest 180-entry oracle sweep + the judge's
-    # own re-run), so round 4 rotates the window: positions 1-14 are
-    # the entries whose implementation CHANGED this round (standing
-    # contract — the driver must witness new code), positions 15-50
-    # are never-witnessed r3 additions (compressed ANN, containment
-    # dedup, LM-quality filters, funnel/retention/pipeline aggs, geo,
-    # hybrid RRF, and the ES-analog search/agg batch). Everything
-    # rotated out remains oracle-gated in tests/test_entry.py.
-    _r4_window = [
-        # changed (or changing) in round 4:
-        "pl_clean_pack",  # drop set → anti_filter_ids Dataset path
-        "dd_dup_window_stats",  # above-cap shuffle-join fallback
-        "sa_temperature_mix",  # pinned sequential-by-lang accumulation
-        "ts_rare_token_ratio",  # Dataset-shaped core (_ds variant)
-        "ft_top_metrics",  # groupby(dropna=False) null-lang bucket
-        "tx_containment",  # one-pass column sketches (r4)
-        "ft_rescore_topk",  # rescore serving-tail work (r4)
-        "ft_rescore_dist_topk",
-        "ft_term_suggest",  # suggester banding work (r4)
-        "ft_phrase_suggest",
-        "sim_knn_ivf",  # artifact root moves off /tmp (r4)
-        "sim_knn_sq8",
-        "sim_knn_pq",
-        "sim_knn_ivfpq",
-        "rg_kmeans_ranges",  # NEW r4: exact-Lloyd KMeans ranges (ST4)
-        # NEW r4: trigram content search (substring/regex/full-scan)
+    # 50 dict entries. Standing contract: entries whose implementation
+    # changed this round lead the window; the rest are entries that
+    # have NEVER had a driver row in rounds 1-4 (computed from
+    # CORRECTNESS_r01-r04 key sets). This is the third distinct window;
+    # everything rotated out remains oracle-gated in
+    # tests/test_entry.py (190-entry sweep, now with the
+    # driver-faithful representation gate).
+    _r5_window = [
+        # changed in round 5:
+        "tw_date_hist_pipeline",  # float64/NaN NULL representation fix
+        "tw_serial_diff",  # same fix (the two r4 red rows)
+        "cs_regex_nocase",  # NEW: (?i) regex candidate bounding
+        # canaries for the rebuilt trigram exchange (splice merge):
         "cs_substring_hits",
-        "cs_substring_rare_hits",
         "cs_regex_hits",
-        "cs_regex_fullscan",
-        "cs_ident_token_counts",  # NEW r4: split_camel analyzer
-        "cs_substring_nocase",  # NEW r4: case-variant candidates
-        "cs_substring_lang_filter",  # NEW r4: scoped search
-        "cs_match_stats_by_lang",  # NEW r4: per-group rollup
-        "cs_like_search",  # NEW r4: LIKE-wildcard search
-        # never driver-witnessed until now:
-        "dd_containment_pairs",
-        "dd_containment_survivors",
-        "ts_unigram_logprob",
-        "ts_bigram_logprob",
-        "sa_split_counts",
-        "tw_date_hist_pipeline",
-        "tw_moving_avg",
-        "tw_bucket_selector",
-        "tw_funnel",
-        "tw_retention",
-        "tw_serial_diff",
-        "tw_normalize",
-        "sp_geo_bounds",
-        "sp_geo_distance",
-        "hy_rrf_hybrid",
-        "ft_multimatch_topk",
-        "ft_multimatch_best_topk",
-        "ft_multimatch_cross_topk",
-        "ft_multimatch_blended_topk",
-        "ft_bm25_terms_filter",
-        "ft_sort_by_field",
-        "ft_synonym_topk",
-        "ft_stopword_token_counts",
-        "ft_facet_cardinality",
-        "ft_autocomplete",
-        "ft_boosting_topk",
-        # (ft_extended_stats rotated to the oracle-gated tail to make
-        # room for rg_kmeans_ranges; ft_top_hits_per_lang,
-        # ft_collapse_source_topk, ft_nchars_percentiles,
-        # ft_span_near_topk, ft_percolate, ft_index_stats,
-        # ft_match_counts, ft_constant_score and
-        # ft_function_score_topk rotated likewise for the nine-entry
-        # cs_* family — all stay oracle-gated in tests/test_entry.py)
+        # never driver-witnessed in any round:
+        "ft_function_score_topk",
+        "ft_boosting_dist_topk",
+        "ft_function_score_dist_topk",
+        "ft_match_counts",
+        "ft_constant_score",
+        "ft_index_stats",
+        "ft_percolate",
+        "ft_top_hits_per_lang",
+        "ft_collapse_source_topk",
+        "ft_nchars_percentiles",
+        "ft_span_near_topk",
+        "ft_extended_stats",
+        "ft_nchars_histogram",
+        "ft_grouped_percentiles",
+        "ft_filters_agg",
+        "ft_term_vectors",
+        "ft_facet_lang_stats",
+        "ft_bool_msm_topk",
+        "ft_bm25_range_filter",
+        "ft_phrase_prefix_topk",
+        "ft_search_after_page2",
+        "ft_more_like_this",
+        "ft_match_positions",
+        "ft_facet_nchars_hist",
+        "ft_range_agg",
+        "ft_composite_agg",
+        "ft_adjacency_matrix",
+        "ft_weighted_avg",
+        "ft_scroll_page3",
+        "ft_matrix_stats",
+        "ft_bucket_stats",
+        "ft_percentile_ranks",
+        "ft_msearch",
+        "ft_diversified_sampler",
+        "ft_facet_approx_lang",
+        "ft_script_fields",
+        "ft_ingest_pipeline",
+        "ft_rare_terms",
+        "ft_boxplot",
+        "ft_string_stats",
+        "ft_t_test",
+        "ft_mad",
+        "ft_multi_terms",
+        "ft_bm25_lazy_topk",
+        "sk_hll_distinct_users",
+        # (the _dist twins of in-window entries — ft_weighted_avg_dist,
+        # ft_percentile_ranks_dist, ft_range_agg_dist,
+        # ft_extended_stats_dist, ft_top_hits_dist, ft_bool_dist_topk —
+        # stay oracle-gated; every r4-window entry rotated out is
+        # unchanged and keeps its green r4 driver row)
     ]
-    assert len(_r4_window) == 50, len(_r4_window)
-    _missing = [k for k in _r4_window if k not in out]
+    assert len(_r5_window) == 50, len(_r5_window)
+    _missing = [k for k in _r5_window if k not in out]
     assert not _missing, f"window names not registered: {_missing}"
-    _w = set(_r4_window)
-    return {k: out[k] for k in _r4_window} | {
+    _w = set(_r5_window)
+    return {k: out[k] for k in _r5_window} | {
         k: v for k, v in out.items() if k not in _w
     }
 

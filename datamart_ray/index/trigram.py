@@ -735,13 +735,20 @@ def trigram_ingest_delta(
 # alternative, every literal in that alternative's set)
 # ----------------------------------------------------------------------
 
-def required_literals(pattern: str) -> list[set[str]] | None:
+def required_literals(
+    pattern: str, fold: bool = False
+) -> list[set[str]] | None:
     """DNF of required literal runs (≥3 bytes) for ``pattern``.
 
     Returns None when the pattern can't be parsed or any alternative has
     no usable literal — the caller must then verify by full scan. Sound
     over-approximation only: every true match satisfies at least one
-    alternative's full literal set."""
+    alternative's full literal set.
+
+    ``fold=True`` extracts literals for a CASE-INSENSITIVE query (the
+    caller expands them through case-variant trigrams): inline ``(?i)``
+    flags no longer force a bail-out, and ``(?i:...)`` group literals
+    are collected like any other."""
     import re as _re
 
     try:
@@ -754,8 +761,9 @@ def required_literals(pattern: str) -> list[set[str]] | None:
         return None
     # a global inline flag like (?i) makes every literal case-insensitive
     # while this extractor works on raw bytes — requiring the literals
-    # as written would silently drop matches. Full scan instead.
-    if getattr(tree.state, "flags", 0) & _re.IGNORECASE:
+    # as written would silently drop matches. Full scan instead (the
+    # fold=True caller handles case variance itself).
+    if not fold and getattr(tree.state, "flags", 0) & _re.IGNORECASE:
         return None
 
     def walk(seq) -> list[set[str]] | None:
@@ -785,7 +793,7 @@ def required_literals(pattern: str) -> list[set[str]] | None:
                 dnf = [a | s for a in dnf for s in subs]
             elif name == "SUBPATTERN":
                 add_flags = int(av[1] or 0)
-                if add_flags & _re.IGNORECASE:
+                if add_flags & _re.IGNORECASE and not fold:
                     # (?i:...) group: its literals aren't case-stable;
                     # require nothing from it (sound over-approximation)
                     continue
@@ -925,6 +933,30 @@ def case_variant_tris(needle: str) -> list[list[int]] | None:
             variants.add((v[0] << 16) | (v[1] << 8) | v[2])
         out.append(sorted(variants))
     return out
+
+
+def nocase_literal_positions(lit: str) -> list[list[int]] | None:
+    """Case-variant trigram positions for one REQUIRED literal of a
+    ``(?i)`` regex, dropping positions RE2's Unicode folding can evade.
+
+    RE2 implements Unicode simple case folding, under which exactly two
+    non-ASCII characters fold to ASCII: U+212A KELVIN SIGN → ``k`` and
+    U+017F LATIN SMALL LETTER LONG S → ``s`` (verified against this
+    pyarrow: ``(?i)string`` matches ``ſtring``). A document may
+    therefore match the literal while containing NO single-byte case
+    variant of a window holding ``k``/``s`` — those positions are
+    excluded from the requirement (weaker filter, still sound). Returns
+    None for non-ASCII-foldable literals; may return [] when every
+    position holds a k/s."""
+    pv = case_variant_tris(lit)
+    if pv is None:
+        return None
+    b = lit.lower().encode("utf-8")
+    return [
+        vs
+        for i, vs in enumerate(pv)
+        if 0x6B not in b[i : i + 3] and 0x73 not in b[i : i + 3]
+    ]
 
 
 _HITS_EMPTY = pa.table(
@@ -1171,15 +1203,35 @@ class TrigramIndex:
         """Candidate docIDs from the pattern's required-literal DNF;
         None = no usable literals → caller full-scans.
 
-        ignore_case returns None unconditionally: the verify runs RE2
-        ``(?i)``, whose case folding is Unicode-aware (KELVIN SIGN
-        folds to ``k``), while trigram postings hold raw document
-        bytes — ASCII case-variant expansion of the literals cannot
-        soundly over-approximate that fold, so the honest answer is
-        the distributed full scan (the substring path keeps its fast
-        variants because its kernel folds ASCII-only)."""
+        ignore_case bounds the common ASCII-literal case through the
+        SAME per-position case-variant machinery as nocase substring
+        search (``case_variant_tris``), minus the positions RE2's
+        Unicode simple folding can evade (KELVIN SIGN → k, LONG S → s;
+        see ``nocase_literal_positions``). Non-ASCII literals or
+        all-evadable alternatives still return None — the honest
+        distributed full scan."""
         if ignore_case:
-            return None
+            dnf = required_literals(pattern, fold=True)
+            if dnf is None:
+                return None
+            parts = []
+            for alt in dnf:
+                pos: list[list[int]] = []
+                for lit in alt:
+                    pv = nocase_literal_positions(lit)
+                    if pv is None:
+                        return None  # non-ASCII literal: full scan
+                    pos.extend(pv)
+                if not pos:
+                    # an alternative with no byte-stable positions is
+                    # unbounded → the whole query full-scans
+                    return None
+                p = self._candidates_variants(pos)
+                if p.size:
+                    parts.append(p)
+            if not parts:
+                return np.empty(0, dtype=np.int64)
+            return np.unique(np.concatenate(parts))
         dnf = required_literals(pattern)
         if dnf is None:
             return None

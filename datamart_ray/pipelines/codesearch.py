@@ -154,6 +154,27 @@ def cs_substring_nocase(sf_dir: str) -> pd.DataFrame:
     )
 
 
+NOCASE_REGEX = "(HASH|Merge) (scan|JOIN)"  # wrong-case alternation
+
+
+def cs_regex_nocase(sf_dir: str) -> pd.DataFrame:
+    """Case-insensitive regex search (grep -iE) with INDEXED candidate
+    bounding (NEW r5): the pattern's required-literal DNF is extracted
+    with ``fold=True`` and each ASCII literal becomes per-position
+    case-variant trigram unions (``nocase_literal_positions`` — the
+    positions RE2's Unicode simple folding can evade, k/s windows, are
+    excluded so the filter stays sound). Verify is RE2 ``(?i)`` — the
+    identical flag DuckDB's regexp engine uses, so the twin
+    (``regexp_matches(text, pattern, 'i')``) agrees exactly. The
+    needle's case is wrong for the fixture, so a broken variant
+    expansion returns zero rows and fails the row-count gate."""
+    return _hits_df(
+        get_trigram_index(sf_dir).regexp_search(
+            NOCASE_REGEX, ignore_case=True
+        )
+    )
+
+
 def cs_regex_fullscan(sf_dir: str) -> pd.DataFrame:
     """Regex with no usable literal — pins the distributed full-scan
     verify fallback (same result contract, no trigram pruning)."""
@@ -311,10 +332,24 @@ def _regex_sql(pattern: str) -> str:
     """
 
 
+def _regex_nocase_sql(pattern: str) -> str:
+    # DuckDB's regexp engine is RE2 with the same 'i' flag semantics as
+    # the engine's (?i) — Unicode simple folding both sides
+    return f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{pattern}', 0, 'i'))
+                   AS n_matches
+        FROM documents
+        WHERE regexp_matches(text, '{pattern}', 'i')
+        ORDER BY doc_id
+    """
+
+
 QUERIES = {
     "cs_substring_hits": cs_substring_hits,
     "cs_substring_rare_hits": cs_substring_rare_hits,
     "cs_regex_hits": cs_regex_hits,
+    "cs_regex_nocase": cs_regex_nocase,
     "cs_regex_fullscan": cs_regex_fullscan,
     "cs_substring_nocase": cs_substring_nocase,
     "cs_substring_lang_filter": cs_substring_lang_filter,
@@ -334,5 +369,6 @@ SQL = {
     "cs_substring_hits": _substring_sql(SUBSTR_NEEDLE),
     "cs_substring_rare_hits": _substring_sql(SUBSTR_RARE_NEEDLE),
     "cs_regex_hits": _regex_sql(REGEX_PATTERN),
+    "cs_regex_nocase": _regex_nocase_sql(NOCASE_REGEX),
     "cs_regex_fullscan": _regex_sql(REGEX_FULLSCAN_PATTERN),
 }

@@ -691,3 +691,99 @@ def test_trigram_ingest_delta(code_corpus, tmp_path, ray_session):
     # idempotent re-ingest
     man2 = tg.trigram_ingest_delta(idx, delta)
     assert man2["segments"] == man["segments"]
+
+
+@pytest.fixture(scope="module")
+def nocase_corpus(ray_session, tmp_path_factory):
+    """Adversarial corpus for (?i) regex candidate soundness: mixed-case
+    hits, RE2-Unicode-fold hits the trigram filter CANNOT see by bytes
+    (KELVIN SIGN folds to k, LONG S folds to s), and decoys."""
+    d = str(tmp_path_factory.mktemp("nocase"))
+    texts = [
+        "def FetchNeedle(): pass",
+        "FETCHNEEDLE in caps",
+        "fetchneedle lower",
+        "fetchNEEDLE mixed",
+        "no match here",
+        "partial fetchneed only",
+        "alt branch QZALTMARK here",
+        "alt branch qzaltmark lower",
+        "Kask is kelvin kask",   # (?i)kask matches via KELVIN fold
+        "ſtop is long-s stop",   # (?i)stop matches via LONG S fold
+        "STOP normal caps",
+        "kask normal lower",
+    ]
+    pq.write_table(
+        pa.table({"content": pa.array(texts, type=pa.string())}),
+        os.path.join(d, "docs.parquet"),
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def nocase_index(ray_session, nocase_corpus, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("nocase_idx"))
+    tg.build_trigram_index(
+        nocase_corpus, idx, tg.TrigramConfig(text_col="content")
+    )
+    return tg.TrigramIndex(idx, nocase_corpus)
+
+
+@pytest.mark.parametrize(
+    "pattern",
+    [
+        "fetchneedle",
+        "FetchNeedle\\(",
+        "(fetchneedle|qzaltmark)",
+        "kask",          # k-window positions excluded (KELVIN fold)
+        "stop",          # s-window positions excluded (LONG S fold)
+        "(?i)fetchneedle",  # inline flag + fold extractor
+    ],
+)
+def test_nocase_regex_candidates_superset_of_fullscan(
+    nocase_index, pattern
+):
+    """(?i) regex candidates must cover every full-scan hit — including
+    docs that match only through RE2's Unicode simple folding."""
+    full = nocase_index.regexp_search(pattern, ignore_case=True)
+    cand = nocase_index.regex_candidates(pattern, ignore_case=True)
+    if cand is not None:
+        assert set(full["doc_id"].to_pylist()) <= set(cand.tolist())
+    # end-to-end parity: indexed path == honest full scan
+    import datamart_ray.index.trigram as tgmod
+
+    old = tgmod.VERIFY_FETCH_CAP
+    try:
+        tgmod.VERIFY_FETCH_CAP = -1
+        slow = nocase_index.regexp_search(pattern, ignore_case=True)
+    finally:
+        tgmod.VERIFY_FETCH_CAP = old
+    assert full.equals(slow)
+
+
+def test_nocase_regex_candidates_prune(nocase_index):
+    """The (?i) candidate filter actually prunes (not a vacuous
+    full-scan): a selective literal yields fewer candidates than docs."""
+    cand = nocase_index.regex_candidates(
+        "fetchneedle", ignore_case=True
+    )
+    assert cand is not None
+    assert 0 < cand.size < 12
+    hits = nocase_index.regexp_search(
+        "fetchneedle", ignore_case=True
+    )
+    assert hits["doc_id"].to_pylist() == [0, 1, 2, 3]
+
+
+def test_nocase_regex_kelvin_long_s_exact(nocase_index):
+    """Docs matching ONLY via Unicode folds are still found (their
+    windows were excluded from the requirement, so the filter cannot
+    lose them)."""
+    kask = nocase_index.regexp_search("kask", ignore_case=True)
+    assert 8 in kask["doc_id"].to_pylist()  # KELVIN-SIGN doc
+    stop = nocase_index.regexp_search("stop", ignore_case=True)
+    assert 9 in stop["doc_id"].to_pylist()  # LONG-S doc
+    # non-ASCII literal → None (full scan), never wrong
+    assert nocase_index.regex_candidates(
+        "naïve", ignore_case=True
+    ) is None
