@@ -96,6 +96,16 @@ TRI_POSTINGS_SCHEMA = pa.schema(
 # filter (docIDs only ever return to the driver).
 VERIFY_FETCH_CAP = 200_000
 
+# The driver-side fetch reads row groups SERIALLY, so its cost scales
+# with row groups touched, not candidates: scattered mid-selectivity
+# sets (df≈N/3) touch every row group and take seconds while the
+# distributed verify takes a fraction (measured 1.9s vs 0.6s at 40k
+# candidates / 120k docs / 32 CPUs). Dense-id indexes therefore fetch
+# on the driver only when the candidates span few read specs; anything
+# wider goes to the distributed verify, which prunes non-candidate
+# specs and row groups.
+FETCH_SPECS_CAP = 8
+
 # DNF blow-up guard for regex literal extraction: more alternatives than
 # this → fall back to the honest full-scan verify.
 _DNF_CAP = 64
@@ -976,6 +986,12 @@ _GREP_EMPTY = pa.table(
 )
 
 
+def _range_has(sorted_ids: np.ndarray, lo: int, hi: int) -> bool:
+    """Does the sorted id array contain any value in [lo, hi)?"""
+    i = int(np.searchsorted(sorted_ids, lo))
+    return i < sorted_ids.size and sorted_ids[i] < hi
+
+
 def _text_col_of(t: pa.Table, id_col: str | None) -> str:
     for c in t.column_names:
         if c not in (id_col, "__rowid"):
@@ -1158,10 +1174,32 @@ class TrigramIndex:
         self.src = src
         self.text_col = self.manifest["text_col"]
         self.id_col = self.manifest["id_col"]
+        self._specs_cache: list | None = None
         # tombstoned docIDs are filtered out of every search path (the
         # postings keep them until trigram_compact makes the delete
         # physical — the Lucene discipline, same as index/maintain.py)
         self.tombstones = read_tri_tombstones(index_dir)
+
+    def _plan(self) -> list:
+        """Cached read-spec plan (dense-id indexes) — footer metadata
+        is read once per handle, not once per streaming query."""
+        if self._specs_cache is None:
+            self._specs_cache, _ = plan_specs(
+                [f["path"] for f in self.manifest["files"]], 2048
+            )
+        return self._specs_cache
+
+    def _range_has(self, ids: np.ndarray, lo: int, hi: int) -> bool:
+        return _range_has(ids, lo, hi)
+
+    def _specs_touched(self, cand: np.ndarray) -> int:
+        """How many read specs contain at least one candidate — the
+        driver-fetch cost model (serial row-group reads)."""
+        return sum(
+            1
+            for sp in self._plan()
+            if _range_has(cand, sp["base"], sp["base"] + sp["n_rows"])
+        )
 
     # -- candidates ----------------------------------------------------
 
@@ -1275,8 +1313,9 @@ class TrigramIndex:
         if cand is not None and cand.size == 0:
             return empty
         if cand is not None and cand.size <= VERIFY_FETCH_CAP:
-            t = self._fetch(cand, extra_cols)
-            return table_kernel(t, self.id_col)
+            if self.id_col or self._specs_touched(cand) <= FETCH_SPECS_CAP:
+                t = self._fetch(cand, extra_cols)
+                return table_kernel(t, self.id_col)
 
         # the stage closure must capture only scalars + the broadcast
         # ref — NOT self (shipping the posting arrays to every verify
@@ -1314,18 +1353,36 @@ class TrigramIndex:
             out = ds.map_batches(stage, batch_format="pyarrow")
         else:
             # dense file-offset ids: replay the planned spec order so
-            # docIDs match the build
-            specs, _ = plan_specs(
-                [f["path"] for f in self.manifest["files"]], 2048
-            )
+            # docIDs match the build, pruning specs (and, inside the
+            # task, row groups) that contain no candidate
+            specs = self._plan()
+            if cand is not None:
+                specs = [
+                    sp
+                    for sp in specs
+                    if self._range_has(
+                        cand, sp["base"], sp["base"] + sp["n_rows"]
+                    )
+                ]
+            if not specs:
+                return empty
 
             def read_stage(batch: pa.Table):
+                from datamart_ray.index.trigram import _range_has
+
+                ids_t = ray.get(ref)[0]
                 for spec in batch.to_pylist():
                     pf = pq.ParquetFile(spec["path"])
                     rg_base = spec["base"]
                     for rg in range(
                         spec["rg_start"], spec["rg_end"] + 1
                     ):
+                        n = pf.metadata.row_group(rg).num_rows
+                        if ids_t is not None and not _range_has(
+                            ids_t, rg_base, rg_base + n
+                        ):
+                            rg_base += n
+                            continue
                         t = pf.read_row_group(
                             rg, columns=[text_col, *extra]
                         )
