@@ -455,21 +455,23 @@ def _term_position_keys(
         hi = np.searchsorted(docs_filter, last, side="right")
         order = order[(hi > lo)[order]]
     docs_parts, pos_parts = [], []
-    docs_col = tbl["docs"].to_pylist()
-    tfs_col = tbl["tfs"].to_pylist()
-    pos_col = tbl["pos"].to_pylist()
+    # per-row access materializes ONLY the selected chunks' blobs — a
+    # narrow docs_filter (the rescore window probe) must not pay a
+    # full-column to_pylist copy of every chunk of a high-df term
+    docs_col, tfs_col, pos_col = tbl["docs"], tbl["tfs"], tbl["pos"]
     for i in order:
-        docs = codec.decode_docids(docs_col[i])
-        tfs = codec.unpack_ints(tfs_col[i]).astype(np.int64)
+        ii = int(i)
+        docs = codec.decode_docids(docs_col[ii].as_py())
+        tfs = codec.unpack_ints(tfs_col[ii].as_py()).astype(np.int64)
         if docs_filter is not None:
             keep = _isin_sorted(docs_filter, docs)
             if not keep.any():
                 continue
-            pos = codec.decode_grouped_positions(pos_col[i], tfs)
+            pos = codec.decode_grouped_positions(pos_col[ii].as_py(), tfs)
             docs_parts.append(np.repeat(docs[keep], tfs[keep]))
             pos_parts.append(pos[np.repeat(keep, tfs)])
         else:
-            pos = codec.decode_grouped_positions(pos_col[i], tfs)
+            pos = codec.decode_grouped_positions(pos_col[ii].as_py(), tfs)
             docs_parts.append(np.repeat(docs, tfs))
             pos_parts.append(pos)
     if not docs_parts:
@@ -497,7 +499,9 @@ def _term_position_keys(
 
 
 def _phrase_match_segment(
-    reader: SegmentReader, terms: list[str]
+    reader: SegmentReader,
+    terms: list[str],
+    cand: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(docids, phrase_tf) of every doc in one segment containing the
     token sequence `terms` consecutively (overlapping occurrences count,
@@ -508,9 +512,14 @@ def _phrase_match_segment(
     (docID, position) keys packed into uint64 — docID<<32 | pos — so the
     m-way intersection is m-1 sorted searchsorted passes over arrays no
     larger than the rarest term's occurrence count (a doc-level AND
-    prefilter keeps common terms' position decodes candidate-bounded)."""
+    prefilter keeps common terms' position decodes candidate-bounded).
+
+    ``cand`` overrides the candidate set (sorted absolute docIDs) — the
+    rescore window probe, where only a handful of docs need their
+    phrase tf and the doc-level AND over full postings would dominate."""
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
-    cand = _phrase_candidate_docs(reader, terms)
+    if cand is None:
+        cand = _phrase_candidate_docs(reader, terms)
     if cand is None or cand.size == 0:
         return empty
     cur: np.ndarray | None = None
@@ -1262,8 +1271,18 @@ class SearchEngine:
         # just after. A vanished dir means a newer committed view exists
         # — re-list and reopen (bounded; each retry observes a strictly
         # newer manifest).
+        from datamart_ray.index.manifest import current_index_version
+
         for attempt in range(5):
             try:
+                # version read BEFORE the manifest/readers: a mutation
+                # committing mid-open can only make the stored phrase-df
+                # key STALE (ignored by later opens), never wrongly fresh
+                ver = (
+                    current_index_version(index_dir)
+                    if isinstance(index_dir, str)
+                    else -1
+                )
                 self.manifest, self.analyzer, seg_dirs = _alias_union(
                     index_dir
                 )
@@ -1283,6 +1302,13 @@ class SearchEngine:
         self.avgdl = (
             self.total_doclen / self.n_docs if self.n_docs else 0.0
         )
+        # per-phrase df sidecar (rescore cold tail): single-dir indexes
+        # only, keyed by the index version so every committed mutation
+        # (delete/delta/compact bumps it) invalidates the cache
+        self._phrase_df_dir = (
+            index_dir if isinstance(index_dir, str) else None
+        )
+        self._phrase_df_version = ver
         if warm_terms:
             self.warm(warm_terms)
 
@@ -1701,13 +1727,16 @@ class SearchEngine:
         self,
         parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
         k: int | None,
+        df_override: int | None = None,
     ) -> pa.Table:
         """Global df → idf → BM25 → top-k over per-segment
         (docids, match_tf, doclen) triples — shared by the exact, slop
         and phrase-prefix match paths. ``k=None`` returns EVERY match
         unranked (the rescore phrase leg, where only window docs are
         probed and a global sort would be wasted) — one body, so
-        rescore scores can never drift from phrase_search scores."""
+        rescore scores can never drift from phrase_search scores.
+        ``df_override`` supplies the GLOBAL phrase df when the parts
+        cover only a probe window (the sidecar-cached rescore leg)."""
         if not parts:
             return pa.table(
                 {
@@ -1715,7 +1744,11 @@ class SearchEngine:
                     "score": pa.array([], type=pa.float64()),
                 }
             )
-        df = sum(p[0].size for p in parts)
+        df = (
+            df_override
+            if df_override is not None
+            else sum(p[0].size for p in parts)
+        )
         idf = bm25_idf(df, self.n_docs, self.params)
         all_d = np.concatenate([p[0] for p in parts])
         all_tf = np.concatenate([p[1] for p in parts])
@@ -3214,12 +3247,108 @@ class SearchEngine:
         k=n_docs global top-k sort would be wasted work; df/idf/scores
         are identical to phrase_search's."""
         base = self.search(query, k=window_size, mode=mode)
-        ph = (
-            self._phrase_match_table(phrase)
-            if base.num_rows
-            else base
+        if base.num_rows == 0:
+            return _combine_rescore(
+                base, base, query_weight, rescore_weight, k
+            )
+        terms = self.analyzer.tokenize(phrase)
+        memo_key = (tuple(terms), 0)
+        memo_warm = terms and all(
+            memo_key in getattr(r, "_phrase_memo", {})
+            for r in self.readers
         )
+        cached_df = (
+            None if memo_warm else self._phrase_df_lookup(terms)
+        )
+        if cached_df is not None:
+            # sidecar fast path: the global phrase df is known, so only
+            # the ≤window_size window docs need their phrase tf — the
+            # position probe is window-bounded instead of df-bounded
+            win = np.sort(
+                base["doc_id"].to_numpy(zero_copy_only=False)
+            )
+            ph = self._phrase_window_table(terms, win, cached_df)
+        else:
+            ph = self._phrase_match_table(phrase)
+            self._phrase_df_store(terms, ph.num_rows)
         return _combine_rescore(base, ph, query_weight, rescore_weight, k)
+
+    _PHRASE_DF_NAME = "phrase_df.json"
+    _PHRASE_DF_CAP = 256
+
+    def _phrase_df_lookup(self, terms: list[str]) -> int | None:
+        """Per-phrase global df from the index sidecar — valid only
+        when the sidecar's version matches the version this engine
+        opened (every committed mutation bumps it)."""
+        if not terms or self._phrase_df_dir is None:
+            return None
+        import json
+        import os
+
+        path = os.path.join(self._phrase_df_dir, self._PHRASE_DF_NAME)
+        cache = getattr(self, "_phrase_df_mem", None)
+        if cache is None:
+            try:
+                with open(path) as f:
+                    obj = json.load(f)
+                cache = (
+                    obj["entries"]
+                    if obj.get("version") == self._phrase_df_version
+                    else {}
+                )
+            except (OSError, ValueError, KeyError):
+                cache = {}
+            self._phrase_df_mem = cache
+        return cache.get("\x1f".join(terms))
+
+    def _phrase_df_store(self, terms: list[str], df: int) -> None:
+        if not terms or self._phrase_df_dir is None:
+            return
+        import json
+        import os
+
+        from datamart_ray.index.manifest import atomic_write_json
+
+        # ensure the mem cache is loaded so we extend, not clobber
+        self._phrase_df_lookup(terms)
+        cache = self._phrase_df_mem
+        cache["\x1f".join(terms)] = int(df)
+        while len(cache) > self._PHRASE_DF_CAP:
+            cache.pop(next(iter(cache)))
+        try:
+            atomic_write_json(
+                os.path.join(
+                    self._phrase_df_dir, self._PHRASE_DF_NAME
+                ),
+                {
+                    "version": self._phrase_df_version,
+                    "entries": cache,
+                },
+            )
+        except OSError:  # read-only index dir: in-process cache only
+            pass
+
+    def _phrase_window_table(
+        self, terms: list[str], window_docs: np.ndarray, df: int
+    ) -> pa.Table:
+        """Phrase scores for the window docs only, with the global df
+        supplied by the sidecar — scores identical to the full leg's
+        for every window doc (same position-intersection kernel, same
+        idf), pytest-pinned."""
+        parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        for r in self.readers:
+            cand = window_docs[
+                _isin_sorted(r._doc_ids, window_docs)
+            ]
+            if cand.size == 0:
+                continue
+            d, ptf = _phrase_match_segment(r, terms, cand=cand)
+            if r._tombstones.size and d.size:
+                keep = ~_isin_sorted(r._tombstones, d)
+                d, ptf = d[keep], ptf[keep]
+            if d.size:
+                parts.append((d, ptf, r.doclen_of(d)))
+        return self._score_phrase_parts(parts, k=None, df_override=df)
 
     def _phrase_match_table(self, phrase: str) -> pa.Table:
         """Every phrase match with its BM25 phrase score, unranked —

@@ -1201,3 +1201,46 @@ def test_rescore_window_semantics(ray_session, phrase_corpus, tmp_path):
         assert s == pytest.approx(want[d])
     keys = list(zip((-out["score"]).tolist(), out["doc_id"].tolist()))
     assert keys == sorted(keys)
+
+
+def test_rescore_phrase_df_sidecar_parity(
+    ray_session, phrase_corpus, tmp_path
+):
+    """The phrase-df sidecar fast path must be BIT-IDENTICAL to the
+    full phrase leg: a fresh engine (cold memo, warm sidecar) probes
+    only window docs with the cached global df; a committed mutation
+    bumps the index version and invalidates the sidecar."""
+    import json
+
+    path, docs = phrase_corpus
+    idx = str(tmp_path / "idx")
+    eng = _build(path, idx, docs_per_spec=64)
+    kw = dict(window_size=8, k=8, query_weight=1.0,
+              rescore_weight=2.0, mode="or")
+    cold = eng.rescore_search("window hash", "window hash", **kw)
+    # first call wrote the sidecar
+    side = os.path.join(idx, "phrase_df.json")
+    obj = json.load(open(side))
+    assert obj["entries"]  # df persisted
+    # a FRESH engine (new process analog: empty memo) hits the sidecar
+    eng2 = SearchEngine(idx)
+    assert eng2._phrase_df_lookup(
+        eng2.analyzer.tokenize("window hash")
+    ) is not None
+    warm = eng2.rescore_search("window hash", "window hash", **kw)
+    assert warm.equals(cold)  # identical ids AND float-exact scores
+
+    # committed mutation → version bump → sidecar invalid → full leg
+    from datamart_ray.index.maintain import delete_docs
+
+    victim = cold["doc_id"].to_pylist()[0]
+    delete_docs(idx, [victim])
+    eng3 = SearchEngine(idx)
+    assert eng3._phrase_df_lookup(
+        eng3.analyzer.tokenize("window hash")
+    ) is None
+    after = eng3.rescore_search("window hash", "window hash", **kw)
+    assert victim not in after["doc_id"].to_pylist()
+    # and the full leg re-persisted a fresh-version entry
+    obj2 = json.load(open(side))
+    assert obj2["version"] != obj["version"]
