@@ -453,21 +453,28 @@ def run_scaling() -> dict:
     # two runs per level with a cooldown (a fresh Ray session immediately
     # after a previous one measures slower: residual raylet teardown +
     # page-cache churn); report the best run per level
-    runs = {}
+    all_runs: dict[int, list] = {lo: [], hi: []}
     for ncpu in (lo, hi, lo, hi):
         time.sleep(8)
-        r = one(ncpu)
-        prev = runs.get(ncpu)
-        if (
-            prev is None
-            or r["queries"]["code_index_build"]
-            < prev["queries"]["code_index_build"]
-        ):
-            runs[ncpu] = r
+        all_runs[ncpu].append(one(ncpu))
+    runs = {
+        n: min(rs, key=lambda r: r["queries"]["code_index_build"])
+        for n, rs in all_runs.items()
+    }
     r_lo, r_hi = runs[lo], runs[hi]
     t_lo = r_lo["queries"]["code_index_build"]
     t_hi = r_hi["queries"]["code_index_build"]
     eff = (t_lo / t_hi) / (hi / lo)
+    # the trigram build runs LAST in the headline (warm worker pool —
+    # the cold-start floor is not part of the two-level protocol);
+    # report its efficiency alongside the BM25 north-rule number
+    tri_lo = min(
+        r["queries"]["code_trigram_build"] for r in all_runs[lo]
+    )
+    tri_hi = min(
+        r["queries"]["code_trigram_build"] for r in all_runs[hi]
+    )
+    tri_eff = (tri_lo / tri_hi) / (hi / lo)
     return {
         "metric": "index-build scaling efficiency (8 vs 32 CPUs, same input)",
         "cpus_low": lo,
@@ -477,6 +484,9 @@ def run_scaling() -> dict:
         "docs_per_sec_low": round(CORPUS_FILES / t_lo, 1),
         "docs_per_sec_high": round(CORPUS_FILES / t_hi, 1),
         "scaling_efficiency": round(eff, 3),
+        "trigram_sec_low": tri_lo,
+        "trigram_sec_high": tri_hi,
+        "trigram_scaling_efficiency": round(tri_eff, 3),
         "full_low": r_lo,
         "full_high": r_hi,
     }
