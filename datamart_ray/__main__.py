@@ -98,6 +98,26 @@ def main(argv: list[str] | None = None) -> int:
         "(default 1: full compaction)",
     )
 
+    ts_ = sub.add_parser(
+        "trigram-snapshot",
+        help="point-in-time copy of the trigram index's active view",
+    )
+    ts_.add_argument("--index", required=True)
+    ts_.add_argument("--dest", required=True)
+
+    tr_ = sub.add_parser(
+        "trigram-restore",
+        help="restore a trigram snapshot to a fresh dir",
+    )
+    tr_.add_argument("--snapshot", required=True)
+    tr_.add_argument("--dest", required=True)
+
+    tv_ = sub.add_parser(
+        "trigram-verify",
+        help="audit trigram postings invariants per segment",
+    )
+    tv_.add_argument("--index", required=True)
+
     td = sub.add_parser(
         "trigram-delta",
         help="append never-seen parquet files to a trigram index",
@@ -410,6 +430,28 @@ def _run(args) -> int:
         )
         print(json.dumps(out, default=str))
         return 0
+    if args.cmd == "trigram-snapshot":
+        from datamart_ray.index.trigram_maintain import trigram_snapshot
+
+        print(json.dumps(trigram_snapshot(args.index, args.dest)))
+        return 0
+    if args.cmd == "trigram-restore":
+        from datamart_ray.index.trigram_maintain import trigram_restore
+
+        print(json.dumps(trigram_restore(args.snapshot, args.dest)))
+        return 0
+    if args.cmd == "trigram-verify":
+        from datamart_ray.index.trigram_maintain import (
+            trigram_verify_invariant,
+        )
+
+        out = trigram_verify_invariant(args.index)
+        print(json.dumps(out))
+        return 0 if all(
+            v["counts_ok"] and v["postings_ok"]
+            and v["ranges_ok"] is not False
+            for v in out.values()
+        ) else 1
     if args.cmd == "trigram-delta":
         from datamart_ray.index.trigram import trigram_ingest_delta
 

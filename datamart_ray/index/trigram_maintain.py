@@ -331,3 +331,183 @@ def trigram_compact(
         "new_segment": new_name,
         "seconds": round(time.time() - t0, 3),
     }
+
+
+TRI_SNAPSHOT_NAME = "tri_snapshot.json"
+
+
+def trigram_verify_invariant(index_dir: str) -> dict:
+    """Audit the trigram index invariants per active segment: the
+    manifest's (n_tris, n_pairs) match the postings, every posting blob
+    decodes to exactly ``df`` strictly-increasing docIDs inside the
+    segment's declared doc ranges, and every trigram code fits 2^24.
+    Streams one postings file at a time — never the whole index.
+    Returns {segment: {"counts_ok", "postings_ok", "ranges_ok"}}."""
+    from datamart_ray.index import codec
+
+    man = _load_tri_manifest(index_dir)
+    seg_root = os.path.join(index_dir, "segments")
+    out = {}
+    for name in man["segments"]:
+        seg_dir = os.path.join(seg_root, name)
+        with open(os.path.join(seg_dir, "MANIFEST.json")) as f:
+            m = json.load(f)
+        ranges = m.get(
+            "ranges",
+            [[m["doc_base"], m["doc_base"] + m["n_docs"]]],
+        )
+        id_col = man.get("id_col")
+        n_tris = n_pairs = 0
+        postings_ok = ranges_ok = True
+        pdir = os.path.join(seg_dir, "postings")
+        for fname in sorted(os.listdir(pdir)):
+            if not fname.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(pdir, fname))
+            tri = t["tri"].to_numpy(zero_copy_only=False)
+            df = t["df"].to_numpy(zero_copy_only=False)
+            n_tris += t.num_rows
+            n_pairs += int(df.sum())
+            if tri.size and (
+                tri.min() < 0 or tri.max() >= (1 << 24)
+            ):
+                postings_ok = False
+            for d, blob in zip(
+                df.tolist(), t["docs"].to_pylist()
+            ):
+                ids = codec.decode_docids(blob)
+                if ids.size != d or (
+                    ids.size > 1 and not bool(np.all(np.diff(ids) > 0))
+                ):
+                    postings_ok = False
+                    continue
+                if not id_col and ids.size:
+                    hit = np.zeros(ids.size, dtype=bool)
+                    for lo, hi in ranges:
+                        hit |= (ids >= lo) & (ids < hi)
+                    if not bool(hit.all()):
+                        ranges_ok = False
+        out[name] = {
+            "counts_ok": n_tris == m["n_tris"]
+            and n_pairs == m["n_pairs"],
+            "postings_ok": postings_ok,
+            "ranges_ok": ranges_ok if not id_col else None,
+        }
+    return out
+
+
+def trigram_snapshot(index_dir: str, snap_dir: str) -> dict:
+    """Point-in-time copy of the trigram index's ACTIVE view (the
+    ``maintain.snapshot_index`` analog). Committed segments are
+    immutable (compaction commits fresh names, then repoints), so the
+    copy needs no writer lock; the tombstone file travels with the
+    snapshot. ``tri_snapshot.json`` is written LAST — a torn snapshot
+    has no manifest and is detectable/invalid."""
+    import shutil
+
+    man = _load_tri_manifest(index_dir)
+    if not man["segments"]:
+        raise ValueError(f"no committed segments under {index_dir}")
+    if os.path.exists(snap_dir) and os.listdir(snap_dir):
+        raise ValueError(f"snapshot target {snap_dir} is not empty")
+    os.makedirs(os.path.join(snap_dir, "segments"), exist_ok=True)
+    sizes = {}
+    for name in man["segments"]:
+        src = os.path.join(index_dir, "segments", name)
+        shutil.copytree(
+            src, os.path.join(snap_dir, "segments", name)
+        )
+        sizes[name] = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(src)
+            for f in fs
+        )
+    tpath = os.path.join(index_dir, TRI_TOMBSTONE_NAME)
+    if os.path.exists(tpath):
+        shutil.copy2(
+            tpath, os.path.join(snap_dir, TRI_TOMBSTONE_NAME)
+        )
+    atomic_write_json(
+        os.path.join(snap_dir, "trigram_index.json"), man
+    )
+    snap = {
+        "segments": man["segments"],
+        "source_index": os.path.abspath(index_dir),
+        "byte_sizes": sizes,
+        "version": int(man.get("version", 0)),
+    }
+    atomic_write_json(
+        os.path.join(snap_dir, TRI_SNAPSHOT_NAME), snap
+    )
+    return snap
+
+
+def trigram_restore(snap_dir: str, dest_dir: str) -> dict:
+    """Restore a trigram snapshot into a fresh index dir. Refuses torn
+    snapshots and non-empty destinations; re-checks each restored
+    segment's byte size against the snapshot record and re-verifies the
+    postings invariants before declaring success."""
+    import shutil
+
+    from datamart_ray.index.manifest import (
+        WRITE_LOCK_NAME,
+        segment_is_committed,
+    )
+
+    spath = os.path.join(snap_dir, TRI_SNAPSHOT_NAME)
+    if not os.path.isfile(spath):
+        raise ValueError(
+            f"{snap_dir} has no {TRI_SNAPSHOT_NAME} — torn or not a "
+            "snapshot"
+        )
+    with open(spath) as f:
+        snap = json.load(f)
+    for name in snap["segments"]:
+        if not segment_is_committed(
+            os.path.join(snap_dir, "segments", name)
+        ):
+            raise ValueError(
+                f"snapshot segment {name} missing/uncommitted"
+            )
+    os.makedirs(dest_dir, exist_ok=True)
+    with index_write_lock(dest_dir):
+        if set(os.listdir(dest_dir)) - {WRITE_LOCK_NAME}:
+            raise ValueError(
+                f"restore target {dest_dir} is not empty"
+            )
+        os.makedirs(
+            os.path.join(dest_dir, "segments"), exist_ok=True
+        )
+        for name in snap["segments"]:
+            shutil.copytree(
+                os.path.join(snap_dir, "segments", name),
+                os.path.join(dest_dir, "segments", name),
+            )
+            got = sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(
+                    os.path.join(dest_dir, "segments", name)
+                )
+                for f in fs
+            )
+            if got != snap["byte_sizes"][name]:
+                raise ValueError(
+                    f"restored segment {name} size mismatch"
+                )
+        tpath = os.path.join(snap_dir, TRI_TOMBSTONE_NAME)
+        if os.path.exists(tpath):
+            shutil.copy2(
+                tpath, os.path.join(dest_dir, TRI_TOMBSTONE_NAME)
+            )
+        shutil.copy2(
+            os.path.join(snap_dir, "trigram_index.json"),
+            os.path.join(dest_dir, "trigram_index.json"),
+        )
+    bad = {
+        k: v
+        for k, v in trigram_verify_invariant(dest_dir).items()
+        if not (v["counts_ok"] and v["postings_ok"])
+    }
+    if bad:
+        raise ValueError(f"restored index fails invariants: {bad}")
+    return snap

@@ -204,3 +204,76 @@ def test_cli_trigram_delete_compact(ray_session, tmp_path, capsys):
     assert len(hits2) == len(hits) - sum(
         1 for h in hits if h["doc_id"] == victim
     )
+
+
+def test_snapshot_restore_verify(built, tmp_path, capsys):
+    import json
+
+    from datamart_ray.__main__ import main
+    from datamart_ray.index.trigram_maintain import (
+        trigram_restore,
+        trigram_snapshot,
+        trigram_verify_invariant,
+    )
+
+    corpus, idx = built
+    before = _hit_ids(idx, corpus)
+    trigram_delete_docs(idx, [before[0]])  # tombstone travels with snap
+
+    snap = str(tmp_path / "snap")
+    s = trigram_snapshot(idx, snap)
+    assert s["segments"]
+    # torn-snapshot refusal
+    with pytest.raises(ValueError, match="not a snapshot"):
+        trigram_restore(str(tmp_path / "nothing"), str(tmp_path / "x"))
+    # restore → identical serving, including the tombstone
+    dest = str(tmp_path / "restored")
+    trigram_restore(snap, dest)
+    got = _hit_ids(dest, corpus)
+    assert got == _hit_ids(idx, corpus) == before[1:]
+    # non-empty destination refused
+    with pytest.raises(ValueError, match="not empty"):
+        trigram_restore(snap, dest)
+    # invariant audit green on both
+    for d in (idx, dest):
+        v = trigram_verify_invariant(d)
+        assert v and all(
+            x["counts_ok"] and x["postings_ok"] and x["ranges_ok"]
+            for x in v.values()
+        ), v
+    # CLI verify exits 0 and prints the audit
+    assert main(["trigram-verify", "--index", dest]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert all(v["counts_ok"] for v in out.values())
+
+
+def test_verify_catches_corruption(built, tmp_path):
+    import json
+
+    from datamart_ray.index.trigram_maintain import (
+        trigram_verify_invariant,
+    )
+
+    corpus, idx = built
+    man = json.load(open(os.path.join(idx, "trigram_index.json")))
+    seg = man["segments"][0]
+    pdir = os.path.join(idx, "segments", seg, "postings")
+    f0 = sorted(
+        f for f in os.listdir(pdir) if f.endswith(".parquet")
+    )[0]
+    t = pq.read_table(os.path.join(pdir, f0))
+    # corrupt: claim one more df than the blob holds
+    import pyarrow as pa
+
+    df = t["df"].to_pylist()
+    df[0] += 1
+    t2 = t.set_column(
+        t.schema.get_field_index("df"),
+        "df",
+        pa.array(df, type=pa.int32()),
+    )
+    pq.write_table(t2, os.path.join(pdir, f0))
+    v = trigram_verify_invariant(idx)
+    assert not (
+        v[seg]["counts_ok"] and v[seg]["postings_ok"]
+    )
