@@ -155,6 +155,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     gp.add_argument("--json", action="store_true")
 
+    sv = sub.add_parser(
+        "serve",
+        help="HTTP service layer (search/grep/profile/augment/upload/"
+        "sessions — the reference apiserver's route surface)",
+    )
+    sv.add_argument("--index", default=None)
+    sv.add_argument("--corpus", default=None)
+    sv.add_argument("--tri-index", default=None)
+    sv.add_argument("--sf", default=None)
+    sv.add_argument("--port", type=int, default=8002)
+
     d = sub.add_parser("delta", help="ingest new files as a delta segment")
     d.add_argument("--index", required=True)
     d.add_argument("--input", required=True)
@@ -429,6 +440,11 @@ def _run(args) -> int:
             args.index, max_segments=args.max_segments
         )
         print(json.dumps(out, default=str))
+        return 0
+    if args.cmd == "serve":
+        from datamart_ray.service import serve
+
+        serve(args.index, args.corpus, args.tri_index, args.sf, args.port)
         return 0
     if args.cmd == "trigram-snapshot":
         from datamart_ray.index.trigram_maintain import trigram_snapshot
