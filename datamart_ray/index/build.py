@@ -283,6 +283,7 @@ class _TokenizeSpec:
                 want.append(self.id_col)
             meta_batches = []
             rg_base = spec["base"]
+            yielded = False
             for rg in range(spec["rg_start"], spec["rg_end"] + 1):
                 t = pf.read_row_group(rg, columns=want)
                 content = t[self.content_col]
@@ -326,7 +327,20 @@ class _TokenizeSpec:
                 meta_batches.append(pa.table(meta))
                 rg_base += t.num_rows
                 if triples.num_rows:
+                    yielded = True
                     yield triples
+            if not yielded:
+                # typed empty so downstream sort blocks never see a
+                # schemaless RefBundle (the streaming executor warns
+                # and may mis-infer the stage schema otherwise)
+                cols = {
+                    "term": pa.array([], type=pa.string()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "tf": pa.array([], type=pa.int32()),
+                }
+                if self.positions:
+                    cols["pos"] = pa.array([], type=pa.binary())
+                yield pa.table(cols)
             meta_table = pa.concat_tables(meta_batches)
             dest = os.path.join(
                 self.docmeta_dir, f"docmeta-{spec['spec_id']:06d}.parquet"
