@@ -277,3 +277,31 @@ def test_verify_catches_corruption(built, tmp_path):
     assert not (
         v[seg]["counts_ok"] and v[seg]["postings_ok"]
     )
+
+
+def test_distributed_index_respects_tombstones_and_compaction(built):
+    """DistributedTrigramIndex (actor-pool candidates) filters
+    tombstoned ids exactly like the in-process handle, and a reopened
+    distributed handle serves the compacted view identically."""
+    corpus, idx = built
+    before = _hit_ids(idx, corpus)
+    victim = before[0]
+    trigram_delete_docs(idx, [victim])
+    live = before[1:]
+
+    d = tg.DistributedTrigramIndex(idx, corpus, n_actors=2)
+    try:
+        got = d.substring_search(NEEDLE)["doc_id"].to_pylist()
+        assert got == live
+    finally:
+        d.shutdown()
+
+    trigram_compact(idx)
+    d2 = tg.DistributedTrigramIndex(idx, corpus, n_actors=2)
+    try:
+        got2 = d2.substring_search(NEEDLE)
+        assert got2["doc_id"].to_pylist() == live
+        ref = tg.TrigramIndex(idx, corpus).substring_search(NEEDLE)
+        assert got2.equals(ref)
+    finally:
+        d2.shutdown()
