@@ -282,8 +282,8 @@ class _TokenizeSpec:
             if self.id_col:
                 want.append(self.id_col)
             meta_batches = []
+            triple_parts: list[pa.Table] = []
             rg_base = spec["base"]
-            yielded = False
             for rg in range(spec["rg_start"], spec["rg_end"] + 1):
                 t = pf.read_row_group(rg, columns=want)
                 content = t[self.content_col]
@@ -327,12 +327,17 @@ class _TokenizeSpec:
                 meta_batches.append(pa.table(meta))
                 rg_base += t.num_rows
                 if triples.num_rows:
-                    yielded = True
-                    yield triples
-            if not yielded:
+                    triple_parts.append(triples)
+            if triple_parts:
+                # ONE table per spec: multiple small per-row-group
+                # yields made the streaming executor emit empty
+                # follow-on bundles with no schema (the RefBundle
+                # schema warning); a single concat per spec keeps the
+                # stage's bundles uniformly typed
+                yield pa.concat_tables(triple_parts).combine_chunks()
+            else:
                 # typed empty so downstream sort blocks never see a
-                # schemaless RefBundle (the streaming executor warns
-                # and may mis-infer the stage schema otherwise)
+                # schemaless RefBundle
                 cols = {
                     "term": pa.array([], type=pa.string()),
                     "doc_id": pa.array([], type=pa.int64()),
