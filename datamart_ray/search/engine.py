@@ -321,6 +321,9 @@ def _score_segment(
         from datamart_ray.search.wand import pruned_or_scores
 
         term_chunks = {t: reader.term_chunks(t) for t in present}
+        memo = getattr(reader, "_theta_memo", None)
+        if memo is None:
+            memo = reader._theta_memo = {}
         return pruned_or_scores(
             term_chunks,
             terms,
@@ -330,6 +333,7 @@ def _score_segment(
             params,
             reader.doclen_of,
             reader.filter_positions(filters or {}),
+            theta_memo=memo,
         )
 
     allowed = reader.filter_positions(filters or {})

@@ -119,10 +119,18 @@ def pruned_or_scores(
     params: BM25Params,
     doclen_of,
     allowed: np.ndarray | None = None,
+    theta_memo: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(docids, scores) of every doc that can reach the top-k (unsorted
     beyond that guarantee); scores are exact for all returned docs that
-    belong to the true top-k."""
+    belong to the true top-k.
+
+    ``theta_memo`` (optional, engine-owned) caches the θ seed per
+    (seed term, k): a reader's corpus view is immutable for the
+    handle's lifetime (tombstones load at open), so the seed term's
+    k-th best partial score is a constant — repeated OR queries skip
+    the full-posting partial scoring pass. Only consulted when
+    ``allowed`` is None (keyword filters change the reachable set)."""
     present = [t for t in terms if t in term_chunks and term_chunks[t].n]
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
     if not present:
@@ -142,19 +150,33 @@ def pruned_or_scores(
 
     # θ seed: exact partial scoring of the highest-impact term
     seed = max(present, key=lambda t: cmax[t])
-    s_docs, s_tfs = term_chunks[seed].decode_all()
-    if allowed is not None:
-        from datamart_ray.search.engine import _isin_sorted
+    memo_key = (seed, k)
+    if (
+        allowed is None
+        and theta_memo is not None
+        and memo_key in theta_memo
+    ):
+        theta = theta_memo[memo_key]
+    else:
+        s_docs, s_tfs = term_chunks[seed].decode_all()
+        if allowed is not None:
+            from datamart_ray.search.engine import _isin_sorted
 
-        keep = _isin_sorted(allowed, s_docs)
-        s_docs, s_tfs = s_docs[keep], s_tfs[keep]
-    theta = 0.0
-    if s_docs.size:
-        part = idfs[seed] * bm25_tf_norm(
-            s_tfs, doclen_of(s_docs), avgdl, params
-        )
-        if part.size >= k:
-            theta = float(np.partition(-part, k - 1)[k - 1] * -1.0)
+            keep = _isin_sorted(allowed, s_docs)
+            s_docs, s_tfs = s_docs[keep], s_tfs[keep]
+        theta = 0.0
+        if s_docs.size:
+            part = idfs[seed] * bm25_tf_norm(
+                s_tfs, doclen_of(s_docs), avgdl, params
+            )
+            if part.size >= k:
+                theta = float(
+                    np.partition(-part, k - 1)[k - 1] * -1.0
+                )
+        if allowed is None and theta_memo is not None:
+            while len(theta_memo) >= 64:
+                theta_memo.pop(next(iter(theta_memo)))
+            theta_memo[memo_key] = theta
 
     # chunk pruning
     keep_masks: dict[str, np.ndarray] = {}
