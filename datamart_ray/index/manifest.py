@@ -14,6 +14,7 @@ import json
 import os
 import shutil
 import threading
+import uuid
 
 MANIFEST_NAME = "MANIFEST.json"
 INDEX_MANIFEST_NAME = "index.json"
@@ -124,7 +125,10 @@ def bump_index_version(index_dir: str) -> int:
 
 
 def atomic_write_json(path: str, obj: dict) -> None:
-    tmp = path + ".tmp"
+    # unique tmp suffix: two processes writing the same target (e.g.
+    # the phrase-df sidecar from two engines) must not truncate each
+    # other's in-flight tmp or race the rename
+    tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:6]}"
     with open(tmp, "w") as f:
         json.dump(obj, f, indent=1, sort_keys=True)
         f.flush()

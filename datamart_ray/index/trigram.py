@@ -258,7 +258,12 @@ def partial_posting_rows(
 # per-doc-distinct sort runs on a ~4x-smaller, mostly-cache-resident
 # key array instead of a DRAM-streaming int64 one — critical because
 # 32 concurrent extract tasks on one node share memory bandwidth.
-_DEDUP_CHUNK = int(os.environ.get("GRAFT_TRI_DEDUP_CHUNK", "256"))
+# clamped to [1, 256]: the uint32 key has exactly 8 bits for the
+# chunk-local doc index — a larger override would silently corrupt
+# the packed keys (wrong trigrams, wrong offsets)
+_DEDUP_CHUNK = min(
+    256, max(1, int(os.environ.get("GRAFT_TRI_DEDUP_CHUNK", "256")))
+)
 
 
 def dense_partials(texts: pa.ChunkedArray | pa.Array, doc_base: int) -> pa.Table:
@@ -1189,9 +1194,6 @@ class TrigramIndex:
             )
         return self._specs_cache
 
-    def _range_has(self, ids: np.ndarray, lo: int, hi: int) -> bool:
-        return _range_has(ids, lo, hi)
-
     def _specs_touched(self, cand: np.ndarray) -> int:
         """How many read specs contain at least one candidate — the
         driver-fetch cost model (serial row-group reads)."""
@@ -1360,7 +1362,7 @@ class TrigramIndex:
                 specs = [
                     sp
                     for sp in specs
-                    if self._range_has(
+                    if _range_has(
                         cand, sp["base"], sp["base"] + sp["n_rows"]
                     )
                 ]

@@ -172,16 +172,17 @@ def trigram_compact(
                 return m["ranges"]
             return [[m["doc_base"], m["doc_base"] + m["n_docs"]]]
 
+        from datamart_ray.index.trigram import _range_has
+
         def holds_tombstone(name: str) -> bool:
             if tombs.size == 0:
                 return False
             if man.get("id_col"):
                 return True  # ranges unknown: always strip
-            for lo, hi in seg_ranges(seg_meta[name]):
-                i = int(np.searchsorted(tombs, lo))
-                if i < tombs.size and tombs[i] < hi:
-                    return True
-            return False
+            return any(
+                _range_has(tombs, lo, hi)
+                for lo, hi in seg_ranges(seg_meta[name])
+            )
 
         by_size = sorted(names, key=lambda n: seg_meta[n]["n_docs"])
         merge = set()
@@ -198,11 +199,17 @@ def trigram_compact(
         ensure_fast_shuffle()
         merge_dirs = [os.path.join(seg_root, n) for n in sorted(merge)]
         kept = [n for n in names if n not in merge]
-        tombs_list = tombs.tolist()
+        # broadcast the tombstone set once (ray.put), not a Python
+        # list pickled into every task closure
+        import ray as _ray
+
+        tombs_ref = _ray.put(tombs)
 
         def to_partials(t: pa.Table) -> pa.Table:
             """Posting rows → tombstone-stripped partial rows (decode
             once, vectorized; the batch is bounded by the read)."""
+            import ray as _ray
+
             from datamart_ray.index import codec
             from datamart_ray.index.trigram import _blob_buffers
             from datamart_ray.util import isin_sorted
@@ -216,7 +223,7 @@ def trigram_compact(
             buf = np.ascontiguousarray(data[offs[0] : offs[-1]])
             vals = codec.decode_grouped_positions(buf, df)
             tri_v = np.repeat(tri, df)
-            tl = np.asarray(tombs_list, dtype=np.int64)
+            tl = _ray.get(tombs_ref)
             if tl.size:
                 keep = ~isin_sorted(tl, vals)
                 tri_v, vals = tri_v[keep], vals[keep]
@@ -307,11 +314,18 @@ def trigram_compact(
         new_names = kept + [new_name]
         man["segments"] = new_names
         man["n_segments"] = len(new_names)
-        # tombstones physically dropped from the merged ranges; for
-        # dense indexes, keep only ids outside every merged range (a
-        # kept segment may still hold them); id_col: everything merged
-        # → all physical, clear
+        # SWAP ORDER: repoint the manifest FIRST, prune tombstones
+        # SECOND, delete superseded dirs LAST. A crash after the
+        # repoint leaves stale tombstone ids for already-dropped docs —
+        # a harmless no-op filter — whereas pruning first would let a
+        # crash (or a concurrent open) resurrect deleted docs still
+        # present in the old segments' postings.
+        man = _bump_tri_version(index_dir, man)
         if tombs.size:
+            # tombstones physically dropped from the merged ranges; for
+            # dense indexes, keep only ids outside every merged range
+            # (a kept segment may still hold them); id_col: everything
+            # merged → all physical, clear
             if man.get("id_col"):
                 remaining = np.empty(0, dtype=np.int64)
             else:
@@ -320,7 +334,6 @@ def trigram_compact(
                     covered |= (tombs >= lo) & (tombs < hi)
                 remaining = tombs[~covered]
             _write_tombstones(index_dir, remaining)
-        man = _bump_tri_version(index_dir, man)
         import shutil
 
         for d in merge_dirs:
@@ -398,35 +411,43 @@ def trigram_verify_invariant(index_dir: str) -> dict:
 
 def trigram_snapshot(index_dir: str, snap_dir: str) -> dict:
     """Point-in-time copy of the trigram index's ACTIVE view (the
-    ``maintain.snapshot_index`` analog). Committed segments are
-    immutable (compaction commits fresh names, then repoints), so the
-    copy needs no writer lock; the tombstone file travels with the
-    snapshot. ``tri_snapshot.json`` is written LAST — a torn snapshot
-    has no manifest and is detectable/invalid."""
+    ``maintain.snapshot_index`` analog). Runs under the index lock in
+    SHARED mode: committed segments are immutable, but compaction
+    prunes the tombstone file and deletes superseded dirs — without
+    the lock a racing compaction could pair the old manifest with the
+    post-compact pruned tombstones (restored index resurrects deleted
+    docs) or delete a dir mid-copytree. Shared mode lets snapshots run
+    concurrently with each other. ``tri_snapshot.json`` is written
+    LAST — a torn snapshot has no manifest and is detectable/invalid."""
     import shutil
 
-    man = _load_tri_manifest(index_dir)
-    if not man["segments"]:
-        raise ValueError(f"no committed segments under {index_dir}")
-    if os.path.exists(snap_dir) and os.listdir(snap_dir):
-        raise ValueError(f"snapshot target {snap_dir} is not empty")
-    os.makedirs(os.path.join(snap_dir, "segments"), exist_ok=True)
-    sizes = {}
-    for name in man["segments"]:
-        src = os.path.join(index_dir, "segments", name)
-        shutil.copytree(
-            src, os.path.join(snap_dir, "segments", name)
-        )
-        sizes[name] = sum(
-            os.path.getsize(os.path.join(dp, f))
-            for dp, _, fs in os.walk(src)
-            for f in fs
-        )
-    tpath = os.path.join(index_dir, TRI_TOMBSTONE_NAME)
-    if os.path.exists(tpath):
-        shutil.copy2(
-            tpath, os.path.join(snap_dir, TRI_TOMBSTONE_NAME)
-        )
+    with index_write_lock(index_dir, shared=True):
+        man = _load_tri_manifest(index_dir)
+        if not man["segments"]:
+            raise ValueError(
+                f"no committed segments under {index_dir}"
+            )
+        if os.path.exists(snap_dir) and os.listdir(snap_dir):
+            raise ValueError(
+                f"snapshot target {snap_dir} is not empty"
+            )
+        os.makedirs(os.path.join(snap_dir, "segments"), exist_ok=True)
+        sizes = {}
+        for name in man["segments"]:
+            src = os.path.join(index_dir, "segments", name)
+            shutil.copytree(
+                src, os.path.join(snap_dir, "segments", name)
+            )
+            sizes[name] = sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(src)
+                for f in fs
+            )
+        tpath = os.path.join(index_dir, TRI_TOMBSTONE_NAME)
+        if os.path.exists(tpath):
+            shutil.copy2(
+                tpath, os.path.join(snap_dir, TRI_TOMBSTONE_NAME)
+            )
     atomic_write_json(
         os.path.join(snap_dir, "trigram_index.json"), man
     )
@@ -506,7 +527,11 @@ def trigram_restore(snap_dir: str, dest_dir: str) -> dict:
     bad = {
         k: v
         for k, v in trigram_verify_invariant(dest_dir).items()
-        if not (v["counts_ok"] and v["postings_ok"])
+        if not (
+            v["counts_ok"]
+            and v["postings_ok"]
+            and v["ranges_ok"] is not False
+        )
     }
     if bad:
         raise ValueError(f"restored index fails invariants: {bad}")

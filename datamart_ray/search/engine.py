@@ -1275,18 +1275,8 @@ class SearchEngine:
         # just after. A vanished dir means a newer committed view exists
         # — re-list and reopen (bounded; each retry observes a strictly
         # newer manifest).
-        from datamart_ray.index.manifest import current_index_version
-
         for attempt in range(5):
             try:
-                # version read BEFORE the manifest/readers: a mutation
-                # committing mid-open can only make the stored phrase-df
-                # key STALE (ignored by later opens), never wrongly fresh
-                ver = (
-                    current_index_version(index_dir)
-                    if isinstance(index_dir, str)
-                    else -1
-                )
                 self.manifest, self.analyzer, seg_dirs = _alias_union(
                     index_dir
                 )
@@ -1308,11 +1298,19 @@ class SearchEngine:
         )
         # per-phrase df sidecar (rescore cold tail): single-dir indexes
         # only, keyed by the index version so every committed mutation
-        # (delete/delta/compact bumps it) invalidates the cache
+        # (delete/delta/compact bumps it) invalidates the cache. The
+        # version comes from THE SAME index.json load as the segment
+        # list (self.manifest) — a separate read could race a
+        # concurrent commit and key dfs computed on a newer view under
+        # an older version, poisoning other handles at that version
         self._phrase_df_dir = (
             index_dir if isinstance(index_dir, str) else None
         )
-        self._phrase_df_version = ver
+        self._phrase_df_version = (
+            int(self.manifest.get("version", 0))
+            if isinstance(index_dir, str)
+            else -1
+        )
         if warm_terms:
             self.warm(warm_terms)
 

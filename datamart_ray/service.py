@@ -143,8 +143,29 @@ class EngineService:
             out = t.substring_search(body["pattern"], **kw)
         return _table_rows(out)
 
+    def _deleted(self, doc_id: int) -> bool:
+        """Tombstoned docs 404 from GET-by-id exactly as they vanish
+        from /search and /grep (the ES get-after-delete contract)."""
+        import numpy as np
+
+        if self.index_dir:
+            for r in self.engine().readers:
+                t = getattr(r, "_tombstones", None)
+                if t is not None and t.size:
+                    i = int(np.searchsorted(t, doc_id))
+                    if i < t.size and int(t[i]) == doc_id:
+                        return True
+        if self.tri_index:
+            t = self.tri().tombstones
+            i = int(np.searchsorted(t, doc_id))
+            if i < t.size and int(t[i]) == doc_id:
+                return True
+        return False
+
     def metadata(self, doc_id: int) -> dict:
         e = self.engine()
+        if self._deleted(doc_id):
+            raise KeyError(f"doc {doc_id} not found")
         for r in e.readers:
             import numpy as np
 
@@ -162,6 +183,8 @@ class EngineService:
         /download/<id> returns the stored dataset."""
         if not self.corpus:
             raise ValueError("no --corpus configured")
+        if self._deleted(doc_id):
+            raise KeyError(f"doc {doc_id} not found")
         import numpy as np
         import pyarrow.parquet as pq
 

@@ -181,3 +181,28 @@ def test_upload_delta_served(served):
     # statistics reflect the new doc
     s, st = _get(port, "/statistics")
     assert st["bm25"]["n_docs"] == 151
+
+
+def test_metadata_download_404_after_delete(ray_session, tmp_path):
+    """ES get-after-delete contract: a tombstoned doc 404s from
+    /metadata and /download exactly as it vanishes from /search."""
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, n_files=60, vocab_size=300, seed=4,
+                    n_output_files=1)
+    idx = str(tmp_path / "idx")
+    build_index(corpus, idx, IndexConfig())
+    from datamart_ray.index.maintain import delete_docs
+
+    delete_docs(idx, [5])
+    httpd, port = create_server(index_dir=idx, corpus=corpus)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        s, _ = _get(port, "/metadata/5")
+        assert s == 404
+        s, _ = _get(port, "/download/5")
+        assert s == 404
+        s, ok = _get(port, "/metadata/6")
+        assert s == 200 and ok["doc_id"] == 6
+    finally:
+        httpd.shutdown()
