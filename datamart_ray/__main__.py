@@ -153,6 +153,11 @@ def main(argv: list[str] | None = None) -> int:
         help="emit (doc_id, line_no, line) grep output instead of "
         "per-doc hit counts",
     )
+    gp.add_argument(
+        "--ingest-from", action="append", default=[],
+        help="sweep these roots for never-seen parquet and delta-"
+        "ingest them before serving the query (repeatable)",
+    )
     gp.add_argument("--json", action="store_true")
 
     sv = sub.add_parser(
@@ -476,6 +481,12 @@ def _run(args) -> int:
     if args.cmd == "grep":
         from datamart_ray.index.trigram import TrigramIndex
 
+        if args.ingest_from:
+            from datamart_ray.index.trigram import (
+                trigram_ingest_delta,
+            )
+
+            trigram_ingest_delta(args.index, args.ingest_from)
         ti = TrigramIndex(args.index, args.corpus)
         flt = (
             {

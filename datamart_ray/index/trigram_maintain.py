@@ -536,3 +536,78 @@ def trigram_restore(snap_dir: str, dest_dir: str) -> dict:
     if bad:
         raise ValueError(f"restored index fails invariants: {bad}")
     return snap
+
+
+# grep_on_demand's per-index handle cache, LRU-bounded and version-
+# keyed — the trigram analog of maintain._ON_DEMAND_ENGINES.
+ON_DEMAND_TRI_CAP = 8
+_ON_DEMAND_TRIS: "dict" = {}
+_ON_DEMAND_TRI_GUARD = None  # created lazily (threading.Lock)
+
+
+def grep_on_demand(
+    index_dir: str,
+    sources: str | list[str],
+    pattern: str,
+    regex: bool = False,
+    ignore_case: bool = False,
+    filters: dict | None = None,
+):
+    """Query-triggered ingest for content search — the trigram analog
+    of ``maintain.search_on_demand`` (reference: the on-demand
+    discovery loop, lib_core/datamart_core/discovery.py:106-127): any
+    parquet under the source roots the index has never seen becomes a
+    delta segment BEFORE the grep is served; a sweep with nothing new
+    is metadata-only. Returns ``(hits_table, ingest_report)``. The
+    opened TrigramIndex is cached per index dir and reopened only when
+    the manifest's version counter says a mutation committed."""
+    import threading
+    from collections import OrderedDict
+
+    from datamart_ray.index.build import _expand_paths
+    from datamart_ray.index.trigram import (
+        TrigramIndex,
+        trigram_ingest_delta,
+    )
+
+    global _ON_DEMAND_TRI_GUARD, _ON_DEMAND_TRIS
+    if _ON_DEMAND_TRI_GUARD is None:
+        _ON_DEMAND_TRI_GUARD = threading.Lock()
+        _ON_DEMAND_TRIS = OrderedDict()
+
+    swept = [f for f in _expand_paths(sources) if os.path.isfile(f)]
+    if swept:
+        report = trigram_ingest_delta(index_dir, swept)
+    else:
+        report = {"files": [], "segments": []}
+
+    key = os.path.realpath(index_dir)
+    version = int(_load_tri_manifest(index_dir).get("version", 0))
+    with _ON_DEMAND_TRI_GUARD:
+        cached = _ON_DEMAND_TRIS.get(key)
+        idx = (
+            cached[1]
+            if cached is not None and cached[0] == version
+            else None
+        )
+        if idx is not None:
+            _ON_DEMAND_TRIS.move_to_end(key)
+    if idx is None:
+        man = _load_tri_manifest(index_dir)
+        srcs = [fi["path"] for fi in man["files"]]
+        idx = TrigramIndex(index_dir, srcs)
+        with _ON_DEMAND_TRI_GUARD:
+            _ON_DEMAND_TRIS[key] = (version, idx)
+            _ON_DEMAND_TRIS.move_to_end(key)
+            while len(_ON_DEMAND_TRIS) > ON_DEMAND_TRI_CAP:
+                _ON_DEMAND_TRIS.popitem(last=False)
+    hits = (
+        idx.regexp_search(
+            pattern, ignore_case=ignore_case, filters=filters
+        )
+        if regex
+        else idx.substring_search(
+            pattern, ignore_case=ignore_case, filters=filters
+        )
+    )
+    return hits, report

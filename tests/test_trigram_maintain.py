@@ -305,3 +305,56 @@ def test_distributed_index_respects_tombstones_and_compaction(built):
         assert got2.equals(ref)
     finally:
         d2.shutdown()
+
+
+def test_grep_on_demand_and_cli_ingest_from(
+    ray_session, tmp_path, capsys
+):
+    """Query-triggered ingest (the trigram search_on_demand analog):
+    never-seen parquet under the watch root becomes a delta segment
+    before the grep is served; a second sweep is metadata-only and the
+    version-keyed handle cache is reused."""
+    import json
+
+    import pyarrow as pa
+
+    from datamart_ray.__main__ import main
+    from datamart_ray.index.trigram_maintain import grep_on_demand
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, n_files=60, vocab_size=300, seed=2,
+                    n_output_files=1)
+    idx = str(tmp_path / "idx")
+    tg.build_trigram_index(
+        corpus, idx, tg.TrigramConfig(text_col="content")
+    )
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    hits0, rep0 = grep_on_demand(idx, str(watch), NEEDLE)
+    n0 = hits0.num_rows
+    assert n0 > 0
+
+    pq.write_table(
+        pa.table({"content": pa.array(
+            [f"fresh {NEEDLE} via watch root", "no match"]
+        )}),
+        str(watch / "new.parquet"),
+    )
+    hits1, rep1 = grep_on_demand(idx, str(watch), NEEDLE)
+    assert hits1.num_rows == n0 + 1
+    # steady state: nothing new, same result, cached handle
+    hits2, rep2 = grep_on_demand(idx, str(watch), NEEDLE)
+    assert hits2.equals(hits1)
+
+    # CLI --ingest-from on grep
+    pq.write_table(
+        pa.table({"content": pa.array([f"second {NEEDLE} delta"])}),
+        str(watch / "new2.parquet"),
+    )
+    assert main([
+        "grep", "--index", idx, "--corpus", corpus,
+        "--pattern", NEEDLE, "--json",
+        "--ingest-from", str(watch),
+    ]) == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rows) == n0 + 2
