@@ -358,3 +358,44 @@ def test_grep_on_demand_and_cli_ingest_from(
     ]) == 0
     rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(rows) == n0 + 2
+
+
+def test_compact_crash_between_repoint_and_prune_never_resurrects(
+    built, monkeypatch
+):
+    """The swap-order contract: a compactor dying after the manifest
+    repoint but before the tombstone prune leaves stale tombstones for
+    already-dropped docs (harmless no-op filter) — the deleted doc must
+    stay invisible. (The pre-fix order — prune first — would resurrect
+    it.)"""
+    import datamart_ray.index.trigram_maintain as tm
+
+    corpus, idx = built
+    before = _hit_ids(idx, corpus)
+    victim = before[0]
+    trigram_delete_docs(idx, [victim])
+    live = before[1:]
+
+    real_write = tm._write_tombstones
+    calls = {"n": 0}
+
+    def dying_write(index_dir, ids):
+        # the delete above already committed; the next write is the
+        # compactor's prune — die there
+        calls["n"] += 1
+        raise RuntimeError("simulated crash before tombstone prune")
+
+    monkeypatch.setattr(tm, "_write_tombstones", dying_write)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        trigram_compact(idx)
+    monkeypatch.setattr(tm, "_write_tombstones", real_write)
+
+    # the manifest repoint committed; tombstones are stale but the
+    # victim is physically gone from the new segment AND still
+    # filtered — never visible either way
+    assert calls["n"] == 1
+    assert _hit_ids(idx, corpus) == live
+    assert read_tri_tombstones(idx).size >= 1  # stale, harmless
+    # a later successful compact converges the state
+    out = trigram_compact(idx)
+    assert _hit_ids(idx, corpus) == live
