@@ -265,6 +265,35 @@ _DEDUP_CHUNK = min(
     256, max(1, int(os.environ.get("GRAFT_TRI_DEDUP_CHUNK", "256")))
 )
 
+# a dedup chunk also closes early once it holds this many windows, and
+# a SINGLE doc larger than the cap takes a sliced per-doc path — a
+# 100 MB minified bundle must not materialize a 400 MB key array in
+# one extract task
+_CHUNK_WINDOW_CAP = 4_000_000
+
+
+def _single_doc_tris(
+    data: np.ndarray, lo: int, hi: int, cap: int = _CHUNK_WINDOW_CAP
+) -> np.ndarray:
+    """Sorted distinct trigram codes of ONE huge doc, computed in
+    ≤cap-window slices (2-byte overlap keeps boundary windows)."""
+    parts: list[np.ndarray] = []
+    s = int(lo)
+    while s < hi - 2:
+        e = min(s + cap + 2, int(hi))
+        d = data[s:e]
+        tri = (
+            (d[:-2].astype(np.uint32) << 8)
+            | d[1:-1].astype(np.uint32)
+        ) << 8 | d[2:]
+        parts.append(np.unique(tri))
+        s += cap
+    if not parts:
+        return np.empty(0, dtype=np.uint32)
+    return parts[0] if len(parts) == 1 else np.unique(
+        np.concatenate(parts)
+    )
+
 
 def dense_partials(texts: pa.ChunkedArray | pa.Array, doc_base: int) -> pa.Table:
     """Partial posting rows for one batch of DENSE-id docs (ids =
@@ -291,8 +320,46 @@ def dense_partials(texts: pa.ChunkedArray | pa.Array, doc_base: int) -> pa.Table
     # int32 window positions when the batch's byte extent fits (a
     # parquet row group always does) — half the index-array traffic
     pos_dt = np.int32 if int(offsets[-1]) < (1 << 31) else np.int64
-    for c0 in range(0, n, _DEDUP_CHUNK):
-        c1 = min(c0 + _DEDUP_CHUNK, n)
+    all_wc = np.maximum(np.diff(offsets), 2) - 2
+
+    def chunk_bounds():
+        """(c0, c1) runs of ≤_DEDUP_CHUNK docs closing early at the
+        window cap; a single over-cap doc comes out as its own
+        (c0, c0+1) chunk and is routed to the sliced path below."""
+        c0 = 0
+        while c0 < n:
+            c1, w = c0, 0
+            while (
+                c1 < n
+                and c1 - c0 < _DEDUP_CHUNK
+                and (
+                    w == 0 or w + int(all_wc[c1]) <= _CHUNK_WINDOW_CAP
+                )
+            ):
+                w += int(all_wc[c1])
+                c1 += 1
+            yield c0, c1
+            c0 = c1
+
+    for c0, c1 in chunk_bounds():
+        if (
+            c1 - c0 == 1
+            and int(all_wc[c0]) > _CHUNK_WINDOW_CAP
+        ):
+            # huge single doc: sliced distinct-trigram scan, df=1 rows
+            tri_u = _single_doc_tris(
+                data, int(offsets[c0]), int(offsets[c0 + 1])
+            ).astype(np.int64)
+            if tri_u.size:
+                parts.append(
+                    _partials_from_sorted(
+                        tri_u,
+                        np.full(
+                            tri_u.size, doc_base + c0, dtype=np.int64
+                        ),
+                    )
+                )
+            continue
         offs = offsets[c0 : c1 + 1].astype(pos_dt)
         lens = np.diff(offs)
         wc = np.maximum(lens - 2, 0)

@@ -787,3 +787,34 @@ def test_nocase_regex_kelvin_long_s_exact(nocase_index):
     assert nocase_index.regex_candidates(
         "naïve", ignore_case=True
     ) is None
+
+
+def test_dense_partials_huge_doc_sliced_path(monkeypatch):
+    """A single doc above the window cap takes the sliced per-doc scan
+    and must produce the identical postings (boundary windows across
+    slice edges included)."""
+    from datamart_ray.index import codec
+
+    monkeypatch.setattr(tg, "_CHUNK_WINDOW_CAP", 1000)
+    rng = np.random.default_rng(3)
+    big = "".join(
+        rng.choice(list("abcdef() {}\n"), 5000)
+    )
+    texts = ["small one", big, "another small qz"]
+    arr = pa.array(texts, type=pa.string())
+    got_t = tg.dense_partials(arr, 100)
+    merged = tg._merge_bucket(got_t)
+    got = {
+        int(t_): codec.decode_docids(b_).tolist()
+        for t_, b_ in zip(
+            merged["tri"].to_pylist(), merged["docs"].to_pylist()
+        )
+    }
+    pairs = tg.trigram_pairs(
+        arr, 100 + np.arange(3, dtype=np.int64)
+    )
+    want = _brute_postings(
+        pairs["tri"].to_numpy(zero_copy_only=False),
+        pairs["doc_id"].to_numpy(zero_copy_only=False),
+    )
+    assert got == want
