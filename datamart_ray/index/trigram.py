@@ -325,19 +325,20 @@ def dense_partials(texts: pa.ChunkedArray | pa.Array, doc_base: int) -> pa.Table
     def chunk_bounds():
         """(c0, c1) runs of ≤_DEDUP_CHUNK docs closing early at the
         window cap; a single over-cap doc comes out as its own
-        (c0, c0+1) chunk and is routed to the sliced path below."""
+        (c0, c0+1) chunk and is routed to the sliced path below.
+        Vectorized: the common under-cap case costs one slice-sum per
+        chunk, never a per-doc Python walk."""
         c0 = 0
         while c0 < n:
-            c1, w = c0, 0
-            while (
-                c1 < n
-                and c1 - c0 < _DEDUP_CHUNK
-                and (
-                    w == 0 or w + int(all_wc[c1]) <= _CHUNK_WINDOW_CAP
+            c1 = min(c0 + _DEDUP_CHUNK, n)
+            if int(all_wc[c0:c1].sum()) > _CHUNK_WINDOW_CAP:
+                cs = np.cumsum(all_wc[c0:c1])
+                k = int(
+                    np.searchsorted(
+                        cs, _CHUNK_WINDOW_CAP, side="right"
+                    )
                 )
-            ):
-                w += int(all_wc[c1])
-                c1 += 1
+                c1 = c0 + max(1, k)
             yield c0, c1
             c0 = c1
 
