@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -482,11 +483,21 @@ def _run(args) -> int:
         from datamart_ray.index.trigram import TrigramIndex
 
         if args.ingest_from:
+            # the full on-demand path: isfile-filters the watch roots
+            # (an empty or not-yet-created root is the normal steady
+            # state, not an error) and skips already-known files
+            from datamart_ray.index.build import _expand_paths
             from datamart_ray.index.trigram import (
                 trigram_ingest_delta,
             )
 
-            trigram_ingest_delta(args.index, args.ingest_from)
+            swept = [
+                f
+                for f in _expand_paths(args.ingest_from)
+                if os.path.isfile(f)
+            ]
+            if swept:
+                trigram_ingest_delta(args.index, swept)
         ti = TrigramIndex(args.index, args.corpus)
         flt = (
             {
@@ -548,8 +559,6 @@ def _run(args) -> int:
         )
 
         if args.ingest_from:
-            import os
-
             from datamart_ray.index.build import _expand_paths
             from datamart_ray.index.maintain import ingest_delta
 

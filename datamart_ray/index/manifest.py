@@ -127,7 +127,18 @@ def bump_index_version(index_dir: str) -> int:
 def atomic_write_json(path: str, obj: dict) -> None:
     # unique tmp suffix: two processes writing the same target (e.g.
     # the phrase-df sidecar from two engines) must not truncate each
-    # other's in-flight tmp or race the rename
+    # other's in-flight tmp or race the rename. Stale tmps from
+    # crashed writers are swept best-effort (age-gated so a LIVE
+    # concurrent writer's in-flight tmp is never unlinked).
+    import glob as _glob
+    import time as _time
+
+    for stale in _glob.glob(f"{path}.tmp.*"):
+        try:
+            if _time.time() - os.path.getmtime(stale) > 600:
+                os.unlink(stale)
+        except OSError:
+            pass
     tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:6]}"
     with open(tmp, "w") as f:
         json.dump(obj, f, indent=1, sort_keys=True)

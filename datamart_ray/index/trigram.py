@@ -276,9 +276,14 @@ def _single_doc_tris(
     data: np.ndarray, lo: int, hi: int, cap: int = _CHUNK_WINDOW_CAP
 ) -> np.ndarray:
     """Sorted distinct trigram codes of ONE huge doc, computed in
-    ≤cap-window slices (2-byte overlap keeps boundary windows)."""
-    parts: list[np.ndarray] = []
+    ≤cap-window slices (2-byte overlap keeps boundary windows).
+    Constant memory regardless of doc size: slices scatter into a
+    2^24-entry seen-bitmap (16 MB) instead of accumulating per-slice
+    unique arrays (a high-entropy 100 MB doc would otherwise rebuild
+    the hundreds-of-MB array the cap exists to avoid)."""
+    seen = np.zeros(1 << 24, dtype=bool)
     s = int(lo)
+    any_win = False
     while s < hi - 2:
         e = min(s + cap + 2, int(hi))
         d = data[s:e]
@@ -286,13 +291,12 @@ def _single_doc_tris(
             (d[:-2].astype(np.uint32) << 8)
             | d[1:-1].astype(np.uint32)
         ) << 8 | d[2:]
-        parts.append(np.unique(tri))
+        seen[tri] = True
+        any_win = True
         s += cap
-    if not parts:
+    if not any_win:
         return np.empty(0, dtype=np.uint32)
-    return parts[0] if len(parts) == 1 else np.unique(
-        np.concatenate(parts)
-    )
+    return np.flatnonzero(seen).astype(np.uint32)
 
 
 def dense_partials(texts: pa.ChunkedArray | pa.Array, doc_base: int) -> pa.Table:
@@ -348,8 +352,13 @@ def dense_partials(texts: pa.ChunkedArray | pa.Array, doc_base: int) -> pa.Table
             and int(all_wc[c0]) > _CHUNK_WINDOW_CAP
         ):
             # huge single doc: sliced distinct-trigram scan, df=1 rows
+            # (cap passed explicitly so the module global is read at
+            # CALL time — tests monkeypatch it)
             tri_u = _single_doc_tris(
-                data, int(offsets[c0]), int(offsets[c0 + 1])
+                data,
+                int(offsets[c0]),
+                int(offsets[c0 + 1]),
+                cap=_CHUNK_WINDOW_CAP,
             ).astype(np.int64)
             if tri_u.size:
                 parts.append(
@@ -1208,10 +1217,21 @@ class TrigramIndex:
     segments in a pool of actors (same results, pytest-pinned)."""
 
     def __init__(self, index_dir: str, src: str | list[str]):
-        self._load_manifest(index_dir, src)
-        self.segments = [
-            _TriSegment(d) for d in self._active_segment_dirs(index_dir)
-        ]
+        # opening races a compaction's swap (manifest repointed before
+        # superseded dirs delete): a vanished/uncommitted listed dir
+        # means a newer committed view exists — re-read and reopen
+        # (each retry observes a strictly newer manifest)
+        for attempt in range(5):
+            try:
+                self._load_manifest(index_dir, src)
+                self.segments = [
+                    _TriSegment(d)
+                    for d in self._active_segment_dirs(index_dir)
+                ]
+                break
+            except (FileNotFoundError, ValueError):
+                if attempt == 4:
+                    raise
 
     def _active_segment_dirs(self, index_dir: str) -> list[str]:
         """Committed segment dirs listed in trigram_index.json — the
@@ -1242,16 +1262,22 @@ class TrigramIndex:
             read_tri_tombstones,
         )
 
+        # tombstoned docIDs are filtered out of every search path (the
+        # postings keep them until trigram_compact makes the delete
+        # physical — the Lucene discipline, same as index/maintain.py).
+        # Read tombstones FIRST, manifest SECOND: compaction repoints
+        # the manifest and THEN prunes tombstones, so every unlocked
+        # open interleaving is safe — stale tombstones + new manifest
+        # is a harmless no-op filter, while the reverse order could
+        # pair the OLD manifest (postings still holding a deleted doc)
+        # with the pruned tombstone set and resurrect it.
+        self.tombstones = read_tri_tombstones(index_dir)
         with open(os.path.join(index_dir, "trigram_index.json")) as f:
             self.manifest = json.load(f)
         self.src = src
         self.text_col = self.manifest["text_col"]
         self.id_col = self.manifest["id_col"]
         self._specs_cache: list | None = None
-        # tombstoned docIDs are filtered out of every search path (the
-        # postings keep them until trigram_compact makes the delete
-        # physical — the Lucene discipline, same as index/maintain.py)
-        self.tombstones = read_tri_tombstones(index_dir)
 
     def _plan(self) -> list:
         """Cached read-spec plan (dense-id indexes) — footer metadata
@@ -1803,9 +1829,15 @@ class DistributedTrigramIndex(TrigramIndex):
         src: str | list[str],
         n_actors: int | None = None,
     ):
-        self._load_manifest(index_dir, src)
-        self.segments = []  # never resident driver-side
-        seg_dirs = self._active_segment_dirs(index_dir)
+        for attempt in range(5):  # same open-vs-compaction retry as
+            try:  # TrigramIndex (actor load below has its own retry)
+                self._load_manifest(index_dir, src)
+                self.segments = []  # never resident driver-side
+                seg_dirs = self._active_segment_dirs(index_dir)
+                break
+            except (FileNotFoundError, ValueError):
+                if attempt == 4:
+                    raise
         if not seg_dirs:
             self.actors = []
             return

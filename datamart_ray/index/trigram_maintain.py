@@ -539,10 +539,15 @@ def trigram_restore(snap_dir: str, dest_dir: str) -> dict:
 
 
 # grep_on_demand's per-index handle cache, LRU-bounded and version-
-# keyed — the trigram analog of maintain._ON_DEMAND_ENGINES.
+# keyed — the trigram analog of maintain._ON_DEMAND_ENGINES. The lock
+# is created at import time: lazy check-then-set initialization would
+# itself race (two first callers each minting their own lock).
+import threading as _threading
+from collections import OrderedDict as _OrderedDict
+
 ON_DEMAND_TRI_CAP = 8
-_ON_DEMAND_TRIS: "dict" = {}
-_ON_DEMAND_TRI_GUARD = None  # created lazily (threading.Lock)
+_ON_DEMAND_TRIS: "_OrderedDict[str, tuple]" = _OrderedDict()
+_ON_DEMAND_TRI_GUARD = _threading.Lock()
 
 
 def grep_on_demand(
@@ -561,25 +566,29 @@ def grep_on_demand(
     is metadata-only. Returns ``(hits_table, ingest_report)``. The
     opened TrigramIndex is cached per index dir and reopened only when
     the manifest's version counter says a mutation committed."""
-    import threading
-    from collections import OrderedDict
-
     from datamart_ray.index.build import _expand_paths
     from datamart_ray.index.trigram import (
         TrigramIndex,
         trigram_ingest_delta,
     )
 
-    global _ON_DEMAND_TRI_GUARD, _ON_DEMAND_TRIS
-    if _ON_DEMAND_TRI_GUARD is None:
-        _ON_DEMAND_TRI_GUARD = threading.Lock()
-        _ON_DEMAND_TRIS = OrderedDict()
-
+    known = {
+        os.path.realpath(fi["path"])
+        for fi in _load_tri_manifest(index_dir)["files"]
+    }
     swept = [f for f in _expand_paths(sources) if os.path.isfile(f)]
-    if swept:
-        report = trigram_ingest_delta(index_dir, swept)
-    else:
-        report = {"files": [], "segments": []}
+    fresh = [
+        f for f in swept if os.path.realpath(f) not in known
+    ]
+    if fresh:
+        trigram_ingest_delta(index_dir, fresh)
+    # a consistent, ingest-specific report shape either way (the raw
+    # ingest_delta return is the WHOLE manifest — useless for "did the
+    # sweep add anything?")
+    report = {
+        "ingested": sorted(fresh),
+        "skipped_known": sorted(set(swept) - set(fresh)),
+    }
 
     key = os.path.realpath(index_dir)
     version = int(_load_tri_manifest(index_dir).get("version", 0))

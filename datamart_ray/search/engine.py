@@ -1275,6 +1275,9 @@ class SearchEngine:
         # just after. A vanished dir means a newer committed view exists
         # — re-list and reopen (bounded; each retry observes a strictly
         # newer manifest).
+        from datamart_ray.index.manifest import current_index_version
+
+        ver_consistent = True
         for attempt in range(5):
             try:
                 self.manifest, self.analyzer, seg_dirs = _alias_union(
@@ -1286,6 +1289,19 @@ class SearchEngine:
                     )
                     for d in seg_dirs
                 ]
+                # _alias_union's manifest load and active_segments'
+                # index.json re-read are two reads: a mutation
+                # committing between them can leave self.manifest one
+                # version behind the segment list the readers serve.
+                # Re-check and retry; on persistent churn fall through
+                # with the version marked inconsistent (the phrase-df
+                # sidecar is then disabled rather than poisoned).
+                if isinstance(index_dir, str):
+                    ver_consistent = current_index_version(
+                        index_dir
+                    ) == int(self.manifest.get("version", 0))
+                    if not ver_consistent and attempt < 4:
+                        continue
                 break
             except FileNotFoundError:
                 if attempt == 4:
@@ -1304,11 +1320,13 @@ class SearchEngine:
         # concurrent commit and key dfs computed on a newer view under
         # an older version, poisoning other handles at that version
         self._phrase_df_dir = (
-            index_dir if isinstance(index_dir, str) else None
+            index_dir
+            if isinstance(index_dir, str) and ver_consistent
+            else None
         )
         self._phrase_df_version = (
             int(self.manifest.get("version", 0))
-            if isinstance(index_dir, str)
+            if self._phrase_df_dir
             else -1
         )
         if warm_terms:
