@@ -119,6 +119,21 @@ def main(argv: list[str] | None = None) -> int:
     )
     tv_.add_argument("--index", required=True)
 
+    tri_ = sub.add_parser(
+        "trigram-reindex",
+        help="rebuild under a new config, replay tombstones",
+    )
+    tri_.add_argument("--input", required=True)
+    tri_.add_argument("--src-index", required=True)
+    tri_.add_argument("--dest-index", required=True)
+    tri_.add_argument("--text-col", default=None)
+
+    tl_ = sub.add_parser(
+        "trigram-lineage",
+        help="per-segment lineage/metrics table",
+    )
+    tl_.add_argument("--index", required=True)
+
     td = sub.add_parser(
         "trigram-delta",
         help="append never-seen parquet files to a trigram index",
@@ -474,6 +489,33 @@ def _run(args) -> int:
             and v["ranges_ok"] is not False
             for v in out.values()
         ) else 1
+    if args.cmd == "trigram-reindex":
+        from datamart_ray.index.trigram import TrigramConfig
+        from datamart_ray.index.trigram_maintain import (
+            _load_tri_manifest,
+            trigram_reindex,
+        )
+
+        cfg = None
+        if args.text_col is not None:
+            src_man = _load_tri_manifest(args.src_index)
+            cfg = TrigramConfig(
+                text_col=args.text_col, id_col=src_man["id_col"]
+            )
+        print(
+            json.dumps(
+                trigram_reindex(
+                    args.input, args.src_index, args.dest_index, cfg
+                )
+            )
+        )
+        return 0
+    if args.cmd == "trigram-lineage":
+        from datamart_ray.index.trigram_maintain import trigram_lineage
+
+        t = trigram_lineage(args.index)
+        print(t.to_pandas().to_json(orient="records"))
+        return 0
     if args.cmd == "trigram-delta":
         from datamart_ray.index.trigram import trigram_ingest_delta
 

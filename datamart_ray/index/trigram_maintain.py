@@ -620,3 +620,77 @@ def grep_on_demand(
         )
     )
     return hits, report
+
+
+def trigram_reindex(
+    source_path,
+    src_index: str,
+    dest_index: str,
+    config=None,
+) -> dict:
+    """ES ``_reindex`` analog for the content index: rebuild
+    ``dest_index`` from the SOURCE parquet under a (possibly different)
+    TrigramConfig, then replay ``src_index``'s tombstones so the
+    destination serves exactly the live document set — deletes survive
+    the reindex. The heavy lift is the ordinary distributed build
+    (resume-safe, atomic segment commits); the tombstone replay is a
+    metadata-only pass. ``config=None`` inherits the source index's
+    committed text_col/id_col."""
+    from datamart_ray.index.trigram import (
+        TrigramConfig,
+        build_trigram_index,
+    )
+
+    src_man = _load_tri_manifest(src_index)
+    if config is None:
+        config = TrigramConfig(
+            text_col=src_man["text_col"], id_col=src_man["id_col"]
+        )
+    man = build_trigram_index(source_path, dest_index, config)
+    tombs = read_tri_tombstones(src_index)
+    replayed = 0
+    if tombs.size:
+        replayed = trigram_delete_docs(dest_index, tombs)
+    return {
+        "segments": man["segments"],
+        "replayed_tombstones": replayed,
+    }
+
+
+def trigram_lineage(index_dir: str) -> "pa.Table":
+    """Per-segment lineage + metrics as a table (the trigram analog of
+    ``maintain.lineage_records``): one row per active segment with its
+    provenance (doc ranges, compaction ancestry), contents (docs,
+    distinct trigrams, postings) and build metrics. Reads only
+    manifests + the tombstone footer — O(segments), never the index."""
+    man = _load_tri_manifest(index_dir)
+    tombs = read_tri_tombstones(index_dir)
+    seg_root = os.path.join(index_dir, "segments")
+    rows = []
+    for name in man["segments"]:
+        with open(os.path.join(seg_root, name, "MANIFEST.json")) as f:
+            m = json.load(f)
+        ranges = m.get(
+            "ranges", [[m["doc_base"], m["doc_base"] + m["n_docs"]]]
+        )
+        n_tomb = 0
+        if tombs.size and not man.get("id_col"):
+            for lo, hi in ranges:
+                n_tomb += int(
+                    np.searchsorted(tombs, hi)
+                    - np.searchsorted(tombs, lo)
+                )
+        rows.append(
+            {
+                "segment": name,
+                "n_docs": int(m["n_docs"]),
+                "n_tombstones_in_range": n_tomb,
+                "n_tris": int(m["n_tris"]),
+                "n_pairs": int(m["n_pairs"]),
+                "doc_base": int(m["doc_base"]),
+                "n_ranges": len(ranges),
+                "merged_from": ",".join(m.get("merged_from", [])),
+                "build_seconds": float(m.get("build_seconds", 0.0)),
+            }
+        )
+    return pa.Table.from_pylist(rows)

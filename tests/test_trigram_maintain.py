@@ -399,3 +399,31 @@ def test_compact_crash_between_repoint_and_prune_never_resurrects(
     # a later successful compact converges the state
     out = trigram_compact(idx)
     assert _hit_ids(idx, corpus) == live
+
+
+def test_trigram_reindex_replays_tombstones(built, tmp_path):
+    from datamart_ray.index.trigram_maintain import (
+        trigram_lineage,
+        trigram_reindex,
+    )
+
+    corpus, idx = built
+    before = _hit_ids(idx, corpus)
+    victim = before[0]
+    trigram_delete_docs(idx, [victim])
+
+    dest = str(tmp_path / "reidx")
+    out = trigram_reindex(corpus, idx, dest)
+    assert out["replayed_tombstones"] == 1
+    # destination serves the same live set; delete survived the rebuild
+    assert _hit_ids(dest, corpus) == before[1:]
+
+    # lineage: one row per segment, tombstone counted in-range
+    lin = trigram_lineage(dest).to_pylist()
+    assert len(lin) == 1  # default segment_docs → one segment
+    assert lin[0]["n_tombstones_in_range"] == 1
+    assert lin[0]["n_pairs"] > 0
+    # lineage of the compacted source records merge ancestry
+    trigram_compact(idx)
+    lin2 = trigram_lineage(idx).to_pylist()
+    assert len(lin2) == 1 and lin2[0]["merged_from"]
