@@ -1672,7 +1672,9 @@ class TrigramIndex:
             extra_cols=tuple(sorted(filters)) if filters else (),
         )
 
-    def like_search(self, pattern: str) -> pa.Table:
+    def like_search(
+        self, pattern: str, ignore_case: bool = False
+    ) -> pa.Table:
         """SQL LIKE content search (``%``/``_`` wildcards, no ESCAPE
         clause — DuckDB ``LIKE`` twin): (doc_id, n_matches=1) for
         matching docs. Candidates: every literal run (between
@@ -1680,7 +1682,14 @@ class TrigramIndex:
         covers all runs at once; a pattern with no such run full-scans.
         Verify is Arrow ``match_like`` — the same SQL semantics
         (anchored: a pattern without leading/trailing ``%`` must match
-        the whole string)."""
+        the whole string).
+
+        ``ignore_case=True`` is the ILIKE variant: candidates come
+        from per-position case-variant unions per literal run (k/s
+        windows excluded — Arrow's ignore_case folds Unicode like RE2,
+        see ``nocase_literal_positions``). PINNED DEVIATION vs DuckDB
+        ILIKE on non-ASCII only: Arrow folds LONG S/KELVIN SIGN to
+        s/k, DuckDB's ILIKE does not — identical on ASCII corpora."""
         import re as _re
 
         # a backslash escapes the following wildcard for match_like,
@@ -1694,16 +1703,32 @@ class TrigramIndex:
             for run in _re.split(r"[%_]", pattern)
             if len(run) >= 3 and "\\" not in run
         ]
-        tris = sorted(
-            {t for lit in lits for t in string_trigrams(lit)}
-        )
-        cand = self._candidates_all(tris) if tris else None
+        if ignore_case:
+            pos: list[list[int]] = []
+            bounded = True
+            for lit in lits:
+                pv = nocase_literal_positions(lit)
+                if pv is None:
+                    bounded = False
+                    break
+                pos.extend(pv)
+            cand = (
+                self._candidates_variants(pos)
+                if bounded and pos
+                else None
+            )
+        else:
+            tris = sorted(
+                {t for lit in lits for t in string_trigrams(lit)}
+            )
+            cand = self._candidates_all(tris) if tris else None
 
-        def table_kernel(t, idc, pattern=pattern):
+        def table_kernel(t, idc, pattern=pattern, ic=ignore_case):
             return _apply_kernel(
                 t,
                 lambda col: pc.cast(
-                    pc.match_like(col, pattern), pa.int64()
+                    pc.match_like(col, pattern, ignore_case=ic),
+                    pa.int64(),
                 ),
                 idc,
             )

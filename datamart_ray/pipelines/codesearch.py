@@ -345,7 +345,37 @@ def _regex_nocase_sql(pattern: str) -> str:
     """
 
 
+ILIKE_PATTERN = "%HASH Scan%Order%"  # wrong-case ordered multi-literal
+
+
+def cs_ilike_search(sf_dir: str) -> pd.DataFrame:
+    """Case-insensitive SQL LIKE (ILIKE) content search (NEW r5):
+    candidates from per-position case-variant trigram unions per
+    literal run (k/s windows excluded for Unicode-fold soundness),
+    verify via Arrow ``match_like(ignore_case=True)`` — DuckDB
+    ``ILIKE`` twin. Identical on this ASCII fixture; the engine's
+    Arrow kernel additionally folds LONG S/KELVIN SIGN (pinned
+    deviation, documented in ``TrigramIndex.like_search``). The
+    pattern's case is wrong for the corpus, so a broken variant
+    expansion returns zero rows and fails the row-count gate."""
+    return _hits_df(
+        get_trigram_index(sf_dir).like_search(
+            ILIKE_PATTERN, ignore_case=True
+        )
+    )
+
+
+def _ilike_sql(pattern: str) -> str:
+    return f"""
+        SELECT doc_id, 1::BIGINT AS n_matches
+        FROM documents
+        WHERE text ILIKE '{pattern}'
+        ORDER BY doc_id
+    """
+
+
 QUERIES = {
+    "cs_ilike_search": cs_ilike_search,
     "cs_substring_hits": cs_substring_hits,
     "cs_substring_rare_hits": cs_substring_rare_hits,
     "cs_regex_hits": cs_regex_hits,
@@ -360,6 +390,7 @@ QUERIES = {
 
 SQL = {
     "cs_like_search": _like_sql(LIKE_PATTERN),
+    "cs_ilike_search": _ilike_sql(ILIKE_PATTERN),
     "cs_substring_nocase": _substring_nocase_sql(NOCASE_NEEDLE),
     "cs_substring_lang_filter": _substring_filter_sql(
         SUBSTR_NEEDLE, FILTER_LANG

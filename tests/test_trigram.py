@@ -818,3 +818,29 @@ def test_dense_partials_huge_doc_sliced_path(monkeypatch):
         pairs["doc_id"].to_numpy(zero_copy_only=False),
     )
     assert got == want
+
+
+def test_ilike_search_exact_and_candidates_sound(nocase_index):
+    """ILIKE: indexed candidates cover every full-scan hit (incl. the
+    Unicode-fold-only docs) and the result equals the honest full
+    scan."""
+    import datamart_ray.index.trigram as tgmod
+
+    for pat in ["%FETCHNEEDLE%", "%kask%", "%Stop%", "%fetch%needle%"]:
+        fast = nocase_index.like_search(pat, ignore_case=True)
+        old = tgmod.VERIFY_FETCH_CAP
+        try:
+            tgmod.VERIFY_FETCH_CAP = -1
+            slow = nocase_index.like_search(pat, ignore_case=True)
+        finally:
+            tgmod.VERIFY_FETCH_CAP = old
+        assert fast.equals(slow), pat
+    # selective pattern actually prunes and hits the right docs
+    hits = nocase_index.like_search(
+        "%FETCHNEEDLE%", ignore_case=True
+    )
+    assert hits["doc_id"].to_pylist() == [0, 1, 2, 3]
+    # Unicode-fold docs found (their windows were excluded, not lost)
+    assert 9 in nocase_index.like_search(
+        "%stop%", ignore_case=True
+    )["doc_id"].to_pylist()
