@@ -41,6 +41,11 @@ from datamart_ray.index.manifest import (
 )
 
 TRI_TOMBSTONE_NAME = "tri_tombstones.parquet"
+# docIDs whose deletes a compaction made PHYSICAL (pruned from the
+# tombstone file) — kept so trigram_reindex, which rebuilds from the
+# source parquet, can replay them; otherwise compacted deletes would
+# resurrect on reindex
+TRI_DROPPED_NAME = "tri_dropped.parquet"
 
 
 def read_tri_tombstones(index_dir: str) -> np.ndarray:
@@ -59,6 +64,30 @@ def _write_tombstones(index_dir: str, ids: np.ndarray) -> None:
     )
     atomic_write_bytes(
         os.path.join(index_dir, TRI_TOMBSTONE_NAME), buf.getvalue()
+    )
+
+
+def read_tri_dropped(index_dir: str) -> np.ndarray:
+    """Sorted docIDs physically dropped by past compactions."""
+    path = os.path.join(index_dir, TRI_DROPPED_NAME)
+    if not os.path.exists(path):
+        return np.empty(0, dtype=np.int64)
+    return np.sort(pq.read_table(path)["doc_id"].to_numpy())
+
+
+def _append_dropped(index_dir: str, ids: np.ndarray) -> None:
+    merged = np.unique(
+        np.concatenate([read_tri_dropped(index_dir), ids])
+    )
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array(merged, type=pa.int64())}
+        ),
+        buf,
+    )
+    atomic_write_bytes(
+        os.path.join(index_dir, TRI_DROPPED_NAME), buf.getvalue()
     )
 
 
@@ -325,15 +354,18 @@ def trigram_compact(
             # tombstones physically dropped from the merged ranges; for
             # dense indexes, keep only ids outside every merged range
             # (a kept segment may still hold them); id_col: everything
-            # merged → all physical, clear
+            # merged → all physical, clear. Dropped ids are RECORDED
+            # (tri_dropped.parquet) before pruning so a later reindex
+            # from the unchanged source parquet can replay them.
             if man.get("id_col"):
-                remaining = np.empty(0, dtype=np.int64)
+                covered = np.ones(tombs.size, dtype=bool)
             else:
                 covered = np.zeros(tombs.size, dtype=bool)
                 for lo, hi in merged_ranges:
                     covered |= (tombs >= lo) & (tombs < hi)
-                remaining = tombs[~covered]
-            _write_tombstones(index_dir, remaining)
+            if covered.any():
+                _append_dropped(index_dir, tombs[covered])
+            _write_tombstones(index_dir, tombs[~covered])
         import shutil
 
         for d in merge_dirs:
@@ -443,11 +475,10 @@ def trigram_snapshot(index_dir: str, snap_dir: str) -> dict:
                 for dp, _, fs in os.walk(src)
                 for f in fs
             )
-        tpath = os.path.join(index_dir, TRI_TOMBSTONE_NAME)
-        if os.path.exists(tpath):
-            shutil.copy2(
-                tpath, os.path.join(snap_dir, TRI_TOMBSTONE_NAME)
-            )
+        for side in (TRI_TOMBSTONE_NAME, TRI_DROPPED_NAME):
+            tpath = os.path.join(index_dir, side)
+            if os.path.exists(tpath):
+                shutil.copy2(tpath, os.path.join(snap_dir, side))
     atomic_write_json(
         os.path.join(snap_dir, "trigram_index.json"), man
     )
@@ -515,11 +546,10 @@ def trigram_restore(snap_dir: str, dest_dir: str) -> dict:
                 raise ValueError(
                     f"restored segment {name} size mismatch"
                 )
-        tpath = os.path.join(snap_dir, TRI_TOMBSTONE_NAME)
-        if os.path.exists(tpath):
-            shutil.copy2(
-                tpath, os.path.join(dest_dir, TRI_TOMBSTONE_NAME)
-            )
+        for side in (TRI_TOMBSTONE_NAME, TRI_DROPPED_NAME):
+            tpath = os.path.join(snap_dir, side)
+            if os.path.exists(tpath):
+                shutil.copy2(tpath, os.path.join(dest_dir, side))
         shutil.copy2(
             os.path.join(snap_dir, "trigram_index.json"),
             os.path.join(dest_dir, "trigram_index.json"),
@@ -623,34 +653,70 @@ def grep_on_demand(
 
 
 def trigram_reindex(
-    source_path,
-    src_index: str,
-    dest_index: str,
+    source_path=None,
+    src_index: str = None,
+    dest_index: str = None,
     config=None,
 ) -> dict:
     """ES ``_reindex`` analog for the content index: rebuild
-    ``dest_index`` from the SOURCE parquet under a (possibly different)
-    TrigramConfig, then replay ``src_index``'s tombstones so the
-    destination serves exactly the live document set — deletes survive
-    the reindex. The heavy lift is the ordinary distributed build
-    (resume-safe, atomic segment commits); the tombstone replay is a
-    metadata-only pass. ``config=None`` inherits the source index's
-    committed text_col/id_col."""
+    ``dest_index`` under a (possibly different) TrigramConfig from the
+    SRC INDEX'S RECORDED FILE PLAN — the files in their recorded base
+    order, so dense docIDs in the destination line up exactly with the
+    ids the source's tombstones were recorded against. Replays both
+    the live tombstones AND the ids prior compactions made physical
+    (``tri_dropped.parquet``), so the destination serves exactly the
+    source's live document set. ``source_path`` is optional and only
+    VALIDATED (its expansion must equal the recorded plan's file set);
+    passing a different set raises instead of silently deleting the
+    wrong docs. The destination must be fresh — checkpoint-resume
+    skips committed segments by (base, n_docs) name, which does not
+    encode the extraction config, so reusing a dest dir under a new
+    config would silently serve stale postings."""
     from datamart_ray.index.trigram import (
         TrigramConfig,
         build_trigram_index,
     )
 
     src_man = _load_tri_manifest(src_index)
+    recorded = [
+        fi["path"]
+        for fi in sorted(src_man["files"], key=lambda f: f["base"])
+    ]
+    if source_path is not None:
+        from datamart_ray.index.build import _expand_paths
+
+        got = sorted(
+            os.path.realpath(p) for p in _expand_paths(source_path)
+        )
+        want = sorted(os.path.realpath(p) for p in recorded)
+        if got != want:
+            raise ValueError(
+                "source_path does not match the src index's recorded "
+                "file plan — reindex builds from the recorded plan so "
+                "docIDs line up with the tombstones; omit source_path "
+                "or pass the identical file set"
+            )
+    if os.path.isdir(dest_index) and (
+        os.path.exists(
+            os.path.join(dest_index, "trigram_index.json")
+        )
+        or os.path.isdir(os.path.join(dest_index, "segments"))
+    ):
+        raise ValueError(
+            f"reindex target {dest_index} is not fresh — "
+            "checkpoint-resume would keep old-config segments"
+        )
     if config is None:
         config = TrigramConfig(
             text_col=src_man["text_col"], id_col=src_man["id_col"]
         )
-    man = build_trigram_index(source_path, dest_index, config)
+    man = build_trigram_index(recorded, dest_index, config)
     tombs = read_tri_tombstones(src_index)
+    dropped = read_tri_dropped(src_index)
+    replay = np.unique(np.concatenate([tombs, dropped]))
     replayed = 0
-    if tombs.size:
-        replayed = trigram_delete_docs(dest_index, tombs)
+    if replay.size:
+        replayed = trigram_delete_docs(dest_index, replay)
     return {
         "segments": man["segments"],
         "replayed_tombstones": replayed,
@@ -673,8 +739,11 @@ def trigram_lineage(index_dir: str) -> "pa.Table":
         ranges = m.get(
             "ranges", [[m["doc_base"], m["doc_base"] + m["n_docs"]]]
         )
-        n_tomb = 0
-        if tombs.size and not man.get("id_col"):
+        # id_col indexes can't map external ids to segment ranges —
+        # report the unknown as null, never as a definite zero
+        n_tomb = None
+        if not man.get("id_col"):
+            n_tomb = 0
             for lo, hi in ranges:
                 n_tomb += int(
                     np.searchsorted(tombs, hi)

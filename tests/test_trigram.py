@@ -835,11 +835,32 @@ def test_ilike_search_exact_and_candidates_sound(nocase_index):
         finally:
             tgmod.VERIFY_FETCH_CAP = old
         assert fast.equals(slow), pat
-    # selective pattern actually prunes and hits the right docs
-    hits = nocase_index.like_search(
-        "%FETCHNEEDLE%", ignore_case=True
+    # GROUND TRUTH (not the engine's own streaming path, which still
+    # pre-filters by candidates): Arrow match_like over the raw corpus
+    import os as _os
+
+    src_files = sorted(
+        _os.path.join(nocase_index.src, f)
+        for f in _os.listdir(nocase_index.src)
+        if f.endswith(".parquet")
     )
-    assert hits["doc_id"].to_pylist() == [0, 1, 2, 3]
+    texts = pa.concat_tables(
+        [pq.read_table(f, columns=["content"]) for f in src_files]
+    )["content"]
+    for pat in ["%FETCHNEEDLE%", "%fetch%needle%", "%kask%", "%Stop%"]:
+        want = [
+            i
+            for i, m in enumerate(
+                pc.match_like(
+                    texts, pat, ignore_case=True
+                ).to_pylist()
+            )
+            if m
+        ]
+        got = nocase_index.like_search(
+            pat, ignore_case=True
+        )["doc_id"].to_pylist()
+        assert got == want, pat
     # Unicode-fold docs found (their windows were excluded, not lost)
     assert 9 in nocase_index.like_search(
         "%stop%", ignore_case=True

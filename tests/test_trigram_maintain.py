@@ -427,3 +427,25 @@ def test_trigram_reindex_replays_tombstones(built, tmp_path):
     trigram_compact(idx)
     lin2 = trigram_lineage(idx).to_pylist()
     assert len(lin2) == 1 and lin2[0]["merged_from"]
+
+    # deletes made PHYSICAL by the compaction must STILL survive a
+    # later reindex (tri_dropped.parquet replay — without it, the
+    # rebuild from the unchanged source parquet would resurrect them)
+    from datamart_ray.index.trigram_maintain import read_tri_dropped
+
+    assert victim in read_tri_dropped(idx).tolist()
+    dest2 = str(tmp_path / "reidx2")
+    out2 = trigram_reindex(None, idx, dest2)
+    assert out2["replayed_tombstones"] == 1
+    assert _hit_ids(dest2, corpus) == before[1:]
+
+    # a non-fresh destination is refused (checkpoint-resume would keep
+    # old-config segments under unchanged (base, n_docs) names)
+    with pytest.raises(ValueError, match="not fresh"):
+        trigram_reindex(None, idx, dest)
+    # a source_path that does not match the recorded plan is refused
+    other = str(tmp_path / "othersrc")
+    generate_corpus(other, n_files=10, vocab_size=100, seed=99,
+                    n_output_files=1)
+    with pytest.raises(ValueError, match="recorded file plan"):
+        trigram_reindex(other, idx, str(tmp_path / "reidx3"))
